@@ -1,0 +1,81 @@
+"""Query corpus: every implemented operator as a named query over the
+driver testdata, paired (where SQL-expressible) with an ANSI-SQL oracle
+DuckDB runs on the same parquet — the driver's correctness gate
+(/root/repo/__spark_entry__.py contract).
+
+Cross-engine determinism rules applied throughout (SURVEY.md §7.3):
+  * sums/averages via exact decimal accumulation (functions.dsum/dmean) —
+    order-independent, so partial-aggregation order can't skew results;
+  * inherently-floating aggregates (stddev, corr, cosine) rounded;
+  * every window ordered by a TOTAL order (unique tiebreaker columns);
+  * collect_set always array_sort'ed;
+  * timestamps compared at microsecond precision (events.ts ns → µs on
+    both engines);
+  * every computed column aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a (spark, sf_dir) -> DataFrame query; ``oracle`` is
+    the equivalent DuckDB SQL (None → driver runs a rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---- shared SQL fragments (mirror functions.dsum / dmean exactly) ----
+
+def sql_dsum(expr: str) -> str:
+    """Exact decimal sum cast to double — mirrors functions.dsum."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
+
+
+def sql_dmean(expr: str, count_expr: str | None = None) -> str:
+    """dsum/count double division — mirrors functions.dmean."""
+    cnt = count_expr or f"COUNT({expr})"
+    return f"({sql_dsum(expr)} / NULLIF({cnt}, 0))"
+
+
+def queries() -> dict[str, QueryFn]:
+    _load()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _load()
+    return dict(_ORACLE)
+
+
+_LOADED = False
+
+
+def _load() -> None:
+    """Import all corpus submodules (each registers its queries)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from financial_data_lakehouse_pipeline__spark.corpus import (  # noqa: F401
+        events_q,
+        relational,
+        textdocs,
+        vectors,
+        windows_q,
+    )
+
+    _LOADED = True

@@ -1,0 +1,328 @@
+"""Corpus: event-time operators — tumbling/sliding windows, sessionization,
+as-of join, recency weighting, event detection, bucketing, alignment
+(SURVEY.md §2.9 extension + sentiment_analysis.py composites)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_data_lakehouse_pipeline__spark.corpus import register, sql_dsum
+from financial_data_lakehouse_pipeline__spark.functions import dmean, dsum
+from financial_data_lakehouse_pipeline__spark.operators import analysis, events, joins
+from financial_data_lakehouse_pipeline__spark.operators.analysis import alignment_score
+from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+# DuckDB-side: events.ts normalized to microsecond TIMESTAMP (matches the
+# Spark-side ns→µs conversion in sources.readers.read_table).
+_EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+
+@register(
+    "tumbling_hourly",
+    f"""SELECT date_trunc('hour', ts) AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_dsum('value')} AS total_value
+        FROM {_EV} e
+        GROUP BY 1, 2, 3""",
+)
+def tumbling_hourly(spark, sf_dir):
+    """Tumbling event-time window aggregation (batch twin of the
+    Structured Streaming path in streaming/__init__.py)."""
+    ev = read_table(spark, sf_dir, "events")
+    return events.tumbling_window_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        {"n_events": F.count(F.lit(1)), "total_value": dsum(F.col("value"))},
+    )
+
+
+@register(
+    "sliding_2h_hop_1h",
+    f"""SELECT ws AS window_start,
+               ws + INTERVAL 2 HOUR AS window_end,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_dsum('value')} AS total_value
+        FROM (SELECT e.*,
+                     unnest([date_trunc('hour', ts),
+                             date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+              FROM {_EV} e)
+        GROUP BY 1, 2, 3""",
+)
+def sliding_2h_hop_1h(spark, sf_dir):
+    """Sliding (hopping) window: each event lands in 2 overlapping
+    2-hour windows hopping hourly."""
+    ev = read_table(spark, sf_dir, "events")
+    return events.sliding_window_agg(
+        ev,
+        "ts",
+        "2 hours",
+        "1 hour",
+        ["event_type"],
+        {"n_events": F.count(F.lit(1)), "total_value": dsum(F.col("value"))},
+    )
+
+
+@register(
+    "sessionize_users",
+    f"""WITH marked AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM {_EV}
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS session_id
+          FROM marked
+        )
+        SELECT user_id, session_id,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_dsum('value')} AS total_value
+        FROM sess GROUP BY user_id, session_id""",
+)
+def sessionize_users(spark, sf_dir):
+    """Sessionization: 30-minute inactivity gap, lag+cumsum formulation
+    (one shuffle + sort per key — the batch twin of session_window)."""
+    ev = read_table(spark, sf_dir, "events")
+    return events.session_agg(
+        ev,
+        ["user_id"],
+        "ts",
+        1800,
+        {"n_events": F.count(F.lit(1)), "total_value": dsum(F.col("value"))},
+        order_tiebreak=["event_id"],
+    )
+
+
+@register(
+    "asof_last_purchase",
+    f"""SELECT l.event_id, l.user_id, l.ts, l.value,
+               r.purchase_value AS purchase_value_asof
+        FROM (SELECT * FROM {_EV} WHERE event_type = 'click') l
+        ASOF LEFT JOIN (SELECT user_id, ts AS pts, value AS purchase_value
+                        FROM {_EV} WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.pts""",
+)
+def asof_last_purchase(spark, sf_dir):
+    """As-of join: each click enriched with the user's most recent
+    purchase value at-or-before it. Spark side: union + carry-forward
+    window (operators.joins.asof_join) — one shuffle, no range explosion;
+    oracle: DuckDB's native ASOF JOIN."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("purchase_value")
+    )
+    out = joins.asof_join(
+        clicks, purchases, ["user_id"], "ts", "pts", ["purchase_value"], suffix="_asof"
+    )
+    return out.select("event_id", "user_id", "ts", "value", "purchase_value_asof")
+
+
+@register(
+    "recency_weighted_value",
+    f"""SELECT user_id,
+               ROUND({sql_dsum('value * exp(-((SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) FROM events) - epoch_us(ts)) / 3600000000.0 / 24.0)')}
+                     / NULLIF({sql_dsum('exp(-((SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) FROM events) - epoch_us(ts)) / 3600000000.0 / 24.0)')}, 0),
+                     6) AS recency_weighted_avg
+        FROM {_EV}
+        GROUP BY user_id""",
+)
+def recency_weighted_value(spark, sf_dir):
+    """Exponential recency-weighted mean per user (reference dt:285-304),
+    anchored at the global max timestamp via broadcast join — no collect,
+    no single-partition window."""
+    ev = read_table(spark, sf_dir, "events")
+    out = events.recency_weighted_mean(
+        ev, ["user_id"], "ts", "value", half_life_hours=24.0
+    )
+    return out.withColumn(
+        "recency_weighted_avg", F.round("recency_weighted_avg", 6)
+    )
+
+
+@register(
+    "clamp_normalize",
+    f"""SELECT event_id,
+               ROUND(LEAST(GREATEST((value - 250.0) / 250.0, -1.0), 1.0), 6)
+                   AS value_clamped
+        FROM {_EV}""",
+)
+def clamp_normalize(spark, sf_dir):
+    """P11: normalize then clamp into [-1, 1] (reference dc:320-325)."""
+    ev = read_table(spark, sf_dir, "events")
+    from financial_data_lakehouse_pipeline__spark.functions import clamp
+
+    return ev.select(
+        "event_id",
+        F.round(clamp((F.col("value") - 250.0) / 250.0, -1.0, 1.0), 6).alias(
+            "value_clamped"
+        ),
+    )
+
+
+@register(
+    "event_detection",
+    f"""WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 {sql_dsum('value')} / NULLIF(COUNT(value), 0) - 250.0 AS signal
+          FROM {_EV}
+          GROUP BY user_id, CAST(ts AS DATE)
+        )
+        SELECT user_id, day, n_events, ROUND(signal, 6) AS signal,
+               CASE WHEN signal > 0 THEN 'positive' ELSE 'negative' END AS direction
+        FROM daily
+        WHERE ABS(signal) >= 100 AND n_events >= 5""",
+)
+def event_detection(spark, sf_dir):
+    """Threshold event detection + classification (reference sa:215-270:
+    |signal| >= threshold AND support >= min, then when-chain label)."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (dmean(F.col("value")) - 250.0).alias("signal"),
+    )
+    detected = analysis.detect_events(
+        daily,
+        "signal",
+        100.0,
+        "n_events",
+        5,
+        classify={
+            "direction": F.when(F.col("signal") > 0, "positive").otherwise("negative")
+        },
+    )
+    return detected.select(
+        "user_id", "day", "n_events", F.round("signal", 6).alias("signal"), "direction"
+    )
+
+
+@register(
+    "user_value_buckets",
+    f"""WITH ua AS (
+          SELECT user_id, {sql_dsum('value')} / NULLIF(COUNT(value), 0) AS avg_value
+          FROM {_EV} GROUP BY user_id
+        )
+        SELECT CASE WHEN avg_value <= 150 THEN 'low'
+                    WHEN avg_value <= 250 THEN 'mid_low'
+                    WHEN avg_value <= 350 THEN 'mid_high'
+                    ELSE 'high' END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               ROUND({sql_dsum('avg_value')} / NULLIF(COUNT(avg_value), 0), 6)
+                   AS bucket_avg
+        FROM ua GROUP BY 1""",
+)
+def user_value_buckets(spark, sf_dir):
+    """Bucketing via when-chain (reference sa:153-160) + grouped means
+    over buckets (reference sa:163-172)."""
+    ev = read_table(spark, sf_dir, "events")
+    ua = ev.groupBy("user_id").agg(dmean(F.col("value")).alias("avg_value"))
+    b = analysis.bucketize(
+        ua, "avg_value", [150.0, 250.0, 350.0], ["low", "mid_low", "mid_high", "high"]
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(dmean(F.col("avg_value")), 6).alias("bucket_avg"),
+    )
+
+
+@register(
+    "signal_alignment",
+    f"""SELECT event_id, user_id,
+               CAST(SIGN(value - 250.0) AS DOUBLE)
+               * CAST(SIGN(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           - value) AS DOUBLE) AS alignment
+        FROM {_EV}""",
+)
+def signal_alignment(spark, sf_dir):
+    """Signal/outcome sign-alignment score (reference sa:273-279)."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        alignment_score(F.col("value") - 250.0, nxt - F.col("value")).alias(
+            "alignment"
+        ),
+    )
+
+
+@register(
+    "summary_by_event_type",
+    f"""SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {sql_dsum('value')} / NULLIF(COUNT(value), 0) AS value_avg,
+               MIN(value) AS value_min,
+               MAX(value) AS value_max,
+               ROUND(STDDEV_SAMP(value), 4) AS value_stddev
+        FROM {_EV} GROUP BY event_type""",
+)
+def summary_by_event_type(spark, sf_dir):
+    """Summary statistics composite (reference sa:313-348)."""
+    ev = read_table(spark, sf_dir, "events")
+    out = analysis.summary_stats(ev, ["event_type"], ["value"])
+    return out.select(
+        "event_type",
+        "n_rows",
+        "value_avg",
+        "value_min",
+        "value_max",
+        F.round("value_stddev", 4).alias("value_stddev"),
+    )
+
+
+@register(
+    "filter_pushdown_purchases",
+    f"""SELECT event_id, user_id, ts, value
+        FROM {_EV}
+        WHERE event_type = 'purchase' AND value > 100""",
+)
+def filter_pushdown_purchases(spark, sf_dir):
+    """P7: parameterized threshold filter — predicate + projection reach
+    the parquet scan (plan asserted in tests/test_plans.py)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 100)).select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+
+@register("streaming_hourly_counts")  # no oracle: Structured Streaming path
+def streaming_hourly_counts(spark, sf_dir):
+    """Structured Streaming twin of tumbling_hourly: file stream over the
+    events parquet driven to completion with an availableNow trigger and a
+    memory sink. Equality with the batch operator is pinned in
+    tests/test_streaming.py; driver does a rows-only check."""
+    import os
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+
+    batch = read_table(spark, sf_dir, "events")
+    stream = st.stream_from_parquet_dir(
+        spark, os.path.join(sf_dir, "events.parquet"), batch.schema
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = st.windowed_counts(
+        stream,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        {"n_events": F.count(F.lit(1)), "total_value": dsum(F.col("value"))},
+    )
+    return st.run_available_now(agg, "corpus_streaming_hourly_counts")

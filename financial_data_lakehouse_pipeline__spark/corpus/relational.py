@@ -1,0 +1,578 @@
+"""Corpus: projections, filters, scalar functions, joins, aggregations,
+sorts/top-k, set ops, SQL views (SURVEY.md §2.1-§2.4, §2.6-§2.8, §3.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_data_lakehouse_pipeline__spark.corpus import register, sql_dmean, sql_dsum
+from financial_data_lakehouse_pipeline__spark.functions import (
+    dmean,
+    dsum,
+    guarded_div,
+    safe_corr,
+)
+from financial_data_lakehouse_pipeline__spark.operators import aggregates as agg
+from financial_data_lakehouse_pipeline__spark.operators import cleaning, joins
+from financial_data_lakehouse_pipeline__spark.operators.sql_views import VIEWS
+from financial_data_lakehouse_pipeline__spark.sources import read_table, register_views
+
+_DEC = "decimal(30,6)"
+
+
+# ---------------------------------------------------------------- SQL views
+# The reference's analytical views (hive_schemas.sql:236-294,
+# postgresql_schemas.sql:225-271) — same SQL on both engines.
+
+def _view_query(view_name: str):
+    def fn(spark, sf_dir):
+        register_views(spark, sf_dir)
+        return spark.sql(VIEWS[view_name])
+
+    return fn
+
+
+for _v, _sql in VIEWS.items():
+    register(_v, _sql)(_view_query(_v))
+
+
+# ------------------------------------------------------- projection / scalar
+
+@register(
+    "projection_cast",
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+              ROUND(l_extendedprice, 2) AS price,
+              CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+              l_returnflag AS flag
+       FROM lineitem""",
+)
+def projection_cast(spark, sf_dir):
+    """P1/P8: select + alias + cast (reference dc:106-124, dc:162-166)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber").cast("bigint").alias("line_no"),
+        F.round("l_extendedprice", 2).alias("price"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.col("l_returnflag").alias("flag"),
+    )
+
+
+@register(
+    "guarded_division",
+    """SELECT l_orderkey, l_linenumber,
+              ROUND(CASE WHEN l_quantity IS NOT NULL AND l_quantity <> 0
+                         THEN l_extendedprice / l_quantity ELSE 0.0 END, 4)
+                  AS unit_price,
+              ROUND(CASE WHEN l_extendedprice IS NOT NULL AND l_extendedprice <> 0
+                         THEN l_discount * l_extendedprice / l_extendedprice END, 6)
+                  AS disc_frac
+       FROM lineitem""",
+)
+def guarded_division(spark, sf_dir):
+    """P4: zero-guarded division (reference dc:95-98, dt:121-127)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            guarded_div(F.col("l_extendedprice"), F.col("l_quantity"), default=0.0), 4
+        ).alias("unit_price"),
+        F.round(
+            guarded_div(
+                F.col("l_discount") * F.col("l_extendedprice"),
+                F.col("l_extendedprice"),
+            ),
+            6,
+        ).alias("disc_frac"),
+    )
+
+
+@register(
+    "null_invariant_filter",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+       FROM lineitem
+       WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+         AND l_discount IS NOT NULL AND l_shipdate IS NOT NULL
+         AND l_quantity > 0 AND l_extendedprice >= 0
+         AND l_discount >= 0 AND l_discount <= 1""",
+)
+def null_invariant_filter(spark, sf_dir):
+    """P5/P6: null rejection + domain invariants (reference dc:75-90)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    li = cleaning.reject_nulls(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+    li = cleaning.filter_invariant(
+        li,
+        (F.col("l_quantity") > 0)
+        & (F.col("l_extendedprice") >= 0)
+        & (F.col("l_discount") >= 0)
+        & (F.col("l_discount") <= 1),
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+
+
+@register(
+    "date_parts",
+    """SELECT o_orderkey,
+              CAST(year(o_orderdate) AS INT) AS year,
+              CAST(month(o_orderdate) AS INT) AS month,
+              CAST(dayofmonth(o_orderdate) AS INT) AS day,
+              CAST(dayofweek(o_orderdate) + 1 AS INT) AS dayofweek,
+              CAST(quarter(o_orderdate) AS INT) AS quarter
+       FROM orders""",
+)
+def date_parts(spark, sf_dir):
+    """§2.8 date/time scalars. Convention pinned: Spark dayofweek 1=Sunday
+    (DuckDB dow 0=Sunday, hence +1 in the oracle) — the reference got this
+    wrong in a comment (SURVEY.md §1.2)."""
+    o = read_table(spark, sf_dir, "orders")
+    return cleaning.with_date_parts(
+        o, "o_orderdate", ["year", "month", "day", "dayofweek", "quarter"]
+    ).select("o_orderkey", "year", "month", "day", "dayofweek", "quarter")
+
+
+# ------------------------------------------------------------------- joins
+
+@register(
+    "merge_fullouter_coalesce",
+    """SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+              ROUND(COALESCE(a.price_a, b.price_b), 2) AS price,
+              CASE WHEN a.price_a IS NOT NULL AND b.price_b IS NOT NULL THEN 'both'
+                   WHEN a.price_a IS NOT NULL THEN 'left' ELSE 'right' END AS src
+       FROM (SELECT o_orderkey, o_totalprice AS price_a FROM orders
+             WHERE o_orderstatus = 'O') a
+       FULL OUTER JOIN (SELECT o_orderkey, o_totalprice * 0.9 AS price_b FROM orders
+                        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) b
+         ON a.o_orderkey = b.o_orderkey""",
+)
+def merge_fullouter_coalesce(spark, sf_dir):
+    """J1: full-outer merge + per-column coalesce preference
+    (reference dt:79-99)."""
+    o = read_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", F.col("o_totalprice").alias("price_a")
+    )
+    b = o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_orderkey", (F.col("o_totalprice") * 0.9).alias("price_b")
+    )
+    merged = joins.coalescing_merge(
+        a, b, ["o_orderkey"], {"price": ("price_a", "price_b")}, source_flag="src"
+    )
+    return merged.withColumn("price", F.round("price", 2))
+
+
+@register(
+    "enrich_customer_geo",
+    """SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region,
+              ROUND(c.c_acctbal, 2) AS acctbal
+       FROM customer c
+       LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+       LEFT JOIN region r ON n.n_regionkey = r.r_regionkey""",
+)
+def enrich_customer_geo(spark, sf_dir):
+    """J2: broadcast enrichment joins against dim tables
+    (reference dt:358-369)."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    e = joins.enrich(c, n, c.c_nationkey == n.n_nationkey)
+    e = joins.enrich(e, r, e.n_regionkey == r.r_regionkey)
+    return e.select(
+        "c_custkey",
+        "c_name",
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+
+
+@register(
+    "customers_without_orders",
+    """SELECT c.c_custkey, c.c_name
+       FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def customers_without_orders(spark, sf_dir):
+    """Anti join (engine extension — reference has no semi/anti)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return joins.anti_join(
+        c, o.select(F.col("o_custkey").alias("c_custkey")), ["c_custkey"]
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "parts_with_sales",
+    """SELECT p.p_partkey, p.p_brand
+       FROM part p
+       WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)""",
+)
+def parts_with_sales(spark, sf_dir):
+    """Semi join (engine extension)."""
+    p = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem")
+    return joins.semi_join(
+        p, li.select(F.col("l_partkey").alias("p_partkey")), ["p_partkey"]
+    ).select("p_partkey", "p_brand")
+
+
+@register(
+    "master_supplier_daily",
+    f"""SELECT l.l_suppkey, CAST(l.l_shipdate AS DATE) AS ship_date,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               s.s_name, n.n_name AS nation,
+               CAST(dayofweek(CAST(l.l_shipdate AS DATE)) + 1 AS INT) AS day_of_week,
+               CASE WHEN {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} > 50000
+                    THEN 1 ELSE 0 END AS is_high_revenue
+        FROM lineitem l
+        LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY l.l_suppkey, CAST(l.l_shipdate AS DATE), s.s_name, n.n_name""",
+)
+def master_supplier_daily(spark, sf_dir):
+    """The reference's widest DAG shape — create_master (dt:327-402):
+    grouped base + broadcast dim enrichment + derived calendar/flag cols."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    base = (
+        li.withColumn("ship_date", F.col("l_shipdate").cast("date"))
+        .groupBy("l_suppkey", "ship_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+    e = joins.enrich(base, s, base.l_suppkey == s.s_suppkey)
+    e = joins.enrich(e, n, e.s_nationkey == n.n_nationkey)
+    return e.select(
+        "l_suppkey",
+        "ship_date",
+        "n_lines",
+        "revenue",
+        "s_name",
+        F.col("n_name").alias("nation"),
+        (F.dayofweek("ship_date")).cast("int").alias("day_of_week"),
+        F.when(F.col("revenue") > 50000, 1).otherwise(0).alias("is_high_revenue"),
+    )
+
+
+# ------------------------------------------------------------- aggregations
+
+@register(
+    "grouped_stats_q1",
+    f"""SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_quantity')} AS sum_qty,
+               {sql_dsum('l_extendedprice')} AS sum_base_price,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {sql_dmean('l_quantity', 'COUNT(l_quantity)')} AS avg_qty,
+               {sql_dmean('l_extendedprice', 'COUNT(l_extendedprice)')} AS avg_price,
+               ROUND(STDDEV_SAMP(l_extendedprice), 2) AS stddev_price,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""",
+)
+def grouped_stats_q1(spark, sf_dir):
+    """A1: grouped multi-aggregate, TPC-H Q1 shape (reference dt:261-271).
+    Sums are exact decimal; stddev rounded (inherently floating)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            dmean(F.col("l_quantity")).alias("avg_qty"),
+            dmean(F.col("l_extendedprice")).alias("avg_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "conditional_counts",
+    """SELECT o_orderstatus,
+              CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_count,
+              CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+              CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS other_count
+       FROM orders GROUP BY o_orderstatus""",
+)
+def conditional_counts(spark, sf_dir):
+    """A2: pivot-style conditional counting (reference dt:268-270)."""
+    o = read_table(spark, sf_dir, "orders")
+    return agg.conditional_counts(
+        o,
+        ["o_orderstatus"],
+        {
+            "urgent_count": F.col("o_orderpriority") == "1-URGENT",
+            "high_count": F.col("o_orderpriority") == "2-HIGH",
+            "other_count": ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        },
+    )
+
+
+@register(
+    "weighted_avg_price",
+    f"""SELECT l_suppkey,
+               ROUND({sql_dsum('l_extendedprice * l_quantity')}
+                     / NULLIF({sql_dsum('l_quantity')}, 0), 6) AS weighted_avg
+        FROM lineitem GROUP BY l_suppkey""",
+)
+def weighted_avg_price(spark, sf_dir):
+    """A3: weighted mean = sum(v*w)/sum(w) (reference dt:295-304)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    out = agg.weighted_mean(
+        li, ["l_suppkey"], "l_extendedprice", F.col("l_quantity")
+    )
+    return out.withColumn("weighted_avg", F.round("weighted_avg", 6))
+
+
+@register(
+    "collect_set_segments",
+    """SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments
+       FROM customer GROUP BY c_nationkey""",
+)
+def collect_set_segments(spark, sf_dir):
+    """A4: grouped distinct-set, sorted for determinism
+    (reference dt:352-355; hazard SURVEY.md §7.3)."""
+    c = read_table(spark, sf_dir, "customer")
+    return agg.collect_set_sorted(c, ["c_nationkey"], "c_mktsegment", "segments")
+
+
+_CORR_SQL = (
+    "CASE WHEN STDDEV_SAMP({x}) > 0 AND STDDEV_SAMP({y}) > 0 "
+    "THEN ROUND(COVAR_SAMP({x}, {y}) / (STDDEV_SAMP({x}) * STDDEV_SAMP({y})), 6) END"
+)
+
+
+@register(
+    "grouped_corr",
+    f"""SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {_CORR_SQL.format(x='l_quantity', y='l_extendedprice')} AS corr_qty_price,
+               {_CORR_SQL.format(x='l_discount', y='l_tax')} AS corr_disc_tax
+        FROM lineitem GROUP BY l_returnflag""",
+)
+def grouped_corr(spark, sf_dir):
+    """A5: grouped Pearson correlation (reference sa:73-81). NULL on zero
+    variance — ANSI-safe, matches DuckDB."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(safe_corr(F.col("l_quantity"), F.col("l_extendedprice")), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(safe_corr(F.col("l_discount"), F.col("l_tax")), 6).alias(
+            "corr_disc_tax"
+        ),
+    )
+
+
+@register(
+    "global_stats",
+    f"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+               ROUND({sql_dmean('l_quantity', 'COUNT(l_quantity)')}, 6) AS avg_qty,
+               {_CORR_SQL.format(x='l_quantity', y='l_extendedprice')} AS corr_qty_price,
+               CAST(MIN(l_shipdate) AS DATE) AS min_ship,
+               CAST(MAX(l_shipdate) AS DATE) AS max_ship
+        FROM lineitem""",
+)
+def global_stats(spark, sf_dir):
+    """A6: grand aggregate without grouping (reference sa:84-89)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return agg.global_agg(
+        li,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_suppliers": F.countDistinct("l_suppkey"),
+            "avg_qty": F.round(dmean(F.col("l_quantity")), 6),
+            "corr_qty_price": F.round(
+                safe_corr(F.col("l_quantity"), F.col("l_extendedprice")), 6
+            ),
+            "min_ship": F.min("l_shipdate").cast("date"),
+            "max_ship": F.max("l_shipdate").cast("date"),
+        },
+    )
+
+
+@register(
+    "calendar_rollup_orders",
+    f"""SELECT CAST(year(o_orderdate) AS INT) AS year,
+               CAST(month(o_orderdate) AS INT) AS month,
+               CAST(COUNT(*) AS BIGINT) AS order_count,
+               {sql_dsum('o_totalprice')} AS total_value,
+               ROUND({sql_dmean('o_totalprice', 'COUNT(o_totalprice)')}, 4) AS avg_value
+        FROM orders GROUP BY 1, 2""",
+)
+def calendar_rollup_orders(spark, sf_dir):
+    """A8: calendar-grain rollup (reference sa:339-348)."""
+    o = read_table(spark, sf_dir, "orders")
+    return agg.calendar_rollup(
+        o,
+        "o_orderdate",
+        ["year", "month"],
+        {
+            "order_count": F.count(F.lit(1)),
+            "total_value": dsum(F.col("o_totalprice")),
+            "avg_value": F.round(dmean(F.col("o_totalprice")), 4),
+        },
+    )
+
+
+@register(
+    "rollup_revenue",
+    f"""SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+)
+def rollup_revenue(spark, sf_dir):
+    """ROLLUP grouping sets (engine extension, SURVEY.md §2.4 'not present')."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return agg.rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n": F.count(F.lit(1)),
+            "revenue": dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+        },
+    )
+
+
+@register(
+    "cube_event_types",
+    f"""SELECT event_type, CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INT) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n, {sql_dsum('value')} AS total_value
+        FROM events GROUP BY CUBE(event_type, CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS INT))""",
+)
+def cube_event_types(spark, sf_dir):
+    """CUBE grouping sets (engine extension)."""
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "dow", F.dayofweek("ts").cast("int")
+    )
+    return agg.cube_agg(
+        ev,
+        ["event_type", "dow"],
+        {"n": F.count(F.lit(1)), "total_value": dsum(F.col("value"))},
+    )
+
+
+@register(
+    "pivot_status_priority",
+    """SELECT o_orderstatus,
+              CAST(SUM(CASE WHEN o_orderpriority='1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+              CAST(SUM(CASE WHEN o_orderpriority='2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+              CAST(SUM(CASE WHEN o_orderpriority='3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+              CAST(SUM(CASE WHEN o_orderpriority='4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS not_specified,
+              CAST(SUM(CASE WHEN o_orderpriority='5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+       FROM orders GROUP BY o_orderstatus""",
+)
+def pivot_status_priority(spark, sf_dir):
+    """Pivot (A2 generalized): groupBy().pivot() with explicit values —
+    explicit value list avoids the extra distinct-values job at scale."""
+    o = read_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    renames = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "not_specified",
+        "5-LOW": "low",
+    }
+    out = piv
+    for old, new in renames.items():
+        out = out.withColumn(new, F.coalesce(F.col(f"`{old}`"), F.lit(0)).cast("bigint"))
+    return out.select("o_orderstatus", *renames.values())
+
+
+@register(
+    "union_accounts",
+    """SELECT 'customer' AS kind, c_custkey AS id, ROUND(c_acctbal, 2) AS balance
+       FROM customer
+       UNION ALL
+       SELECT 'supplier' AS kind, s_suppkey AS id, ROUND(s_acctbal, 2) AS balance
+       FROM supplier""",
+)
+def union_accounts(spark, sf_dir):
+    """§2.7: unionByName — the idiomatic multi-source append."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"),
+        F.col("c_custkey").alias("id"),
+        F.round("c_acctbal", 2).alias("balance"),
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_suppkey").alias("id"),
+        F.round("s_acctbal", 2).alias("balance"),
+    )
+    return c.unionByName(s)
+
+
+# --------------------------------------------------------- sorts / top-k
+
+@register(
+    "topk_orders",
+    """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total_price
+       FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+)
+def topk_orders(spark, sf_dir):
+    """O4: global top-k — Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge; no full sort). Reference hv:253-264."""
+    o = read_table(spark, sf_dir, "orders")
+    return agg.top_k(
+        o.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price"), "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        100,
+    ).select("o_orderkey", "o_custkey", "total_price")
+
+
+@register(
+    "topk_per_status",
+    """SELECT o_orderstatus, o_orderkey, ROUND(o_totalprice, 2) AS total_price, rn
+       FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+                    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders)
+       WHERE rn <= 5""",
+)
+def topk_per_status(spark, sf_dir):
+    """Top-k per group via row_number (classic OLAP pattern)."""
+    o = read_table(spark, sf_dir, "orders")
+    out = agg.top_k_per_group(
+        o, ["o_orderstatus"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 5
+    )
+    return out.select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        "rn",
+    )
+
+
+@register("approx_distinct_parts")  # no oracle: HLL estimates are engine-specific
+def approx_distinct_parts(spark, sf_dir):
+    """A9 scale variant: HLL approximate distinct (one pass, fixed memory —
+    the 100 TB substitute for exact COUNT(DISTINCT)). Accuracy pinned vs
+    exact counts in tests/test_operators.py."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return agg.distinct_count(
+        li, ["l_returnflag"], "l_partkey", "approx_parts", approx=True
+    )

@@ -1,0 +1,264 @@
+"""Corpus: window functions (SURVEY.md §2.5 W1-W6 + ranking/cumsum
+extensions). Every window uses a TOTAL order (unique tiebreakers) so
+row-frame results are deterministic across engines and partitionings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_data_lakehouse_pipeline__spark.corpus import register
+from financial_data_lakehouse_pipeline__spark.operators import cleaning, windows
+from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+# Total order for lineitem windows partitioned by supplier.
+_LI_ORDER = "ORDER BY l_shipdate, l_orderkey, l_linenumber"
+_LI_WIN = f"PARTITION BY l_suppkey {_LI_ORDER}"
+_DEC = "decimal(30,6)"
+
+
+@register(
+    "dedup_keep_latest",
+    """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+       FROM events
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) = 1""",
+)
+def dedup_keep_latest(spark, sf_dir):
+    """W1/A10: keep-latest dedup via row_number (reference dc:70-72)."""
+    ev = read_table(spark, sf_dir, "events")
+    out = cleaning.dedup_keep_latest(
+        ev,
+        ["user_id", "event_type"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    return out.select("user_id", "event_type", "event_id", "ts", "value")
+
+
+@register(
+    "rolling_sma",
+    f"""SELECT l_suppkey, l_orderkey, l_linenumber,
+               ROUND(AVG(l_extendedprice) OVER ({_LI_WIN}
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS sma_7,
+               ROUND(AVG(l_extendedprice) OVER ({_LI_WIN}
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 4) AS sma_20
+        FROM lineitem""",
+)
+def rolling_sma(spark, sf_dir):
+    """W2: rolling means over row frames (reference SMA-7/20, dt:162-178).
+    Partial windows at series start aggregate fewer rows (pinned)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    out = windows.rolling_agg(
+        li,
+        ["l_suppkey"],
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        {
+            "sma_7": (F.avg("l_extendedprice"), 7),
+            "sma_20": (F.avg("l_extendedprice"), 20),
+        },
+    )
+    return out.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round("sma_7", 4).alias("sma_7"),
+        F.round("sma_20", 4).alias("sma_20"),
+    )
+
+
+@register(
+    "rolling_bollinger",
+    f"""SELECT l_suppkey, l_orderkey, l_linenumber,
+               ROUND(AVG(l_extendedprice) OVER w20, 4) AS bb_middle,
+               ROUND(AVG(l_extendedprice) OVER w20
+                     + 2 * STDDEV_SAMP(l_extendedprice) OVER w20, 4) AS bb_upper,
+               ROUND(AVG(l_extendedprice) OVER w20
+                     - 2 * STDDEV_SAMP(l_extendedprice) OVER w20, 4) AS bb_lower
+        FROM lineitem
+        WINDOW w20 AS ({_LI_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
+)
+def rolling_bollinger(spark, sf_dir):
+    """W3: rolling stddev bands (reference Bollinger, dt:181-184)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    out = windows.bollinger_bands(
+        li,
+        ["l_suppkey"],
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "l_extendedprice",
+        n=20,
+        num_std=2.0,
+    )
+    return out.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round("bb_middle", 4).alias("bb_middle"),
+        F.round("bb_upper", 4).alias("bb_upper"),
+        F.round("bb_lower", 4).alias("bb_lower"),
+    )
+
+
+@register(
+    "lag_momentum",
+    f"""SELECT l_suppkey, l_orderkey, l_linenumber,
+               ROUND(CASE WHEN LAG(l_extendedprice, 1) OVER ({_LI_WIN}) IS NOT NULL
+                           AND LAG(l_extendedprice, 1) OVER ({_LI_WIN}) <> 0
+                          THEN (l_extendedprice - LAG(l_extendedprice, 1) OVER ({_LI_WIN}))
+                               * 100.0 / LAG(l_extendedprice, 1) OVER ({_LI_WIN}) END, 6)
+                   AS momentum_1,
+               ROUND(CASE WHEN LAG(l_extendedprice, 5) OVER ({_LI_WIN}) IS NOT NULL
+                           AND LAG(l_extendedprice, 5) OVER ({_LI_WIN}) <> 0
+                          THEN (l_extendedprice - LAG(l_extendedprice, 5) OVER ({_LI_WIN}))
+                               * 100.0 / LAG(l_extendedprice, 5) OVER ({_LI_WIN}) END, 6)
+                   AS momentum_5
+        FROM lineitem""",
+)
+def lag_momentum(spark, sf_dir):
+    """W4: lag + percent-change momentum (reference dt:194-217)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    out = windows.momentum(
+        li,
+        ["l_suppkey"],
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "l_extendedprice",
+        [1, 5],
+    )
+    return out.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round("momentum_1", 6).alias("momentum_1"),
+        F.round("momentum_5", 6).alias("momentum_5"),
+    )
+
+
+@register(
+    "lead_forward_returns",
+    f"""SELECT l_suppkey, l_orderkey, l_linenumber,
+               ROUND(CASE WHEN l_extendedprice <> 0 THEN
+                     (LEAD(l_extendedprice, 1) OVER ({_LI_WIN}) - l_extendedprice)
+                     * 100.0 / l_extendedprice END, 6) AS fwd_return_1,
+               ROUND(CASE WHEN l_extendedprice <> 0 THEN
+                     (LEAD(l_extendedprice, 3) OVER ({_LI_WIN}) - l_extendedprice)
+                     * 100.0 / l_extendedprice END, 6) AS fwd_return_3
+        FROM lineitem""",
+)
+def lead_forward_returns(spark, sf_dir):
+    """W5: lead + multi-horizon forward returns (reference sa:138-150)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    out = windows.forward_returns(
+        li,
+        ["l_suppkey"],
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "l_extendedprice",
+        [1, 3],
+    )
+    return out.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round("fwd_return_1", 6).alias("fwd_return_1"),
+        F.round("fwd_return_3", 6).alias("fwd_return_3"),
+    )
+
+
+@register(
+    "relative_quantity",
+    f"""SELECT l_suppkey, l_orderkey, l_linenumber,
+               ROUND(CASE WHEN AVG(l_quantity) OVER w IS NOT NULL
+                           AND AVG(l_quantity) OVER w <> 0
+                          THEN l_quantity / AVG(l_quantity) OVER w END, 6)
+                   AS relative_qty
+        FROM lineitem
+        WINDOW w AS ({_LI_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
+)
+def relative_quantity(spark, sf_dir):
+    """W6: value relative to its rolling mean (reference relative_volume
+    dt:223-228)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    out = windows.relative_to_rolling(
+        li,
+        ["l_suppkey"],
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "l_quantity",
+        20,
+        "relative_qty",
+    )
+    return out.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round("relative_qty", 6).alias("relative_qty"),
+    )
+
+
+@register(
+    "rank_orders_by_status",
+    """SELECT o_orderstatus, o_orderkey,
+              ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS row_number,
+              RANK() OVER (PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rank,
+              DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS dense_rank
+       FROM orders""",
+)
+def rank_orders_by_status(spark, sf_dir):
+    """Ranking family (engine extension beyond reference's row_number)."""
+    o = read_table(spark, sf_dir, "orders")
+    out = windows.ranked(
+        o,
+        ["o_orderstatus"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        ["row_number", "rank", "dense_rank"],
+    )
+    return out.select(
+        "o_orderstatus", "o_orderkey", "row_number", "rank", "dense_rank"
+    )
+
+
+@register(
+    "running_customer_total",
+    f"""SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS running_total,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS order_seq
+        FROM orders""",
+)
+def running_customer_total(spark, sf_dir):
+    """Cumulative (running) aggregate — exact decimal accumulation keeps
+    the running total order-independent across engines."""
+    o = read_table(spark, sf_dir, "orders")
+    out = windows.cumulative(
+        o,
+        ["o_custkey"],
+        ["o_orderdate", "o_orderkey"],
+        {
+            "running_total": F.sum(F.col("o_totalprice").cast(_DEC)).cast("double"),
+            "order_seq": F.row_number(),
+        },
+    )
+    return out.select("o_custkey", "o_orderkey", "running_total", "order_seq")
+
+
+@register("ema_supplier_price")  # no oracle: recursive EMA is not SQL-expressible
+def ema_supplier_price(spark, sf_dir):
+    """True recursive EMA via applyInPandas (SURVEY.md §7.3 hard part —
+    the reference fakes EMA with an SMA, dt:176-178). Verified against
+    pandas ewm in tests/test_operators.py; driver does a rows-only check."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    out = windows.ema(
+        li,
+        ["l_suppkey"],
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "l_extendedprice",
+        span=12,
+        out="ema_12",
+    )
+    return out.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", F.round("ema_12", 4).alias("ema_12")
+    )

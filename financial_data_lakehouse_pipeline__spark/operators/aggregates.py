@@ -1,0 +1,159 @@
+"""Aggregation operators (SURVEY.md §2.4 A1-A11, §2.6 O1-O4, §2.7).
+
+All grouped aggregations get map-side partial aggregation from Spark for
+free (partial + final hash aggregate), so shuffle volume is one row per
+(partition, group) — the property that makes these viable at 100 TB.
+Sums use exact decimal accumulation (functions.dsum) so results are
+order-independent under AQE re-partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from financial_data_lakehouse_pipeline__spark.functions import dmean, dsum, guarded_div, safe_corr
+
+
+def grouped_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    prefix: str = "",
+) -> DataFrame:
+    """count/avg/min/max/stddev of one measure per group
+    (reference A1: data_transformation.py:261-271)."""
+    v = F.col(value_col)
+    p = prefix
+    return df.groupBy(*keys).agg(
+        F.count(v).alias(f"{p}count"),
+        dmean(v).alias(f"{p}avg"),
+        F.min(v).alias(f"{p}min"),
+        F.max(v).alias(f"{p}max"),
+        F.stddev_samp(v).alias(f"{p}stddev"),
+    )
+
+
+def conditional_counts(
+    df: DataFrame,
+    keys: Sequence[str],
+    conditions: dict[str, Column],
+) -> DataFrame:
+    """Pivot-style conditional counts: {out_col: boolean_condition}
+    (reference A2: sum(when(label=='Bullish',1)) — dt:268-270)."""
+    return df.groupBy(*keys).agg(
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(out)
+            for out, cond in conditions.items()
+        ]
+    )
+
+
+def weighted_mean(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    weight_col: Column,
+    out: str = "weighted_avg",
+) -> DataFrame:
+    """sum(value*weight)/sum(weight) per group, zero-guarded
+    (reference A3: dt:295-304)."""
+    wv = (F.col(value_col) * weight_col).alias("__wv")
+    return df.groupBy(*keys).agg(
+        guarded_div(dsum(F.col(value_col) * weight_col), dsum(weight_col)).alias(out)
+    )
+
+
+def collect_set_sorted(
+    df: DataFrame, keys: Sequence[str], value_col: str, out: str = "values"
+) -> DataFrame:
+    """Sorted distinct-set per group. collect_set order is nondeterministic;
+    array_sort pins it (reference A4: collect_set('form_type') dt:352-355,
+    hazard noted in SURVEY.md §7.3)."""
+    return df.groupBy(*keys).agg(F.array_sort(F.collect_set(value_col)).alias(out))
+
+
+def grouped_corr(
+    df: DataFrame,
+    keys: Sequence[str],
+    pairs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Pearson correlation per group for each (x, y) pair
+    (reference A5: sa:73-81). NULL on zero variance (ANSI-safe)."""
+    return df.groupBy(*keys).agg(
+        *[safe_corr(F.col(x), F.col(y)).alias(out) for out, (x, y) in pairs.items()]
+    )
+
+
+def global_agg(df: DataFrame, aggs: dict[str, Column]) -> DataFrame:
+    """Grand aggregate, no grouping (reference A6: sa:84-89)."""
+    return df.agg(*[expr.alias(out) for out, expr in aggs.items()])
+
+
+def calendar_rollup(
+    df: DataFrame,
+    ts_col: str,
+    grain: Sequence[str],
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Group by calendar parts of a timestamp (reference A8: sa:339-348).
+
+    ``grain`` ⊆ {year, month, day, quarter}.
+    """
+    fns = {"year": F.year, "month": F.month, "day": F.dayofmonth, "quarter": F.quarter}
+    parts = {g: fns[g](F.col(ts_col)) for g in grain}
+    return (
+        df.withColumns(parts)
+        .groupBy(*grain)
+        .agg(*[expr.alias(out) for out, expr in aggs.items()])
+    )
+
+
+def top_k(
+    df: DataFrame, order_by: Sequence[Column], k: int
+) -> DataFrame:
+    """Global top-k — Spark plans sort+limit as TakeOrderedAndProject:
+    each partition keeps k rows, driver merges (reference O4: hv:253-264).
+    ``order_by`` must be a total order for a deterministic result."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k within each group via row_number (engine extension; the
+    classic OLAP pattern the reference's LIMIT views approximate)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def distinct_count(
+    df: DataFrame, keys: Sequence[str], value_col: str, out: str, approx: bool = False
+) -> DataFrame:
+    """Exact or HLL-approximate distinct count (reference A9: hv:285;
+    approx is the 100 TB-scale variant — one pass, fixed memory)."""
+    agg = (
+        F.approx_count_distinct(value_col) if approx else F.countDistinct(value_col)
+    ).alias(out)
+    return df.groupBy(*keys).agg(agg)
+
+
+def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]) -> DataFrame:
+    """GROUP BY ROLLUP (engine extension — SURVEY.md §2.4 'not present')."""
+    return df.rollup(*keys).agg(*[e.alias(o) for o, e in aggs.items()])
+
+
+def cube_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]) -> DataFrame:
+    """GROUP BY CUBE (engine extension)."""
+    return df.cube(*keys).agg(*[e.alias(o) for o, e in aggs.items()])

@@ -1,0 +1,252 @@
+"""Deduplication operators (LLM-data extension): exact, n-gram Jaccard,
+MinHash + LSH, SimHash.
+
+Hashing is md5-based (portable across engines — oracle SQL can reproduce
+it bit-for-bit) rather than murmur3. At 100 TB the shapes matter more than
+the hash: every operator below reduces to shingle-explode → hash-groupBy →
+(bucketed) self-join, all keyed shuffles with no driver-side state.
+
+  exact_dedup          one groupBy on the content hash
+  ngram_jaccard_pairs  exact pairwise Jaccard via shingle equi-join —
+                       quadratic in bucket size; the ground-truth baseline
+  minhash_lsh_pairs    the scale path: k minhashes → b bands → candidates
+                       share a band bucket (equi-join on band hash) →
+                       verify with exact Jaccard. Tunable (k, b) trades
+                       recall vs candidate volume.
+  simhash              64-bit near-dup fingerprint; pairs within hamming
+                       distance d via bit-block banding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from financial_data_lakehouse_pipeline__spark.functions import guarded_div, tokens
+
+
+def canonical_text(text: Column) -> Column:
+    """Whitespace-normalized lowercase text (shared canonicalization)."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup by content hash: keeps min(id) per canonical text,
+    reporting the duplicate count. One hash-groupBy; the md5 key keeps
+    shuffle rows small even for megabyte documents."""
+    return (
+        df.withColumn("__fp", F.md5(canonical_text(F.col(text_col))))
+        .groupBy("__fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).cast("bigint").alias("dup_count"),
+        )
+        .select(F.col(id_col), F.col("__fp").alias("fingerprint"), "dup_count")
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Shingles are built JVM-side: tokenize, then join each n-window of
+    words. Documents with < n words yield their full text as the shingle
+    (so short docs still participate).
+    """
+    toks = tokens(canonical_text(F.col(text_col)))
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - F.lit(n), F.lit(0)))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingle)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+def _pairwise_jaccard(shingles: DataFrame, id_col: str) -> DataFrame:
+    """Exact Jaccard for every pair sharing >= 1 shingle.
+
+    |A∩B| from the shingle equi-join, |A| and |B| from per-doc shingle
+    counts (broadcast — one row per doc id).
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            guarded_div(
+                F.col("__common").cast("double"),
+                (F.col("__sz_a") + F.col("__sz_b") - F.col("__common")).cast("double"),
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard >= threshold.
+
+    Exact but quadratic in the size of each shingle's posting list — the
+    correctness baseline minhash_lsh_pairs is verified against. At scale,
+    cap pathological posting lists (stop-shingles) before the self-join.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    return _pairwise_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per document: for seed i, min over shingles of
+    md5(i:shingle). The min of the fixed-width hex string equals the min
+    of the 128-bit hash value, so plain SQL can reproduce it. One groupBy
+    with num_hashes min() partial aggregates."""
+    return shingles.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    Pipeline: shingles → signatures → band keys (md5 of each band's
+    concatenated minhashes) → self-join on (band_idx, band_key) →
+    distinct candidate pairs → exact-Jaccard verify >= threshold.
+
+    Scale: candidates are produced by an equi-join on band keys, so cost
+    follows collision volume (controlled by rows-per-band = k/b), never
+    all-pairs. The verify join only re-shingles candidate pair members.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+
+    l = buckets.select(F.col(id_col).alias("id_a"), "band", "key")
+    r = buckets.select(F.col(id_col).alias("id_b"), "band", "key")
+    candidates = (
+        l.join(r, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    exact = _pairwise_jaccard(sh, id_col)
+    return candidates.join(exact, ["id_a", "id_b"]).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: bit j is the sign of Σ_tokens (±1 by bit j of
+    the token hash). Uses the first 15 hex chars of md5 (60 bits) so up to
+    60-bit fingerprints stay portable. One explode + groupBy pass."""
+    if bits > 60:
+        raise ValueError("bits must be <= 60 (md5 15-hex-digit prefix)")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(canonical_text(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint"))
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = F.lit(0).cast("bigint")
+    for j in range(bits):
+        fp = fp + F.when(F.col(f"__b{j}") > 0, F.lit(2 ** j).cast("bigint")).otherwise(0)
+    return bit_sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Joins on bit-block bands (pigeonhole: distance <= d → some block of
+    the fingerprint split into d+1 blocks matches exactly), then verifies
+    with bit_count(xor) — equi-join + filter, never all-pairs.
+    """
+    s = simhash(df, id_col, text_col, bits)
+    blocks = max_hamming + 1
+    width = bits // blocks or 1
+    block_cols = [
+        F.shiftright(F.col("simhash"), i * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        .alias(f"blk_{i}")
+        for i in range(blocks)
+    ]
+    sb = s.select(id_col, "simhash", *block_cols)
+    pairs = None
+    for i in range(blocks):
+        l = sb.select(
+            F.col(id_col).alias("id_a"),
+            F.col("simhash").alias("sh_a"),
+            F.col(f"blk_{i}").alias("blk"),
+        )
+        r = sb.select(
+            F.col(id_col).alias("id_b"),
+            F.col("simhash").alias("sh_b"),
+            F.col(f"blk_{i}").alias("blk"),
+        )
+        cand = l.join(r, "blk").filter(F.col("id_a") < F.col("id_b")).drop("blk")
+        pairs = cand if pairs is None else pairs.unionByName(cand)
+    return (
+        pairs.distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,143 @@
+"""Join operators (SURVEY.md §2.3 J1-J4, plus semi/anti/as-of extensions).
+
+Scale posture: enrichment joins against dimension tables take an explicit
+``broadcast`` flag (default on) — at 100 TB the fact side never shuffles
+for a dim join. The coalescing full-outer merge shuffles both sides on the
+join key once; Catalyst+AQE pick SMJ vs shuffled-hash and split skewed
+partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def coalescing_merge(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    prefer: Mapping[str, tuple[str, str]],
+    source_flag: str | None = None,
+) -> DataFrame:
+    """Full-outer join + per-column source preference via coalesce.
+
+    Reference J1: Polygon ⟗ AlphaVantage merge on (ticker, date), then
+    per-column `coalesce(polygon_col, av_col)` (data_transformation.py:79-99).
+
+    ``prefer`` maps output column → (left_col, right_col); the left value
+    wins when non-null. ``source_flag`` optionally adds a provenance column
+    ('both'/'left'/'right').
+    """
+    lt, rt = left.alias("l"), right.alias("r")
+    cond = [lt[k].eqNullSafe(rt[k]) for k in on]
+    j = lt.join(rt, cond, "full_outer")
+    key_cols = [F.coalesce(lt[k], rt[k]).alias(k) for k in on]
+    val_cols = [
+        F.coalesce(lt[lc], rt[rc]).alias(out) for out, (lc, rc) in prefer.items()
+    ]
+    cols = key_cols + val_cols
+    if source_flag:
+        any_left = F.lit(False)
+        for lc, _ in prefer.values():
+            any_left = any_left | lt[lc].isNotNull()
+        any_right = F.lit(False)
+        for _, rc in prefer.values():
+            any_right = any_right | rt[rc].isNotNull()
+        cols.append(
+            F.when(any_left & any_right, F.lit("both"))
+            .when(any_left, F.lit("left"))
+            .otherwise(F.lit("right"))
+            .alias(source_flag)
+        )
+    return j.select(*cols)
+
+
+def enrich(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | Column,
+    how: str = "left",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Enrichment join against a (usually small) dimension table.
+
+    Reference J2: price ⟕ sentiment ⟕ SEC (data_transformation.py:358-369).
+    ``broadcast_right=True`` ships the dim to every executor — no shuffle
+    of the fact side.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str] | Column) -> DataFrame:
+    """EXISTS — rows of left with a match in right (engine extension;
+    reference has none, SURVEY.md §2.3 'not present')."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str] | Column) -> DataFrame:
+    """NOT EXISTS — rows of left without a match in right."""
+    return left.join(right, on, "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_values: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_time <= left_time within the same key group.
+
+    Spark lacks a native as-of join; a naive range join is O(n*m). This
+    implementation uses the union-and-carry-forward trick — one shuffle on
+    ``on`` + one in-partition sort, the same cost as a window function, so
+    it scales like any other keyed window at 100 TB:
+
+      1. tag right rows 0, left rows 1; union by a common schema
+      2. sort by (key, time, tag) — right rows sort before left at ties,
+         giving >= (inclusive) semantics
+      3. last(value, ignorenulls) over the ordered window carries each
+         right value forward to the left rows that follow it
+    """
+    lcols = left.columns
+    tag = F.lit(1)
+    l_side = left.select(
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__rv_{v}") for v in right_values],
+        F.col(left_time).alias("__t"),
+        tag.alias("__tag"),
+    )
+    r_side = right.select(
+        *[F.col(k) for k in on],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in on
+        ],
+        *[F.col(v).alias(f"__rv_{v}") for v in right_values],
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__tag"),
+    ).select(*lcols, *[f"__rv_{v}" for v in right_values], "__t", "__tag")
+
+    unioned = l_side.unionByName(r_side)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t"), F.col("__tag"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.withColumns(
+        {
+            f"{v}{suffix}": F.last(F.col(f"__rv_{v}"), ignorenulls=True).over(w)
+            for v in right_values
+        }
+    )
+    return carried.filter(F.col("__tag") == 1).select(
+        *lcols, *[f"{v}{suffix}" for v in right_values]
+    )

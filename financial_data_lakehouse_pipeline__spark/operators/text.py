@@ -1,0 +1,103 @@
+"""Text-analysis operators over a document table (LLM-data extension).
+
+All pure Column expressions (JVM-side, codegen) — no Python in the hot
+path. Designed for a `documents(doc_id, text, ...)` table at any scale:
+every operator is embarrassingly parallel per row except where noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from financial_data_lakehouse_pipeline__spark.functions import guarded_div, tokens
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Deliberately small + ASCII so the same lists are trivially
+# usable in oracle SQL.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "a", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "que"),
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Subword-ish token estimate: count of word/number/punct chunks via a
+    BPE-flavored regex (letters runs, digit runs, single punct)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def word_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: char/word counts, average word
+    length, punctuation & whitespace ratios."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_words = F.size(toks)
+    word_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    return df.withColumns(
+        {
+            "n_chars": n_chars.cast("bigint"),
+            "n_words": n_words.cast("bigint"),
+            "avg_word_len": guarded_div(word_chars.cast("double"), n_words),
+            "punct_ratio": guarded_div(n_punct.cast("double"), n_chars),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score from length / word-length / punct
+    heuristics (Gopher/C4-style cheap filters)."""
+    s = word_stats(df, text_col)
+    len_ok = F.when((F.col("n_words") >= 10) & (F.col("n_words") <= 100000), 1.0).otherwise(0.0)
+    wl_ok = F.when(
+        (F.col("avg_word_len") >= 2.0) & (F.col("avg_word_len") <= 12.0), 1.0
+    ).otherwise(0.0)
+    punct_ok = F.when(F.coalesce(F.col("punct_ratio"), F.lit(0.0)) <= 0.3, 1.0).otherwise(0.0)
+    return s.withColumn(
+        "quality_score", (len_ok + wl_ok + punct_ok) / F.lit(3.0)
+    )
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of stopword occurrences for one language (word-boundary regex)."""
+    pattern = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), 0))
+
+
+def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Stopword-vote language heuristic over STOPWORDS languages.
+
+    Predicts the language with the most stopword hits; 'und' (undetermined)
+    when no list scores > 0. Deterministic tie-break: language order
+    en > de > fr > es (strict greater-than comparisons).
+    """
+    t = F.col(text_col)
+    hit_cols = {lang: stopword_hits(t, lang) for lang in STOPWORDS}
+    df2 = df.withColumns({f"__hits_{lang}": c for lang, c in hit_cols.items()})
+    langs = list(STOPWORDS)
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in langs:
+        h = F.col(f"__hits_{lang}")
+        take = h > best_hits
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_hits = F.when(take, h).otherwise(best_hits)
+    return df2.withColumn(out, best).drop(*[f"__hits_{lang}" for lang in langs])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Canonical document fingerprint: md5 of the whitespace-normalized,
+    lowercased text — the exact-dedup key (content hash, not identity)."""
+    canon = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out, F.md5(canon))

@@ -1,0 +1,222 @@
+"""Window operators (SURVEY.md §2.5 W1-W6, plus ranking/cumsum/EMA extensions).
+
+All reference windows partition by an entity key and order by event time
+(ticker/date); these operators generalize the pattern. Execution: every
+window spec sharing (partition, order) collapses into ONE shuffle + sort +
+Window operator chain in the physical plan — compute all frames for a key
+in a single pass (the reference relies on the same collapse,
+data_transformation.py:162-228).
+
+Determinism note: row-frame aggregates over a non-total order are
+nondeterministic when ties exist. Callers must pass ``order_by`` columns
+forming a total order within each partition (e.g. append a unique id).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from financial_data_lakehouse_pipeline__spark.functions import guarded_div, pct_change
+
+
+def _w(partition_by: Sequence[str], order_by: Sequence[Column | str]):
+    return Window.partitionBy(*partition_by).orderBy(*order_by)
+
+
+def rolling_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    aggs: dict[str, tuple[Column, int]],
+) -> DataFrame:
+    """Row-frame rolling aggregates: {out_col: (agg_expr, n_rows)}.
+
+    The frame is ``rowsBetween(-(n-1), 0)`` — the reference's SMA/stddev
+    frames (data_transformation.py:162-187). Partial windows at the start
+    of a series aggregate fewer rows (reference semantic, pinned in tests).
+    """
+    w = _w(partition_by, order_by)
+    return df.withColumns(
+        {
+            out: expr.over(w.rowsBetween(-(n - 1), 0))
+            for out, (expr, n) in aggs.items()
+        }
+    )
+
+
+def rolling_range_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_col: Column,
+    aggs: dict[str, tuple[Column, int]],
+) -> DataFrame:
+    """Range-frame (calendar-correct) rolling aggregates.
+
+    {out: (agg_expr, span)} where the frame is rangeBetween(-(span-1), 0)
+    over ``order_col`` (e.g. a day number) — fixes the reference's silent
+    assumption that row frames == calendar windows (SURVEY.md §2.5 note).
+    """
+    w = Window.partitionBy(*partition_by).orderBy(order_col)
+    return df.withColumns(
+        {out: expr.over(w.rangeBetween(-(n - 1), 0)) for out, (expr, n) in aggs.items()}
+    )
+
+
+def with_lag_lead(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    lags: dict[str, tuple[str, int]] | None = None,
+    leads: dict[str, tuple[str, int]] | None = None,
+) -> DataFrame:
+    """lag/lead analytics: {out: (col, offset)} (reference dt:194-196 lags,
+    sa:55-59 / sa:138-150 leads)."""
+    w = _w(partition_by, order_by)
+    cols: dict[str, Column] = {}
+    for out, (c, n) in (lags or {}).items():
+        cols[out] = F.lag(c, n).over(w)
+    for out, (c, n) in (leads or {}).items():
+        cols[out] = F.lead(c, n).over(w)
+    return df.withColumns(cols)
+
+
+def momentum(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    value_col: str,
+    horizons: Sequence[int],
+    prefix: str = "momentum_",
+) -> DataFrame:
+    """Percent change vs n-rows-ago value, NULL-guarded
+    (reference dt:194-217: momentum_{1,5,20}d)."""
+    w = _w(partition_by, order_by)
+    v = F.col(value_col)
+    return df.withColumns(
+        {f"{prefix}{n}": pct_change(v, F.lag(value_col, n).over(w)) for n in horizons}
+    )
+
+
+def forward_returns(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    value_col: str,
+    horizons: Sequence[int],
+    prefix: str = "fwd_return_",
+) -> DataFrame:
+    """k-step forward percent return via lead (reference sa:138-150)."""
+    w = _w(partition_by, order_by)
+    v = F.col(value_col)
+    return df.withColumns(
+        {
+            f"{prefix}{k}": pct_change(F.lead(value_col, k).over(w), v)
+            for k in horizons
+        }
+    )
+
+
+def bollinger_bands(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    value_col: str,
+    n: int = 20,
+    num_std: float = 2.0,
+) -> DataFrame:
+    """Rolling mean ± k·stddev bands (reference dt:181-184)."""
+    w = _w(partition_by, order_by).rowsBetween(-(n - 1), 0)
+    mid = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    return df.withColumns(
+        {
+            "bb_middle": mid,
+            "bb_std": sd,
+            "bb_upper": mid + F.lit(num_std) * sd,
+            "bb_lower": mid - F.lit(num_std) * sd,
+        }
+    )
+
+
+def relative_to_rolling(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    value_col: str,
+    n: int,
+    out: str,
+) -> DataFrame:
+    """value / rolling-mean(value, n), zero-guarded
+    (reference relative_volume dt:223-228)."""
+    w = _w(partition_by, order_by).rowsBetween(-(n - 1), 0)
+    return df.withColumn(out, guarded_div(F.col(value_col), F.avg(value_col).over(w)))
+
+
+def ranked(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    methods: Sequence[str] = ("row_number",),
+) -> DataFrame:
+    """Add ranking columns: any of row_number / rank / dense_rank / ntile_N
+    (engine extension; reference uses only row_number for dedup W1)."""
+    w = _w(partition_by, order_by)
+    cols: dict[str, Column] = {}
+    for m in methods:
+        if m == "row_number":
+            cols["row_number"] = F.row_number().over(w)
+        elif m == "rank":
+            cols["rank"] = F.rank().over(w)
+        elif m == "dense_rank":
+            cols["dense_rank"] = F.dense_rank().over(w)
+        elif m.startswith("ntile_"):
+            cols[m] = F.ntile(int(m.split("_")[1])).over(w)
+        else:
+            raise ValueError(f"unknown ranking method: {m}")
+    return df.withColumns(cols)
+
+
+def cumulative(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Running aggregates over an unbounded-preceding frame."""
+    w = _w(partition_by, order_by).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumns({out: expr.over(w) for out, expr in aggs.items()})
+
+
+def ema(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    span: int,
+    out: str = "ema",
+) -> DataFrame:
+    """True exponential moving average (recursive), per partition key.
+
+    The reference labels plain 20/50-row SMAs as "EMA" (data_transformation
+    .py:176-178 — a documented approximation, SURVEY.md §1.2). A true EMA
+    is a linear recurrence no window frame can express, so this drops to
+    grouped Arrow batches (applyInPandas): each key group is processed as
+    one pandas series — the standard Spark escape hatch for per-entity
+    recursive state. Groups are independent → scales horizontally; a
+    single entity's history must fit in one task (true of any per-entity
+    recurrence).
+    """
+    alpha = 2.0 / (span + 1.0)
+    schema_out = df.schema.add(out, "double")
+    sort_cols = list(order_by)
+
+    def _per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        pdf[out] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(*partition_by).applyInPandas(_per_group, schema=schema_out)

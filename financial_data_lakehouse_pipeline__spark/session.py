@@ -1,0 +1,85 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Mirrors the essentials of the reference's config/spark-defaults.conf
+(AQE + coalescePartitions + skewJoin, snappy parquet, dynamic partition
+overwrite — see SURVEY.md §4) re-tuned for Spark 4 and for both local
+testing and large-cluster deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs that the engine depends on. These are applied
+# both by build_session() and by tune_runtime() so the engine also behaves
+# correctly on an externally-provided session (e.g. the verify driver's).
+_RUNTIME_CONF = {
+    # The testdata `events` table stores TIMESTAMP(NANOS) which Spark's
+    # parquet reader rejects by default; read as long and convert
+    # explicitly (sources.readers.read_table normalizes the column).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic timestamp semantics for cross-engine comparison.
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: runtime partition coalescing, skew-join
+    # splitting, local shuffle reader (reference: spark-defaults.conf:27-30).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Idempotent re-runs of partitioned sinks (reference: spark-defaults.conf:99).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Arrow for any pandas-UDF path (similarity / multimodal operators).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune_runtime(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime SQL confs to an existing session.
+
+    Safe to call repeatedly; only touches dynamic (non-static) confs.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf may be static on some builds — never fail the query for it.
+            pass
+    return spark
+
+
+def build_session(
+    app_name: str = "financial_data_lakehouse_pipeline__spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster pass None and let spark-submit supply it. ``shuffle_partitions``
+    defaults to the local core count (small data) — on a 1000-executor
+    cluster you would size this at 2-3x total cores or rely on AQE
+    coalescing from a higher initial value.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.maxResultSize", "4g")
+    )
+    for k, v in _RUNTIME_CONF.items():
+        b = b.config(k, v)
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune_runtime(spark)

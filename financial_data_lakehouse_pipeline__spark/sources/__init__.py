@@ -1,0 +1,21 @@
+from financial_data_lakehouse_pipeline__spark.sources.readers import (
+    TABLES,
+    read_json,
+    read_parquet,
+    read_table,
+)
+from financial_data_lakehouse_pipeline__spark.sources.writers import (
+    write_parquet,
+    write_partitioned_parquet,
+)
+from financial_data_lakehouse_pipeline__spark.sources.catalog import register_views
+
+__all__ = [
+    "TABLES",
+    "read_json",
+    "read_parquet",
+    "read_table",
+    "write_parquet",
+    "write_partitioned_parquet",
+    "register_views",
+]

@@ -1,0 +1,48 @@
+"""Sinks: partitioned / plain parquet writers (SURVEY.md §2.1 S3-S4, S7).
+
+The reference writes hive-partitioned snappy parquet everywhere
+(data_cleaning.py:127,206,266,333; data_transformation.py:134,...). We keep
+the same layout contract — `partitionBy` columns become directory keys, so
+downstream readers get static + dynamic partition pruning for free — and
+rely on spark.sql.sources.partitionOverwriteMode=dynamic for idempotent
+daily re-runs (reference spark-defaults.conf:99).
+
+At 100 TB the failure mode to avoid is millions of tiny output files:
+`write_partitioned_parquet` optionally repartitions by the partition
+columns first so each dynamic partition is written by few tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Unpartitioned parquet sink (reference sentiment_analysis.py:103-104)."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    coalesce_output: bool = True,
+) -> None:
+    """Hive-partitioned parquet sink (reference data_cleaning.py:127).
+
+    ``coalesce_output=True`` shuffles rows to co-locate each output
+    partition, trading one shuffle for small-file avoidance — the right
+    default at scale (AQE coalescing then sizes the shuffle output).
+    """
+    out = df.repartition(*partition_cols) if coalesce_output and partition_cols else df
+    writer = out.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
+    """JDBC serving-layer sink (reference declares but never implements it:
+    SURVEY.md §2.1 S7; postgresql_schemas.sql targets, config.py:80-82)."""
+    df.write.mode(mode).options(**options).jdbc(url, table)

@@ -1,0 +1,97 @@
+"""Structured Streaming surface (engine extension — the reference is
+batch-only, SURVEY.md §2.9; its daily-batch cadence maps to these
+streaming equivalents when the lake goes incremental).
+
+Each helper mirrors a batch operator in operators/events.py so a pipeline
+can switch between batch and incremental execution without rewriting
+query logic. Local tests drive these with file sources + availableNow
+triggers (synchronous, exactly-once) and memory sinks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_from_parquet_dir(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """File-based stream over a parquet directory (schema required — no
+    inference on streams)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: Sequence[str],
+    aggs: dict[str, Column],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling event-time window aggregation with a watermark for state
+    cleanup / late-data bounds — streaming twin of
+    operators.events.tumbling_window_agg."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration).alias("__w"), *keys)
+        .agg(*[e.alias(o) for o, e in aggs.items()])
+        .select(
+            F.col("__w.start").alias("window_start"),
+            F.col("__w.end").alias("window_end"),
+            *keys,
+            *aggs.keys(),
+        )
+    )
+
+
+def session_windows(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    aggs: dict[str, Column],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Native session windows (gap-merged) — streaming twin of
+    operators.events.session_agg."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("__w"), *keys)
+        .agg(*[e.alias(o) for o, e in aggs.items()])
+        .select(
+            F.col("__w.start").alias("session_start"),
+            F.col("__w.end").alias("session_end"),
+            *keys,
+            *aggs.keys(),
+        )
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame, keys: Sequence[str], ts_col: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming dedup on keys with bounded state — streaming twin of
+    cleaning.dedup_by_subset (reference A11)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drive a streaming query over all currently-available input
+    synchronously (availableNow trigger + memory sink); returns the result
+    as a batch DataFrame. Test/backfill utility."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")

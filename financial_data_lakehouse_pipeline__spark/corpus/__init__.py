@@ -72,6 +72,7 @@ def _load() -> None:
         return
     from financial_data_lakehouse_pipeline__spark.corpus import (  # noqa: F401
         events_q,
+        lake,
         relational,
         textdocs,
         vectors,

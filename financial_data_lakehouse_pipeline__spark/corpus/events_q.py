@@ -180,7 +180,7 @@ def clamp_normalize(spark, sf_dir):
           FROM {_EV}
           GROUP BY user_id, CAST(ts AS DATE)
         )
-        SELECT user_id, day, n_events, ROUND(signal, 6) AS signal,
+        SELECT user_id, day, n_events, signal,
                CASE WHEN signal > 0 THEN 'positive' ELSE 'negative' END AS direction
         FROM daily
         WHERE ABS(signal) >= 100 AND n_events >= 5""",
@@ -205,9 +205,7 @@ def event_detection(spark, sf_dir):
             "direction": F.when(F.col("signal") > 0, "positive").otherwise("negative")
         },
     )
-    return detected.select(
-        "user_id", "day", "n_events", F.round("signal", 6).alias("signal"), "direction"
-    )
+    return detected.select("user_id", "day", "n_events", "signal", "direction")
 
 
 @register(
@@ -221,13 +219,17 @@ def event_detection(spark, sf_dir):
                     WHEN avg_value <= 350 THEN 'mid_high'
                     ELSE 'high' END AS bucket,
                CAST(COUNT(*) AS BIGINT) AS n_users,
-               ROUND({sql_dsum('avg_value')} / NULLIF(COUNT(avg_value), 0), 6)
-                   AS bucket_avg
+               ROUND(SUM(avg_value) / COUNT(avg_value), 6) AS bucket_avg
         FROM ua GROUP BY 1""",
 )
 def user_value_buckets(spark, sf_dir):
     """Bucketing via when-chain (reference sa:153-160) + grouped means
-    over buckets (reference sa:163-172)."""
+    over buckets (reference sa:163-172).
+
+    The outer mean-of-means uses a plain double sum + ROUND 6: casting an
+    arbitrary double (the inner mean) to decimal diverges across engines
+    (Spark rounds the shortest decimal repr, DuckDB the binary value), so
+    decimal-exact accumulation is only used on raw (few-decimal) inputs."""
     ev = read_table(spark, sf_dir, "events")
     ua = ev.groupBy("user_id").agg(dmean(F.col("value")).alias("avg_value"))
     b = analysis.bucketize(
@@ -235,7 +237,7 @@ def user_value_buckets(spark, sf_dir):
     )
     return b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.round(dmean(F.col("avg_value")), 6).alias("bucket_avg"),
+        F.round(F.sum("avg_value") / F.count("avg_value"), 6).alias("bucket_avg"),
     )
 
 
@@ -312,9 +314,13 @@ def streaming_hourly_counts(spark, sf_dir):
 
     from financial_data_lakehouse_pipeline__spark import streaming as st
 
-    batch = read_table(spark, sf_dir, "events")
+    # Spark file streams require a DIRECTORY; stream the sf_dir with a
+    # pathGlobFilter selecting only the events file. Schema comes from the
+    # RAW parquet (ts is a nanos BIGINT under nanosAsLong) — read_table's
+    # normalized schema would not match the physical files.
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = st.stream_from_parquet_dir(
-        spark, os.path.join(sf_dir, "events.parquet"), batch.schema
+        spark, sf_dir, raw_schema, glob="events.parquet"
     )
     if dict(stream.dtypes)["ts"] == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -1,0 +1,264 @@
+"""Corpus: lake I/O paths — nested-JSON cleaning (S1/P2: the reference's
+single biggest job, data_cleaning.py:45-168), parquet sink round-trips
+(S3/S4), and subset dedup (A11).
+
+The JSON queries run over a deterministic fixture written under
+`.scratch/` at import time (same bytes every run), so the DuckDB oracle
+can read the identical file with read_json. Array-of-structs explode
+mirrors reference dc:48-61 (polygon `aggregates.results`); map explode
+with two aliases mirrors dc:151-157 (alpha-vantage `time_series`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from financial_data_lakehouse_pipeline__spark.corpus import register, sql_dsum
+from financial_data_lakehouse_pipeline__spark.functions import dsum
+from financial_data_lakehouse_pipeline__spark.operators import cleaning
+from financial_data_lakehouse_pipeline__spark.sources import (
+    read_json,
+    read_parquet,
+    read_table,
+    write_parquet,
+    write_partitioned_parquet,
+)
+
+_SCRATCH = os.path.join(os.path.dirname(__file__), "..", "..", ".scratch")
+_SCRATCH = os.path.abspath(_SCRATCH)
+_FIXTURES = os.path.join(_SCRATCH, "fixtures")
+
+#: Deterministic raw-JSON fixture: array-of-structs (polygon shape,
+#: reference dc:48-61) with a duplicate (ticker, bar) needing keep-latest
+#: dedup and one invariant-violating bar (high < low) needing rejection.
+_ARRAY_JSON = """\
+{"ticker":"T1","extracted_at":"2024-01-02T10:00:00","aggregates":{"results":[{"t":1704153600000,"o":10.0,"h":12.0,"l":9.5,"c":11.0,"v":1000},{"t":1704240000000,"o":11.0,"h":11.5,"l":10.0,"c":10.5,"v":800}]}}
+{"ticker":"T1","extracted_at":"2024-01-02T18:00:00","aggregates":{"results":[{"t":1704153600000,"o":10.0,"h":12.5,"l":9.5,"c":11.25,"v":1100}]}}
+{"ticker":"T2","extracted_at":"2024-01-02T10:00:00","aggregates":{"results":[{"t":1704153600000,"o":20.0,"h":19.0,"l":21.0,"c":20.5,"v":500},{"t":1704240000000,"o":20.5,"h":22.0,"l":20.0,"c":21.5,"v":600}]}}
+{"ticker":"T3","extracted_at":"2024-01-02T10:00:00","aggregates":null}
+"""
+
+#: Map<dateString, struct> fixture (alpha-vantage shape, reference
+#: dc:151-157 — explode with two aliases).
+_MAP_JSON = """\
+{"symbol":"T1","time_series":{"2024-01-02":{"open":10.0,"close":11.0},"2024-01-03":{"open":11.0,"close":10.5}}}
+{"symbol":"T2","time_series":{"2024-01-02":{"open":20.0,"close":20.5}}}
+{"symbol":"T3","time_series":{}}
+"""
+
+_ARRAY_PATH = os.path.join(_FIXTURES, "raw_array.json")
+_MAP_PATH = os.path.join(_FIXTURES, "raw_map.json")
+
+
+def _write_fixtures() -> None:
+    """Write fixtures idempotently (same bytes every run) so both engines
+    read identical files regardless of which side runs first."""
+    os.makedirs(_FIXTURES, exist_ok=True)
+    for path, content in ((_ARRAY_PATH, _ARRAY_JSON), (_MAP_PATH, _MAP_JSON)):
+        if not os.path.exists(path) or open(path).read() != content:
+            with open(path, "w") as f:
+                f.write(content)
+
+
+_write_fixtures()
+
+_ARRAY_SCHEMA = T.StructType(
+    [
+        T.StructField("ticker", T.StringType()),
+        T.StructField("extracted_at", T.StringType()),
+        T.StructField(
+            "aggregates",
+            T.StructType(
+                [
+                    T.StructField(
+                        "results",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("t", T.LongType()),
+                                    T.StructField("o", T.DoubleType()),
+                                    T.StructField("h", T.DoubleType()),
+                                    T.StructField("l", T.DoubleType()),
+                                    T.StructField("c", T.DoubleType()),
+                                    T.StructField("v", T.LongType()),
+                                ]
+                            )
+                        ),
+                    )
+                ]
+            ),
+        ),
+    ]
+)
+
+_MAP_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField(
+            "time_series",
+            T.MapType(
+                T.StringType(),
+                T.StructType(
+                    [
+                        T.StructField("open", T.DoubleType()),
+                        T.StructField("close", T.DoubleType()),
+                    ]
+                ),
+            ),
+        ),
+    ]
+)
+
+_ARRAY_DUCKDB_COLS = (
+    "{ticker: 'VARCHAR', extracted_at: 'VARCHAR', "
+    "aggregates: 'STRUCT(results STRUCT(t BIGINT, o DOUBLE, h DOUBLE, "
+    "l DOUBLE, c DOUBLE, v BIGINT)[])'}"
+)
+_MAP_DUCKDB_COLS = (
+    "{symbol: 'VARCHAR', "
+    "time_series: 'MAP(VARCHAR, STRUCT(\"open\" DOUBLE, \"close\" DOUBLE))'}"
+)
+
+
+@register(
+    "json_clean_array",
+    f"""WITH raw AS (
+          SELECT * FROM read_json('{_ARRAY_PATH}',
+                                  format='newline_delimited',
+                                  columns={_ARRAY_DUCKDB_COLS})
+        ), exploded AS (
+          SELECT ticker, extracted_at, unnest(aggregates.results) AS bar
+          FROM raw WHERE aggregates.results IS NOT NULL
+        ), flat AS (
+          SELECT ticker, extracted_at,
+                 CAST(make_timestamp(bar.t * 1000) AS DATE) AS bar_date,
+                 bar.o AS open, bar.h AS high, bar.l AS low, bar.c AS close,
+                 CAST(bar.v AS BIGINT) AS volume
+          FROM exploded
+        ), deduped AS (
+          SELECT * FROM flat
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY ticker, bar_date
+                                     ORDER BY extracted_at DESC) = 1
+        )
+        SELECT ticker, bar_date, open, high, low, close, volume,
+               high - low AS price_range
+        FROM deduped
+        WHERE open IS NOT NULL AND close IS NOT NULL
+          AND high >= low AND high >= open AND high >= close
+          AND low <= open AND low <= close""",
+)
+def json_clean_array(spark, sf_dir):
+    """S1+P2+P8+A10+P5/P6+P3: the reference's full polygon cleaning shape
+    (dc:33-124) — nested-JSON scan, array explode, field extraction, epoch
+    ms → date, keep-latest dedup, invariant filter, derived column."""
+    raw = read_json(spark, _ARRAY_PATH, schema=_ARRAY_SCHEMA)
+    exploded = cleaning.explode_array(
+        raw.filter(F.col("aggregates.results").isNotNull()),
+        "aggregates.results",
+        alias="bar",
+    )
+    flat = exploded.select(
+        "ticker",
+        "extracted_at",
+        F.timestamp_micros(F.col("bar.t") * 1000).cast("date").alias("bar_date"),
+        F.col("bar.o").alias("open"),
+        F.col("bar.h").alias("high"),
+        F.col("bar.l").alias("low"),
+        F.col("bar.c").alias("close"),
+        F.col("bar.v").cast("bigint").alias("volume"),
+    )
+    deduped = cleaning.dedup_keep_latest(
+        flat, ["ticker", "bar_date"], [F.col("extracted_at").desc()]
+    )
+    cleaned = cleaning.reject_nulls(deduped, ["open", "close"])
+    cleaned = cleaning.filter_invariant(
+        cleaned,
+        (F.col("high") >= F.col("low"))
+        & (F.col("high") >= F.col("open"))
+        & (F.col("high") >= F.col("close"))
+        & (F.col("low") <= F.col("open"))
+        & (F.col("low") <= F.col("close")),
+    )
+    return cleaning.with_derived(
+        cleaned, {"price_range": F.col("high") - F.col("low")}
+    ).select(
+        "ticker", "bar_date", "open", "high", "low", "close", "volume", "price_range"
+    )
+
+
+@register(
+    "json_clean_map",
+    f"""WITH raw AS (
+          SELECT * FROM read_json('{_MAP_PATH}',
+                                  format='newline_delimited',
+                                  columns={_MAP_DUCKDB_COLS})
+        ), entries AS (
+          SELECT symbol, unnest(map_entries(time_series)) AS kv FROM raw
+        )
+        SELECT symbol,
+               CAST(kv.key AS DATE) AS series_date,
+               kv.value."open" AS open,
+               kv.value."close" AS close
+        FROM entries""",
+)
+def json_clean_map(spark, sf_dir):
+    """S1+P2: map<string, struct> explode with key/value aliases — the
+    alpha-vantage time_series shape (reference dc:151-168)."""
+    raw = read_json(spark, _MAP_PATH, schema=_MAP_SCHEMA)
+    exploded = cleaning.explode_map(raw, "time_series", "series_key", "series_val")
+    return exploded.select(
+        "symbol",
+        F.col("series_key").cast("date").alias("series_date"),
+        F.col("series_val.open").alias("open"),
+        F.col("series_val.close").alias("close"),
+    )
+
+
+_ROUNDTRIP_SQL = f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+
+def _revenue_by_flag(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@register("parquet_roundtrip_partitioned", _ROUNDTRIP_SQL)
+def parquet_roundtrip_partitioned(spark, sf_dir):
+    """S3: hive-partitioned parquet sink → re-scan. The result must
+    survive the partition-column round trip (l_returnflag becomes a
+    directory key and is read back via partition discovery)."""
+    path = os.path.join(_SCRATCH, "roundtrip_partitioned")
+    write_partitioned_parquet(_revenue_by_flag(spark, sf_dir), path, ["l_returnflag"])
+    back = read_parquet(spark, path)
+    return back.select("l_returnflag", "l_linestatus", "n_lines", "revenue")
+
+
+@register("parquet_roundtrip_plain", _ROUNDTRIP_SQL)
+def parquet_roundtrip_plain(spark, sf_dir):
+    """S4: unpartitioned parquet sink → re-scan (reference sa:103-104)."""
+    path = os.path.join(_SCRATCH, "roundtrip_plain")
+    write_parquet(_revenue_by_flag(spark, sf_dir), path)
+    back = read_parquet(spark, path)
+    return back.select("l_returnflag", "l_linestatus", "n_lines", "revenue")
+
+
+@register(
+    "dedup_by_subset_docs",
+    "SELECT DISTINCT lang, source FROM documents",
+)
+def dedup_by_subset_docs(spark, sf_dir):
+    """A11: dropDuplicates on a column subset (reference dc:251, dc:310).
+    Projected to the subset columns so the surviving-row choice (which
+    dropDuplicates leaves arbitrary) cannot affect the comparison."""
+    d = read_table(spark, sf_dir, "documents")
+    return cleaning.dedup_by_subset(d.select("lang", "source"), ["lang", "source"])

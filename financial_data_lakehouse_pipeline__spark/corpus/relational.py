@@ -61,29 +61,29 @@ def projection_cast(spark, sf_dir):
 @register(
     "guarded_division",
     """SELECT l_orderkey, l_linenumber,
-              ROUND(CASE WHEN l_quantity IS NOT NULL AND l_quantity <> 0
-                         THEN l_extendedprice / l_quantity ELSE 0.0 END, 4)
-                  AS unit_price,
-              ROUND(CASE WHEN l_extendedprice IS NOT NULL AND l_extendedprice <> 0
-                         THEN l_discount * l_extendedprice / l_extendedprice END, 6)
-                  AS disc_frac
+              CASE WHEN l_quantity IS NOT NULL AND l_quantity <> 0
+                   THEN l_extendedprice / l_quantity ELSE 0.0 END AS unit_price,
+              CASE WHEN l_extendedprice IS NOT NULL AND l_extendedprice <> 0
+                   THEN l_discount * l_extendedprice / l_extendedprice END AS disc_frac
        FROM lineitem""",
 )
 def guarded_division(spark, sf_dir):
-    """P4: zero-guarded division (reference dc:95-98, dt:121-127)."""
+    """P4: zero-guarded division (reference dc:95-98, dt:121-127).
+
+    No ROUND on the outputs: row-wise double division is bit-identical
+    across engines, while ROUND-on-tie differs (Spark HALF_UP on the
+    decimal repr vs DuckDB rounding the binary double) — the r1 mismatch.
+    """
     li = read_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
-            guarded_div(F.col("l_extendedprice"), F.col("l_quantity"), default=0.0), 4
-        ).alias("unit_price"),
-        F.round(
-            guarded_div(
-                F.col("l_discount") * F.col("l_extendedprice"),
-                F.col("l_extendedprice"),
-            ),
-            6,
+        guarded_div(F.col("l_extendedprice"), F.col("l_quantity"), default=0.0).alias(
+            "unit_price"
+        ),
+        guarded_div(
+            F.col("l_discount") * F.col("l_extendedprice"),
+            F.col("l_extendedprice"),
         ).alias("disc_frac"),
     )
 
@@ -140,7 +140,7 @@ def date_parts(spark, sf_dir):
 @register(
     "merge_fullouter_coalesce",
     """SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
-              ROUND(COALESCE(a.price_a, b.price_b), 2) AS price,
+              COALESCE(a.price_a, b.price_b) AS price,
               CASE WHEN a.price_a IS NOT NULL AND b.price_b IS NOT NULL THEN 'both'
                    WHEN a.price_a IS NOT NULL THEN 'left' ELSE 'right' END AS src
        FROM (SELECT o_orderkey, o_totalprice AS price_a FROM orders
@@ -151,7 +151,10 @@ def date_parts(spark, sf_dir):
 )
 def merge_fullouter_coalesce(spark, sf_dir):
     """J1: full-outer merge + per-column coalesce preference
-    (reference dt:79-99)."""
+    (reference dt:79-99). Both inputs derive from the SAME source plan —
+    the self-merge case that requires alias-qualified join resolution.
+    price is left unrounded: row-wise double math is identical across
+    engines; ROUND would only introduce tie divergence."""
     o = read_table(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderstatus") == "O").select(
         "o_orderkey", F.col("o_totalprice").alias("price_a")
@@ -159,10 +162,9 @@ def merge_fullouter_coalesce(spark, sf_dir):
     b = o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
         "o_orderkey", (F.col("o_totalprice") * 0.9).alias("price_b")
     )
-    merged = joins.coalescing_merge(
+    return joins.coalescing_merge(
         a, b, ["o_orderkey"], {"price": ("price_a", "price_b")}, source_flag="src"
     )
-    return merged.withColumn("price", F.round("price", 2))
 
 
 @register(
@@ -324,17 +326,16 @@ def conditional_counts(spark, sf_dir):
 @register(
     "weighted_avg_price",
     f"""SELECT l_suppkey,
-               ROUND({sql_dsum('l_extendedprice * l_quantity')}
-                     / NULLIF({sql_dsum('l_quantity')}, 0), 6) AS weighted_avg
+               {sql_dsum('l_extendedprice * l_quantity')}
+                   / NULLIF({sql_dsum('l_quantity')}, 0) AS weighted_avg
         FROM lineitem GROUP BY l_suppkey""",
 )
 def weighted_avg_price(spark, sf_dir):
-    """A3: weighted mean = sum(v*w)/sum(w) (reference dt:295-304)."""
+    """A3: weighted mean = sum(v*w)/sum(w) (reference dt:295-304).
+    Unrounded: both numerator and denominator are exact decimal sums cast
+    to double, so the quotient is bit-identical across engines."""
     li = read_table(spark, sf_dir, "lineitem")
-    out = agg.weighted_mean(
-        li, ["l_suppkey"], "l_extendedprice", F.col("l_quantity")
-    )
-    return out.withColumn("weighted_avg", F.round("weighted_avg", 6))
+    return agg.weighted_mean(li, ["l_suppkey"], "l_extendedprice", F.col("l_quantity"))
 
 
 @register(
@@ -412,11 +413,12 @@ def global_stats(spark, sf_dir):
                CAST(month(o_orderdate) AS INT) AS month,
                CAST(COUNT(*) AS BIGINT) AS order_count,
                {sql_dsum('o_totalprice')} AS total_value,
-               ROUND({sql_dmean('o_totalprice', 'COUNT(o_totalprice)')}, 4) AS avg_value
+               {sql_dmean('o_totalprice', 'COUNT(o_totalprice)')} AS avg_value
         FROM orders GROUP BY 1, 2""",
 )
 def calendar_rollup_orders(spark, sf_dir):
-    """A8: calendar-grain rollup (reference sa:339-348)."""
+    """A8: calendar-grain rollup (reference sa:339-348). avg_value is the
+    unrounded decimal-exact mean — identical doubles on both engines."""
     o = read_table(spark, sf_dir, "orders")
     return agg.calendar_rollup(
         o,
@@ -425,7 +427,7 @@ def calendar_rollup_orders(spark, sf_dir):
         {
             "order_count": F.count(F.lit(1)),
             "total_value": dsum(F.col("o_totalprice")),
-            "avg_value": F.round(dmean(F.col("o_totalprice")), 4),
+            "avg_value": dmean(F.col("o_totalprice")),
         },
     )
 

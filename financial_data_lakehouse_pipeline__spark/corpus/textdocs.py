@@ -1,0 +1,310 @@
+"""Corpus: LLM-data text operators over the `documents` table — exact
+dedup, n-gram Jaccard, MinHash+LSH, SimHash, text stats / quality /
+language-id / token counts, and the multimodal binary-column plumbing.
+
+Every oracle reproduces the Spark computation in plain DuckDB SQL —
+possible because all hashing is md5-based (portable bit-for-bit,
+operators/dedup.py design note) and all ratios are row-wise double
+arithmetic (IEEE-identical across engines, no ROUND needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_data_lakehouse_pipeline__spark.corpus import register
+from financial_data_lakehouse_pipeline__spark.operators import dedup, multimodal, text
+from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+# ---- shared SQL fragments mirroring functions.tokens / dedup.canonical_text
+
+#: whitespace-normalized lowercase text (dedup.canonical_text)
+_CANON = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+#: docs → distinct word 3-gram shingles (dedup.word_shingles, n=3).
+#: range(0, greatest(len-3,0)+1) == F.sequence(0, greatest(k-3, 0));
+#: toks[i+1:i+3] (1-based inclusive) == F.slice(toks, i+1, 3).
+_SHINGLES_CTE = f"""
+docs AS (
+  SELECT doc_id, regexp_split_to_array({_CANON}, ' ') AS toks
+  FROM documents
+  WHERE length(trim(text)) > 0
+),
+idx AS (
+  SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 3, 0) + 1)) AS i
+  FROM docs
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+  FROM idx
+  WHERE length(array_to_string(toks[i+1:i+3], ' ')) > 0
+)"""
+
+#: exact pairwise Jaccard over `sh` (dedup._pairwise_jaccard)
+_JACCARD_CTE = """
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)"""
+
+
+@register(
+    "doc_fingerprint",
+    f"SELECT doc_id, md5({_CANON}) AS fingerprint FROM documents",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Content fingerprint per document (operators/text.fingerprint) —
+    the exact-dedup key."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.fingerprint(d).select("doc_id", "fingerprint")
+
+
+@register(
+    "exact_dedup_docs",
+    f"""SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+               md5({_CANON}) AS fingerprint,
+               CAST(COUNT(*) AS BIGINT) AS dup_count
+        FROM documents
+        GROUP BY md5({_CANON})""",
+)
+def exact_dedup_docs(spark, sf_dir):
+    """Exact dedup by content hash — one hash groupBy; md5 key keeps
+    shuffle rows small at any document size (operators/dedup.exact_dedup)."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d)
+
+
+@register(
+    "word_stats_docs",
+    r"""WITH s AS (
+          SELECT doc_id,
+                 length(text) AS nc,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nw,
+                 length(regexp_replace(text, '\s', '', 'g')) AS wc,
+                 len(regexp_extract_all(text, '[^\w\s]')) AS np
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(nc AS BIGINT) AS n_chars,
+               CAST(nw AS BIGINT) AS n_words,
+               CASE WHEN nw <> 0 THEN CAST(wc AS DOUBLE) / nw END AS avg_word_len,
+               CASE WHEN nc <> 0 THEN CAST(np AS DOUBLE) / nc END AS punct_ratio
+        FROM s""",
+)
+def word_stats_docs(spark, sf_dir):
+    """Per-document quality features (operators/text.word_stats) — pure
+    Column expressions, embarrassingly parallel."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.word_stats(d).select(
+        "doc_id", "n_chars", "n_words", "avg_word_len", "punct_ratio"
+    )
+
+
+@register(
+    "quality_score_docs",
+    r"""WITH s AS (
+          SELECT doc_id,
+                 length(text) AS nc,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS nw,
+                 length(regexp_replace(text, '\s', '', 'g')) AS wc,
+                 len(regexp_extract_all(text, '[^\w\s]')) AS np
+          FROM documents
+        ), f AS (
+          SELECT doc_id, nw,
+                 CASE WHEN nw <> 0 THEN CAST(wc AS DOUBLE) / nw END AS awl,
+                 CASE WHEN nc <> 0 THEN CAST(np AS DOUBLE) / nc END AS pr
+          FROM s
+        )
+        SELECT doc_id,
+               (CASE WHEN nw >= 10 AND nw <= 100000 THEN 1.0 ELSE 0.0 END
+                + CASE WHEN awl >= 2.0 AND awl <= 12.0 THEN 1.0 ELSE 0.0 END
+                + CASE WHEN coalesce(pr, 0.0) <= 0.3 THEN 1.0 ELSE 0.0 END) / 3.0
+                   AS quality_score
+        FROM f""",
+)
+def quality_score_docs(spark, sf_dir):
+    """Composite C4/Gopher-style quality score (operators/text.quality_score)."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.quality_score(d).select("doc_id", "quality_score")
+
+
+def _lang_hits_sql(lang: str) -> str:
+    pattern = r"\b(" + "|".join(text.STOPWORDS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pattern}')) AS h_{lang}"
+
+
+_MX = "greatest(h_en, h_de, h_fr, h_es)"
+
+
+@register(
+    "language_id_docs",
+    f"""WITH h AS (
+          SELECT doc_id, {", ".join(_lang_hits_sql(lg) for lg in text.STOPWORDS)}
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN {_MX} = 0 THEN 'und'
+                    WHEN h_en = {_MX} THEN 'en'
+                    WHEN h_de = {_MX} THEN 'de'
+                    WHEN h_fr = {_MX} THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM h""",
+)
+def language_id_docs(spark, sf_dir):
+    """Stopword-vote language heuristic (operators/text.language_id).
+    Tie-break pinned: first language in en>de>fr>es order at the max."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.language_id(d).select("doc_id", "lang_pred")
+
+
+@register(
+    "token_counts_docs",
+    r"""SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                    AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                    AS BIGINT) AS n_bpe_tokens
+        FROM documents""",
+)
+def token_counts_docs(spark, sf_dir):
+    """Whitespace + BPE-ish token counting (operators/text.token_count,
+    bpe_ish_token_count)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        text.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "ngram_jaccard_pairs_docs",
+    f"""WITH {_SHINGLES_CTE}, {_JACCARD_CTE}
+        SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5""",
+)
+def ngram_jaccard_pairs_docs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs >= 0.5 — the quadratic
+    ground-truth baseline (operators/dedup.ngram_jaccard_pairs)."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        cols = ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS key FROM sig"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    return f"""WITH {_SHINGLES_CTE},
+        sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+        buckets AS ({buckets}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM buckets a
+          JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ), {_JACCARD_CTE}
+        SELECT c.id_a, c.id_b, j.jaccard
+        FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+        WHERE j.jaccard >= {threshold}"""
+
+
+@register("minhash_lsh_pairs_docs", _minhash_oracle())
+def minhash_lsh_pairs_docs(spark, sf_dir):
+    """MinHash banding near-dup pairs, exact-Jaccard verified over the
+    candidate set only (operators/dedup.minhash_lsh_pairs — the 100 TB
+    scale path; md5 minhashes make the oracle SQL-reproducible)."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, num_hashes=16, bands=4, threshold=0.5)
+
+
+def _simhash_oracle(bits: int = 16, max_hamming: int = 3) -> str:
+    blocks = max_hamming + 1
+    width = bits // blocks or 1
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits)
+    )
+    blks = ", ".join(
+        f"(simhash >> {i * width}) & {(1 << width) - 1} AS blk_{i}" for i in range(blocks)
+    )
+    cands = " UNION ".join(
+        f"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM sb a JOIN sb b ON a.blk_{i} = b.blk_{i} AND a.doc_id < b.doc_id"""
+        for i in range(blocks)
+    )
+    return f"""WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array({_CANON}, ' ')) AS tok
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        hashed AS (
+          SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+          FROM toks WHERE length(tok) > 0
+        ),
+        bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id),
+        s AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits),
+        sb AS (SELECT doc_id, simhash, {blks} FROM s),
+        cand AS ({cands})
+        SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"""
+
+
+@register("simhash_pairs_docs", _simhash_oracle())
+def simhash_pairs_docs(spark, sf_dir):
+    """SimHash near-dup pairs within hamming distance 3, via pigeonhole
+    bit-block banding (operators/dedup.simhash_pairs). md5-prefix token
+    hashing keeps the oracle exact."""
+    d = read_table(spark, sf_dir, "documents")
+    out = dedup.simhash_pairs(d, bits=16, max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register(
+    "media_features_docs",
+    """WITH d AS (
+          SELECT doc_id, sha256(text) AS dg,
+                 octet_length(encode(text)) AS nb
+          FROM documents
+        )
+        SELECT doc_id,
+               'image/fake' AS media_type,
+               CAST(nb AS BIGINT) AS n_bytes,
+               dg AS sha256,
+               CAST(64 + CAST(('0x' || substr(dg, 1, 2)) AS BIGINT) AS INT) AS width,
+               CAST(64 + CAST(('0x' || substr(dg, 3, 2)) AS BIGINT) AS INT) AS height,
+               CAST(('0x' || substr(dg, 5, 4)) AS BIGINT) / 65535.0 AS feature_norm
+        FROM d""",
+)
+def media_features_docs(spark, sf_dir):
+    """Multimodal binary-column plumbing: payload bytes → mapInPandas
+    Arrow-batch feature extraction (operators/multimodal). The decode is a
+    deterministic stub (sha256-derived pseudo-features) so the oracle can
+    reproduce it exactly — the Spark-side schema/partitioning/batching is
+    the real thing."""
+    d = read_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_binary_payload(d)
+    return multimodal.extract_media_features(payloads)

@@ -1,0 +1,173 @@
+"""Corpus: embedding similarity search over the `embeddings` table —
+brute-force cosine top-k (exact baseline), sign-LSH bucketed near-dup and
+top-k (the scale paths).
+
+Oracle parity: Spark computes dot/norm via a sequential JVM-side fold
+(F.zip_with + F.aggregate, functions.dot/l2_norm); the DuckDB oracle uses
+list_reduce/list_transform — the same left-to-right IEEE addition order,
+so cosines are bit-identical and no rounding is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_data_lakehouse_pipeline__spark.corpus import register
+from financial_data_lakehouse_pipeline__spark.operators import similarity
+from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Sequential fold dot product — mirrors functions.dot exactly."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(v: str) -> str:
+    """Euclidean norm fold — mirrors functions.l2_norm."""
+    return (
+        f"sqrt(list_reduce(list_transform({v}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """Zero-guarded cosine — mirrors functions.cosine_similarity."""
+    na, nb = _norm_sql(a), _norm_sql(b)
+    return (
+        f"CASE WHEN {na} * {nb} IS NOT NULL AND {na} * {nb} <> 0 "
+        f"THEN {_dot_sql(a, b)} / ({na} * {nb}) END"
+    )
+
+
+def _bucket_sql(v: str, planes: int) -> str:
+    """Axis-aligned sign-LSH sketch — mirrors similarity.sign_lsh_bucket."""
+    bits = " || ".join(
+        f"CASE WHEN {v}[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(planes)
+    )
+    return f"({bits})"
+
+
+@register(
+    "brute_force_topk",
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+             scored AS (
+               SELECT query_id, neighbor_id, {_cosine_sql('qv', 'cv')} AS cosine
+               FROM c, q WHERE query_id <> neighbor_id
+             )
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rn
+              FROM scored)
+        WHERE rn <= 10""",
+)
+def brute_force_topk(spark, sf_dir):
+    """Exact cosine top-10 for a small query set (vec_id < 5) — broadcast
+    queries against the streamed corpus (operators/similarity
+    .brute_force_topk). The correctness baseline for the LSH paths."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(q, emb, k=10)
+
+
+@register(
+    "cosine_neardup",
+    f"""WITH e AS (SELECT vec_id, embedding,
+                          {_bucket_sql('embedding', 4)} AS b
+                   FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+        FROM e a JOIN e b ON a.b = b.b AND a.vec_id < b.vec_id
+        WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.35""",
+)
+def cosine_neardup(spark, sf_dir):
+    """All pairs with cosine >= 0.35 among sign-LSH bucket collisions —
+    equi-join on the bucket key, never all-pairs (operators/similarity
+    .cosine_neardup). The oracle reproduces the SAME bucketing, so the
+    (documented) recall loss of axis-aligned planes is pinned, not hidden."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup(emb, threshold=0.35, planes=4)
+
+
+@register(
+    "signlsh_topk",
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                          {_bucket_sql('embedding', 4)} AS b
+                   FROM embeddings WHERE vec_id < 20),
+             c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                          {_bucket_sql('embedding', 4)} AS b
+                   FROM embeddings),
+             scored AS (
+               SELECT query_id, neighbor_id, {_cosine_sql('qv', 'cv')} AS cosine
+               FROM c JOIN q USING (b) WHERE query_id <> neighbor_id
+             )
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rn
+              FROM scored)
+        WHERE rn <= 5""",
+)
+def signlsh_topk(spark, sf_dir):
+    """Approximate top-5 restricted to the query's sign-LSH bucket — the
+    IVF-style scale path: one equi-join on the bucket key instead of a
+    cross join (operators/similarity.signlsh_topk). Recall vs brute force
+    is pinned in tests/test_similarity.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return similarity.signlsh_topk(q, emb, k=5, planes=4)
+
+
+@register(
+    "label_centroid_similarity",
+    f"""WITH flat AS (
+          SELECT label, unnest(embedding) AS v,
+                 unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings
+        ), cent AS (
+          SELECT label, i, SUM(CAST(v AS DOUBLE)) / COUNT(*) AS c
+          FROM flat GROUP BY label, i
+        ), centl AS (
+          SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY label
+        )
+        SELECT e.vec_id, e.label,
+               ROUND({_cosine_sql('e.embedding', 'c.centroid')}, 6)
+                   AS centroid_cosine
+        FROM embeddings e JOIN centl c ON e.label = c.label""",
+)
+def label_centroid_similarity(spark, sf_dir):
+    """Per-label centroid + each vector's cosine to its own centroid — the
+    cluster-assignment primitive of IVF indexing, as one aggregation +
+    one broadcast join (no explode of the fact side). The centroid mean is
+    a SUM over doubles (order-dependent in the last bits), so the cosine is
+    ROUNDed to 6 — the one inherently-floating aggregate in this corpus."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    from financial_data_lakehouse_pipeline__spark.functions import cosine_similarity
+
+    dim = 64
+    # Explode-free per-coordinate aggregation: one JVM-side SUM per
+    # coordinate, one shuffle on label, centroids broadcast back.
+    sums = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.element_at("embedding", i + 1).cast("double")).alias(f"__s{i}")
+            for i in range(dim)
+        ],
+    )
+    cent = sums.select(
+        "label",
+        F.array(
+            *[(F.col(f"__s{i}") / F.col("__n")).cast("double") for i in range(dim)]
+        ).alias("centroid"),
+    )
+    joined = emb.join(F.broadcast(cent), "label")
+    return joined.select(
+        "vec_id",
+        "label",
+        F.round(
+            cosine_similarity(F.col("embedding"), F.col("centroid")), 6
+        ).alias("centroid_cosine"),
+    )

@@ -37,83 +37,104 @@ def dedup_keep_latest(spark, sf_dir):
 @register(
     "rolling_sma",
     f"""SELECT l_suppkey, l_orderkey, l_linenumber,
-               ROUND(AVG(l_extendedprice) OVER ({_LI_WIN}
-                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS sma_7,
-               ROUND(AVG(l_extendedprice) OVER ({_LI_WIN}
-                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 4) AS sma_20
-        FROM lineitem""",
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) OVER w7 AS DOUBLE)
+                   / COUNT(*) OVER w7 AS sma_7,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) OVER w20 AS DOUBLE)
+                   / COUNT(*) OVER w20 AS sma_20
+        FROM lineitem
+        WINDOW w7 AS ({_LI_WIN} ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+               w20 AS ({_LI_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
 )
 def rolling_sma(spark, sf_dir):
     """W2: rolling means over row frames (reference SMA-7/20, dt:162-178).
-    Partial windows at series start aggregate fewer rows (pinned)."""
+    Partial windows at series start aggregate fewer rows (pinned).
+
+    The mean is decimal-sum / count, unrounded: windowed double AVG sums
+    in engine-specific order (Spark sequential frame buffer vs DuckDB
+    segment tree), so only exact accumulation makes the quotient
+    bit-identical — the r1 rounding-tie class of failures."""
     li = read_table(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast(_DEC)
     out = windows.rolling_agg(
         li,
         ["l_suppkey"],
         ["l_shipdate", "l_orderkey", "l_linenumber"],
         {
-            "sma_7": (F.avg("l_extendedprice"), 7),
-            "sma_20": (F.avg("l_extendedprice"), 20),
+            "__s7": (F.sum(dec), 7),
+            "__c7": (F.count(F.lit(1)), 7),
+            "__s20": (F.sum(dec), 20),
+            "__c20": (F.count(F.lit(1)), 20),
         },
     )
     return out.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.round("sma_7", 4).alias("sma_7"),
-        F.round("sma_20", 4).alias("sma_20"),
+        (F.col("__s7").cast("double") / F.col("__c7")).alias("sma_7"),
+        (F.col("__s20").cast("double") / F.col("__c20")).alias("sma_20"),
     )
 
 
 @register(
     "rolling_bollinger",
     f"""SELECT l_suppkey, l_orderkey, l_linenumber,
-               ROUND(AVG(l_extendedprice) OVER w20, 4) AS bb_middle,
-               ROUND(AVG(l_extendedprice) OVER w20
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) OVER w20 AS DOUBLE)
+                   / COUNT(*) OVER w20 AS bb_middle,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) OVER w20 AS DOUBLE)
+                     / COUNT(*) OVER w20
                      + 2 * STDDEV_SAMP(l_extendedprice) OVER w20, 4) AS bb_upper,
-               ROUND(AVG(l_extendedprice) OVER w20
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) OVER w20 AS DOUBLE)
+                     / COUNT(*) OVER w20
                      - 2 * STDDEV_SAMP(l_extendedprice) OVER w20, 4) AS bb_lower
         FROM lineitem
         WINDOW w20 AS ({_LI_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
 )
 def rolling_bollinger(spark, sf_dir):
-    """W3: rolling stddev bands (reference Bollinger, dt:181-184)."""
+    """W3: rolling stddev bands (reference Bollinger, dt:181-184).
+    bb_middle is the exact decimal mean (unrounded — bit-identical);
+    the ±2σ bands keep ROUND 4 because windowed stddev is inherently
+    floating (engine-specific accumulation order)."""
     li = read_table(spark, sf_dir, "lineitem")
-    out = windows.bollinger_bands(
+    dec = F.col("l_extendedprice").cast(_DEC)
+    out = windows.rolling_agg(
         li,
         ["l_suppkey"],
         ["l_shipdate", "l_orderkey", "l_linenumber"],
-        "l_extendedprice",
-        n=20,
-        num_std=2.0,
+        {
+            "__s": (F.sum(dec), 20),
+            "__c": (F.count(F.lit(1)), 20),
+            "__sd": (F.stddev_samp("l_extendedprice"), 20),
+        },
     )
+    mid = F.col("__s").cast("double") / F.col("__c")
     return out.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.round("bb_middle", 4).alias("bb_middle"),
-        F.round("bb_upper", 4).alias("bb_upper"),
-        F.round("bb_lower", 4).alias("bb_lower"),
+        mid.alias("bb_middle"),
+        F.round(mid + 2 * F.col("__sd"), 4).alias("bb_upper"),
+        F.round(mid - 2 * F.col("__sd"), 4).alias("bb_lower"),
     )
 
 
 @register(
     "lag_momentum",
     f"""SELECT l_suppkey, l_orderkey, l_linenumber,
-               ROUND(CASE WHEN LAG(l_extendedprice, 1) OVER ({_LI_WIN}) IS NOT NULL
-                           AND LAG(l_extendedprice, 1) OVER ({_LI_WIN}) <> 0
-                          THEN (l_extendedprice - LAG(l_extendedprice, 1) OVER ({_LI_WIN}))
-                               * 100.0 / LAG(l_extendedprice, 1) OVER ({_LI_WIN}) END, 6)
+               CASE WHEN LAG(l_extendedprice, 1) OVER ({_LI_WIN}) IS NOT NULL
+                     AND LAG(l_extendedprice, 1) OVER ({_LI_WIN}) <> 0
+                    THEN (l_extendedprice - LAG(l_extendedprice, 1) OVER ({_LI_WIN}))
+                         * 100.0 / LAG(l_extendedprice, 1) OVER ({_LI_WIN}) END
                    AS momentum_1,
-               ROUND(CASE WHEN LAG(l_extendedprice, 5) OVER ({_LI_WIN}) IS NOT NULL
-                           AND LAG(l_extendedprice, 5) OVER ({_LI_WIN}) <> 0
-                          THEN (l_extendedprice - LAG(l_extendedprice, 5) OVER ({_LI_WIN}))
-                               * 100.0 / LAG(l_extendedprice, 5) OVER ({_LI_WIN}) END, 6)
+               CASE WHEN LAG(l_extendedprice, 5) OVER ({_LI_WIN}) IS NOT NULL
+                     AND LAG(l_extendedprice, 5) OVER ({_LI_WIN}) <> 0
+                    THEN (l_extendedprice - LAG(l_extendedprice, 5) OVER ({_LI_WIN}))
+                         * 100.0 / LAG(l_extendedprice, 5) OVER ({_LI_WIN}) END
                    AS momentum_5
         FROM lineitem""",
 )
 def lag_momentum(spark, sf_dir):
-    """W4: lag + percent-change momentum (reference dt:194-217)."""
+    """W4: lag + percent-change momentum (reference dt:194-217).
+    Unrounded: lag + row-wise arithmetic is bit-identical across engines."""
     li = read_table(spark, sf_dir, "lineitem")
     out = windows.momentum(
         li,
@@ -122,28 +143,23 @@ def lag_momentum(spark, sf_dir):
         "l_extendedprice",
         [1, 5],
     )
-    return out.select(
-        "l_suppkey",
-        "l_orderkey",
-        "l_linenumber",
-        F.round("momentum_1", 6).alias("momentum_1"),
-        F.round("momentum_5", 6).alias("momentum_5"),
-    )
+    return out.select("l_suppkey", "l_orderkey", "l_linenumber", "momentum_1", "momentum_5")
 
 
 @register(
     "lead_forward_returns",
     f"""SELECT l_suppkey, l_orderkey, l_linenumber,
-               ROUND(CASE WHEN l_extendedprice <> 0 THEN
-                     (LEAD(l_extendedprice, 1) OVER ({_LI_WIN}) - l_extendedprice)
-                     * 100.0 / l_extendedprice END, 6) AS fwd_return_1,
-               ROUND(CASE WHEN l_extendedprice <> 0 THEN
-                     (LEAD(l_extendedprice, 3) OVER ({_LI_WIN}) - l_extendedprice)
-                     * 100.0 / l_extendedprice END, 6) AS fwd_return_3
+               CASE WHEN l_extendedprice <> 0 THEN
+                    (LEAD(l_extendedprice, 1) OVER ({_LI_WIN}) - l_extendedprice)
+                    * 100.0 / l_extendedprice END AS fwd_return_1,
+               CASE WHEN l_extendedprice <> 0 THEN
+                    (LEAD(l_extendedprice, 3) OVER ({_LI_WIN}) - l_extendedprice)
+                    * 100.0 / l_extendedprice END AS fwd_return_3
         FROM lineitem""",
 )
 def lead_forward_returns(spark, sf_dir):
-    """W5: lead + multi-horizon forward returns (reference sa:138-150)."""
+    """W5: lead + multi-horizon forward returns (reference sa:138-150).
+    Unrounded — row-wise doubles are engine-identical."""
     li = read_table(spark, sf_dir, "lineitem")
     out = windows.forward_returns(
         li,
@@ -153,27 +169,24 @@ def lead_forward_returns(spark, sf_dir):
         [1, 3],
     )
     return out.select(
-        "l_suppkey",
-        "l_orderkey",
-        "l_linenumber",
-        F.round("fwd_return_1", 6).alias("fwd_return_1"),
-        F.round("fwd_return_3", 6).alias("fwd_return_3"),
+        "l_suppkey", "l_orderkey", "l_linenumber", "fwd_return_1", "fwd_return_3"
     )
 
 
 @register(
     "relative_quantity",
     f"""SELECT l_suppkey, l_orderkey, l_linenumber,
-               ROUND(CASE WHEN AVG(l_quantity) OVER w IS NOT NULL
-                           AND AVG(l_quantity) OVER w <> 0
-                          THEN l_quantity / AVG(l_quantity) OVER w END, 6)
-                   AS relative_qty
+               CASE WHEN AVG(l_quantity) OVER w IS NOT NULL
+                     AND AVG(l_quantity) OVER w <> 0
+                    THEN l_quantity / AVG(l_quantity) OVER w END AS relative_qty
         FROM lineitem
         WINDOW w AS ({_LI_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
 )
 def relative_quantity(spark, sf_dir):
     """W6: value relative to its rolling mean (reference relative_volume
-    dt:223-228)."""
+    dt:223-228). Unrounded: l_quantity values are integral, so the
+    windowed double sum is exact in ANY accumulation order and the ratio
+    is bit-identical across engines."""
     li = read_table(spark, sf_dir, "lineitem")
     out = windows.relative_to_rolling(
         li,
@@ -183,12 +196,7 @@ def relative_quantity(spark, sf_dir):
         20,
         "relative_qty",
     )
-    return out.select(
-        "l_suppkey",
-        "l_orderkey",
-        "l_linenumber",
-        F.round("relative_qty", 6).alias("relative_qty"),
-    )
+    return out.select("l_suppkey", "l_orderkey", "l_linenumber", "relative_qty")
 
 
 @register(
@@ -231,16 +239,23 @@ def running_customer_total(spark, sf_dir):
     """Cumulative (running) aggregate — exact decimal accumulation keeps
     the running total order-independent across engines."""
     o = read_table(spark, sf_dir, "orders")
+    # The window must attach to the Sum itself (a Cast root would leave the
+    # Sum un-windowed → MISSING_GROUP_BY), so cast to double AFTER windowing.
     out = windows.cumulative(
         o,
         ["o_custkey"],
         ["o_orderdate", "o_orderkey"],
         {
-            "running_total": F.sum(F.col("o_totalprice").cast(_DEC)).cast("double"),
+            "running_total": F.sum(F.col("o_totalprice").cast(_DEC)),
             "order_seq": F.row_number(),
         },
     )
-    return out.select("o_custkey", "o_orderkey", "running_total", "order_seq")
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("running_total").cast("double").alias("running_total"),
+        "order_seq",
+    )
 
 
 @register("ema_supplier_price")  # no oracle: recursive EMA is not SQL-expressible

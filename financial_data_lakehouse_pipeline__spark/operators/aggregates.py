@@ -60,7 +60,6 @@ def weighted_mean(
 ) -> DataFrame:
     """sum(value*weight)/sum(weight) per group, zero-guarded
     (reference A3: dt:295-304)."""
-    wv = (F.col(value_col) * weight_col).alias("__wv")
     return df.groupBy(*keys).agg(
         guarded_div(dsum(F.col(value_col) * weight_col), dsum(weight_col)).alias(out)
     )

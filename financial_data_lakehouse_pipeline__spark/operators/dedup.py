@@ -67,21 +67,34 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     )
 
 
-def _pairwise_jaccard(shingles: DataFrame, id_col: str) -> DataFrame:
+def _pairwise_jaccard(
+    shingles: DataFrame, id_col: str, restrict_to: DataFrame | None = None
+) -> DataFrame:
     """Exact Jaccard for every pair sharing >= 1 shingle.
 
     |A∩B| from the shingle equi-join, |A| and |B| from per-doc shingle
     counts (broadcast — one row per doc id).
+
+    ``restrict_to`` — optional (id_a, id_b) candidate pairs. When given,
+    each side's posting lists are first semi-joined down to candidate pair
+    MEMBERS and the result is inner-joined to the candidate pairs, so the
+    quadratic shingle self-join runs only over candidate members — the
+    property that keeps LSH verification sub-quadratic at scale.
     """
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    if restrict_to is not None:
+        a = a.join(restrict_to.select("id_a").distinct(), "id_a", "left_semi")
+        b = b.join(restrict_to.select("id_b").distinct(), "id_b", "left_semi")
     common = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__common"))
     )
+    if restrict_to is not None:
+        common = common.join(restrict_to, ["id_a", "id_b"], "left_semi")
     return (
         common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sz_a")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sz_b")), "id_b")
@@ -145,7 +158,10 @@ def minhash_lsh_pairs(
 
     Scale: candidates are produced by an equi-join on band keys, so cost
     follows collision volume (controlled by rows-per-band = k/b), never
-    all-pairs. The verify join only re-shingles candidate pair members.
+    all-pairs. The verify step restricts the shingle posting lists to
+    candidate pair members (semi-join) before the pairwise intersection,
+    so its cost also follows candidate volume (asserted in
+    tests/test_operators.py).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
@@ -172,10 +188,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    exact = _pairwise_jaccard(sh, id_col)
-    return candidates.join(exact, ["id_a", "id_b"]).filter(
-        F.col("jaccard") >= threshold
-    )
+    exact = _pairwise_jaccard(sh, id_col, restrict_to=candidates)
+    return exact.filter(F.col("jaccard") >= threshold)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:

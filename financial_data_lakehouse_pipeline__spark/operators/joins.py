@@ -30,22 +30,30 @@ def coalescing_merge(
     ``prefer`` maps output column → (left_col, right_col); the left value
     wins when non-null. ``source_flag`` optionally adds a provenance column
     ('both'/'left'/'right').
+
+    Columns are referenced through string-qualified aliases
+    (``F.col("__ml.x")``) rather than DataFrame indexing: when left and
+    right derive from the same source plan (a self-merge), DataFrame-indexed
+    columns are ambiguous to the analyzer while alias-qualified names
+    resolve per side.
     """
-    lt, rt = left.alias("l"), right.alias("r")
-    cond = [lt[k].eqNullSafe(rt[k]) for k in on]
+    lt, rt = left.alias("__ml"), right.alias("__mr")
+    lc_ = lambda c: F.col(f"__ml.{c}")  # noqa: E731
+    rc_ = lambda c: F.col(f"__mr.{c}")  # noqa: E731
+    cond = [lc_(k).eqNullSafe(rc_(k)) for k in on]
     j = lt.join(rt, cond, "full_outer")
-    key_cols = [F.coalesce(lt[k], rt[k]).alias(k) for k in on]
+    key_cols = [F.coalesce(lc_(k), rc_(k)).alias(k) for k in on]
     val_cols = [
-        F.coalesce(lt[lc], rt[rc]).alias(out) for out, (lc, rc) in prefer.items()
+        F.coalesce(lc_(lc), rc_(rc)).alias(out) for out, (lc, rc) in prefer.items()
     ]
     cols = key_cols + val_cols
     if source_flag:
         any_left = F.lit(False)
         for lc, _ in prefer.values():
-            any_left = any_left | lt[lc].isNotNull()
+            any_left = any_left | lc_(lc).isNotNull()
         any_right = F.lit(False)
         for _, rc in prefer.values():
-            any_right = any_right | rt[rc].isNotNull()
+            any_right = any_right | rc_(rc).isNotNull()
         cols.append(
             F.when(any_left & any_right, F.lit("both"))
             .when(any_left, F.lit("left"))

@@ -19,14 +19,17 @@ from pyspark.sql import DataFrame, SparkSession
 VIEWS: dict[str, str] = {
     # hv:236-250 v_recent_stock_performance: recent window scan + filter +
     # multi-column sort, anchored at the data's max date (reproducible).
+    # No ROUND on the computed doubles: row-wise double arithmetic is
+    # bit-identical across engines while ROUND tie semantics differ
+    # (Spark HALF_UP on decimal repr vs DuckDB on the binary double).
     "v_recent_activity": """
         SELECT l.l_suppkey AS entity_id,
                CAST(l.l_shipdate AS DATE) AS activity_date,
                l.l_orderkey AS ref_id,
                l.l_linenumber AS line_no,
                l.l_quantity AS quantity,
-               ROUND(l.l_extendedprice, 2) AS price,
-               ROUND(l.l_extendedprice * (1 - l.l_discount), 2) AS net_price
+               l.l_extendedprice AS price,
+               l.l_extendedprice * (1 - l.l_discount) AS net_price
         FROM lineitem l
         CROSS JOIN (SELECT MAX(l_shipdate) AS max_d FROM lineitem) m
         WHERE l.l_shipdate >= m.max_d - INTERVAL 30 DAY
@@ -36,7 +39,7 @@ VIEWS: dict[str, str] = {
     "v_top_movers": """
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))) / COUNT(*), 4) AS DOUBLE)
+               CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
                    AS avg_value
         FROM events
         GROUP BY user_id
@@ -62,9 +65,9 @@ VIEWS: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS order_count,
                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS customer_count,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
-               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))) / COUNT(*), 4) AS DOUBLE)
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
                    AS avg_value,
-               ROUND(MAX(o_totalprice), 2) AS max_value
+               MAX(o_totalprice) AS max_value
         FROM orders
         GROUP BY CAST(o_orderdate AS DATE)
     """,

@@ -210,8 +210,15 @@ def ema(
     single entity's history must fit in one task (true of any per-entity
     recurrence).
     """
+    from pyspark.sql import types as T
+
     alpha = 2.0 / (span + 1.0)
-    schema_out = df.schema.add(out, "double")
+    # Build a FRESH StructType: StructType.add mutates in place and
+    # DataFrame.schema is cached, so df.schema.add would corrupt the
+    # input DataFrame's analyzed schema with a phantom column.
+    schema_out = T.StructType(
+        list(df.schema.fields) + [T.StructField(out, T.DoubleType())]
+    )
     sort_cols = list(order_by)
 
     def _per_group(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -18,11 +18,16 @@ from pyspark.sql import types as T
 
 
 def stream_from_parquet_dir(
-    spark: SparkSession, path: str, schema: T.StructType
+    spark: SparkSession, path: str, schema: T.StructType, glob: str | None = None
 ) -> DataFrame:
     """File-based stream over a parquet directory (schema required — no
-    inference on streams)."""
-    return spark.readStream.schema(schema).parquet(path)
+    inference on streams). ``path`` must be a DIRECTORY (Spark file streams
+    reject single files); use ``glob`` (pathGlobFilter) to stream a subset
+    of its files."""
+    reader = spark.readStream.schema(schema)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.parquet(path)
 
 
 def windowed_counts(

@@ -1,0 +1,84 @@
+"""Benchmark: run the engine's headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with a noop sink (full computation, no driver-side
+result materialization) so timings measure the plan, not collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from financial_data_lakehouse_pipeline__spark import corpus  # noqa: E402
+from financial_data_lakehouse_pipeline__spark.session import build_session  # noqa: E402
+
+#: Headline set: one representative per operator family (SURVEY.md §2),
+#: weighted toward the shuffle/window/join-heavy shapes that dominate at
+#: scale, plus the LLM-data extensions.
+HEADLINE = [
+    "grouped_stats_q1",          # A1 grouped multi-agg (TPC-H Q1 shape)
+    "master_supplier_daily",     # widest DAG: pre-agg + broadcast dims
+    "merge_fullouter_coalesce",  # J1 full-outer self-merge
+    "rolling_sma",               # W2 shared-window frames
+    "lag_momentum",              # W4 lag analytics
+    "running_customer_total",    # cumulative window
+    "ema_supplier_price",        # applyInPandas recursive path
+    "v_daily_summary",           # SQL-view rollup with distinct count
+    "topk_orders",               # O4 TakeOrderedAndProject
+    "asof_last_purchase",        # as-of join (union + carry-forward)
+    "sessionize_users",          # lag+cumsum sessionization
+    "tumbling_hourly",           # event-time window agg
+    "exact_dedup_docs",          # LLM: hash dedup
+    "minhash_lsh_pairs_docs",    # LLM: MinHash LSH
+    "simhash_pairs_docs",        # LLM: SimHash banding
+    "brute_force_topk",          # LLM: cosine top-k
+    "signlsh_topk",              # LLM: bucketed ANN
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = build_session(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    qs = corpus.queries()
+
+    # Warm up the session (JVM/codegen) outside the timed region.
+    qs["topk_orders"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -6,6 +6,8 @@ dim joins broadcast, no unexpected shuffles), not just results.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -23,13 +25,14 @@ def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle Exchange operators in the physical plan."""
+    """Number of shuffle Exchange operators in the physical plan.
+
+    Counts only the detail headers ``(N) Exchange`` — the formatted plan
+    prints every operator twice (tree line + detail section), so counting
+    every 'Exchange' substring double-counts.
+    """
     plan = formatted_plan(df)
-    return sum(
-        1
-        for line in plan.splitlines()
-        if "Exchange" in line and "Columnar" not in line and "reuse" not in line.lower()
-    )
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.MULTILINE))
 
 
 def has_broadcast_join(df: DataFrame) -> bool:

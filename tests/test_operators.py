@@ -1,0 +1,214 @@
+"""Unit tests for individual operators on tiny hand-built DataFrames
+(SURVEY.md §5.2) — the behaviors the corpus docstrings pin."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from financial_data_lakehouse_pipeline__spark.functions import (
+    clamp,
+    guarded_div,
+    safe_corr,
+)
+from financial_data_lakehouse_pipeline__spark.operators import (
+    cleaning,
+    dedup,
+    joins,
+    windows,
+)
+
+
+def test_guarded_div_zero_and_null(spark):
+    df = spark.createDataFrame(
+        [Row(n=10.0, d=2.0), Row(n=1.0, d=0.0), Row(n=1.0, d=None)]
+    )
+    out = df.select(
+        guarded_div(F.col("n"), F.col("d")).alias("q"),
+        guarded_div(F.col("n"), F.col("d"), default=-1.0).alias("qd"),
+    ).collect()
+    assert out[0].q == 5.0 and out[0].qd == 5.0
+    assert out[1].q is None and out[1].qd == -1.0
+    assert out[2].q is None and out[2].qd == -1.0
+
+
+def test_clamp(spark):
+    df = spark.createDataFrame([Row(x=-2.0), Row(x=0.5), Row(x=3.0)])
+    vals = [r.c for r in df.select(clamp(F.col("x"), -1.0, 1.0).alias("c")).collect()]
+    assert vals == [-1.0, 0.5, 1.0]
+
+
+def test_safe_corr_constant_series_is_null(spark):
+    """F.corr raises under ANSI on zero variance; safe_corr yields NULL
+    (DuckDB semantics) — SURVEY.md §7.3 hazard."""
+    df = spark.createDataFrame([Row(x=1.0, y=2.0), Row(x=1.0, y=3.0)])
+    assert df.agg(safe_corr(F.col("x"), F.col("y")).alias("c")).collect()[0].c is None
+
+
+def test_dedup_keep_latest_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k="a", ts=1, v="old"),
+            Row(k="a", ts=2, v="new"),
+            Row(k="b", ts=1, v="only"),
+        ]
+    )
+    out = cleaning.dedup_keep_latest(df, ["k"], [F.col("ts").desc()])
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {"a": "new", "b": "only"}
+
+
+def test_coalescing_merge_self_derived(spark):
+    """J1 regression: both sides derive from the SAME source plan — the
+    ambiguous-self-join case fixed via alias-qualified references."""
+    base = spark.createDataFrame(
+        [Row(k=1, v=10.0), Row(k=2, v=None), Row(k=3, v=30.0)]
+    )
+    a = base.filter(F.col("k") < 3).select("k", F.col("v").alias("va"))
+    b = base.filter(F.col("k") > 1).select("k", (F.col("v") * 2).alias("vb"))
+    out = joins.coalescing_merge(
+        a, b, ["k"], {"v": ("va", "vb")}, source_flag="src"
+    )
+    got = {r.k: (r.v, r.src) for r in out.collect()}
+    assert got[1] == (10.0, "left")
+    assert got[2] == (None, "right")  # both sides null-valued, right row exists
+    assert got[3] == (60.0, "right")
+
+
+def test_rolling_agg_partial_windows(spark):
+    """Partial frames at series start aggregate fewer rows (reference
+    dt:162-174 semantic, pinned)."""
+    df = spark.createDataFrame(
+        [Row(k="a", t=i, v=float(i)) for i in range(1, 6)]
+    )
+    out = windows.rolling_agg(df, ["k"], ["t"], {"sma3": (F.avg("v"), 3)})
+    got = {r.t: r.sma3 for r in out.collect()}
+    assert got[1] == 1.0  # frame = [1]
+    assert got[2] == 1.5  # frame = [1,2]
+    assert got[3] == 2.0  # frame = [1,2,3]
+    assert got[5] == 4.0  # frame = [3,4,5]
+
+
+def test_ema_matches_pandas_ewm(spark):
+    """True recursive EMA (applyInPandas) == pandas ewm(adjust=False)."""
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 6 + ["b"] * 4,
+            "t": list(range(6)) + list(range(4)),
+            "v": [1.0, 2.0, 4.0, 3.0, 5.0, 8.0, 10.0, 9.0, 11.0, 12.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = windows.ema(df, ["k"], ["t"], "v", span=3, out="e").toPandas()
+    for key, grp in pdf.groupby("k"):
+        expect = grp.sort_values("t")["v"].ewm(span=3, adjust=False).mean().tolist()
+        got = out[out.k == key].sort_values("t")["e"].tolist()
+        assert got == pytest.approx(expect)
+
+
+def test_ema_does_not_mutate_input_schema(spark):
+    """Regression: ema() must not add a phantom column to the cached
+    input schema (StructType.add mutates in place)."""
+    df = spark.createDataFrame([Row(k="a", t=1, v=1.0)])
+    before = [f.name for f in df.schema.fields]
+    windows.ema(df, ["k"], ["t"], "v", span=3, out="e")
+    after = [f.name for f in df.schema.fields]
+    assert before == after == ["k", "t", "v"]
+
+
+def _docs(spark):
+    """Small corpus with one planted near-dup pair and distinct docs."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    rows = [Row(doc_id=0, text=base), Row(doc_id=1, text=near)]
+    rows += [
+        Row(doc_id=2, text="completely different words about spark engines"),
+        Row(doc_id=3, text="yet another unrelated document mentioning ducks"),
+        Row(doc_id=4, text=base),  # exact duplicate of 0
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(spark):
+    out = dedup.exact_dedup(_docs(spark)).collect()
+    by_id = {r.doc_id: r.dup_count for r in out}
+    assert by_id[0] == 2  # doc 4 collapsed into doc 0 (min id survives)
+    assert 4 not in by_id
+    assert by_id[2] == 1
+
+
+def test_minhash_lsh_subset_of_exact_and_finds_planted_pair(spark):
+    docs = _docs(spark)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert lsh <= exact  # LSH may lose recall, never precision
+    assert (0, 4) in lsh  # exact duplicates always collide in every band
+    assert (0, 1) in exact  # planted near-dup found by the ground truth
+
+
+def test_minhash_verify_is_candidate_restricted(spark):
+    """The verify stage must semi-join shingles to candidate members —
+    i.e. the plan contains LeftSemi joins (scale fix from r1 review)."""
+    docs = _docs(spark)
+    plan = dedup.minhash_lsh_pairs(docs)._jdf.queryExecution().toString()
+    assert "LeftSemi" in plan
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    docs = _docs(spark)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_pairs(docs).collect()}
+    assert pairs.get((0, 4)) == 0  # identical text → identical fingerprint
+
+
+def test_weighted_mean(spark):
+    from financial_data_lakehouse_pipeline__spark.operators import aggregates as agg
+
+    df = spark.createDataFrame(
+        [Row(k="a", v=10.0, w=1.0), Row(k="a", v=20.0, w=3.0)]
+    )
+    out = agg.weighted_mean(df, ["k"], "v", F.col("w")).collect()[0]
+    assert out.weighted_avg == pytest.approx((10 + 60) / 4.0)
+
+
+def test_asof_join_takes_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [Row(k="a", t=5, x="l1"), Row(k="a", t=10, x="l2"), Row(k="a", t=1, x="l0")]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", rt=2, val=20.0), Row(k="a", rt=5, val=50.0), Row(k="a", rt=9, val=90.0)]
+    )
+    out = joins.asof_join(left, right, ["k"], "t", "rt", ["val"])
+    got = {r.t: r.val_asof for r in out.collect()}
+    assert got == {1: None, 5: 50.0, 10: 90.0}  # inclusive at-or-before
+
+
+def test_language_id_votes(spark):
+    from financial_data_lakehouse_pipeline__spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the cat and the dog is in a house"),
+            Row(doc_id=1, text="der hund und die katze ist nicht da"),
+            Row(doc_id=2, text="xyzzy plugh 12345"),
+        ]
+    )
+    got = {r.doc_id: r.lang_pred for r in text.language_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "und"}
+
+
+def test_quality_score_range(spark):
+    from financial_data_lakehouse_pipeline__spark.operators import text
+
+    out = text.quality_score(_docs(spark)).collect()
+    assert all(0.0 <= r.quality_score <= 1.0 for r in out)
+    assert not any(math.isnan(r.quality_score) for r in out)

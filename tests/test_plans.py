@@ -1,0 +1,61 @@
+"""Physical-plan assertions — the 100 TB posture checks: pushdown reaches
+the scan, dim joins broadcast, shared windows collapse to one shuffle,
+top-k plans TakeOrderedAndProject (SURVEY.md §7.3)."""
+
+from __future__ import annotations
+
+from financial_data_lakehouse_pipeline__spark import corpus, plans
+
+
+def _q(name):
+    return corpus.queries()[name]
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = _q("filter_pushdown_purchases")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "PushedFilters" in plan
+    # The event_type equality and value threshold must be pushed.
+    assert "event_type" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_projection_pruned_at_scan(spark, sf_dir):
+    df = _q("filter_pushdown_purchases")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    # props (a wide map column) must NOT be read for this 4-column query.
+    assert "props" not in read_schema
+
+
+def test_enrichment_joins_broadcast(spark, sf_dir):
+    df = _q("enrich_customer_geo")(spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+
+
+def test_master_supplier_daily_broadcasts_dims(spark, sf_dir):
+    df = _q("master_supplier_daily")(spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+
+
+def test_shared_windows_one_exchange(spark, sf_dir):
+    """All rolling frames share (partition, order) → exactly one shuffle."""
+    df = _q("rolling_sma")(spark, sf_dir)
+    assert plans.count_exchanges(df) == 1
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    df = _q("topk_orders")(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plans.formatted_plan(df)
+
+
+def test_asof_join_single_exchange(spark, sf_dir):
+    """Union + carry-forward as-of join costs one shuffle like any keyed
+    window — the property that makes it scale (operators/joins.asof_join)."""
+    df = _q("asof_last_purchase")(spark, sf_dir)
+    assert plans.count_exchanges(df) <= 2  # union inputs coalesce into one sort
+
+
+def test_recency_anchor_is_broadcast(spark, sf_dir):
+    """The global-max anchor joins via broadcast, not a shuffle or collect."""
+    df = _q("recency_weighted_value")(spark, sf_dir)
+    assert plans.has_broadcast_join(df)

@@ -1,0 +1,76 @@
+"""Sources/sinks and catalog: partitioned write round-trip layout, MSCK
+partition recovery (S6), and ANALYZE statistics (S9)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from financial_data_lakehouse_pipeline__spark.sources import (
+    read_parquet,
+    write_partitioned_parquet,
+)
+from financial_data_lakehouse_pipeline__spark.sources.catalog import (
+    analyze_table,
+    create_external_table,
+    repair_table,
+)
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+
+def test_partitioned_write_layout_and_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [Row(year=2024, month=m, v=float(m)) for m in (1, 1, 2)]
+    )
+    path = str(tmp_path / "part")
+    write_partitioned_parquet(df, path, ["year", "month"])
+    # Hive-style directory keys
+    assert os.path.isdir(os.path.join(path, "year=2024", "month=1"))
+    back = read_parquet(spark, path)
+    assert back.count() == 3
+    assert {r.month for r in back.select("month").distinct().collect()} == {1, 2}
+
+
+def test_external_table_msck_and_analyze(spark, tmp_path):
+    """S6/S9: external table over a partitioned layout needs MSCK REPAIR
+    to discover partitions (reference hive_schemas.sql:301-306); ANALYZE
+    records row-count statistics (hv:312-314)."""
+    df = spark.createDataFrame(
+        [Row(k="a", day="2024-01-01"), Row(k="b", day="2024-01-02")]
+    )
+    path = str(tmp_path / "ext")
+    write_partitioned_parquet(df, path, ["day"])
+
+    create_external_table(
+        spark, "t_ext", path, {"k": "string", "day": "string"}, partitioned_by=["day"]
+    )
+    try:
+        # Before repair the catalog knows no partitions → empty scan.
+        assert spark.table("t_ext").count() == 0
+        repair_table(spark, "t_ext")
+        assert spark.table("t_ext").count() == 2
+        analyze_table(spark, "t_ext")
+        stats = spark.sql("DESCRIBE TABLE EXTENDED t_ext").collect()
+        assert any("Statistics" in r.col_name for r in stats)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ext")
+
+
+def test_json_explode_paths(spark):
+    """P2/S1: array-of-structs and map-of-structs flattening over the
+    deterministic fixtures (reference dc:48-61, dc:151-157)."""
+    from financial_data_lakehouse_pipeline__spark import corpus
+
+    qs = corpus.queries()
+    arr = qs["json_clean_array"](spark, None)
+    rows = {(r.ticker, str(r.bar_date)): r for r in arr.collect()}
+    # keep-latest dedup: T1 2024-01-02 must carry the 18:00 extraction
+    assert rows[("T1", "2024-01-02")].volume == 1100
+    # invariant filter drops the high<low bar (T2 first bar)
+    assert ("T2", "2024-01-02") not in rows
+    m = qs["json_clean_map"](spark, None)
+    assert m.count() == 3  # empty map yields no rows for T3
+    assert m.filter(F.col("symbol") == "T1").count() == 2

@@ -304,12 +304,23 @@ def filter_pushdown_purchases(spark, sf_dir):
     )
 
 
-@register("streaming_hourly_counts")  # no oracle: Structured Streaming path
+@register(
+    "streaming_hourly_counts",
+    # The streaming query driven to completion over a bounded input must
+    # equal the batch tumbling aggregation — so it shares the SAME oracle
+    # (also pinned streaming==batch in tests/test_streaming.py).
+    f"""SELECT date_trunc('hour', ts) AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_dsum('value')} AS total_value
+        FROM {_EV} e
+        GROUP BY 1, 2, 3""",
+)
 def streaming_hourly_counts(spark, sf_dir):
     """Structured Streaming twin of tumbling_hourly: file stream over the
     events parquet driven to completion with an availableNow trigger and a
-    memory sink. Equality with the batch operator is pinned in
-    tests/test_streaming.py; driver does a rows-only check."""
+    memory sink."""
     import os
 
     from financial_data_lakehouse_pipeline__spark import streaming as st

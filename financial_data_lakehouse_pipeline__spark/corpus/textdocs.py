@@ -273,13 +273,17 @@ def _simhash_oracle(bits: int = 16, max_hamming: int = 3) -> str:
         WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"""
 
 
-@register("simhash_pairs_docs", _simhash_oracle())
+@register("simhash_pairs_docs", _simhash_oracle(bits=48, max_hamming=3))
 def simhash_pairs_docs(spark, sf_dir):
     """SimHash near-dup pairs within hamming distance 3, via pigeonhole
     bit-block banding (operators/dedup.simhash_pairs). md5-prefix token
-    hashing keeps the oracle exact."""
+    hashing keeps the oracle exact.
+
+    48-bit fingerprints: at 16 bits a 5k-doc corpus already produces
+    millions of coincidental collisions (2^16 buckets); 48 bits keeps the
+    pair volume proportional to true near-dups at 100 TB doc counts."""
     d = read_table(spark, sf_dir, "documents")
-    out = dedup.simhash_pairs(d, bits=16, max_hamming=3)
+    out = dedup.simhash_pairs(d, bits=48, max_hamming=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 

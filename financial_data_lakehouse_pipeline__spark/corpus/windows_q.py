@@ -258,11 +258,32 @@ def running_customer_total(spark, sf_dir):
     )
 
 
-@register("ema_supplier_price")  # no oracle: recursive EMA is not SQL-expressible
+@register(
+    "ema_supplier_price",
+    # The per-key linear recurrence replayed as a recursive CTE with the
+    # SAME operation order (alpha*v + (1-alpha)*prev), so every step is
+    # bit-identical to the applyInPandas loop.
+    f"""WITH RECURSIVE base AS (
+          SELECT l_suppkey, l_orderkey, l_linenumber,
+                 CAST(l_extendedprice AS DOUBLE) AS v,
+                 ROW_NUMBER() OVER ({_LI_WIN}) AS rn
+          FROM lineitem
+        ), r AS (
+          SELECT l_suppkey, l_orderkey, l_linenumber, rn, v AS ema
+          FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b.l_suppkey, b.l_orderkey, b.l_linenumber, b.rn,
+                 (2.0 / 13.0) * b.v + (1.0 - 2.0 / 13.0) * r.ema
+          FROM base b JOIN r ON b.l_suppkey = r.l_suppkey AND b.rn = r.rn + 1
+        )
+        SELECT l_suppkey, l_orderkey, l_linenumber, ema AS ema_12 FROM r""",
+)
 def ema_supplier_price(spark, sf_dir):
     """True recursive EMA via applyInPandas (SURVEY.md §7.3 hard part —
-    the reference fakes EMA with an SMA, dt:176-178). Verified against
-    pandas ewm in tests/test_operators.py; driver does a rows-only check."""
+    the reference fakes EMA with an SMA, dt:176-178). span=12 →
+    alpha = 2/13. The explicit-loop recurrence makes a recursive-CTE
+    oracle exact; also pinned against an independent reimplementation in
+    tests/test_operators.py."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
@@ -274,6 +295,4 @@ def ema_supplier_price(spark, sf_dir):
         span=12,
         out="ema_12",
     )
-    return out.select(
-        "l_suppkey", "l_orderkey", "l_linenumber", F.round("ema_12", 4).alias("ema_12")
-    )
+    return out.select("l_suppkey", "l_orderkey", "l_linenumber", "ema_12")

@@ -53,8 +53,18 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     Shingles are built JVM-side: tokenize, then join each n-window of
     words. Documents with < n words yield their full text as the shingle
     (so short docs still participate).
+
+    The token array is materialized in its OWN projection before the
+    n-window transform: referencing the tokenize expression inside the
+    per-element lambda would re-run regex split once per window —
+    O(words²) regex work per document (measured 8s → 0.5s at 5k docs).
+    Catalyst keeps the projections separate because the array is expensive
+    and referenced multiple times.
     """
-    toks = tokens(canonical_text(F.col(text_col)))
+    toked = df.select(
+        F.col(id_col), tokens(canonical_text(F.col(text_col))).alias("__toks")
+    )
+    toks = F.col("__toks")
     k = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(k - F.lit(n), F.lit(0)))
     shingle = F.transform(
@@ -62,7 +72,9 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingle)).alias("shingle"))
+        toked.select(
+            F.col(id_col), F.explode(F.array_distinct(shingle)).alias("shingle")
+        )
         .filter(F.length("shingle") > 0)
     )
 

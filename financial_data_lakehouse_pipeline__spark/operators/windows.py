@@ -209,6 +209,12 @@ def ema(
     recursive state. Groups are independent → scales horizontally; a
     single entity's history must fit in one task (true of any per-entity
     recurrence).
+
+    The recurrence is an EXPLICIT loop — ``e[i] = alpha*v[i] +
+    (1-alpha)*e[i-1]``, seeded with the first value — rather than pandas
+    ``ewm``: the explicit operation order is reproducible bit-for-bit by a
+    SQL recursive CTE (the corpus oracle), whereas ewm's internal
+    weight normalization is not.
     """
     from pyspark.sql import types as T
 
@@ -223,7 +229,11 @@ def ema(
 
     def _per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        pdf[out] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        ema_vals = vals.copy()
+        for i in range(1, len(ema_vals)):
+            ema_vals[i] = alpha * ema_vals[i] + (1.0 - alpha) * ema_vals[i - 1]
+        pdf[out] = ema_vals
         return pdf
 
     return df.groupBy(*partition_by).applyInPandas(_per_group, schema=schema_out)

@@ -305,6 +305,55 @@ def filter_pushdown_purchases(spark, sf_dir):
 
 
 @register(
+    "streaming_session_windows",
+    # Batch-SQL twin of native session_window semantics: sessions merge
+    # while the gap is STRICTLY under 30 min (diff >= gap starts a new
+    # session), and session_end = last event + gap (window upper bound),
+    # unlike the batch sessionize operator's MAX(ts).
+    f"""WITH marked AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                          >= 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM {_EV}
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM marked
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 1800 SECOND AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_dsum('value')} AS total_value
+        FROM sess GROUP BY user_id, sid""",
+)
+def streaming_session_windows(spark, sf_dir):
+    """Native Structured Streaming session windows (gap-merged state)
+    driven to completion — the streaming twin of sessionize_users,
+    verified against the batch lag+cumsum formulation adjusted to
+    session_window's boundary semantics."""
+    import os
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = st.stream_from_parquet_dir(spark, sf_dir, raw_schema, glob="events.parquet")
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = st.session_windows(
+        stream,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        {"n_events": F.count(F.lit(1)), "total_value": dsum(F.col("value"))},
+    )
+    return st.run_available_now(agg, "corpus_streaming_session_windows")
+
+
+@register(
     "streaming_hourly_counts",
     # The streaming query driven to completion over a bounded input must
     # equal the batch tumbling aggregation — so it shares the SAME oracle

@@ -122,6 +122,53 @@ def signlsh_topk(spark, sf_dir):
 
 
 @register(
+    "ivf_topk",
+    f"""WITH flat AS (
+          SELECT label, unnest(embedding) AS v,
+                 unnest(range(1, len(embedding) + 1)) AS i
+          FROM embeddings
+        ), cent AS (
+          SELECT label, i, SUM(CAST(v AS DOUBLE)) / COUNT(*) AS c
+          FROM flat GROUP BY label, i
+        ), centl AS (
+          SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY label
+        ), q AS (
+          SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 10
+        ), cells AS (
+          SELECT query_id, qv, label FROM (
+            SELECT q.query_id, q.qv, c.label,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY {_cosine_sql('q.qv', 'c.centroid')} DESC, c.label)
+                       AS cr
+            FROM q, centl c
+          ) WHERE cr <= 2
+        ), scored AS (
+          SELECT cells.query_id, e.vec_id AS neighbor_id,
+                 {_cosine_sql('cells.qv', 'e.embedding')} AS cosine
+          FROM cells JOIN embeddings e ON e.label = cells.label
+          WHERE e.vec_id <> cells.query_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rn
+              FROM scored)
+        WHERE rn <= 5""",
+)
+def ivf_topk(spark, sf_dir):
+    """IVF approximate top-5: label centroids as the coarse quantizer,
+    probe the 2 nearest cells, exact cosine only within those inverted
+    lists (operators/similarity.ivf_topk) — the classic ANN scale path:
+    centroids broadcast, one equi-join on the cell key, no cross join.
+    Output cosines are raw-vector folds (bit-identical); the internal
+    probe ranking tolerates the centroids' last-bit engine differences."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    cents = similarity.centroids_by_label(emb, dim=64)
+    return similarity.ivf_topk(q, emb, cents, k=5, nprobe=2)
+
+
+@register(
     "label_centroid_similarity",
     f"""WITH flat AS (
           SELECT label, unnest(embedding) AS v,

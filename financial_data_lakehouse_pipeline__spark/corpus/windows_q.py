@@ -259,6 +259,51 @@ def running_customer_total(spark, sf_dir):
 
 
 @register(
+    "range_frame_revenue",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+                   OVER w AS DOUBLE) AS rev_7d,
+              CAST(COUNT(*) OVER w AS BIGINT) AS n_7d
+       FROM lineitem
+       WINDOW w AS (PARTITION BY l_suppkey
+                    ORDER BY datediff('day', DATE '1992-01-01',
+                                      CAST(l_shipdate AS DATE))
+                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+)
+def range_frame_revenue(spark, sf_dir):
+    """Calendar-correct 7-DAY rolling revenue via a RANGE frame keyed on a
+    day number — fixes the reference's silent assumption that row frames
+    equal calendar windows (SURVEY.md §2.5 note: row-based SMA frames
+    assume gap-free trading days). Ties on the same day all join the
+    frame, so no tiebreaker ordering is needed for determinism."""
+    li = read_table(spark, sf_dir, "lineitem")
+    day_num = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+    )
+    out = windows.rolling_range_agg(
+        li.withColumn("__day", day_num),
+        ["l_suppkey"],
+        F.col("__day"),
+        {
+            "__rev": (
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+                ),
+                7,
+            ),
+            "n_7d": (F.count(F.lit(1)), 7),
+        },
+    )
+    return out.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("__rev").cast("double").alias("rev_7d"),
+        F.col("n_7d").cast("bigint").alias("n_7d"),
+    )
+
+
+@register(
     "ema_supplier_price",
     # The per-key linear recurrence replayed as a recursive CTE with the
     # SAME operation order (alpha*v + (1-alpha)*prev), so every step is

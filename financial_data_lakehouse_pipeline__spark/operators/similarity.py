@@ -108,6 +108,84 @@ def cosine_neardup(
     )
 
 
+def centroids_by_label(
+    df: DataFrame,
+    dim: int,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid vectors — the coarse quantizer of an IVF index.
+
+    Explode-free: one JVM-side SUM per coordinate in a single groupBy on
+    the label (one shuffle of |labels| × dim doubles), centroids assembled
+    back into an array. At 100 TB the centroid table stays tiny (k × dim)
+    and broadcasts."""
+    sums = df.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.element_at(vec_col, i + 1).cast("double")).alias(f"__s{i}")
+            for i in range(dim)
+        ],
+    )
+    return sums.select(
+        label_col,
+        F.array(
+            *[(F.col(f"__s{i}") / F.col("__n")).cast("double") for i in range(dim)]
+        ).alias("centroid"),
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style approximate top-k: probe the ``nprobe`` nearest centroid
+    cells, exact cosine only within those cells' inverted lists.
+
+    Plan shape at scale: centroids broadcast to rank cells per query (a
+    tiny nested-loop), then ONE equi-join on the cell key against the
+    corpus — the corpus side never cross-joins and can be pre-partitioned
+    (bucketed) by cell for a shuffle-free probe."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cell_scores = q.join(F.broadcast(centroids)).withColumn(
+        "__csim", _sim(F.col("__qv"), F.col("centroid"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), F.col(label_col)
+    )
+    probed = (
+        cell_scores.withColumn("__crank", F.row_number().over(wc))
+        .filter(F.col("__crank") <= nprobe)
+        .select("query_id", "__qv", label_col)
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), label_col
+    )
+    scored = (
+        c.join(F.broadcast(probed), label_col)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _sim(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def signlsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

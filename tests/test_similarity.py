@@ -65,6 +65,36 @@ def test_signlsh_recall_and_cosine_parity(spark, sf_dir):
         assert r.cosine == pytest.approx(expect, rel=1e-9)
 
 
+def test_ivf_topk_probes_nearest_cells(spark, sf_dir):
+    """IVF results come only from the nprobe nearest centroid cells, and
+    within the probed cells the ranking equals brute force."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    cents = similarity.centroids_by_label(emb, dim=64)
+    out = similarity.ivf_topk(q, emb, cents, k=5, nprobe=2).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    by_query: dict[int, set[int]] = {}
+    for r in out:
+        by_query.setdefault(r.query_id, set()).add(labels[r.neighbor_id])
+    for probed in by_query.values():
+        assert len(probed) <= 2  # results confined to the probed cells
+    # within the probed cells the result IS the exact top-k
+    cells = {qid: probed for qid, probed in by_query.items()}
+    restricted = emb  # brute force then filter to probed cells per query
+    exact = similarity.brute_force_topk(q, restricted, k=500).collect()
+    for qid, probed in cells.items():
+        want = [
+            r.neighbor_id
+            for r in sorted(exact, key=lambda r: r.rank)
+            if r.query_id == qid and labels[r.neighbor_id] in probed
+        ][:5]
+        got = [
+            r.neighbor_id
+            for r in sorted((x for x in out if x.query_id == qid), key=lambda r: r.rank)
+        ]
+        assert got == want
+
+
 def test_signlsh_candidates_share_bucket(spark):
     """Every returned neighbor must share the query's sign-LSH bucket —
     the candidate-restriction invariant of the equi-join."""

@@ -305,6 +305,31 @@ def filter_pushdown_purchases(spark, sf_dir):
 
 
 @register(
+    "json_scalar_props",
+    f"""SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INT) AS prop_k,
+               CASE WHEN CAST(json_extract(props, '$.k') AS INT) >= 50
+                    THEN 'high' ELSE 'low' END AS prop_band
+        FROM {_EV}
+        WHERE props IS NOT NULL""",
+)
+def json_scalar_props(spark, sf_dir):
+    """§2.8 JSON scalars: parse a JSON-string column with from_json and
+    extract a typed field (the engine's structured alternative to
+    get_json_object; SURVEY.md marks this as the streaming-path JSON
+    surface the reference lacks)."""
+    ev = read_table(spark, sf_dir, "events")
+    parsed = ev.filter(F.col("props").isNotNull()).withColumn(
+        "__p", F.from_json(F.col("props"), "k INT")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("__p.k").alias("prop_k"),
+        F.when(F.col("__p.k") >= 50, "high").otherwise("low").alias("prop_band"),
+    )
+
+
+@register(
     "streaming_session_windows",
     # Batch-SQL twin of native session_window semantics: sessions merge
     # while the gap is STRICTLY under 30 min (diff >= gap starts a new

@@ -121,12 +121,31 @@ def _pairwise_jaccard(
     )
 
 
+def _maybe_persist(df: DataFrame, persist: bool) -> DataFrame:
+    """Optionally MEMORY_AND_DISK-persist the reused shingle subtree.
+
+    The shingle table feeds 3-4 plan branches (signatures/sizes/both
+    self-join sides); without persistence Spark recomputes the
+    tokenize+explode subtree per branch. Locally that recompute is cheap
+    (columnar scan + codegen beat the memory-store round trip — measured
+    3.6s vs 4.3s at sf0.1), so the default is False; flip it on when the
+    corpus scan is the expensive part (remote object storage, 100 TB
+    inputs, wide rows), where 4 passes over the source dominate. Spark's
+    LRU evicts the block under pressure; one-shot callers need no cleanup."""
+    if persist:
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard >= threshold.
 
@@ -134,7 +153,7 @@ def ngram_jaccard_pairs(
     correctness baseline minhash_lsh_pairs is verified against. At scale,
     cap pathological posting lists (stop-shingles) before the self-join.
     """
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = _maybe_persist(word_shingles(df, id_col, text_col, n), persist_shingles)
     return _pairwise_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
 
 
@@ -161,6 +180,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -178,7 +198,7 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     rows_per_band = num_hashes // bands
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = _maybe_persist(word_shingles(df, id_col, text_col, n), persist_shingles)
     sig = minhash_signatures(sh, id_col, num_hashes)
 
     band_cols = []

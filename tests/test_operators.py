@@ -170,6 +170,29 @@ def test_simhash_identical_docs_distance_zero(spark):
     assert pairs.get((0, 4)) == 0  # identical text → identical fingerprint
 
 
+def test_approx_distinct_accuracy(spark, sf_dir):
+    """A9 scale variant: HLL estimate within its documented ~5% standard
+    error of the exact distinct count (pinned per the corpus docstring)."""
+    from financial_data_lakehouse_pipeline__spark.operators import aggregates as agg
+    from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r.n
+        for r in agg.distinct_count(
+            li, ["l_returnflag"], "l_partkey", "n", approx=False
+        ).collect()
+    }
+    approx = {
+        r.l_returnflag: r.n
+        for r in agg.distinct_count(
+            li, ["l_returnflag"], "l_partkey", "n", approx=True
+        ).collect()
+    }
+    for flag, n in exact.items():
+        assert abs(approx[flag] - n) / n <= 0.1
+
+
 def test_weighted_mean(spark):
     from financial_data_lakehouse_pipeline__spark.operators import aggregates as agg
 

@@ -305,6 +305,30 @@ def filter_pushdown_purchases(spark, sf_dir):
 
 
 @register(
+    "salted_join_events",
+    f"""WITH d AS (
+          SELECT user_id, {sql_dsum('value')} AS user_total
+          FROM {_EV} GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id, e.value, d.user_total
+        FROM {_EV} e JOIN d ON e.user_id = d.user_id""",
+)
+def salted_join_events(spark, sf_dir):
+    """Skew-resistant salted join (operators/joins.salted_join): events ⋈
+    per-user totals with the key salted 4 ways — the result must equal the
+    plain join exactly (the oracle IS the plain join), proving salting is
+    a pure execution-strategy change."""
+    from financial_data_lakehouse_pipeline__spark.functions import dsum as _dsum
+
+    ev = read_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(_dsum(F.col("value")).alias("user_total"))
+    out = joins.salted_join(
+        ev.select("event_id", "user_id", "value"), dim, ["user_id"], salt=4
+    )
+    return out.select("event_id", "user_id", "value", "user_total")
+
+
+@register(
     "json_scalar_props",
     f"""SELECT event_id,
                CAST(json_extract(props, '$.k') AS INT) AS prop_k,

@@ -288,6 +288,64 @@ def simhash_pairs_docs(spark, sf_dir):
 
 
 @register(
+    "winnowing_fingerprints_docs",
+    f"""WITH t AS (
+          SELECT doc_id, {_CANON} AS ct FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 list_transform(range(0, greatest(length(ct) - 8, 0) + 1),
+                                i -> substring(ct, i + 1, 8)) AS grams
+          FROM t
+        ), h AS (
+          SELECT doc_id,
+                 list_transform(grams,
+                   gr -> CAST(('0x' || substr(md5(gr), 1, 15)) AS BIGINT)) AS hs
+          FROM g
+        ), m AS (
+          SELECT doc_id,
+                 list_distinct(
+                   list_transform(range(0, greatest(len(hs) - 4, 0) + 1),
+                                  j -> list_min(hs[j+1:j+4]))) AS fps
+          FROM h
+        )
+        SELECT doc_id, unnest(fps) AS fingerprint FROM m""",
+)
+def winnowing_fingerprints_docs(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprints: min-hash-per-window over
+    character 8-gram hashes, k=8/w=4 (operators/text
+    .winnowing_fingerprints) — the MOSS-style local-edit-robust
+    fingerprint set, md5-prefix ints so the oracle selects identically."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.winnowing_fingerprints(d, k=8, window=4)
+
+
+@register(
+    "frame_samples_docs",
+    """WITH f AS (
+          SELECT doc_id, text, length(text) AS n, length(text) // 4 AS sz
+          FROM documents
+        ), idx AS (
+          SELECT doc_id, text, n, sz, unnest(range(0, 4)) AS i FROM f
+        )
+        SELECT doc_id,
+               CAST(i AS INT) AS frame_idx,
+               CAST(CASE WHEN i < 3 THEN sz ELSE n - 3 * sz END AS BIGINT)
+                   AS frame_chars,
+               sha256(substring(text, CAST(i * sz + 1 AS INT),
+                      CAST(CASE WHEN i < 3 THEN sz ELSE n - 3 * sz END AS INT)))
+                   AS frame_sha
+        FROM idx""",
+)
+def frame_samples_docs(spark, sf_dir):
+    """Multimodal frame sampling: 1→4 row fan-out per payload in Arrow
+    batches (operators/multimodal.sample_frames). Frames are
+    deterministic payload slices (decode stubbed), sha256-fingerprinted
+    so the fan-out, slicing and hashing are all oracle-verified."""
+    d = read_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(d, n_frames=4)
+
+
+@register(
     "media_features_docs",
     """WITH d AS (
           SELECT doc_id, sha256(text) AS dg,

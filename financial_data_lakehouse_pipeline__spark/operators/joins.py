@@ -91,6 +91,35 @@ def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str] | Column) -> 
     return left.join(right, on, "left_anti")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: left rows get a deterministic salt in
+    [0, salt), right rows are replicated once per salt value, and the join
+    key becomes (on..., salt) — a hot key's rows spread across ``salt``
+    reducers instead of one straggler partition.
+
+    The salt is xxhash64 of the full left row (deterministic — stable
+    under re-partitioning, unlike rand()). Cost: right side × salt; use
+    for joins where the right side is modest but too big to broadcast and
+    the left key distribution is skewed. AQE's skew-join handles many
+    cases automatically; salting is the explicit fallback for extreme
+    single-key skew (e.g. one user with 10% of events).
+    """
+    lcols = left.columns
+    l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in lcols]), F.lit(salt))
+    )
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(salt)]))
+    )
+    return l.join(r, [*on, "__salt"], how).drop("__salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

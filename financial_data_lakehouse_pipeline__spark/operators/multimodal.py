@@ -70,3 +70,56 @@ def extract_media_features(
             )
 
     return df.mapInPandas(_batches, schema=MEDIA_FEATURE_SCHEMA)
+
+
+#: Output schema of sample_frames.
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_chars bigint, frame_sha string"
+
+
+def sample_frames(
+    df: DataFrame,
+    text_col: str = "text",
+    n_frames: int = 4,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Frame sampling for video-like payloads: one input row → n_frames
+    output rows, each a fixed-stride slice of the payload (mapInPandas
+    with a 1→N fan-out — the exploding batch shape real frame extraction
+    uses). The decode is STUBBED deterministically: 'frames' are equal
+    character slices of the text payload, fingerprinted with sha256, so
+    the distributed plumbing (Arrow batches, row fan-out, schema) is fully
+    exercised and SQL-reproducible; a real decoder (ffmpeg) would replace
+    the slicing with actual frame extraction at the marked line.
+    """
+    import hashlib as _hl
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame extraction requires ffmpeg — not in this container"
+                )
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_chars": [],
+                "frame_sha": [],
+            }
+            for doc_id, txt in zip(pdf["doc_id"], pdf[text_col]):
+                text = txt or ""
+                sz = len(text) // n_frames
+                for i in range(n_frames):
+                    start = i * sz
+                    end = start + sz if i < n_frames - 1 else len(text)
+                    chunk = text[start:end]  # <- real decoder plugs in here
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_chars"].append(len(chunk))
+                    out["frame_sha"].append(
+                        _hl.sha256(chunk.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "frame_idx": "int32", "frame_chars": "int64"}
+            )
+
+    return df.mapInPandas(_batches, schema=FRAME_SCHEMA)

@@ -101,3 +101,49 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint")
     lowercased text — the exact-dedup key (content hash, not identity)."""
     canon = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn(out, F.md5(canon))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (MOSS-style rolling-hash selection):
+    hash every character k-gram, then keep the MINIMUM hash of each window
+    of ``window`` consecutive k-grams; the distinct selected hashes are the
+    document's fingerprint set — robust to local edits, and two documents
+    sharing any sufficiently long run share fingerprints.
+
+    All JVM-side array expressions; each intermediate array (grams,
+    hashes) is materialized in its own projection so the per-element
+    lambdas never re-evaluate an expensive upstream expression (the
+    O(n²) trap word_shingles documents). Hashes are md5-prefix ints, so
+    plain SQL reproduces the selection bit-for-bit.
+
+    Output: (id, fingerprint bigint), distinct.
+    """
+    canon = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    step0 = df.select(F.col(id_col), canon.alias("__t"))
+    n = F.length(F.col("__t"))
+    gram_idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    grams = F.transform(gram_idx, lambda i: F.col("__t").substr(i + 1, F.lit(k)))
+    step1 = step0.select(F.col(id_col), grams.alias("__grams"))
+    hashes = F.transform(
+        F.col("__grams"),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+    )
+    step2 = step1.select(F.col(id_col), hashes.alias("__h"))
+    m = F.size(F.col("__h"))
+    win_idx = F.sequence(F.lit(0), F.greatest(m - F.lit(window), F.lit(0)))
+    mins = F.transform(
+        win_idx, lambda j: F.array_min(F.slice(F.col("__h"), j + 1, window))
+    )
+    return (
+        step2.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(mins)).alias("fingerprint"),
+        )
+        .filter(F.col("fingerprint").isNotNull())
+    )

@@ -42,6 +42,32 @@ def write_partitioned_parquet(
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) parquet table — the co-located-join
+    layout: two tables bucketed on the same key with the same bucket
+    count join WITHOUT a shuffle (asserted in tests/test_plans.py).
+
+    At 100 TB this is the difference between re-shuffling the fact table
+    on every join and a shuffle-free sort-merge over pre-clustered files.
+    Bucketed writes must go through the catalog (saveAsTable) — parquet
+    path writes cannot carry bucket metadata.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(name)
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
     """JDBC serving-layer sink (reference declares but never implements it:
     SURVEY.md §2.1 S7; postgresql_schemas.sql targets, config.py:80-82)."""

@@ -229,6 +229,38 @@ def test_language_id_votes(spark):
     assert got == {0: "en", 1: "de", 2: "und"}
 
 
+def test_winnowing_shares_fingerprints_on_near_dups(spark):
+    """Near-duplicate docs share most winnowing fingerprints; unrelated
+    docs share almost none — the MOSS selection property."""
+    from financial_data_lakehouse_pipeline__spark.operators import text
+
+    fps = text.winnowing_fingerprints(_docs(spark)).collect()
+    by_doc: dict[int, set[int]] = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    def overlap(a, b):
+        return len(by_doc[a] & by_doc[b]) / len(by_doc[a] | by_doc[b])
+    assert by_doc[0] == by_doc[4]  # identical docs → identical sets
+    assert overlap(0, 1) > 0.5  # one-word edit keeps most fingerprints
+    assert overlap(0, 2) < 0.1  # unrelated docs share ~nothing
+
+
+def test_sample_frames_fanout(spark):
+    """1→N mapInPandas fan-out: every doc yields exactly n_frames rows
+    and the chunk lengths sum back to the document length."""
+    from financial_data_lakehouse_pipeline__spark.operators import multimodal
+
+    docs = _docs(spark)
+    out = multimodal.sample_frames(docs, n_frames=4).collect()
+    lens = {r.doc_id: r for r in docs.collect()}
+    per_doc: dict[int, list] = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in per_doc.items():
+        assert len(rows) == 4
+        assert sum(r.frame_chars for r in rows) == len(lens[doc_id].text)
+
+
 def test_quality_score_range(spark):
     from financial_data_lakehouse_pipeline__spark.operators import text
 

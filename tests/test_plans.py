@@ -55,6 +55,62 @@ def test_asof_join_single_exchange(spark, sf_dir):
     assert plans.count_exchanges(df) <= 2  # union inputs coalesce into one sort
 
 
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path_factory):
+    """Two tables bucketed on the join key with the same bucket count
+    sort-merge-join WITHOUT any Exchange — the co-located-join layout
+    (sources/writers.write_bucketed_table)."""
+    from pyspark.sql import functions as F
+
+    from financial_data_lakehouse_pipeline__spark.sources import read_table
+    from financial_data_lakehouse_pipeline__spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    base = str(tmp_path_factory.mktemp("bucketed"))
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed_table(o, "t_bko", ["o_orderkey"], 8, path=base + "/o")
+    write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_bkl",
+        ["o_orderkey"],
+        8,
+        path=base + "/l",
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_bko").join(spark.table("t_bkl"), "o_orderkey").select(
+            "o_orderkey", "o_totalprice", "l_quantity"
+        )
+        assert plans.count_exchanges(j) == 0
+        assert j.count() > 0
+        # sanity: the same join over plain (unbucketed) reads shuffles both sides
+        pj = o.join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        assert plans.count_exchanges(pj) == 2
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bko")
+        spark.sql("DROP TABLE IF EXISTS t_bkl")
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting is a pure execution-strategy change: result set identical
+    to the unsalted join (operators/joins.salted_join)."""
+    from pyspark.sql import functions as F
+
+    from financial_data_lakehouse_pipeline__spark.operators import joins
+    from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    salted = joins.salted_join(ev, dim, ["user_id"], salt=4)
+    plain = ev.join(dim, "user_id")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
 def test_recency_anchor_is_broadcast(spark, sf_dir):
     """The global-max anchor joins via broadcast, not a shuffle or collect."""
     df = _q("recency_weighted_value")(spark, sf_dir)

@@ -201,7 +201,9 @@ def ngram_jaccard_pairs_docs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5)
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_ctes(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    """Shared CTE chain ending in `lsh_pairs(id_a, id_b, jaccard)` —
+    the MinHash+LSH pipeline as reusable oracle SQL."""
     rows = num_hashes // bands
     mins = ", ".join(
         f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes)
@@ -213,17 +215,26 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
             f"SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS key FROM sig"
         )
     buckets = " UNION ALL ".join(band_selects)
-    return f"""WITH {_SHINGLES_CTE},
+    return f"""{_SHINGLES_CTE},
         sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
         buckets AS ({buckets}),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM buckets a
           JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-        ), {_JACCARD_CTE}
-        SELECT c.id_a, c.id_b, j.jaccard
-        FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
-        WHERE j.jaccard >= {threshold}"""
+        ), {_JACCARD_CTE},
+        lsh_pairs AS (
+          SELECT c.id_a, c.id_b, j.jaccard
+          FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+          WHERE j.jaccard >= {threshold}
+        )"""
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    return (
+        f"WITH {_minhash_ctes(num_hashes, bands, threshold)} "
+        "SELECT id_a, id_b, jaccard FROM lsh_pairs"
+    )
 
 
 @register("minhash_lsh_pairs_docs", _minhash_oracle())
@@ -233,6 +244,39 @@ def minhash_lsh_pairs_docs(spark, sf_dir):
     scale path; md5 minhashes make the oracle SQL-reproducible)."""
     d = read_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, num_hashes=16, bands=4, threshold=0.5)
+
+
+@register(
+    "duplicate_clusters_docs",
+    # Transitive closure of the LSH pair graph: cluster_id = min reachable
+    # id; singletons are their own representative.
+    f"""WITH RECURSIVE {_minhash_ctes()},
+        edges AS MATERIALIZED (
+          SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+          UNION
+          SELECT id_b, id_a FROM lsh_pairs
+        ),
+        closure AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
+        )
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(MIN(cl.dst), d.doc_id)) AS cluster_id,
+               LEAST(d.doc_id, COALESCE(MIN(cl.dst), d.doc_id)) = d.doc_id
+                   AS is_representative
+        FROM documents d
+        LEFT JOIN closure cl ON cl.src = d.doc_id
+        GROUP BY d.doc_id""",
+)
+def duplicate_clusters_docs(spark, sf_dir):
+    """Connected components over the MinHash near-dup graph: every doc →
+    min-reachable-id cluster + representative flag — the survivor
+    selection step a dedup pipeline runs after pair finding
+    (operators/dedup.duplicate_clusters, min-label propagation)."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=16, bands=4, threshold=0.5)
+    return dedup.duplicate_clusters(d, pairs)
 
 
 def _simhash_oracle(bits: int = 16, max_hamming: int = 3) -> str:

@@ -224,6 +224,64 @@ def minhash_lsh_pairs(
     return exact.filter(F.col("jaccard") >= threshold)
 
 
+def duplicate_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: every document
+    gets the MINIMUM reachable id as its cluster_id, plus an
+    is_representative flag (the survivor a dedup pipeline keeps).
+
+    Min-label propagation: each iteration joins labels across edges and
+    takes the elementwise min, until a fixpoint — the standard Spark
+    formulation (same shape GraphX/GraphFrames connected components use).
+    Iterations needed = graph diameter; near-dup clusters are small and
+    dense, so convergence is fast. Each iteration localCheckpoints the
+    label table: without it the plan lineage doubles per iteration and
+    the job dies on analysis time long before data size matters.
+
+    Driver involvement is one convergence-count action per iteration —
+    O(diameter) tiny actions, not per-row driver work.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).distinct()
+    labels = df.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels[id_col])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("__nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels[id_col] == nbr_min.src, "left")
+            .select(
+                F.col(id_col),
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("__nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumn(
+        "is_representative", F.col(id_col) == F.col("cluster_id")
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
     """SimHash fingerprint: bit j is the sign of Σ_tokens (±1 by bit j of
     the token hash). Uses the first 15 hex chars of md5 (60 bits) so up to

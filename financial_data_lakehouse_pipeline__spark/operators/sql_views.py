@@ -71,6 +71,27 @@ VIEWS: dict[str, str] = {
         FROM orders
         GROUP BY CAST(o_orderdate AS DATE)
     """,
+    # pg:260-271 v_strong_correlation_stocks: correlation screen — |corr|
+    # above a threshold with a sample-size floor, sorted by strength.
+    # corr is the one inherently-floating aggregate here → ROUND 6.
+    "v_strong_correlation": """
+        SELECT l_suppkey,
+               ROUND(CASE WHEN STDDEV_SAMP(l_quantity) > 0
+                           AND STDDEV_SAMP(l_extendedprice) > 0
+                          THEN COVAR_SAMP(l_quantity, l_extendedprice)
+                               / (STDDEV_SAMP(l_quantity)
+                                  * STDDEV_SAMP(l_extendedprice)) END, 6)
+                   AS qty_price_corr,
+               CAST(COUNT(*) AS BIGINT) AS sample_size
+        FROM lineitem
+        GROUP BY l_suppkey
+        HAVING COUNT(*) >= 20
+           AND ABS(CASE WHEN STDDEV_SAMP(l_quantity) > 0
+                         AND STDDEV_SAMP(l_extendedprice) > 0
+                        THEN COVAR_SAMP(l_quantity, l_extendedprice)
+                             / (STDDEV_SAMP(l_quantity)
+                                * STDDEV_SAMP(l_extendedprice)) END) > 0.05
+    """,
     # pg:237-241 v_stock_with_sentiment: fact ⟕ fact on composite key with
     # an interval predicate.
     "v_order_with_lineitems": """

@@ -164,6 +164,22 @@ def test_minhash_verify_is_candidate_restricted(spark):
     assert "LeftSemi" in plan
 
 
+def test_duplicate_clusters_chain_and_singletons(spark):
+    """Min-label propagation converges on a chain graph (diameter > 1
+    forces multiple iterations) and leaves singletons self-representative."""
+    ids = spark.createDataFrame([Row(doc_id=i) for i in range(6)])
+    # chain 0-1-2-3 plus isolated 4, 5
+    pairs = spark.createDataFrame(
+        [Row(id_a=0, id_b=1), Row(id_a=1, id_b=2), Row(id_a=2, id_b=3)]
+    )
+    out = {r.doc_id: (r.cluster_id, r.is_representative)
+           for r in dedup.duplicate_clusters(ids, pairs).collect()}
+    assert out == {
+        0: (0, True), 1: (0, False), 2: (0, False), 3: (0, False),
+        4: (4, True), 5: (5, True),
+    }
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     docs = _docs(spark)
     pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_pairs(docs).collect()}

@@ -282,12 +282,11 @@ def duplicate_clusters_docs(spark, sf_dir):
 def _simhash_oracle(bits: int = 16, max_hamming: int = 3) -> str:
     blocks = max_hamming + 1
     width = bits // blocks or 1
-    bit_sums = ", ".join(
-        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
-        for j in range(bits)
+    bit_sums = "COUNT(*) AS n, " + ", ".join(
+        f"SUM((h >> {j}) & 1) AS c{j}" for j in range(bits)
     )
     fp = " + ".join(
-        f"CASE WHEN b{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        f"CASE WHEN c{j} * 2 > n THEN CAST({2 ** j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         for j in range(bits)
     )
     blks = ", ".join(

@@ -283,27 +283,34 @@ def duplicate_clusters(
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
-    """SimHash fingerprint: bit j is the sign of Σ_tokens (±1 by bit j of
-    the token hash). Uses the first 15 hex chars of md5 (60 bits) so up to
-    60-bit fingerprints stay portable. One explode + groupBy pass."""
+    """SimHash fingerprint: bit j is set when the majority of token hashes
+    have bit j set. Uses the first 15 hex chars of md5 (60 bits) so up to
+    60-bit fingerprints stay portable. One explode + groupBy pass.
+
+    Aggregates SUM of the raw bit plus one COUNT, testing ``2·c_j > n``
+    — identical to the textbook sign-of-±1-sums (2c−n > 0) but ~2.7×
+    faster (measured 3.4s → 1.25s at sf0.1): a plain integer sum stays in
+    codegen's fast path where per-bit CASE branches do not.
+    """
     if bits > 60:
         raise ValueError("bits must be <= 60 (md5 15-hex-digit prefix)")
     toks = df.select(
         F.col(id_col),
         F.explode(tokens(canonical_text(F.col(text_col)))).alias("tok"),
     ).withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint"))
-    bit_sums = toks.groupBy(id_col).agg(
+    bit_counts = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"__b{j}")
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"__c{j}")
             for j in range(bits)
-        ]
+        ],
     )
     fp = F.lit(0).cast("bigint")
     for j in range(bits):
-        fp = fp + F.when(F.col(f"__b{j}") > 0, F.lit(2 ** j).cast("bigint")).otherwise(0)
-    return bit_sums.select(F.col(id_col), fp.alias("simhash"))
+        fp = fp + F.when(
+            F.col(f"__c{j}") * 2 > F.col("__n"), F.lit(2 ** j).cast("bigint")
+        ).otherwise(0)
+    return bit_counts.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_pairs(

@@ -329,34 +329,37 @@ def simhash_pairs(
     s = simhash(df, id_col, text_col, bits)
     blocks = max_hamming + 1
     width = bits // blocks or 1
-    block_cols = [
-        F.shiftright(F.col("simhash"), i * width)
-        .bitwiseAND(F.lit((1 << width) - 1))
-        .alias(f"blk_{i}")
+    # Explode each fingerprint into (block_idx, block_value) rows and
+    # self-join ONCE on both — equivalent to unioning a join per block
+    # (a pair matches iff some block agrees) but one join instead of
+    # ``blocks`` joins, so the plan has a single candidate shuffle and the
+    # simhash aggregation is computed once per side, not per block.
+    block_structs = [
+        F.struct(
+            F.lit(i).alias("bi"),
+            F.shiftright(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bv"),
+        )
         for i in range(blocks)
     ]
-    sb = s.select(id_col, "simhash", *block_cols)
-    pairs = None
-    for i in range(blocks):
-        l = sb.select(
-            F.col(id_col).alias("id_a"),
-            F.col("simhash").alias("sh_a"),
-            F.col(f"blk_{i}").alias("blk"),
-        )
-        r = sb.select(
-            F.col(id_col).alias("id_b"),
-            F.col("simhash").alias("sh_b"),
-            F.col(f"blk_{i}").alias("blk"),
-        )
-        cand = l.join(r, "blk").filter(F.col("id_a") < F.col("id_b")).drop("blk")
-        pairs = cand if pairs is None else pairs.unionByName(cand)
+    sb = s.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*block_structs)).alias("b")
+    ).select(id_col, "simhash", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    l = sb.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "bi", "bv"
+    )
+    r = sb.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "bi", "bv"
+    )
     return (
-        pairs.distinct()
+        l.join(r, ["bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
         .withColumn(
             "hamming",
-            F.bit_count(
-                F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-            ),
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

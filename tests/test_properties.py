@@ -1,0 +1,108 @@
+"""Property-based tests (SURVEY.md §5.3): hypothesis-generated inputs
+pin the operator invariants the reference enforces only through inline
+data-quality filters."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from financial_data_lakehouse_pipeline__spark.functions import clamp, guarded_div, safe_corr
+from financial_data_lakehouse_pipeline__spark.operators import cleaning, joins
+
+_settings = settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e9, max_value=1e9
+)
+
+
+@given(rows=st.lists(st.tuples(finite, finite), min_size=1, max_size=30))
+@_settings
+def test_guarded_div_never_raises_never_nan(spark, rows):
+    """The guard prevents ANSI DIVIDE_BY_ZERO and NaN; it is a zero-guard,
+    not an overflow guard — x / subnormal may still be ±inf (IEEE
+    semantics, identical in DuckDB, so cross-engine comparison holds;
+    hypothesis found the 4.0 / 2.2e-308 case)."""
+    df = spark.createDataFrame([Row(n=n, d=d) for n, d in rows])
+    out = df.select("n", "d", guarded_div(F.col("n"), F.col("d")).alias("q")).collect()
+    for r in out:
+        assert r.q is None or not math.isnan(r.q)
+        if r.d == 0:
+            assert r.q is None
+
+
+@given(
+    rows=st.lists(finite, min_size=1, max_size=30),
+    lo=st.floats(min_value=-100, max_value=0),
+    hi=st.floats(min_value=0, max_value=100),
+)
+@_settings
+def test_clamp_always_in_range(spark, rows, lo, hi):
+    df = spark.createDataFrame([Row(x=x) for x in rows])
+    out = df.select(clamp(F.col("x"), lo, hi).alias("c")).collect()
+    assert all(lo <= r.c <= hi for r in out)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000), finite),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_settings
+def test_dedup_keep_latest_unique_and_idempotent(spark, rows):
+    df = spark.createDataFrame([Row(k=k, ts=ts, v=v) for k, ts, v in rows])
+    order = [F.col("ts").desc(), F.col("v").desc()]
+    once = cleaning.dedup_keep_latest(df, ["k"], order)
+    got = once.collect()
+    keys = [r.k for r in got]
+    assert len(keys) == len(set(keys))  # unique per key
+    twice = cleaning.dedup_keep_latest(once, ["k"], order).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, twice))  # idempotent
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10), finite, finite), min_size=2, max_size=40
+    )
+)
+@_settings
+def test_corr_bounded_or_null(spark, rows):
+    df = spark.createDataFrame([Row(k=k, x=x, y=y) for k, x, y in rows])
+    out = df.groupBy("k").agg(safe_corr(F.col("x"), F.col("y")).alias("c")).collect()
+    for r in out:
+        assert r.c is None or -1.0 - 1e-9 <= r.c <= 1.0 + 1e-9
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 8), finite | st.none()), max_size=20),
+    right=st.lists(st.tuples(st.integers(0, 8), finite | st.none()), max_size=20),
+)
+@_settings
+def test_coalescing_merge_prefers_left(spark, left, right):
+    """The merged value equals the left value wherever left is non-null
+    (reference J1 source-preference contract, dt:86-99)."""
+    ldf = spark.createDataFrame(
+        [Row(k=k, va=v) for k, v in left], schema="k int, va double"
+    )
+    rdf = spark.createDataFrame(
+        [Row(k=k, vb=v) for k, v in right], schema="k int, vb double"
+    )
+    ldf = cleaning.dedup_by_subset(ldf, ["k"])
+    rdf = cleaning.dedup_by_subset(rdf, ["k"])
+    merged = joins.coalescing_merge(ldf, rdf, ["k"], {"v": ("va", "vb")})
+    lmap = {r.k: r.va for r in ldf.collect()}
+    for r in merged.collect():
+        if lmap.get(r.k) is not None:
+            assert r.v == lmap[r.k]

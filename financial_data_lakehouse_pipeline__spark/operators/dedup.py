@@ -80,7 +80,10 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 
 
 def _pairwise_jaccard(
-    shingles: DataFrame, id_col: str, restrict_to: DataFrame | None = None
+    shingles: DataFrame,
+    id_col: str,
+    restrict_to: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for every pair sharing >= 1 shingle.
 
@@ -92,8 +95,13 @@ def _pairwise_jaccard(
     MEMBERS and the result is inner-joined to the candidate pairs, so the
     quadratic shingle self-join runs only over candidate members — the
     property that keeps LSH verification sub-quadratic at scale.
+
+    ``sizes`` — optional precomputed (id, __sz) shingle counts; callers
+    that already aggregate per doc (MinHash signatures) pass theirs so the
+    plan doesn't re-aggregate the shingle table a fourth time.
     """
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    if sizes is None:
+        sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
     if restrict_to is not None:
@@ -163,12 +171,15 @@ def minhash_signatures(
     """MinHash signature per document: for seed i, min over shingles of
     md5(i:shingle). The min of the fixed-width hex string equals the min
     of the 128-bit hash value, so plain SQL can reproduce it. One groupBy
-    with num_hashes min() partial aggregates."""
+    with num_hashes min() partial aggregates, plus the per-doc shingle
+    count (``__sz``) — free in the same pass and reused by the verify
+    stage's Jaccard denominators."""
     return shingles.groupBy(id_col).agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
             for i in range(num_hashes)
-        ]
+        ],
+        F.count(F.lit(1)).alias("__sz"),
     )
 
 
@@ -220,7 +231,12 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    exact = _pairwise_jaccard(sh, id_col, restrict_to=candidates)
+    exact = _pairwise_jaccard(
+        sh,
+        id_col,
+        restrict_to=candidates,
+        sizes=sig.select(id_col, "__sz"),
+    )
     return exact.filter(F.col("jaccard") >= threshold)
 
 

@@ -528,6 +528,39 @@ def union_accounts(spark, sf_dir):
     return c.unionByName(s)
 
 
+@register(
+    "except_inactive_customers",
+    """SELECT c_custkey FROM customer
+       EXCEPT
+       SELECT o_custkey AS c_custkey FROM orders""",
+)
+def except_inactive_customers(spark, sf_dir):
+    """§2.7 EXCEPT (distinct set difference) — customers that never
+    ordered, the set-op twin of the anti join."""
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.exceptAll(o.distinct()).distinct()
+
+
+@register(
+    "intersect_buyer_suppliers",
+    """SELECT c_nationkey AS nationkey FROM customer
+       INTERSECT
+       SELECT s_nationkey AS nationkey FROM supplier""",
+)
+def intersect_buyer_suppliers(spark, sf_dir):
+    """§2.7 INTERSECT — nations hosting both customers and suppliers."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = read_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
 # --------------------------------------------------------- sorts / top-k
 
 @register(

@@ -52,6 +52,18 @@ def sql_dmean(expr: str, count_expr: str | None = None) -> str:
     return f"({sql_dsum(expr)} / NULLIF({cnt}, 0))"
 
 
+def sql_money_sum(expr: str, decimals: int = 2) -> str:
+    """Scaled-integer exact sum — mirrors functions.money_sum.
+
+    Scale literals use scientific notation (``100e0``): a ``100.0``
+    literal parses as DECIMAL in both Spark SQL and DuckDB, silently
+    turning the division into decimal arithmetic; ``e0`` literals are
+    DOUBLE in both engines, matching the DataFrame side's F.lit(100.0).
+    """
+    s = 10 ** decimals
+    return f"(SUM(CAST(FLOOR({expr} * {s}e0 + 5e-1) AS BIGINT)) / {s}e0)"
+
+
 def queries() -> dict[str, QueryFn]:
     _load()
     return dict(_QUERIES)

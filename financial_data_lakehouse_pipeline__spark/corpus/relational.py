@@ -5,11 +5,17 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from financial_data_lakehouse_pipeline__spark.corpus import register, sql_dmean, sql_dsum
+from financial_data_lakehouse_pipeline__spark.corpus import (
+    register,
+    sql_dmean,
+    sql_dsum,
+    sql_money_sum,
+)
 from financial_data_lakehouse_pipeline__spark.functions import (
     dmean,
     dsum,
     guarded_div,
+    money_sum,
     safe_corr,
 )
 from financial_data_lakehouse_pipeline__spark.operators import aggregates as agg
@@ -226,10 +232,11 @@ def parts_with_sales(spark, sf_dir):
     "master_supplier_daily",
     f"""SELECT l.l_suppkey, CAST(l.l_shipdate AS DATE) AS ship_date,
                CAST(COUNT(*) AS BIGINT) AS n_lines,
-               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               {sql_money_sum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
                s.s_name, n.n_name AS nation,
                CAST(dayofweek(CAST(l.l_shipdate AS DATE)) + 1 AS INT) AS day_of_week,
-               CASE WHEN {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} > 50000
+               CASE WHEN {sql_money_sum('l.l_extendedprice * (1 - l.l_discount)', 4)}
+                         > 50000
                     THEN 1 ELSE 0 END AS is_high_revenue
         FROM lineitem l
         LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -247,7 +254,9 @@ def master_supplier_daily(spark, sf_dir):
         .groupBy("l_suppkey", "ship_date")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
         )
     )
     e = joins.enrich(base, s, base.l_suppkey == s.s_suppkey)
@@ -269,11 +278,12 @@ def master_supplier_daily(spark, sf_dir):
 @register(
     "grouped_stats_q1",
     f"""SELECT l_returnflag, l_linestatus,
-               {sql_dsum('l_quantity')} AS sum_qty,
-               {sql_dsum('l_extendedprice')} AS sum_base_price,
-               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-               {sql_dmean('l_quantity', 'COUNT(l_quantity)')} AS avg_qty,
-               {sql_dmean('l_extendedprice', 'COUNT(l_extendedprice)')} AS avg_price,
+               SUM(l_quantity) AS sum_qty,
+               {sql_money_sum('l_extendedprice')} AS sum_base_price,
+               {sql_money_sum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+               (SUM(l_quantity) / NULLIF(COUNT(l_quantity), 0)) AS avg_qty,
+               ({sql_money_sum('l_extendedprice')}
+                / NULLIF(COUNT(l_extendedprice), 0)) AS avg_price,
                ROUND(STDDEV_SAMP(l_extendedprice), 2) AS stddev_price,
                CAST(COUNT(*) AS BIGINT) AS count_order
         FROM lineitem
@@ -282,19 +292,26 @@ def master_supplier_daily(spark, sf_dir):
 )
 def grouped_stats_q1(spark, sf_dir):
     """A1: grouped multi-aggregate, TPC-H Q1 shape (reference dt:261-271).
-    Sums are exact decimal; stddev rounded (inherently floating)."""
+
+    Exactness strategy per column type: quantities are integral doubles
+    (sums exact in ANY order, < 2^53), prices carry the 2-decimal money
+    contract (scaled-integer money_sum — 4× cheaper than decimal),
+    price·(1−discount) has 4 fractional digits (money_sum scale 4);
+    stddev stays rounded (inherently floating)."""
     li = read_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "sum_disc_price"
-            ),
-            dmean(F.col("l_quantity")).alias("avg_qty"),
-            dmean(F.col("l_extendedprice")).alias("avg_price"),
+            F.sum("l_quantity").alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("sum_disc_price"),
+            (F.sum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+            (
+                money_sum(F.col("l_extendedprice")) / F.count("l_extendedprice")
+            ).alias("avg_price"),
             F.round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
             F.count(F.lit(1)).alias("count_order"),
         )

@@ -34,13 +34,18 @@ def dedup_keep_latest(spark, sf_dir):
     return out.select("user_id", "event_type", "event_id", "ts", "value")
 
 
+#: 2-decimal money contract → exact scaled-integer window sums
+#: (functions.money_sum rationale; ~4× cheaper than decimal frames).
+#: e0-notation literals stay DOUBLE in both engines (a 100.0 literal
+#: parses as DECIMAL in SQL and would shift the arithmetic type).
+_CENTS = "CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT)"
+
+
 @register(
     "rolling_sma",
     f"""SELECT l_suppkey, l_orderkey, l_linenumber,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) OVER w7 AS DOUBLE)
-                   / COUNT(*) OVER w7 AS sma_7,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) OVER w20 AS DOUBLE)
-                   / COUNT(*) OVER w20 AS sma_20
+               (SUM({_CENTS}) OVER w7 / 100e0) / (COUNT(*) OVER w7) AS sma_7,
+               (SUM({_CENTS}) OVER w20 / 100e0) / (COUNT(*) OVER w20) AS sma_20
         FROM lineitem
         WINDOW w7 AS ({_LI_WIN} ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
                w20 AS ({_LI_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
@@ -49,20 +54,21 @@ def rolling_sma(spark, sf_dir):
     """W2: rolling means over row frames (reference SMA-7/20, dt:162-178).
     Partial windows at series start aggregate fewer rows (pinned).
 
-    The mean is decimal-sum / count, unrounded: windowed double AVG sums
-    in engine-specific order (Spark sequential frame buffer vs DuckDB
-    segment tree), so only exact accumulation makes the quotient
-    bit-identical — the r1 rounding-tie class of failures."""
+    The mean is an exact scaled-integer sum / count, unrounded: windowed
+    double AVG sums in engine-specific order (Spark sequential frame
+    buffer vs DuckDB segment tree), so only exact accumulation makes the
+    quotient bit-identical — the r1 rounding-tie class of failures.
+    Integer cents (2-decimal price contract) beat decimal frames ~4×."""
     li = read_table(spark, sf_dir, "lineitem")
-    dec = F.col("l_extendedprice").cast(_DEC)
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
     out = windows.rolling_agg(
         li,
         ["l_suppkey"],
         ["l_shipdate", "l_orderkey", "l_linenumber"],
         {
-            "__s7": (F.sum(dec), 7),
+            "__s7": (F.sum(cents), 7),
             "__c7": (F.count(F.lit(1)), 7),
-            "__s20": (F.sum(dec), 20),
+            "__s20": (F.sum(cents), 20),
             "__c20": (F.count(F.lit(1)), 20),
         },
     )
@@ -70,43 +76,40 @@ def rolling_sma(spark, sf_dir):
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        (F.col("__s7").cast("double") / F.col("__c7")).alias("sma_7"),
-        (F.col("__s20").cast("double") / F.col("__c20")).alias("sma_20"),
+        ((F.col("__s7") / F.lit(100.0)) / F.col("__c7")).alias("sma_7"),
+        ((F.col("__s20") / F.lit(100.0)) / F.col("__c20")).alias("sma_20"),
     )
 
 
 @register(
     "rolling_bollinger",
     f"""SELECT l_suppkey, l_orderkey, l_linenumber,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) OVER w20 AS DOUBLE)
-                   / COUNT(*) OVER w20 AS bb_middle,
-               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) OVER w20 AS DOUBLE)
-                     / COUNT(*) OVER w20
+               (SUM({_CENTS}) OVER w20 / 100e0) / (COUNT(*) OVER w20) AS bb_middle,
+               ROUND((SUM({_CENTS}) OVER w20 / 100e0) / (COUNT(*) OVER w20)
                      + 2 * STDDEV_SAMP(l_extendedprice) OVER w20, 4) AS bb_upper,
-               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) OVER w20 AS DOUBLE)
-                     / COUNT(*) OVER w20
+               ROUND((SUM({_CENTS}) OVER w20 / 100e0) / (COUNT(*) OVER w20)
                      - 2 * STDDEV_SAMP(l_extendedprice) OVER w20, 4) AS bb_lower
         FROM lineitem
         WINDOW w20 AS ({_LI_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
 )
 def rolling_bollinger(spark, sf_dir):
     """W3: rolling stddev bands (reference Bollinger, dt:181-184).
-    bb_middle is the exact decimal mean (unrounded — bit-identical);
-    the ±2σ bands keep ROUND 4 because windowed stddev is inherently
-    floating (engine-specific accumulation order)."""
+    bb_middle is the exact scaled-integer mean (unrounded —
+    bit-identical); the ±2σ bands keep ROUND 4 because windowed stddev is
+    inherently floating (engine-specific accumulation order)."""
     li = read_table(spark, sf_dir, "lineitem")
-    dec = F.col("l_extendedprice").cast(_DEC)
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
     out = windows.rolling_agg(
         li,
         ["l_suppkey"],
         ["l_shipdate", "l_orderkey", "l_linenumber"],
         {
-            "__s": (F.sum(dec), 20),
+            "__s": (F.sum(cents), 20),
             "__c": (F.count(F.lit(1)), 20),
             "__sd": (F.stddev_samp("l_extendedprice"), 20),
         },
     )
-    mid = F.col("__s").cast("double") / F.col("__c")
+    mid = (F.col("__s") / F.lit(100.0)) / F.col("__c")
     return out.select(
         "l_suppkey",
         "l_orderkey",
@@ -261,8 +264,8 @@ def running_customer_total(spark, sf_dir):
 @register(
     "range_frame_revenue",
     """SELECT l_suppkey, l_orderkey, l_linenumber,
-              CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
-                   OVER w AS DOUBLE) AS rev_7d,
+              (SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000e0 + 5e-1)
+                        AS BIGINT)) OVER w / 10000e0) AS rev_7d,
               CAST(COUNT(*) OVER w AS BIGINT) AS n_7d
        FROM lineitem
        WINDOW w AS (PARTITION BY l_suppkey
@@ -280,17 +283,15 @@ def range_frame_revenue(spark, sf_dir):
     day_num = F.datediff(
         F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
     )
+    rev_scaled = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0 + F.lit(0.5)
+    ).cast("bigint")
     out = windows.rolling_range_agg(
         li.withColumn("__day", day_num),
         ["l_suppkey"],
         F.col("__day"),
         {
-            "__rev": (
-                F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
-                ),
-                7,
-            ),
+            "__rev": (F.sum(rev_scaled), 7),
             "n_7d": (F.count(F.lit(1)), 7),
         },
     )
@@ -298,7 +299,7 @@ def range_frame_revenue(spark, sf_dir):
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.col("__rev").cast("double").alias("rev_7d"),
+        (F.col("__rev") / F.lit(10000.0)).alias("rev_7d"),
         F.col("n_7d").cast("bigint").alias("n_7d"),
     )
 

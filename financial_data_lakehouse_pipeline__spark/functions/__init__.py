@@ -55,6 +55,26 @@ def dmean(col: Column) -> Column:
     return guarded_div(F.sum(col.cast(_DEC)).cast("double"), F.count(col))
 
 
+def money_sum(col: Column, decimals: int = 2) -> Column:
+    """Exact order-independent sum for fixed-point (money-like) values,
+    as DOUBLE — the fast path where the data contract guarantees at most
+    ``decimals`` fractional digits (prices, rates·prices).
+
+    Each term is scaled to an integer (floor(x·10^d + 0.5) — identical
+    IEEE ops on every engine) and summed as BIGINT: exact, associative,
+    and ~4× faster than decimal accumulation (measured 1.2s → 0.28s for
+    3 sums over 600k rows). Overflow bound: the absolute scaled sum per
+    group must stay under 2^63 ≈ 9.2e18 — at decimals=2 that is $9e16
+    per group, beyond any realistic partition; use ``dsum`` when the
+    contract or the bound doesn't hold.
+    """
+    s = 10 ** decimals
+    return (
+        F.sum(F.floor(col * F.lit(float(s)) + F.lit(0.5)).cast("bigint"))
+        / F.lit(float(s))
+    )
+
+
 def pct_change(cur: Column, prev: Column) -> Column:
     """(cur - prev) / prev * 100, NULL where prev is 0/NULL."""
     return guarded_div((cur - prev) * F.lit(100.0), prev)

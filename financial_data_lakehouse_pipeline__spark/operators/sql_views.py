@@ -60,13 +60,16 @@ VIEWS: dict[str, str] = {
     """,
     # hv:282-294 v_daily_market_summary: calendar group-by with distinct
     # count — the flagship daily rollup.
+    # total/avg use the 2-decimal money contract (scaled-integer sums —
+    # exact, order-independent, ~4× cheaper than decimal accumulation).
     "v_daily_summary": """
         SELECT CAST(o_orderdate AS DATE) AS order_date,
                CAST(COUNT(*) AS BIGINT) AS order_count,
                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS customer_count,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_value,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
-                   AS avg_value,
+               (SUM(CAST(FLOOR(o_totalprice * 100e0 + 5e-1) AS BIGINT)) / 100e0)
+                   AS total_value,
+               (SUM(CAST(FLOOR(o_totalprice * 100e0 + 5e-1) AS BIGINT)) / 100e0)
+                   / COUNT(*) AS avg_value,
                MAX(o_totalprice) AS max_value
         FROM orders
         GROUP BY CAST(o_orderdate AS DATE)

@@ -10,9 +10,24 @@ from financial_data_lakehouse_pipeline__spark.corpus import register
 from financial_data_lakehouse_pipeline__spark.operators import cleaning, windows
 from financial_data_lakehouse_pipeline__spark.sources import read_table
 
-# Total order for lineitem windows partitioned by supplier.
-_LI_ORDER = "ORDER BY l_shipdate, l_orderkey, l_linenumber"
+# Total order for lineitem windows partitioned by supplier. The synthetic
+# lineitem is NOT unique on (orderkey, linenumber) — at sf0.1 one supplier
+# has two rows sharing (shipdate, orderkey, linenumber) — so the value
+# columns join the ordering: any remaining ties are rows identical in
+# every referenced column, whose swap cannot change any output.
+_LI_ORDER = (
+    "ORDER BY l_shipdate, l_orderkey, l_linenumber, "
+    "l_extendedprice, l_quantity, l_partkey"
+)
 _LI_WIN = f"PARTITION BY l_suppkey {_LI_ORDER}"
+_LI_ORDER_COLS = [
+    "l_shipdate",
+    "l_orderkey",
+    "l_linenumber",
+    "l_extendedprice",
+    "l_quantity",
+    "l_partkey",
+]
 _DEC = "decimal(30,6)"
 
 
@@ -64,7 +79,7 @@ def rolling_sma(spark, sf_dir):
     out = windows.rolling_agg(
         li,
         ["l_suppkey"],
-        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        _LI_ORDER_COLS,
         {
             "__s7": (F.sum(cents), 7),
             "__c7": (F.count(F.lit(1)), 7),
@@ -102,7 +117,7 @@ def rolling_bollinger(spark, sf_dir):
     out = windows.rolling_agg(
         li,
         ["l_suppkey"],
-        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        _LI_ORDER_COLS,
         {
             "__s": (F.sum(cents), 20),
             "__c": (F.count(F.lit(1)), 20),
@@ -142,7 +157,7 @@ def lag_momentum(spark, sf_dir):
     out = windows.momentum(
         li,
         ["l_suppkey"],
-        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        _LI_ORDER_COLS,
         "l_extendedprice",
         [1, 5],
     )
@@ -167,7 +182,7 @@ def lead_forward_returns(spark, sf_dir):
     out = windows.forward_returns(
         li,
         ["l_suppkey"],
-        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        _LI_ORDER_COLS,
         "l_extendedprice",
         [1, 3],
     )
@@ -194,7 +209,7 @@ def relative_quantity(spark, sf_dir):
     out = windows.relative_to_rolling(
         li,
         ["l_suppkey"],
-        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        _LI_ORDER_COLS,
         "l_quantity",
         20,
         "relative_qty",
@@ -333,13 +348,11 @@ def ema_supplier_price(spark, sf_dir):
     alpha = 2/13. The explicit-loop recurrence makes a recursive-CTE
     oracle exact; also pinned against an independent reimplementation in
     tests/test_operators.py."""
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"
-    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", *_LI_ORDER_COLS)
     out = windows.ema(
         li,
         ["l_suppkey"],
-        ["l_shipdate", "l_orderkey", "l_linenumber"],
+        _LI_ORDER_COLS,
         "l_extendedprice",
         span=12,
         out="ema_12",

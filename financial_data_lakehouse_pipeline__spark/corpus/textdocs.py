@@ -203,10 +203,14 @@ def ngram_jaccard_pairs_docs(spark, sf_dir):
 
 def _minhash_ctes(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
     """Shared CTE chain ending in `lsh_pairs(id_a, id_b, jaccard)` —
-    the MinHash+LSH pipeline as reusable oracle SQL."""
+    the MinHash+LSH pipeline as reusable oracle SQL. Embeds the same
+    universal-hash coefficients as operators/dedup.minhash_coeffs, over
+    the same two 28-bit md5-prefix integers."""
     rows = num_hashes // bands
+    P = dedup.MINHASH_P
     mins = ", ".join(
-        f"min(md5('{i}:' || shingle)) AS mh_{i}" for i in range(num_hashes)
+        f"min(({a}*h1 + {b}*h2 + {c}) % {P}) AS mh_{i}"
+        for i, (a, b, c) in enumerate(dedup.minhash_coeffs(num_hashes))
     )
     band_selects = []
     for b in range(bands):
@@ -216,7 +220,13 @@ def _minhash_ctes(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) 
         )
     buckets = " UNION ALL ".join(band_selects)
     return f"""{_SHINGLES_CTE},
-        sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+        shh AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS h1,
+                 CAST(('0x' || substr(md5(shingle), 8, 7)) AS BIGINT) AS h2
+          FROM sh
+        ),
+        sig AS (SELECT doc_id, {mins} FROM shh GROUP BY doc_id),
         buckets AS ({buckets}),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

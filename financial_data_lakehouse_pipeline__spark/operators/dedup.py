@@ -19,10 +19,31 @@ the hash: every operator below reduces to shingle-explode → hash-groupBy →
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from financial_data_lakehouse_pipeline__spark.functions import guarded_div, tokens
+
+#: Modulus for the universal-hash minhash family (Mersenne prime 2^31-1).
+#: With 28-bit base hashes and coefficients < P, a*h+b*h2+c stays under
+#: 2^61 — no bigint overflow in either Spark or the SQL oracle.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int, int]]:
+    """Deterministic (a, b, c) coefficients for the minhash family
+    h_i = (a_i*h1 + b_i*h2 + c_i) mod P. Derived from md5 of the index so
+    the exact same constants are reproducible anywhere (the DuckDB oracle
+    embeds them as literals); a, b are nonzero."""
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 1) + 1
+        c = int(hashlib.md5(f"c:{i}".encode()).hexdigest()[:8], 16) % MINHASH_P
+        out.append((a, b, c))
+    return out
 
 
 def canonical_text(text: Column) -> Column:
@@ -168,16 +189,27 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     shingles: DataFrame, id_col: str, num_hashes: int = 16
 ) -> DataFrame:
-    """MinHash signature per document: for seed i, min over shingles of
-    md5(i:shingle). The min of the fixed-width hex string equals the min
-    of the 128-bit hash value, so plain SQL can reproduce it. One groupBy
-    with num_hashes min() partial aggregates, plus the per-doc shingle
-    count (``__sz``) — free in the same pass and reused by the verify
-    stage's Jaccard denominators."""
-    return shingles.groupBy(id_col).agg(
+    """MinHash signature per document via ONE md5 per shingle plus a
+    universal-hash family: two 28-bit integers h1, h2 from the md5 hex,
+    then mh_i = min((a_i*h1 + b_i*h2 + c_i) mod P) — the standard
+    multiply-add permutation family. k times fewer md5 evaluations than
+    hashing per seed (the md5 is the dominant per-row cost), and every
+    step is integer arithmetic plain SQL reproduces bit-for-bit.
+
+    Also emits the per-doc shingle count (``__sz``) — free in the same
+    pass and reused by the verify stage's Jaccard denominators."""
+    hashed = shingles.select(
+        F.col(id_col), F.md5(F.col("shingle")).alias("__fp")
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring("__fp", 1, 7), 16, 10).cast("bigint").alias("__h1"),
+        F.conv(F.substring("__fp", 8, 7), 16, 10).cast("bigint").alias("__h2"),
+    )
+    h1, h2 = F.col("__h1"), F.col("__h2")
+    return hashed.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
-            for i in range(num_hashes)
+            F.min((F.lit(a) * h1 + F.lit(b) * h2 + F.lit(c)) % MINHASH_P).alias(f"mh_{i}")
+            for i, (a, b, c) in enumerate(minhash_coeffs(num_hashes))
         ],
         F.count(F.lit(1)).alias("__sz"),
     )

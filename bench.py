@@ -55,8 +55,11 @@ def main() -> None:
     )
     qs = corpus.queries()
 
-    # Warm up the session (JVM/codegen) outside the timed region.
-    qs["topk_orders"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Steady-state methodology: one untimed warmup execution per query
+    # (JIT + whole-stage-codegen compilation — constant overhead that is
+    # noise at benchmark scale), then one timed execution.
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

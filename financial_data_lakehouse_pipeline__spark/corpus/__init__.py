@@ -85,6 +85,7 @@ def _load() -> None:
     from financial_data_lakehouse_pipeline__spark.corpus import (  # noqa: F401
         events_q,
         lake,
+        mlprep,
         relational,
         textdocs,
         vectors,

@@ -1,0 +1,235 @@
+"""Corpus: ML-data-prep operators — deterministic splits/sampling,
+TF-IDF terms, PII redaction, discrete percentiles, decile bucketing, and
+the binned range join.
+
+All oracles are exact: hash arithmetic is md5-prefix integers, sampling
+thresholds are integer buckets, percentiles are rank-based (no
+interpolation), and TF-IDF uses the rational idf (N+1)/(df+1) whose
+double division is IEEE-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_data_lakehouse_pipeline__spark.corpus import register, sql_money_sum
+from financial_data_lakehouse_pipeline__spark.operators import (
+    aggregates,
+    joins,
+    sampling,
+    text,
+)
+from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+
+def _bucket_sql(id_expr: str, salt: str) -> str:
+    """DuckDB twin of sampling.hash_bucket."""
+    return (
+        f"CAST(('0x' || substr(md5('{salt}:' || CAST({id_expr} AS VARCHAR)), 1, 7)) "
+        f"AS BIGINT) % {sampling.BUCKETS}"
+    )
+
+
+@register(
+    "hash_split_docs",
+    f"""SELECT doc_id,
+               CASE WHEN {_bucket_sql('doc_id', 'split')} < 8000 THEN 'train'
+                    WHEN {_bucket_sql('doc_id', 'split')} < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents""",
+)
+def hash_split_docs(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by content-hash
+    bucket (operators/sampling.hash_split) — reproducible on any cluster
+    size / partitioning, unlike rand() or TABLESAMPLE."""
+    d = read_table(spark, sf_dir, "documents")
+    return sampling.hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+@register(
+    "stratified_sample_docs",
+    f"""SELECT doc_id, lang
+        FROM documents
+        WHERE {_bucket_sql('doc_id', 'sample')} <
+              CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 10000 ELSE 5000 END""",
+)
+def stratified_sample_docs(spark, sf_dir):
+    """Per-language deterministic downsampling (operators/sampling
+    .stratified_hash_sample): keep 25% of dominant English, all of rare
+    Chinese, 50% elsewhere — the rebalancing step of a training-data mix."""
+    d = read_table(spark, sf_dir, "documents")
+    return sampling.stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 0.25, "zh": 1.0}, default_fraction=0.5
+    ).select("doc_id", "lang")
+
+
+#: canonicalized text (mirrors dedup.canonical_text / functions.tokens)
+_CANON = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+@register(
+    "tfidf_top_terms_docs",
+    f"""WITH terms AS (
+          SELECT doc_id, unnest(regexp_split_to_array({_CANON}, ' ')) AS term
+          FROM documents
+          WHERE length(trim(text)) > 0
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM terms WHERE length(term) >= 3 GROUP BY 1, 2
+        ),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS nn FROM documents),
+        scored AS (
+          SELECT doc_id, term, tf,
+                 CAST(tf AS DOUBLE)
+                   * (CAST(nn + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS tfidf
+          FROM tf JOIN dfq USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+          SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tfidf DESC, tf DESC, term) AS INT) AS rank
+          FROM scored
+        )
+        SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3""",
+)
+def tfidf_top_terms_docs(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf x rational-idf
+    (operators/text.tfidf_top_terms). Vocabulary df table broadcasts; the
+    only full shuffle is the (doc,term) tf groupBy."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(d, top_k=3, min_term_len=3)
+
+
+@register(
+    "redact_pii_docs",
+    r"""SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                 '[0-9]{6,}', '<NUM>', 'g') AS redacted_text,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 AS BIGINT) AS n_emails_redacted,
+               CAST(len(regexp_extract_all(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                   '[0-9]{6,}'))
+                 AS BIGINT) AS n_numbers_redacted
+        FROM documents""",
+)
+def redact_pii_docs(spark, sf_dir):
+    """PII masking with an audit count per pattern (operators/text
+    .redact_pii): emails then 6+-digit runs, patterns from the common
+    Java-regex/RE2 subset so both engines substitute identically."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.redact_pii(d).select(
+        "doc_id", "redacted_text", "n_emails_redacted", "n_numbers_redacted"
+    )
+
+
+@register(
+    "acctbal_percentiles",
+    """WITH r AS (
+          SELECT c_mktsegment, c_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS rn,
+                 COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+          FROM customer
+        )
+        SELECT c_mktsegment,
+               unnest(list_filter([25e-2, 5e-1, 75e-2, 9e-1],
+                                  q -> ceil(q * n) = rn)) AS q,
+               c_acctbal AS value
+        FROM r""",
+)
+def acctbal_percentiles(spark, sf_dir):
+    """Exact discrete quartiles + p90 of account balance per market
+    segment (operators/aggregates.percentile_disc) — rank-based, so the
+    result is an actual data value and bit-exact across engines."""
+    c = read_table(spark, sf_dir, "customer")
+    return aggregates.percentile_disc(
+        c, ["c_mktsegment"], "c_acctbal", [0.25, 0.5, 0.75, 0.9]
+    )
+
+
+@register(
+    "customer_deciles",
+    """WITH d AS (
+          SELECT c_custkey,
+                 CAST(NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS INT)
+                     AS decile,
+                 c_acctbal
+          FROM customer
+        )
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               MIN(c_acctbal) AS min_bal,
+               MAX(c_acctbal) AS max_bal
+        FROM d GROUP BY decile""",
+)
+def customer_deciles(spark, sf_dir):
+    """Decile bucketing by account balance (operators/windows.ranked
+    ntile_10 over a total order) rolled up to per-decile stats — the
+    equal-frequency binning step of feature engineering."""
+    from financial_data_lakehouse_pipeline__spark.operators import windows
+
+    c = read_table(spark, sf_dir, "customer")
+    d = windows.ranked(
+        c, [], [F.col("c_acctbal"), F.col("c_custkey")], methods=("ntile_10",)
+    )
+    return (
+        d.groupBy(F.col("ntile_10").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
+@register(
+    "campaign_order_windows",
+    f"""WITH camp AS (
+          SELECT o_orderkey AS campaign_id,
+                 datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d0
+          FROM orders WHERE o_orderkey % 97 = 0
+        ),
+        pts AS (
+          SELECT o_orderkey, o_totalprice,
+                 datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
+          FROM orders
+        )
+        SELECT campaign_id,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_money_sum('o_totalprice')} AS total_price
+        FROM camp JOIN pts ON pts.d >= camp.d0 AND pts.d <= camp.d0 + 3
+        GROUP BY campaign_id""",
+)
+def campaign_order_windows(spark, sf_dir):
+    """Interval-containment join at scale: every 97th order opens a 4-day
+    'campaign window'; count/sum the orders falling inside each window via
+    the binned range join (operators/joins.range_join_binned) — equi-join
+    on day bins + exact range filter, never a cross product."""
+    o = read_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    camp = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("campaign_id"),
+        day.alias("d0"),
+        (day + 3).alias("d1"),
+    )
+    pts = o.select("o_orderkey", "o_totalprice", day.alias("d"))
+    from financial_data_lakehouse_pipeline__spark.functions import money_sum
+
+    return (
+        joins.range_join_binned(pts, camp, "d", "d0", "d1", bin_width=4)
+        .groupBy("campaign_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )

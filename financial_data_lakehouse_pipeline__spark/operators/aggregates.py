@@ -148,6 +148,43 @@ def distinct_count(
     return df.groupBy(*keys).agg(agg)
 
 
+def percentile_disc(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    qs: Sequence[float],
+    out: str = "value",
+) -> DataFrame:
+    """Exact DISCRETE percentiles per group: for each q, the value at rank
+    ceil(q*n) in ascending order — an actual data value, never an
+    interpolation.
+
+    Built on row_number + a per-row quantile match instead of
+    ``percentile()``: interpolating percentile aggregates differ between
+    engines in last-ulp float arithmetic, while this formulation is pure
+    integer rank logic — bit-exact anywhere. Ties on the value don't
+    matter: whatever permutation row_number picks among equal values, the
+    row at a given rank holds the same value.
+
+    One shuffle+sort on ``keys`` (the same cost as any grouped window);
+    output is (keys..., q, value) long form.
+    """
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy(*keys).orderBy(F.col(value_col))
+    w_all = Window.partitionBy(*keys)
+    qs_arr = F.array(*[F.lit(float(q)) for q in qs])
+    matched = F.filter(
+        qs_arr, lambda q: F.ceil(q * F.col("__n")) == F.col("__rn")
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .withColumn("q", F.explode(matched))
+        .select(*keys, "q", F.col(value_col).alias(out))
+    )
+
+
 def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]) -> DataFrame:
     """GROUP BY ROLLUP (engine extension — SURVEY.md §2.4 'not present')."""
     return df.rollup(*keys).agg(*[e.alias(o) for o, e in aggs.items()])

@@ -120,6 +120,55 @@ def salted_join(
     return l.join(r, [*on, "__salt"], how).drop("__salt")
 
 
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-containment join (start <= point <= end) without a cross
+    product — the classic range-join problem Spark's optimizer turns into
+    BroadcastNestedLoop/cartesian when written as a theta join.
+
+    Bin-bucketing: the numeric point domain is cut into fixed-width bins;
+    each point maps to its one bin, each interval EXPLODES into every bin
+    it overlaps, and the join becomes an equi-join on the bin id followed
+    by the exact range predicate. Shuffle cost is keyed and proportional
+    to data volume x (interval_span / bin_width), never |points| x
+    |intervals|. A point lies in exactly one bin, so no post-join
+    de-duplication is needed.
+
+    ``point_col`` / ``start_col`` / ``end_col`` must be integer-like
+    numerics (cast timestamps to epoch days/seconds first — integer bin
+    arithmetic is portable to any SQL engine). Pick ``bin_width`` near the
+    typical interval span: much smaller multiplies the interval fan-out,
+    much larger multiplies false candidate pairs.
+    """
+    p = points.withColumn(
+        "__bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("bigint")
+    )
+    i = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bin_width)).cast("bigint"),
+                F.floor(F.col(end_col) / F.lit(bin_width)).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        p.join(i, "__bin", how)
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("__bin")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

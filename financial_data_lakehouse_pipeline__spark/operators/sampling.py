@@ -1,0 +1,97 @@
+"""Deterministic sampling / dataset-split operators (LLM-data extension).
+
+A training-data pipeline needs REPRODUCIBLE sampling: the same row must
+land in the same split on every run, on any cluster size, regardless of
+partitioning — which rules out rand() and TABLESAMPLE. Everything here
+keys off a content hash of a stable id column:
+
+  bucket(id) = md5(salt:id) first-7-hex-digits mod 10_000
+
+Pure Column expressions (JVM-side, embarrassingly parallel, no shuffle),
+and the arithmetic is plain SQL so DuckDB oracles reproduce every split
+bit-for-bit. Changing ``salt`` re-draws the whole assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bucket resolution: fractions are quantized to 1/10_000.
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column, salt: str = "split") -> Column:
+    """Deterministic bucket in [0, BUCKETS) from md5(salt:id).
+
+    Uses the first 7 hex digits (28 bits) — same md5-prefix-to-int idiom
+    as the dedup/minhash operators, portable to any SQL engine."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), id_col.cast("string")))
+    return (F.conv(F.substring(h, 1, 7), 16, 10).cast("bigint") % BUCKETS).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    out: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic train/val/test split label.
+
+    ``weights`` maps label -> fraction (must sum to <= 1; any remainder
+    falls into the LAST label). Assignment is by cumulative bucket
+    thresholds, so enlarging one split keeps all previously-assigned
+    rows of earlier splits stable — the property that makes incremental
+    dataset growth reproducible.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    b = hash_bucket(F.col(id_col), salt)
+    expr = None
+    cum = 0.0
+    labels = list(weights)
+    for label in labels[:-1]:
+        cum += weights[label]
+        cond = b < int(round(cum * BUCKETS))
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last = F.lit(labels[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out, expr)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows whose bucket falls
+    below fraction * BUCKETS. Same rows survive on every run/cluster."""
+    return df.filter(
+        hash_bucket(F.col(id_col), salt) < int(round(fraction * BUCKETS))
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep all of rare ones): ``fractions`` maps stratum value ->
+    keep-fraction; strata not listed keep ``default_fraction``.
+
+    The per-stratum threshold is a small CASE expression — no join, no
+    shuffle; rows stream through the filter in place. The id hash is
+    salted with the stratum so re-balancing one stratum never reshuffles
+    another's survivors.
+    """
+    b = hash_bucket(F.col(id_col), salt)
+    thr = None
+    for value, frac in fractions.items():
+        cond = F.col(stratum_col) == value
+        t = int(round(frac * BUCKETS))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    default_t = int(round(default_fraction * BUCKETS))
+    thr = F.lit(default_t) if thr is None else thr.otherwise(default_t)
+    return df.filter(b < thr)

@@ -103,6 +103,85 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint")
     return df.withColumn(out, F.md5(canon))
 
 
+#: PII patterns (portable between Java regex and RE2): email addresses
+#: and long digit runs (phone/account/ssn-ish). Kept deliberately simple
+#: and ASCII — production filters would plug in richer pattern packs.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "number": r"[0-9]{6,}",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out: str = "redacted_text"
+) -> DataFrame:
+    """Mask PII-looking spans: emails -> <EMAIL>, 6+ digit runs -> <NUM>,
+    with a per-pattern redaction count so a pipeline can audit/filter
+    heavily-redacted documents. Pure regexp Column expressions; patterns
+    chosen from the common subset of Java-regex and RE2 syntax so SQL
+    oracles reproduce them exactly."""
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_PATTERNS["email"]), 0))
+    masked = F.regexp_replace(t, PII_PATTERNS["email"], "<EMAIL>")
+    n_num = F.size(F.regexp_extract_all(masked, F.lit(PII_PATTERNS["number"]), 0))
+    masked = F.regexp_replace(masked, PII_PATTERNS["number"], "<NUM>")
+    return df.withColumns(
+        {
+            out: masked,
+            "n_emails_redacted": n_email.cast("bigint"),
+            "n_numbers_redacted": n_num.cast("bigint"),
+        }
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+    min_term_len: int = 3,
+) -> DataFrame:
+    """Top-k most characteristic terms per document by tf x idf.
+
+    idf uses the RATIONAL form (N+1)/(df+1) rather than its log: the
+    ranking it induces per document is identical (log is monotone), and
+    pure double division is IEEE-identical across engines, so the score
+    itself stays oracle-exact (ln differs in the last ulp between libm
+    implementations).
+
+    Shape at scale: one explode + (doc,term) groupBy for tf, one term
+    groupBy for df (broadcast — vocabulary is tiny relative to the
+    corpus), one window top-k. Ties broken by (tf desc, term asc) —
+    fully deterministic.
+    """
+    from financial_data_lakehouse_pipeline__spark.functions import tokens as _tokens
+    from pyspark.sql import Window
+
+    canon = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    terms = (
+        df.select(F.col(id_col), F.explode(_tokens(canon)).alias("term"))
+        .filter(F.length("term") >= min_term_len)
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__n"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("tf").desc(), F.col("term")
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * ((F.col("__n") + F.lit(1)).cast("double") / (F.col("df") + F.lit(1)).cast("double")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", F.col("tf").cast("bigint").alias("tf"), "tfidf", "rank")
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -441,3 +441,46 @@ def streaming_hourly_counts(spark, sf_dir):
         {"n_events": F.count(F.lit(1)), "total_value": dsum(F.col("value"))},
     )
     return st.run_available_now(agg, "corpus_streaming_hourly_counts")
+
+
+@register(
+    "streaming_record_highs",
+    # Batch-expressible twin: a row is a record high iff it strictly
+    # exceeds the max of all earlier rows for its user (event order =
+    # (ts, event_id), matching the operator's in-batch sort).
+    f"""WITH e AS (
+          SELECT user_id, event_id, value,
+                 MAX(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+          FROM {_EV} x
+        )
+        SELECT user_id, event_id, value
+        FROM e WHERE prev_max IS NULL OR value > prev_max""",
+)
+def streaming_record_highs(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): emit
+    each user's record-breaking event values, state = one running max per
+    key (streaming/record_highs_stateful). Driven to completion with
+    availableNow + append-mode memory sink; equals the batch window
+    formulation, which is the oracle."""
+    import os
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = st.stream_from_parquet_dir(
+        spark, sf_dir, raw_schema, glob="events.parquet"
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = st.record_highs_stateful(
+        stream.select("user_id", "ts", "event_id", "value"),
+        key_col="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+        value_col="value",
+    )
+    return st.run_available_now(
+        out, "corpus_streaming_record_highs", output_mode="append"
+    )

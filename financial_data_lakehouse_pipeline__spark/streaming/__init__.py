@@ -87,12 +87,68 @@ def dedup_within_watermark(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def record_highs_stateful(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: emit only the
+    rows that strictly exceed their key's running maximum (record-breaking
+    events — alert-on-new-high monitoring).
+
+    This is the shape built-in streaming aggregations cannot express: the
+    emission decision depends on per-key state evolved in event order, and
+    the operator outputs ROWS, not aggregates. State is one double per key
+    (the current max) — constant memory per key regardless of history
+    length. Rows inside a micro-batch are sorted by (ts, tiebreak) before
+    the state walk; across batches the carried max makes emission
+    consistent with any batch slicing of an ordered feed.
+
+    Output columns: (key, tiebreak, value) — deliberately excludes the
+    timestamp so batch twins compare on exact types.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    fields = {f.name: f for f in stream.schema.fields}
+    out_schema = T.StructType(
+        [fields[key_col], fields[tiebreak_col], fields[value_col]]
+    )
+    state_schema = T.StructType([T.StructField("cur_max", T.DoubleType())])
+
+    def fn(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values([ts_col, tiebreak_col], kind="mergesort")
+        cur = state.get[0] if state.exists else None
+        mask = []
+        for v in pdf[value_col]:
+            hit = cur is None or v > cur
+            mask.append(hit)
+            if hit:
+                cur = float(v)
+        state.update((cur,))
+        yield pdf.loc[mask, [key_col, tiebreak_col, value_col]]
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drive a streaming query over all currently-available input
     synchronously (availableNow trigger + memory sink); returns the result
-    as a batch DataFrame. Test/backfill utility."""
+    as a batch DataFrame. Test/backfill utility. Stateful row-emitting
+    operators (applyInPandasWithState) require ``output_mode='append'``."""
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .trigger(availableNow=True)

@@ -52,3 +52,49 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
         .count()
     )
     assert distinct <= n <= total
+
+
+def test_record_highs_state_carries_across_batches(spark, tmp_path):
+    """applyInPandasWithState record-high detector: with one file per
+    micro-batch, the per-key running max must carry across batches — a
+    value below batch 1's max but above batch 2's local values must NOT
+    be emitted."""
+    import os
+    import time
+
+    from pyspark.sql import Row
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+
+    def write_batch(name, rows, ts_base):
+        pdf = spark.createDataFrame(
+            [
+                Row(user_id=1, ts=ts_base + i, event_id=eid, value=float(v))
+                for i, (eid, v) in enumerate(rows)
+            ]
+        )
+        pdf.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        # move the single part file into the feed dir under a stable name
+        part = [f for f in os.listdir(tmp_path / name) if f.endswith(".parquet")][0]
+        os.rename(tmp_path / name / part, os.path.join(d, f"{name}.parquet"))
+
+    write_batch("b1", [(100, 5.0), (101, 3.0)], ts_base=1_000)
+    time.sleep(1.1)  # file-source ordering is by modification time
+    write_batch("b2", [(102, 4.0), (103, 7.0)], ts_base=2_000)
+
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    stream = stream.withColumn("ts", F.timestamp_micros(F.col("ts")))
+    out = st.record_highs_stateful(
+        stream, key_col="user_id", ts_col="ts", tiebreak_col="event_id", value_col="value"
+    )
+    result = st.run_available_now(out, "t_record_highs", output_mode="append")
+    emitted = sorted((r.event_id, r.value) for r in result.collect())
+    # 100 (first), 103 (new high). 101 below max; 102=4.0 < carried max 5.0.
+    assert emitted == [(100, 5.0), (103, 7.0)]

@@ -115,3 +115,25 @@ def test_recency_anchor_is_broadcast(spark, sf_dir):
     """The global-max anchor joins via broadcast, not a shuffle or collect."""
     df = _q("recency_weighted_value")(spark, sf_dir)
     assert plans.has_broadcast_join(df)
+
+
+def test_range_join_binned_broadcasts_intervals(spark, sf_dir):
+    """The binned range join must plan a broadcast hash join on the bin
+    key — never BroadcastNestedLoop/cartesian (the naive theta-join plan)."""
+    df = _q("campaign_order_windows")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plans.has_broadcast_join(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_tfidf_broadcasts_vocabulary(spark, sf_dir):
+    """The df (vocabulary) and corpus-size sides broadcast; the only full
+    shuffle is the (doc, term) tf aggregation + the top-k window."""
+    df = _q("tfidf_top_terms_docs")(spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+
+
+def test_sampling_is_scan_filter_only(spark, sf_dir):
+    """Deterministic sampling adds no exchange: pure scan -> filter."""
+    df = _q("stratified_sample_docs")(spark, sf_dir)
+    assert plans.count_exchanges(df) == 0

@@ -42,6 +42,8 @@ HEADLINE = [
     "simhash_pairs_docs",        # LLM: SimHash banding
     "brute_force_topk",          # LLM: cosine top-k
     "signlsh_topk",              # LLM: bucketed ANN
+    "tfidf_top_terms_docs",      # LLM: tf-idf terms (explode + 2 aggs + window)
+    "campaign_order_windows",    # binned range join
 ]
 
 

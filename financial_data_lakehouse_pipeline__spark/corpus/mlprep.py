@@ -233,3 +233,41 @@ def campaign_order_windows(spark, sf_dir):
             money_sum(F.col("o_totalprice")).alias("total_price"),
         )
     )
+
+
+def _morton_sql(cols: list[str], bits: int) -> str:
+    """DuckDB twin of operators/layout.morton_code."""
+    n = len(cols)
+    terms = [
+        f"((({c} >> {b}) & 1) << {b * n + i})"
+        for b in range(bits)
+        for i, c in enumerate(cols)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "zorder_customers",
+    f"""WITH q AS (
+          SELECT c_custkey,
+                 CAST(c_nationkey AS BIGINT) AS q1,
+                 CAST(FLOOR((c_acctbal + 1000e0) / 16e0) AS BIGINT) AS q2
+          FROM customer
+        )
+        SELECT c_custkey, {_morton_sql(['q1', 'q2'], 10)} AS zorder
+        FROM q""",
+)
+def zorder_customers(spark, sf_dir):
+    """Morton (Z-order) clustering code over (nation, quantized balance)
+    (operators/layout.morton_code): bit-interleaved so sorting by it
+    co-locates rows close in EITHER dimension — the layout that lets
+    min/max file stats prune scans on any clustered column. Pure integer
+    bit arithmetic, oracle-exact."""
+    from financial_data_lakehouse_pipeline__spark.operators import layout
+
+    c = read_table(spark, sf_dir, "customer")
+    q1 = F.col("c_nationkey").cast("bigint")
+    q2 = F.floor((F.col("c_acctbal") + F.lit(1000.0)) / F.lit(16.0)).cast("bigint")
+    return c.select(
+        "c_custkey", layout.morton_code([q1, q2], bits=10).alias("zorder")
+    )

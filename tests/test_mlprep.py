@@ -118,3 +118,55 @@ def test_redact_pii(spark):
     assert out[1].n_emails_redacted == 1 and out[1].n_numbers_redacted == 1
     assert out[2].redacted_text == "no pii here, just 123 small numbers"
     assert out[2].n_emails_redacted == 0 and out[2].n_numbers_redacted == 0
+
+
+def test_morton_code_known_values(spark):
+    from financial_data_lakehouse_pipeline__spark.operators import layout
+
+    df = spark.createDataFrame([Row(x=3, y=0), Row(x=0, y=3), Row(x=2, y=1)])
+    out = df.select(
+        layout.morton_code([F.col("x"), F.col("y")], bits=2).alias("z")
+    ).collect()
+    # x bits land at even positions, y bits at odd:
+    # (3,0)->0b0101=5, (0,3)->0b1010=10, (2,1)->0b0110=6
+    assert [r.z for r in out] == [5, 10, 6]
+
+
+def test_zorder_by_clusters_both_dims(spark):
+    """After Z-order range partitioning, each partition spans a bounded
+    sub-range of BOTH dimensions (the whole point vs single-key sort)."""
+    from financial_data_lakehouse_pipeline__spark.operators import layout
+
+    rows = [Row(x=i % 32, y=(i * 7) % 32) for i in range(1024)]
+    df = spark.createDataFrame(rows)
+    z = layout.zorder_by(df, [F.col("x"), F.col("y")], bits=5, num_partitions=4)
+    spans = (
+        z.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        )
+        .collect()
+    )
+    assert len(spans) == 4
+    # A single-key sort on x would leave y spanning the full 0..31 range
+    # in every partition; the Z-curve keeps the AVERAGE span well below.
+    avg_y = sum(r.ys for r in spans) / len(spans)
+    assert avg_y < 28
+
+
+def test_compact_parquet_roundtrip(spark, tmp_path):
+    from financial_data_lakehouse_pipeline__spark.operators import layout
+    import os
+
+    p = str(tmp_path / "t")
+    spark.range(0, 10_000).repartition(16).write.parquet(p)
+    n_before = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    assert n_before == 16
+    layout.compact_parquet(spark, p, target_files=2)
+    n_after = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    assert n_after == 2
+    assert spark.read.parquet(p).count() == 10_000
+    got = spark.read.parquet(p).agg(F.sum("id")).collect()[0][0]
+    assert got == 10_000 * 9_999 // 2

@@ -53,3 +53,28 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
 def test_rows_only_queries_run(name, spark, sf_dir):
     df = _QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_every_query_handles_empty_input(spark, tmp_path):
+    """Robustness sweep: all corpus queries must run (not crash) on
+    zero-row tables with the production schemas — guards window/agg/
+    join/explode edge cases on empty partitions."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "sf_empty")
+    os.makedirs(dst)
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            schema = pq.read_schema(os.path.join(src, f))
+            pq.write_table(schema.empty_table(), os.path.join(dst, f))
+
+    failures = []
+    for name, fn in sorted(corpus.queries().items()):
+        try:
+            fn(spark, dst).count()
+        except Exception as e:  # noqa: BLE001 - collecting all failures
+            failures.append(f"{name}: {str(e).splitlines()[0][:120]}")
+    assert not failures, failures

@@ -271,3 +271,43 @@ def zorder_customers(spark, sf_dir):
     return c.select(
         "c_custkey", layout.morton_code([q1, q2], bits=10).alias("zorder")
     )
+
+
+@register(
+    "dq_orders_checks",
+    """WITH w AS (
+          SELECT SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS custkey_not_null,
+                 SUM(CASE WHEN o_totalprice IS NOT NULL
+                           AND o_totalprice >= 0 AND o_totalprice <= 1000000
+                          THEN 0 ELSE 1 END) AS totalprice_in_range,
+                 SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END)
+                     AS status_in_set,
+                 COUNT(*) - COUNT(DISTINCT o_orderkey) AS orderkey_unique
+          FROM orders
+        ),
+        l AS (
+          SELECT 'custkey_not_null' AS check_name, custkey_not_null AS n FROM w
+          UNION ALL SELECT 'totalprice_in_range', totalprice_in_range FROM w
+          UNION ALL SELECT 'status_in_set', status_in_set FROM w
+          UNION ALL SELECT 'orderkey_unique', orderkey_unique FROM w
+        )
+        SELECT check_name, CAST(n AS BIGINT) AS n_violations, n = 0 AS passed
+        FROM l""",
+)
+def dq_orders_checks(spark, sf_dir):
+    """Declarative data-quality expectations over orders in ONE
+    aggregation pass (operators/dq.check_summary): null / range / set
+    row checks as conditional sums plus key-uniqueness as an aggregate
+    check — the audit record a pipeline stores per dataset version."""
+    from financial_data_lakehouse_pipeline__spark.operators import dq
+
+    o = read_table(spark, sf_dir, "orders")
+    return dq.check_summary(
+        o,
+        row_checks={
+            "custkey_not_null": dq.not_null("o_custkey"),
+            "totalprice_in_range": dq.in_range("o_totalprice", 0, 1_000_000),
+            "status_in_set": dq.in_set("o_orderstatus", ["O", "F", "P"]),
+        },
+        agg_checks={"orderkey_unique": dq.unique_violations(["o_orderkey"])},
+    )

@@ -1,0 +1,95 @@
+"""Declarative data-quality checks (expectations) over a DataFrame.
+
+The reference enforces correctness with inline cleaning filters
+(data_cleaning.py:75-90,179-191,254-259,313-317 — SURVEY.md §2.2 P5/P6)
+and pins great-expectations without wiring it; this module provides the
+equivalent engine surface: declare expectations, get a violations
+summary, or fail fast.
+
+Scale shape: ALL row-level expectations evaluate in ONE aggregation pass
+over the data (conditional sums — map-side partial aggregation, no
+shuffle of the rows themselves); aggregate-level expectations (e.g. key
+uniqueness) are extra aggregate expressions in the same pass wherever
+Spark allows mixing them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def not_null(col: str) -> Column:
+    """Row passes when ``col`` is not NULL."""
+    return F.col(col).isNotNull()
+
+
+def in_range(col: str, lo, hi) -> Column:
+    """Row passes when lo <= col <= hi (NULL fails)."""
+    c = F.col(col)
+    return c.isNotNull() & (c >= lo) & (c <= hi)
+
+
+def in_set(col: str, values) -> Column:
+    """Row passes when col is one of ``values`` (NULL fails)."""
+    return F.col(col).isin(list(values))
+
+
+def matches(col: str, pattern: str) -> Column:
+    """Row passes when col fully matches the regex (NULL fails)."""
+    return F.col(col).rlike(pattern)
+
+
+def check_summary(
+    df: DataFrame,
+    row_checks: dict[str, Column],
+    agg_checks: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Evaluate expectations in one aggregation pass.
+
+    ``row_checks``: name -> boolean Column (True = row passes); violations
+    are counted with a conditional sum. ``agg_checks``: name -> aggregate
+    expression that RETURNS the violation count directly (e.g. key
+    uniqueness as ``count(*) - count_distinct(key)``).
+
+    Returns long-form ``(check_name, n_violations, passed)`` — the audit
+    record a pipeline writes next to each dataset version.
+    """
+    aggs = [
+        F.coalesce(F.sum(F.when(c, 0).otherwise(1)), F.lit(0))
+        .cast("bigint")
+        .alias(name)
+        for name, c in row_checks.items()
+    ]
+    for name, expr in (agg_checks or {}).items():
+        aggs.append(F.coalesce(expr, F.lit(0)).cast("bigint").alias(name))
+    names = list(row_checks) + list(agg_checks or {})
+    wide = df.agg(*aggs)
+    stack = F.expr(
+        f"stack({len(names)}, "
+        + ", ".join(f"'{n}', {n}" for n in names)
+        + ") AS (check_name, n_violations)"
+    )
+    return wide.select(stack).withColumn(
+        "passed", F.col("n_violations") == 0
+    )
+
+
+def unique_violations(keys: list[str]) -> Column:
+    """Aggregate check: number of rows beyond the first per key tuple
+    (0 = the key set is unique). Use in ``agg_checks``."""
+    return F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in keys])
+
+
+def enforce(df: DataFrame, row_checks: dict[str, Column]) -> DataFrame:
+    """Fail-fast variant: raise if any expectation has violations.
+    Runs one job; returns ``df`` unchanged for fluent pipelines."""
+    bad = (
+        check_summary(df, row_checks)
+        .filter(~F.col("passed"))
+        .collect()
+    )
+    if bad:
+        detail = ", ".join(f"{r.check_name}={r.n_violations}" for r in bad)
+        raise ValueError(f"data-quality violations: {detail}")
+    return df

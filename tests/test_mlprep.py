@@ -170,3 +170,48 @@ def test_compact_parquet_roundtrip(spark, tmp_path):
     assert spark.read.parquet(p).count() == 10_000
     got = spark.read.parquet(p).agg(F.sum("id")).collect()[0][0]
     assert got == 10_000 * 9_999 // 2
+
+
+def test_dq_check_summary_counts_and_enforce(spark):
+    from financial_data_lakehouse_pipeline__spark.operators import dq
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, v=5.0, s="ok"),
+            Row(k=1, v=-1.0, s="ok"),     # dup key + below range
+            Row(k=2, v=None, s="bad"),    # null v + bad status
+        ]
+    )
+    out = {
+        r.check_name: (r.n_violations, r.passed)
+        for r in dq.check_summary(
+            df,
+            row_checks={
+                "v_not_null": dq.not_null("v"),
+                "v_in_range": dq.in_range("v", 0, 10),
+                "s_in_set": dq.in_set("s", ["ok"]),
+            },
+            agg_checks={"k_unique": dq.unique_violations(["k"])},
+        ).collect()
+    }
+    assert out["v_not_null"] == (1, False)
+    assert out["v_in_range"] == (2, False)  # -1 out of range, NULL fails
+    assert out["s_in_set"] == (1, False)
+    assert out["k_unique"] == (1, False)
+
+    with pytest.raises(ValueError, match="v_not_null=1"):
+        dq.enforce(df, {"v_not_null": dq.not_null("v")})
+    clean = df.filter(F.col("v").isNotNull())
+    assert dq.enforce(clean, {"v_not_null": dq.not_null("v")}) is clean
+
+
+def test_dq_check_summary_empty_input(spark):
+    from financial_data_lakehouse_pipeline__spark.operators import dq
+
+    df = spark.createDataFrame([], "k bigint, v double")
+    out = dq.check_summary(
+        df,
+        row_checks={"v_not_null": dq.not_null("v")},
+        agg_checks={"k_unique": dq.unique_violations(["k"])},
+    ).collect()
+    assert all(r.n_violations == 0 and r.passed for r in out)

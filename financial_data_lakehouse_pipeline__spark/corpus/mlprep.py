@@ -311,3 +311,144 @@ def dq_orders_checks(spark, sf_dir):
         },
         agg_checks={"orderkey_unique": dq.unique_violations(["o_orderkey"])},
     )
+
+
+#: deterministic snapshot mutation used by the CDC queries: drop every
+#: 13th key, re-segment every 7th, insert a shifted copy of every 11th.
+_NEW_SNAP_SQL = """
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN 'SHIFTED' ELSE c_mktsegment END
+             AS c_mktsegment,
+         c_acctbal
+  FROM customer WHERE c_custkey % 13 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % 11 = 0
+"""
+
+
+def _new_snapshot(c):
+    changed = c.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, "SHIFTED").otherwise(
+            F.col("c_mktsegment")
+        ),
+    ).filter(F.col("c_custkey") % 13 != 0)
+    inserted = c.filter(F.col("c_custkey") % 11 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1000000
+    )
+    cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
+    return changed.select(cols).unionByName(inserted.select(cols))
+
+
+@register(
+    "snapshot_diff_customers",
+    f"""WITH o AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        n AS ({_NEW_SNAP_SQL})
+        SELECT COALESCE(n.c_custkey, o.c_custkey) AS c_custkey,
+               CASE WHEN n.c_custkey IS NOT NULL THEN n.c_mktsegment
+                    ELSE o.c_mktsegment END AS c_mktsegment,
+               CASE WHEN n.c_custkey IS NOT NULL THEN n.c_acctbal
+                    ELSE o.c_acctbal END AS c_acctbal,
+               CASE WHEN o.c_custkey IS NULL THEN 'inserted'
+                    WHEN n.c_custkey IS NULL THEN 'deleted'
+                    WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                      OR o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'updated'
+                    ELSE 'unchanged' END AS change_type
+        FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey""",
+)
+def snapshot_diff_customers(spark, sf_dir):
+    """Snapshot diff -> change feed (operators/cdc.snapshot_diff): one
+    full-outer join labels every key inserted/deleted/updated/unchanged —
+    the minimal-cost CDC between two versions of a table."""
+    from financial_data_lakehouse_pipeline__spark.operators import cdc
+
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return cdc.snapshot_diff(
+        c, _new_snapshot(c), keys=["c_custkey"], compare=["c_mktsegment", "c_acctbal"]
+    )
+
+
+@register(
+    "scd2_customer_segments",
+    """WITH closed AS (
+          SELECT c_custkey, 'LEGACY' AS c_mktsegment,
+                 DATE '2019-01-01' AS valid_from,
+                 CAST(DATE '2020-01-01' AS DATE) AS valid_to
+          FROM customer WHERE c_custkey % 5 = 0
+        ),
+        open_rows AS (
+          SELECT c_custkey, c_mktsegment,
+                 DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+          FROM customer
+        ),
+        upd AS (
+          SELECT c_custkey, 'SHIFTED' AS c_mktsegment,
+                 DATE '2024-06-01' AS ts
+          FROM customer WHERE c_custkey % 7 = 0
+          UNION ALL
+          SELECT c_custkey + 1000000, c_mktsegment, DATE '2024-06-01'
+          FROM customer WHERE c_custkey % 11 = 0
+        ),
+        j AS (
+          SELECT d.c_custkey AS dk, d.c_mktsegment AS dseg, d.valid_from,
+                 u.c_custkey AS uk, u.c_mktsegment AS useg, u.ts,
+                 (d.c_mktsegment IS DISTINCT FROM u.c_mktsegment) AS changed
+          FROM open_rows d FULL OUTER JOIN upd u ON d.c_custkey = u.c_custkey
+        ),
+        kept_open AS (
+          SELECT dk AS c_custkey, dseg AS c_mktsegment, valid_from,
+                 CASE WHEN uk IS NOT NULL AND changed THEN ts END AS valid_to
+          FROM j WHERE dk IS NOT NULL
+        ),
+        fresh AS (
+          SELECT uk AS c_custkey, useg AS c_mktsegment, ts AS valid_from,
+                 CAST(NULL AS DATE) AS valid_to
+          FROM j WHERE uk IS NOT NULL AND (dk IS NULL OR changed)
+        )
+        SELECT * FROM closed
+        UNION ALL SELECT * FROM kept_open
+        UNION ALL SELECT * FROM fresh""",
+)
+def scd2_customer_segments(spark, sf_dir):
+    """SCD Type-2 dimension merge (operators/cdc.scd2_apply): a segment
+    re-assignment batch closes superseded open rows (valid_to = batch ts)
+    and inserts new open versions; closed history passes through. One
+    keyed join over the OPEN slice only — the Delta-MERGE shape without
+    the transaction log."""
+    from financial_data_lakehouse_pipeline__spark.operators import cdc
+
+    c = read_table(spark, sf_dir, "customer")
+    closed = c.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit("LEGACY").alias("c_mktsegment"),
+        F.lit("2019-01-01").cast("date").alias("valid_from"),
+        F.lit("2020-01-01").cast("date").alias("valid_to"),
+    )
+    open_rows = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    dim = closed.unionByName(open_rows)
+    upd = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.lit("SHIFTED").alias("c_mktsegment"),
+            F.lit("2024-06-01").cast("date").alias("ts"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_mktsegment",
+                F.lit("2024-06-01").cast("date").alias("ts"),
+            )
+        )
+    )
+    return cdc.scd2_apply(
+        dim, upd, keys=["c_custkey"], attrs=["c_mktsegment"], ts_col="ts"
+    )

@@ -215,3 +215,57 @@ def test_dq_check_summary_empty_input(spark):
         agg_checks={"k_unique": dq.unique_violations(["k"])},
     ).collect()
     assert all(r.n_violations == 0 and r.passed for r in out)
+
+
+def test_snapshot_diff_labels(spark):
+    from financial_data_lakehouse_pipeline__spark.operators import cdc
+
+    old = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    new = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="B"), Row(k=4, v="d")]
+    )
+    out = {r.k: (r.change_type, r.v) for r in
+           cdc.snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert out[1] == ("unchanged", "a")
+    assert out[2] == ("updated", "B")     # carries the NEW value
+    assert out[3] == ("deleted", "c")     # carries the OLD value
+    assert out[4] == ("inserted", "d")
+
+
+def test_scd2_apply_semantics_and_idempotence(spark):
+    import datetime
+
+    from financial_data_lakehouse_pipeline__spark.operators import cdc
+
+    d = datetime.date
+    dim = spark.createDataFrame(
+        [
+            # closed history must pass through untouched
+            Row(k=1, seg="old", valid_from=d(2019, 1, 1), valid_to=d(2020, 1, 1)),
+            Row(k=1, seg="cur", valid_from=d(2020, 1, 1), valid_to=None),
+            Row(k=2, seg="keep", valid_from=d(2020, 1, 1), valid_to=None),
+        ],
+        "k bigint, seg string, valid_from date, valid_to date",
+    )
+    upd = spark.createDataFrame(
+        [
+            Row(k=1, seg="new", ts=d(2024, 6, 1)),   # changed -> close + insert
+            Row(k=2, seg="keep", ts=d(2024, 6, 1)),  # identical -> no-op
+            Row(k=3, seg="born", ts=d(2024, 6, 1)),  # unknown key -> insert
+        ],
+        "k bigint, seg string, ts date",
+    )
+    out = cdc.scd2_apply(dim, upd, ["k"], ["seg"], "ts")
+    rows = {(r.k, r.seg): (r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows[(1, "old")] == (d(2019, 1, 1), d(2020, 1, 1))
+    assert rows[(1, "cur")] == (d(2020, 1, 1), d(2024, 6, 1))  # closed
+    assert rows[(1, "new")] == (d(2024, 6, 1), None)
+    assert rows[(2, "keep")] == (d(2020, 1, 1), None)          # untouched
+    assert rows[(3, "born")] == (d(2024, 6, 1), None)
+    assert out.filter(F.col("valid_to").isNull()).count() == 3  # one open per key
+
+    # Re-applying the same batch is a no-op (attrs now identical).
+    again = cdc.scd2_apply(out, upd, ["k"], ["seg"], "ts")
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))

@@ -484,3 +484,61 @@ def streaming_record_highs(spark, sf_dir):
     return st.run_available_now(
         out, "corpus_streaming_record_highs", output_mode="append"
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    f"""WITH s1 AS (
+          SELECT user_id, MIN(ts) AS t FROM {_EV} e
+          WHERE event_type = 'view' GROUP BY 1
+        ),
+        s2 AS (
+          SELECT e.user_id, MIN(ts) AS t FROM {_EV} e
+          JOIN s1 USING (user_id)
+          WHERE event_type = 'click' AND ts > s1.t GROUP BY 1
+        ),
+        s3 AS (
+          SELECT e.user_id, MIN(ts) AS t FROM {_EV} e
+          JOIN s2 USING (user_id)
+          WHERE event_type = 'purchase' AND ts > s2.t GROUP BY 1
+        )
+        SELECT CAST(1 AS INT) AS step, 'view' AS event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+        UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3""",
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered view -> click -> purchase conversion funnel with
+    first-touch chaining (operators/events.funnel): per-step filtered
+    min-ts aggregations over shrinking user sets — never a raw-stream
+    self-join."""
+    from financial_data_lakehouse_pipeline__spark.operators import events as ev
+
+    e = read_table(spark, sf_dir, "events")
+    return ev.funnel(e, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+@register(
+    "retention_weekly_cohorts",
+    f"""WITH e AS (
+          SELECT user_id,
+                 CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                      AS BIGINT) AS p
+          FROM {_EV} x
+        ),
+        first AS (SELECT user_id, MIN(p) AS p0 FROM e GROUP BY 1)
+        SELECT p0 AS cohort_period,
+               p - p0 AS period_offset,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM e JOIN first USING (user_id)
+        GROUP BY 1, 2""",
+)
+def retention_weekly_cohorts(spark, sf_dir):
+    """Weekly cohort retention triangle (operators/events
+    .retention_cohorts): cohort = week of first event, cell = distinct
+    users active at each week offset. Integer day-bucket arithmetic —
+    no calendar edge cases, oracle-exact."""
+    from financial_data_lakehouse_pipeline__spark.operators import events as ev
+
+    e = read_table(spark, sf_dir, "events")
+    return ev.retention_cohorts(e, "user_id", "ts", period_days=7)

@@ -137,3 +137,77 @@ def recency_weighted_mean(
             ).alias(out)
         )
     )
+
+
+def funnel(
+    df,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+):
+    """Ordered conversion funnel: a user reaches step k when an event of
+    ``steps[k]`` exists strictly AFTER their first qualifying event of
+    step k-1 (first-touch chaining, the standard product-analytics
+    semantics). Returns (step, event_type, n_users) — one row per step.
+
+    Execution: one filtered min-ts aggregation per step, each joined to
+    the previous step's per-user timestamp — k keyed shuffles over
+    progressively SHRINKING user sets, never a self-join of the raw
+    event stream. At 100 TB pre-filtering each stage to its event type
+    pushes into the scan.
+    """
+    reached = None  # (user, t_k) of users who reached the current step
+    counts = []
+    for k, step in enumerate(steps):
+        ev_k = df.filter(F.col(type_col) == step)
+        if reached is None:
+            cur = ev_k.groupBy(user_col).agg(F.min(ts_col).alias("__t"))
+        else:
+            cur = (
+                ev_k.join(reached, user_col)
+                .filter(F.col(ts_col) > F.col("__t_prev"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("__t"))
+            )
+        reached = cur.select(user_col, F.col("__t").alias("__t_prev"))
+        counts.append(
+            cur.agg(
+                F.lit(k + 1).cast("int").alias("step"),
+                F.lit(step).alias("event_type"),
+                F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def retention_cohorts(
+    df,
+    user_col: str,
+    ts_col: str,
+    period_days: int = 7,
+):
+    """Cohort retention triangle: users grouped by the period of their
+    FIRST event; for each (cohort, period-offset) the number of distinct
+    users active in that period. Periods are integer day buckets
+    (days-since-epoch // period_days) — portable arithmetic, no calendar
+    edge cases.
+
+    Two keyed aggregations (first-seen per user, then distinct users per
+    cohort cell); the broadcast-joined first-seen table keeps the event
+    stream to a single shuffle.
+    """
+    day = F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01"))
+    ev = df.select(F.col(user_col), (day / period_days).cast("bigint").alias("__p"))
+    first = ev.groupBy(user_col).agg(F.min("__p").alias("__p0"))
+    return (
+        ev.join(first, user_col)
+        .groupBy(
+            F.col("__p0").alias("cohort_period"),
+            (F.col("__p") - F.col("__p0")).alias("period_offset"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).cast("bigint").alias("n_users"))
+    )

@@ -269,3 +269,50 @@ def test_scd2_apply_semantics_and_idempotence(spark):
     # Re-applying the same batch is a no-op (attrs now identical).
     again = cdc.scd2_apply(out, upd, ["k"], ["seg"], "ts")
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_funnel_requires_order(spark):
+    import datetime
+
+    from financial_data_lakehouse_pipeline__spark.operators import events as ev
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            # u1: full ordered funnel
+            Row(user_id=1, ts=t(0), event_type="view"),
+            Row(user_id=1, ts=t(1), event_type="click"),
+            Row(user_id=1, ts=t(2), event_type="purchase"),
+            # u2: clicked BEFORE viewing -> must stop at step 1
+            Row(user_id=2, ts=t(0), event_type="click"),
+            Row(user_id=2, ts=t(1), event_type="view"),
+            # u3: never viewed -> counts nowhere
+            Row(user_id=3, ts=t(0), event_type="purchase"),
+        ]
+    )
+    out = {r.step: r.n_users for r in
+           ev.funnel(df, "user_id", "ts", "event_type",
+                     ["view", "click", "purchase"]).collect()}
+    assert out == {1: 2, 2: 1, 3: 1}
+
+
+def test_retention_cohorts_counts(spark):
+    import datetime
+
+    from financial_data_lakehouse_pipeline__spark.operators import events as ev
+
+    d = lambda day: datetime.datetime(2024, 1, day)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=d(1)),   # cohort w0, active w0
+            Row(user_id=1, ts=d(10)),  # ... and w1 (9 days later)
+            Row(user_id=2, ts=d(2)),   # cohort w0, only w0
+            Row(user_id=3, ts=d(10)),  # cohort w1
+        ]
+    )
+    out = {(r.cohort_period, r.period_offset): r.n_users
+           for r in ev.retention_cohorts(df, "user_id", "ts").collect()}
+    # 2024-01-01 = day 19723 -> week 2817; 2024-01-10 -> week 2818.
+    assert out[(2817, 0)] == 2
+    assert out[(2817, 1)] == 1
+    assert out[(2818, 0)] == 1

@@ -628,3 +628,107 @@ def approx_distinct_parts(spark, sf_dir):
     return agg.distinct_count(
         li, ["l_returnflag"], "l_partkey", "approx_parts", approx=True
     )
+
+
+@register(
+    "rank_family_customers",
+    """SELECT c_custkey,
+              c_mktsegment,
+              PERCENT_RANK() OVER w AS pct_rank,
+              CUME_DIST() OVER w AS cume_dist,
+              FIRST_VALUE(c_acctbal) OVER w AS seg_min_bal,
+              LAST_VALUE(c_acctbal) OVER
+                (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                  AS seg_max_bal,
+              NTH_VALUE(c_acctbal, 10) OVER
+                (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                  AS seg_10th_bal
+       FROM customer
+       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""",
+)
+def rank_family_customers(spark, sf_dir):
+    """Full analytic-rank family over a total order: percent_rank and
+    cume_dist ((rank-1)/(n-1) and rank/n — integer-derived double
+    division, bit-exact cross-engine), plus first/last/nth value with an
+    explicit full-partition frame (last_value under the DEFAULT frame is
+    the current row — the classic silent-wrong-answer; pinned here)."""
+    from pyspark.sql import Window
+
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+        F.first("c_acctbal").over(w).alias("seg_min_bal"),
+        F.last("c_acctbal").over(wf).alias("seg_max_bal"),
+        F.nth_value("c_acctbal", 10).over(wf).alias("seg_10th_bal"),
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    f"""SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+                   AS grouping_id,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_money_sum('o_totalprice')} AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())""",
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS (finer than rollup/cube: exactly the
+    requested combinations) with the grouping_id bitmask disambiguating
+    genuine NULL keys from subtotal rows."""
+    from financial_data_lakehouse_pipeline__spark.functions import money_sum
+
+    o = read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return o.sparkSession.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+                  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+                      AS grouping_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  (SUM(CAST(FLOOR(o_totalprice * 100e0 + 5e-1) AS BIGINT)) / 100e0)
+                      AS total_price
+           FROM __gs_orders
+           GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                   (o_orderstatus), ())"""
+    )
+
+
+@register(
+    "unpivot_status_metrics",
+    f"""WITH w AS (
+          SELECT o_orderstatus,
+                 {sql_money_sum('o_totalprice')} AS total_price,
+                 MAX(o_totalprice) AS max_price,
+                 MIN(o_totalprice) AS min_price
+          FROM orders GROUP BY o_orderstatus
+        )
+        SELECT o_orderstatus, 'total_price' AS metric, total_price AS value FROM w
+        UNION ALL SELECT o_orderstatus, 'max_price', max_price FROM w
+        UNION ALL SELECT o_orderstatus, 'min_price', min_price FROM w""",
+)
+def unpivot_status_metrics(spark, sf_dir):
+    """Wide-to-long unpivot (DataFrame.unpivot/melt) of per-status price
+    metrics — the inverse of pivot, §2.4 extension."""
+    from financial_data_lakehouse_pipeline__spark.functions import money_sum
+
+    o = read_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        money_sum(F.col("o_totalprice")).alias("total_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["total_price", "max_price", "min_price"],
+        "metric",
+        "value",
+    )

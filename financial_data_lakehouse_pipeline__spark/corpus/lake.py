@@ -262,3 +262,84 @@ def dedup_by_subset_docs(spark, sf_dir):
     dropDuplicates leaves arbitrary) cannot affect the comparison."""
     d = read_table(spark, sf_dir, "documents")
     return cleaning.dedup_by_subset(d.select("lang", "source"), ["lang", "source"])
+
+
+@register(
+    "calendar_dimension",
+    """SELECT CAST(d AS DATE) AS cal_date,
+              CAST(EXTRACT(year FROM d) AS INT) AS year,
+              CAST(EXTRACT(month FROM d) AS INT) AS month,
+              CAST(EXTRACT(day FROM d) AS INT) AS day,
+              CAST(EXTRACT(quarter FROM d) AS INT) AS quarter,
+              CAST(EXTRACT(isodow FROM d) AS INT) AS iso_dow,
+              EXTRACT(isodow FROM d) >= 6 AS is_weekend
+       FROM (SELECT unnest(generate_series(DATE '2024-01-01',
+                                           DATE '2024-12-31',
+                                           INTERVAL 1 DAY)) AS d)""",
+)
+def calendar_dimension(spark, sf_dir):
+    """Generated calendar dimension (no input table): one row per day of
+    2024 with date parts and weekend flag — the date spine every
+    financial mart joins against. Built from sequence() + explode; at
+    scale a generated dimension beats scanning anything."""
+    spark = spark
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-12-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("cal_date")
+    )
+    iso_dow = F.dayofweek(F.col("cal_date"))  # Sun=1..Sat=7
+    iso_dow = F.when(iso_dow == 1, 7).otherwise(iso_dow - 1)  # ISO Mon=1..Sun=7
+    return days.select(
+        "cal_date",
+        F.year("cal_date").cast("int").alias("year"),
+        F.month("cal_date").cast("int").alias("month"),
+        F.dayofmonth("cal_date").cast("int").alias("day"),
+        F.quarter("cal_date").cast("int").alias("quarter"),
+        iso_dow.cast("int").alias("iso_dow"),
+        (iso_dow >= 6).alias("is_weekend"),
+    )
+
+
+@register(
+    "skew_report_events",
+    """WITH k AS (
+          SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+        ),
+        t AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM k)
+        SELECT user_id,
+               CAST(n AS BIGINT) AS n_rows,
+               CAST(n AS DOUBLE) / total AS share,
+               CAST(n AS DOUBLE) / (CAST(total AS DOUBLE) / n_keys)
+                   AS x_mean
+        FROM k CROSS JOIN t
+        ORDER BY n DESC, user_id LIMIT 10""",
+)
+def skew_report_events(spark, sf_dir):
+    """Join/agg skew diagnostic: the 10 heaviest keys with their row
+    share and multiple-of-mean — the report that decides between AQE
+    skew-join, salting, or a broadcast redesign. One keyed count + a
+    1-row global broadcast; top-k plans TakeOrderedAndProject."""
+    e = read_table(spark, sf_dir, "events")
+    k = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    t = k.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        k.crossJoin(F.broadcast(t))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_rows"),
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+            (
+                F.col("n").cast("double")
+                / (F.col("total").cast("double") / F.col("n_keys"))
+            ).alias("x_mean"),
+        )
+        .orderBy(F.col("n_rows").desc(), "user_id")
+        .limit(10)
+    )

@@ -218,3 +218,54 @@ def label_centroid_similarity(spark, sf_dir):
             cosine_similarity(F.col("embedding"), F.col("centroid")), 6
         ).alias("centroid_cosine"),
     )
+
+
+@register(
+    "quantize_embeddings_int8",
+    """WITH q AS (
+          SELECT vec_id,
+                 list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) / 127e0 AS scale,
+                 embedding
+          FROM embeddings
+        ),
+        c AS (
+          SELECT vec_id, scale,
+                 CASE WHEN scale = 0
+                      THEN list_transform(embedding, x -> 0)
+                      ELSE list_transform(embedding,
+                           x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale + 5e-1)
+                                     AS INT)) END AS qv
+          FROM q
+        )
+        SELECT vec_id, scale,
+               CAST(len(qv) AS INT) AS n_dims,
+               CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                                            i -> qv[i] * i)) AS BIGINT)
+                   AS q_checksum,
+               CAST(list_max(list_transform(qv, x -> abs(x))) AS INT)
+                   AS q_max_abs
+        FROM c""",
+)
+def quantize_embeddings_int8(spark, sf_dir):
+    """Symmetric int8 vector quantization (operators/similarity
+    .quantize_int8): per-vector scale + code array, summarized as a
+    position-weighted checksum so the oracle verifies every quantized
+    value bit-for-bit without array-type comparison."""
+    from financial_data_lakehouse_pipeline__spark.operators import similarity as sim
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = sim.quantize_int8(e)
+    qv = F.col("q_embedding")
+    idx = F.sequence(F.lit(1), F.size(qv))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.size(qv).cast("int").alias("n_dims"),
+        F.aggregate(
+            F.zip_with(qv, idx, lambda a, i: a.cast("bigint") * i),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("q_checksum"),
+        F.array_max(F.transform(qv, lambda x: F.abs(x))).cast("int").alias("q_max_abs"),
+    )

@@ -225,3 +225,46 @@ def signlsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale_col: str = "scale",
+    out: str = "q_embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|v| / 127,
+    q_i = floor(v_i / scale + 0.5) in [-127, 127] — 4x smaller storage
+    and memory traffic than float32 at <0.5% cosine error, the standard
+    compression step before a 100 TB vector corpus is servable.
+
+    Rounding is an explicit floor(x + 0.5) (not round()): engines
+    disagree on round's tie rule (half-even vs half-up), while
+    floor(+0.5) is the same IEEE expression everywhere — the corpus
+    oracle reproduces the quantized values bit-for-bit. Zero vectors get
+    scale 0 and all-zero codes. Pure Column expressions (transform /
+    array_max folds), no Python per row.
+    """
+    v = F.col(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = (mx / F.lit(127.0)).alias(scale_col)
+    q = F.when(mx == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(x.cast("double") / (mx / F.lit(127.0)) + F.lit(0.5)).cast("int"),
+        )
+    )
+    return df.withColumns({scale_col: mx / F.lit(127.0), out: q})
+
+
+def dequantize(
+    df: DataFrame,
+    q_col: str = "q_embedding",
+    scale_col: str = "scale",
+    out: str = "embedding_hat",
+) -> DataFrame:
+    """Inverse of quantize_int8: v_hat_i = q_i * scale (float64)."""
+    s = F.col(scale_col)
+    return df.withColumn(
+        out, F.transform(F.col(q_col), lambda q: q.cast("double") * s)
+    )

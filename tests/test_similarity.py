@@ -108,3 +108,27 @@ def test_signlsh_candidates_share_bucket(spark):
         df.filter(F.col("vec_id") == 0), df, k=5, planes=4
     ).collect()
     assert {r.neighbor_id for r in out} == {1}  # 2 is pruned by the bucket
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    """Dequantized vectors stay within scale/2 per element; codes are in
+    [-127, 127]; zero vectors quantize to zeros with scale 0."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, -0.5, 0.25, 127.0]),
+            Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = sim.dequantize(sim.quantize_int8(df)).collect()
+    by_id = {r.vec_id: r for r in out}
+    r1 = by_id[1]
+    assert all(-127 <= q <= 127 for q in r1.q_embedding)
+    for orig, hat in zip([1.0, -0.5, 0.25, 127.0], r1.embedding_hat):
+        assert abs(orig - hat) <= r1.scale / 2 + 1e-12
+    r2 = by_id[2]
+    assert r2.scale == 0.0 and all(q == 0 for q in r2.q_embedding)

@@ -136,6 +136,41 @@ def rolling_bollinger(spark, sf_dir):
 
 
 @register(
+    "rsi_supplier_price",
+    f"""WITH d AS (
+          SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+                 l_extendedprice, l_quantity, l_partkey,
+                 {_CENTS} - LAG({_CENTS}) OVER ({_LI_WIN}) AS delta
+          FROM lineitem
+        ),
+        g AS (
+          SELECT *,
+                 CASE WHEN delta > 0 THEN delta
+                      WHEN delta IS NOT NULL THEN 0 END AS gain,
+                 CASE WHEN delta < 0 THEN -delta
+                      WHEN delta IS NOT NULL THEN 0 END AS loss
+          FROM d
+        )
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CASE WHEN SUM(gain) OVER w14 + SUM(loss) OVER w14 = 0 THEN NULL
+                    ELSE 100e0 * SUM(gain) OVER w14
+                         / (SUM(gain) OVER w14 + SUM(loss) OVER w14) END
+                   AS rsi_14
+        FROM g
+        WINDOW w14 AS ({_LI_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""",
+)
+def rsi_supplier_price(spark, sf_dir):
+    """RSI-14 (Cutler) per supplier price series — extends the reference's
+    indicator set (dt:162-228) with the next-most-standard oscillator.
+    Exact integer gain/loss sums over cents; single double division
+    (bit-identical cross-engine, no ROUND)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    out = windows.rsi(li, ["l_suppkey"], _LI_ORDER_COLS, cents, n=14, out="rsi_14")
+    return out.select("l_suppkey", "l_orderkey", "l_linenumber", "rsi_14")
+
+
+@register(
     "lag_momentum",
     f"""SELECT l_suppkey, l_orderkey, l_linenumber,
                CASE WHEN LAG(l_extendedprice, 1) OVER ({_LI_WIN}) IS NOT NULL

@@ -142,6 +142,46 @@ def bollinger_bands(
     )
 
 
+def rsi(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    value: Column | str,
+    n: int = 14,
+    out: str = "rsi",
+) -> DataFrame:
+    """Relative Strength Index (Cutler's SMA variant) over a price series
+    — the standard companion to the reference's SMA/Bollinger/momentum
+    indicator set (data_transformation.py:162-228), same window family:
+    one shuffle+sort per (partition, order), lag + two rolling sums.
+
+    Computed as ``100 * sum(gains) / (sum(gains) + sum(losses))`` over the
+    last ``n`` deltas — algebraically identical to 100 - 100/(1+RS) but
+    with exact integer sums (pass scaled-integer cents as ``value``) and a
+    single double division, so the result is bit-identical across engines
+    with no rounding contract. The first row of each series has no delta
+    and contributes NULL (ignored by SUM); an all-flat window (both sums
+    zero) yields NULL rather than 0/0.
+    """
+    w = _w(partition_by, order_by)
+    v = value if isinstance(value, Column) else F.col(value)
+    gain_c, loss_c, delta_c = f"__{out}_gain", f"__{out}_loss", f"__{out}_delta"
+    d = df.withColumn(delta_c, v - F.lag(v).over(w))
+    delta = F.col(delta_c)
+    d = d.withColumns(
+        {
+            gain_c: F.when(delta > 0, delta).when(delta.isNotNull(), F.lit(0)),
+            loss_c: F.when(delta < 0, -delta).when(delta.isNotNull(), F.lit(0)),
+        }
+    )
+    wf = w.rowsBetween(-(n - 1), 0)
+    sg, sl = F.sum(gain_c).over(wf), F.sum(loss_c).over(wf)
+    return d.withColumn(
+        out,
+        F.when(sg + sl == 0, F.lit(None)).otherwise(F.lit(100.0) * sg / (sg + sl)),
+    ).drop(delta_c, gain_c, loss_c)
+
+
 def relative_to_rolling(
     df: DataFrame,
     partition_by: Sequence[str],

@@ -283,3 +283,29 @@ def test_quality_score_range(spark):
     out = text.quality_score(_docs(spark)).collect()
     assert all(0.0 <= r.quality_score <= 1.0 for r in out)
     assert not any(math.isnan(r.quality_score) for r in out)
+
+
+def test_rsi_hand_computed(spark):
+    """RSI-14 semantics on a tiny series with n=3: gains/losses from
+    consecutive deltas, 100*SG/(SG+SL); first row NULL (no delta); an
+    all-flat window yields NULL, an all-gain window yields 100."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import windows as W
+
+    rows = [Row(k=1, t=i, v=v) for i, v in enumerate([10, 12, 11, 11, 15])]
+    rows += [Row(k=2, t=i, v=v) for i, v in enumerate([5, 5, 5])]
+    rows += [Row(k=3, t=i, v=v) for i, v in enumerate([1, 2, 3])]
+    df = spark.createDataFrame(rows, "k int, t int, v long")
+    out = {
+        (r.k, r.t): r.rsi
+        for r in W.rsi(df, ["k"], ["t"], "v", n=3).collect()
+    }
+    assert out[(1, 0)] is None  # no delta yet
+    assert out[(1, 1)] == 100.0  # single gain
+    # t=3 window deltas: +2, -1, 0 -> 100*2/3
+    assert abs(out[(1, 3)] - 100.0 * 2 / 3) < 1e-12
+    # t=4 window deltas: -1, 0, +4 -> 100*4/5
+    assert abs(out[(1, 4)] - 80.0) < 1e-12
+    assert out[(2, 2)] is None  # flat series: SG+SL == 0
+    assert out[(3, 2)] == 100.0  # monotone gains

@@ -452,3 +452,46 @@ def scd2_customer_segments(spark, sf_dir):
     return cdc.scd2_apply(
         dim, upd, keys=["c_custkey"], attrs=["c_mktsegment"], ts_col="ts"
     )
+
+
+@register(
+    "pack_sequences_docs",
+    r"""WITH t AS (
+          SELECT source, doc_id,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                      END AS BIGINT) AS nt
+          FROM documents
+        ),
+        c AS (
+          SELECT source, doc_id, nt,
+                 SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+          FROM t
+        )
+        SELECT source, doc_id, nt AS n_tokens,
+               CAST(cum - nt AS BIGINT) AS start_offset,
+               CASE WHEN nt > 0
+                    THEN CAST(FLOOR(CAST(cum - nt AS DOUBLE) / 128) AS BIGINT)
+               END AS first_bin,
+               CASE WHEN nt > 0
+                    THEN CAST(FLOOR(CAST(cum - 1 AS DOUBLE) / 128) AS BIGINT)
+               END AS last_bin,
+               CAST(CASE WHEN nt > 0
+                         THEN FLOOR(CAST(cum - 1 AS DOUBLE) / 128)
+                              - FLOOR(CAST(cum - nt AS DOUBLE) / 128) + 1
+                         ELSE 0 END AS BIGINT) AS n_bins_spanned
+        FROM c""",
+)
+def pack_sequences_docs(spark, sf_dir):
+    """GPT-style sequence packing (operators/sampling.pack_sequences):
+    whitespace token counts, per-source pack groups ordered by doc_id,
+    128-token context windows. All-integer arithmetic plus FLOOR on an
+    exact double quotient — bit-identical cross-engine."""
+    from financial_data_lakehouse_pipeline__spark.operators import text
+
+    d = read_table(spark, sf_dir, "documents")
+    return sampling.pack_sequences(
+        d, text.token_count(F.col("text")), capacity=128
+    )

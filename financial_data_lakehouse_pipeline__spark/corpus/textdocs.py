@@ -423,3 +423,66 @@ def media_features_docs(spark, sf_dir):
     d = read_table(spark, sf_dir, "documents")
     payloads = multimodal.attach_binary_payload(d)
     return multimodal.extract_media_features(payloads)
+
+
+@register(
+    "repetition_stats_docs",
+    f"""WITH docs AS (
+          SELECT doc_id, regexp_split_to_array({_CANON}, ' ') AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, array_to_string(toks[i+1:i+2], ' ') AS gram
+          FROM (SELECT doc_id, toks,
+                       unnest(range(0, len(toks) - 2 + 1)) AS i
+                FROM docs WHERE len(toks) >= 2)
+        ),
+        c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        s AS (
+          SELECT doc_id, SUM(c) AS total, MAX(c) AS topc,
+                 SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc
+          FROM c GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(s.total, 0) AS BIGINT) AS n_ngrams,
+               CAST(s.topc AS DOUBLE) / s.total AS top_ngram_frac,
+               CAST(s.dupc AS DOUBLE) / s.total AS dup_ngram_frac
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN s USING (doc_id)""",
+)
+def repetition_stats_docs(spark, sf_dir):
+    """Gopher/MassiveText-style 2-gram repetition filters
+    (operators/text.repetition_stats): top-ngram and duplicated-ngram
+    occurrence fractions per document. Counts are exact integers; the
+    fractions are single double divisions (bit-identical cross-engine)."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.repetition_stats(d, n=2)
+
+
+@register(
+    "decontaminate_docs",
+    f"""WITH {_SHINGLES_CTE},
+        tr AS (SELECT * FROM sh WHERE doc_id % 25 <> 0),
+        ev AS (SELECT * FROM sh WHERE doc_id % 25 = 0),
+        m AS (
+          SELECT tr.doc_id,
+                 COUNT(DISTINCT tr.shingle) AS n_shared,
+                 COUNT(DISTINCT ev.doc_id) AS n_eval
+          FROM tr JOIN ev ON tr.shingle = ev.shingle
+          GROUP BY 1
+        ),
+        sz AS (SELECT doc_id, COUNT(*) AS total FROM tr GROUP BY 1)
+        SELECT m.doc_id,
+               CAST(n_shared AS BIGINT) AS n_shared_shingles,
+               CAST(n_eval AS BIGINT) AS n_eval_docs_matched,
+               CAST(n_shared AS DOUBLE) / sz.total AS contaminated_frac
+        FROM m JOIN sz ON sz.doc_id = m.doc_id""",
+)
+def decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.contamination_report):
+    deterministic eval split doc_id % 25 == 0, word 3-gram overlap, eval
+    shingles broadcast. Counts exact; frac is one double division."""
+    d = read_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 25 != 0)
+    ev = d.filter(F.col("doc_id") % 25 == 0)
+    return dedup.contamination_report(train, ev, n=3)

@@ -412,3 +412,51 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing word
+    n-grams with an evaluation set (the GPT-3/PaLM-style n-gram overlap
+    check run before any corpus ships).
+
+    Output, one row per CONTAMINATED train doc: ``n_shared_shingles``
+    (distinct overlapping n-grams), ``n_eval_docs_matched``, and
+    ``contaminated_frac`` (shared / train doc's total distinct n-grams).
+
+    Shape at scale: eval sets are tiny next to a 100 TB corpus, so the
+    eval shingle table is broadcast — the train side never shuffles for
+    the probe; the only shuffle is the per-train-doc aggregation. Set
+    ``broadcast_eval=False`` if the eval set is itself huge (falls back
+    to a shuffle equi-join on shingle).
+    """
+    tr = word_shingles(train, id_col, text_col, n)
+    ev = (
+        word_shingles(eval_df, id_col, text_col, n)
+        .withColumnRenamed(id_col, "__eval_id")
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    matched = (
+        tr.join(ev, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("__eval_id").alias("n_eval_docs_matched"),
+        )
+    )
+    sizes = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("__total"))
+    return matched.join(sizes, id_col).select(
+        id_col,
+        "n_shared_shingles",
+        "n_eval_docs_matched",
+        (F.col("n_shared_shingles").cast("double") / F.col("__total")).alias(
+            "contaminated_frac"
+        ),
+    )

@@ -95,3 +95,52 @@ def stratified_hash_sample(
     default_t = int(round(default_fraction * BUCKETS))
     thr = F.lit(default_t) if thr is None else thr.otherwise(default_t)
     return df.filter(b < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count: Column,
+    id_col: str = "doc_id",
+    partition_by: tuple[str, ...] = ("source",),
+    order_by: list | None = None,
+    capacity: int = 2048,
+) -> DataFrame:
+    """GPT-style sequence packing (concat-and-chunk): documents are laid
+    end-to-end in a deterministic order and cut into fixed ``capacity``-
+    token context windows; each doc maps to the bin range its tokens span.
+
+    Output per row: ``n_tokens``, ``start_offset`` (tokens before this doc
+    in its pack group), ``first_bin`` / ``last_bin`` (floor(offset /
+    capacity) of the doc's first and last token), ``n_bins_spanned``.
+    Zero-token docs get NULL bins and span 0.
+
+    Shape at scale: packing is inherently sequential, so it runs PER PACK
+    GROUP (``partition_by``, default the ``source`` shard) — one window
+    cumsum per group, groups packed in parallel across the cluster. A
+    single global pack order would serialize 100 TB through one
+    partition; per-shard packing is what production pipelines do (shard
+    boundaries waste at most one partial bin each).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*partition_by).orderBy(*(order_by or [id_col]))
+    d = df.withColumn("__nt", token_count.cast("bigint")).withColumn(
+        "__cum",
+        F.sum("__nt").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    start = F.col("__cum") - F.col("__nt")
+    cap = F.lit(float(capacity))
+    fb = F.floor(start.cast("double") / cap).cast("bigint")
+    lb = F.floor((F.col("__cum") - 1).cast("double") / cap).cast("bigint")
+    nt = F.col("__nt")
+    return d.select(
+        *partition_by,
+        id_col,
+        nt.alias("n_tokens"),
+        start.alias("start_offset"),
+        F.when(nt > 0, fb).alias("first_bin"),
+        F.when(nt > 0, lb).alias("last_bin"),
+        F.when(nt > 0, lb - fb + 1).otherwise(F.lit(0)).cast("bigint").alias(
+            "n_bins_spanned"
+        ),
+    )

@@ -134,6 +134,62 @@ def redact_pii(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document n-gram repetition features — the Gopher/MassiveText
+    repetition filters (machine-generated and boilerplate text shows up as
+    a few n-grams dominating the document):
+
+    - ``n_ngrams``: total (non-distinct) word n-gram occurrences
+    - ``top_ngram_frac``: fraction of occurrences belonging to the single
+      most frequent n-gram
+    - ``dup_ngram_frac``: fraction of occurrences belonging to any n-gram
+      that appears more than once
+
+    Shape at scale: token array materialized in its own projection (the
+    O(words²) trap word_shingles documents), one explode + (doc, gram)
+    groupBy with map-side partial aggregation, one doc groupBy, then a
+    left join back so gram-less documents (< n words) keep a row with
+    n_ngrams=0 and NULL fractions. Keys are (doc, gram) — cardinality
+    follows document length, no skew beyond the longest document.
+    """
+    from financial_data_lakehouse_pipeline__spark.operators.dedup import canonical_text
+
+    toked = df.select(
+        F.col(id_col), tokens(canonical_text(F.col(text_col))).alias("__toks")
+    )
+    toks = F.col("__toks")
+    k = F.size(toks)
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(0), k - F.lit(n)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = toked.select(F.col(id_col), F.explode(grams).alias("__gram"))
+    c = g.groupBy(id_col, "__gram").agg(F.count(F.lit(1)).alias("__c"))
+    s = c.groupBy(id_col).agg(
+        F.sum("__c").alias("__total"),
+        F.max("__c").alias("__top"),
+        F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)).alias("__dup"),
+    )
+    return df.select(id_col).join(s, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("__total"), F.lit(0)).cast("bigint").alias("n_ngrams"),
+        guarded_div(F.col("__top").cast("double"), F.col("__total")).alias(
+            "top_ngram_frac"
+        ),
+        guarded_div(F.col("__dup").cast("double"), F.col("__total")).alias(
+            "dup_ngram_frac"
+        ),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

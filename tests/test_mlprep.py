@@ -316,3 +316,34 @@ def test_retention_cohorts_counts(spark):
     assert out[(2817, 0)] == 2
     assert out[(2817, 1)] == 1
     assert out[(2818, 0)] == 1
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing semantics: offsets are contiguous per group, bins follow
+    floor(offset/capacity), a doc longer than capacity spans multiple
+    bins, and zero-token docs occupy no bin."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    rows = [
+        Row(source="a", doc_id=1, nt=3),
+        Row(source="a", doc_id=2, nt=5),   # crosses the 4-token boundary
+        Row(source="a", doc_id=3, nt=0),
+        Row(source="a", doc_id=4, nt=9),   # spans 3 bins
+        Row(source="b", doc_id=5, nt=2),   # independent group restarts at 0
+    ]
+    out = {
+        r.doc_id: r
+        for r in sampling.pack_sequences(
+            spark.createDataFrame(rows), F.col("nt"), capacity=4
+        ).collect()
+    }
+    assert out[1].start_offset == 0 and (out[1].first_bin, out[1].last_bin) == (0, 0)
+    assert out[2].start_offset == 3 and (out[2].first_bin, out[2].last_bin) == (0, 1)
+    assert out[3].n_tokens == 0 and out[3].first_bin is None
+    assert out[3].n_bins_spanned == 0
+    assert out[4].start_offset == 8 and (out[4].first_bin, out[4].last_bin) == (2, 4)
+    assert out[4].n_bins_spanned == 3
+    assert out[5].start_offset == 0 and out[5].first_bin == 0

@@ -309,3 +309,29 @@ def test_rsi_hand_computed(spark):
     assert abs(out[(1, 4)] - 80.0) < 1e-12
     assert out[(2, 2)] is None  # flat series: SG+SL == 0
     assert out[(3, 2)] == 100.0  # monotone gains
+
+
+def test_repetition_stats_fractions(spark):
+    """2-gram repetition fractions: 'a b a b a b' has 5 bigrams, top
+    ('a b') x3 -> 0.6, all 5 occurrences duplicated -> 1.0; an all-unique
+    doc scores top=1/n_grams, dup=0; a 1-word doc gets 0 grams / NULLs."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import text
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b a b"),
+            Row(doc_id=2, text="one two three four"),
+            Row(doc_id=3, text="word"),
+        ]
+    )
+    out = {r.doc_id: r for r in text.repetition_stats(df).collect()}
+    assert out[1].n_ngrams == 5
+    assert abs(out[1].top_ngram_frac - 0.6) < 1e-12
+    assert out[1].dup_ngram_frac == 1.0
+    assert out[2].n_ngrams == 3
+    assert abs(out[2].top_ngram_frac - 1 / 3) < 1e-12
+    assert out[2].dup_ngram_frac == 0.0
+    assert out[3].n_ngrams == 0
+    assert out[3].top_ngram_frac is None and out[3].dup_ngram_frac is None

@@ -137,3 +137,13 @@ def test_sampling_is_scan_filter_only(spark, sf_dir):
     """Deterministic sampling adds no exchange: pure scan -> filter."""
     df = _q("stratified_sample_docs")(spark, sf_dir)
     assert plans.count_exchanges(df) == 0
+
+
+def test_contamination_eval_side_broadcasts(spark, sf_dir):
+    """Decontamination probes the tiny eval shingle set via broadcast —
+    the train side must not shuffle for the overlap join."""
+    from financial_data_lakehouse_pipeline__spark import plans
+    from financial_data_lakehouse_pipeline__spark.corpus import queries
+
+    df = queries()["decontaminate_docs"](spark, str(sf_dir))
+    assert plans.has_broadcast_join(df)

@@ -393,3 +393,48 @@ def ema_supplier_price(spark, sf_dir):
         out="ema_12",
     )
     return out.select("l_suppkey", "l_orderkey", "l_linenumber", "ema_12")
+
+
+@register(
+    "macd_supplier_price",
+    # One recursive CTE advances all three recurrences (fast EMA, slow
+    # EMA, signal) together — the same operation order as the single
+    # applyInPandas loop, so every step is bit-identical. base is
+    # MATERIALIZED (recursive arm re-evaluates it per iteration otherwise).
+    f"""WITH RECURSIVE base AS MATERIALIZED (
+          SELECT l_suppkey, l_orderkey, l_linenumber,
+                 CAST(l_extendedprice AS DOUBLE) AS v,
+                 ROW_NUMBER() OVER ({_LI_WIN}) AS rn
+          FROM lineitem
+        ), r AS (
+          SELECT l_suppkey, l_orderkey, l_linenumber, rn,
+                 v AS ema_f, v AS ema_s, CAST(0.0 AS DOUBLE) AS sig
+          FROM base WHERE rn = 1
+          UNION ALL
+          SELECT l_suppkey, l_orderkey, l_linenumber, rn, ef, es,
+                 (2.0 / 10.0) * (ef - es) + (1.0 - 2.0 / 10.0) * sig
+          FROM (
+            SELECT b.l_suppkey, b.l_orderkey, b.l_linenumber, b.rn,
+                   (2.0 / 13.0) * b.v + (1.0 - 2.0 / 13.0) * r.ema_f AS ef,
+                   (2.0 / 27.0) * b.v + (1.0 - 2.0 / 27.0) * r.ema_s AS es,
+                   r.sig AS sig
+            FROM base b
+            JOIN r ON b.l_suppkey = r.l_suppkey AND b.rn = r.rn + 1
+          )
+        )
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               ema_f - ema_s AS macd, sig AS macd_signal,
+               (ema_f - ema_s) - sig AS macd_hist
+        FROM r""",
+)
+def macd_supplier_price(spark, sf_dir):
+    """MACD(12,26,9) per supplier price series (operators/windows.macd):
+    three recurrences in one grouped Arrow pass — single shuffle. The
+    recursive-CTE oracle replays the identical operation order."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", *_LI_ORDER_COLS)
+    out = windows.macd(
+        li, ["l_suppkey"], _LI_ORDER_COLS, "l_extendedprice"
+    )
+    return out.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "macd", "macd_signal", "macd_hist"
+    )

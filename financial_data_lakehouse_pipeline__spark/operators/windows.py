@@ -277,3 +277,66 @@ def ema(
         return pdf
 
     return df.groupBy(*partition_by).applyInPandas(_per_group, schema=schema_out)
+
+
+def macd(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+) -> DataFrame:
+    """MACD indicator: fast/slow true EMAs of the value, their difference
+    (``macd``), a ``signal`` EMA of the MACD line, and the histogram
+    (``macd_hist`` = macd - signal) — completing the reference's
+    indicator family (dt:162-228) with its standard companion.
+
+    All three recurrences advance together in ONE grouped Arrow pass
+    (single shuffle), not three chained ema() calls (three shuffles over
+    the same data). Same bit-reproducibility contract as ema(): explicit
+    ``alpha*v + (1-alpha)*prev`` operation order, replayable by a
+    recursive-CTE oracle. Seeds: both EMAs start at the first value, so
+    macd[0] == 0 and the signal seeds at 0.
+    """
+    from pyspark.sql import types as T
+
+    af, asl, asig = (
+        2.0 / (fast + 1.0),
+        2.0 / (slow + 1.0),
+        2.0 / (signal + 1.0),
+    )
+    schema_out = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("macd", T.DoubleType()),
+            T.StructField("macd_signal", T.DoubleType()),
+            T.StructField("macd_hist", T.DoubleType()),
+        ]
+    )
+    sort_cols = list(order_by)
+
+    def _per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        n = len(vals)
+        m_arr = [0.0] * n
+        s_arr = [0.0] * n
+        if n:
+            ef = es = vals[0]
+            m = ef - es
+            sig = m
+            m_arr[0], s_arr[0] = m, sig
+            for i in range(1, n):
+                ef = af * vals[i] + (1.0 - af) * ef
+                es = asl * vals[i] + (1.0 - asl) * es
+                m = ef - es
+                sig = asig * m + (1.0 - asig) * sig
+                m_arr[i], s_arr[i] = m, sig
+        pdf["macd"] = m_arr
+        pdf["macd_signal"] = s_arr
+        pdf["macd_hist"] = pdf["macd"] - pdf["macd_signal"]
+        return pdf
+
+    return df.groupBy(*partition_by).applyInPandas(_per_group, schema=schema_out)

@@ -335,3 +335,31 @@ def test_repetition_stats_fractions(spark):
     assert out[2].dup_ngram_frac == 0.0
     assert out[3].n_ngrams == 0
     assert out[3].top_ngram_frac is None and out[3].dup_ngram_frac is None
+
+
+def test_macd_matches_pandas_ewm(spark):
+    """MACD(12,26,9) matches the independent pandas ewm(adjust=False)
+    recurrence (same math, different code path) to float tolerance."""
+    import pandas as pd
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import windows as W
+
+    vals = [100.0, 101.5, 99.75, 103.2, 102.0, 104.8, 101.1, 105.5, 106.0, 99.0]
+    df = spark.createDataFrame(
+        [Row(k=1, t=i, v=v) for i, v in enumerate(vals)]
+    )
+    out = (
+        W.macd(df, ["k"], ["t"], "v")
+        .orderBy("t")
+        .select("macd", "macd_signal", "macd_hist")
+        .toPandas()
+    )
+    s = pd.Series(vals)
+    ef = s.ewm(span=12, adjust=False).mean()
+    es = s.ewm(span=26, adjust=False).mean()
+    m = ef - es
+    sig = m.ewm(span=9, adjust=False).mean()
+    assert (out["macd"] - m).abs().max() < 1e-9
+    assert (out["macd_signal"] - sig).abs().max() < 1e-9
+    assert (out["macd_hist"] - (m - sig)).abs().max() < 1e-9

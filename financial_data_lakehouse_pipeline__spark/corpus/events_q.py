@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from financial_data_lakehouse_pipeline__spark.corpus import register, sql_dsum
 from financial_data_lakehouse_pipeline__spark.functions import dmean, dsum
-from financial_data_lakehouse_pipeline__spark.operators import analysis, events, joins
+from financial_data_lakehouse_pipeline__spark.operators import analysis, cleaning, events, joins
 from financial_data_lakehouse_pipeline__spark.operators.analysis import alignment_score
 from financial_data_lakehouse_pipeline__spark.sources import read_table
 
@@ -542,3 +542,32 @@ def retention_weekly_cohorts(spark, sf_dir):
 
     e = read_table(spark, sf_dir, "events")
     return ev.retention_cohorts(e, "user_id", "ts", period_days=7)
+
+
+@register(
+    "gap_fill_events",
+    """WITH s AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                 CASE WHEN event_type <> 'error' THEN value END AS value
+          FROM events
+        )
+        SELECT user_id, event_id, ts, value,
+               last_value(value IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS value_filled
+        FROM s""",
+)
+def gap_fill_events(spark, sf_dir):
+    """Forward-fill imputation (operators/cleaning.forward_fill): error
+    events lose their reading; the last good observation carries forward
+    per user. Total order (ts, event_id) pins ties; leading gaps stay
+    NULL. Fill values pass through untouched — bit-identical."""
+    ev = read_table(spark, sf_dir, "events")
+    sparse = ev.withColumn(
+        "value", F.when(F.col("event_type") != "error", F.col("value"))
+    )
+    out = cleaning.forward_fill(
+        sparse, ["user_id"], ["ts", "event_id"], ["value"]
+    )
+    return out.select("user_id", "event_id", "ts", "value", "value_filled")

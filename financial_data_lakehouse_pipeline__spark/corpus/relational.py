@@ -732,3 +732,74 @@ def unpivot_status_metrics(spark, sf_dir):
         "metric",
         "value",
     )
+
+
+@register(
+    "percentile_cont_prices",
+    """SELECT l_returnflag, l_linestatus,
+              quantile_cont(CAST(FLOOR(l_extendedprice * 100e0 + 5e-1)
+                                 AS BIGINT), 0.25) / 100e0 AS p25,
+              quantile_cont(CAST(FLOOR(l_extendedprice * 100e0 + 5e-1)
+                                 AS BIGINT), 0.50) / 100e0 AS p50,
+              quantile_cont(CAST(FLOOR(l_extendedprice * 100e0 + 5e-1)
+                                 AS BIGINT), 0.75) / 100e0 AS p75
+       FROM lineitem
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def percentile_cont_prices(spark, sf_dir):
+    """Continuous quartiles per flag/status
+    (operators/aggregates.grouped_percentiles_cont). Interpolation runs on
+    exact integer cents so lo*(1-f)+hi*f is bit-identical to DuckDB
+    quantile_cont; the /100 rescale is one correctly-rounded division."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    out = agg.grouped_percentiles_cont(
+        li, ["l_returnflag", "l_linestatus"], cents, [0.25, 0.50, 0.75]
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("p25") / F.lit(100.0)).alias("p25"),
+        (F.col("p50") / F.lit(100.0)).alias("p50"),
+        (F.col("p75") / F.lit(100.0)).alias("p75"),
+    )
+
+
+@register(
+    "nation_revenue_share",
+    """WITH g AS (
+          SELECT n.n_regionkey, n.n_name,
+                 SUM(CAST(FLOOR(o.o_totalprice * 100e0 + 5e-1) AS BIGINT))
+                     AS cents
+          FROM orders o
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          GROUP BY 1, 2
+        )
+        SELECT n_regionkey, n_name,
+               CAST(cents AS DOUBLE) / 100e0 AS group_revenue,
+               CAST(cents AS DOUBLE)
+                   / SUM(cents) OVER (PARTITION BY n_regionkey) AS share
+        FROM g""",
+)
+def nation_revenue_share(spark, sf_dir):
+    """Contribution analysis (operators/aggregates.share_of_total): each
+    nation's share of its region's order revenue. Exact integer sums;
+    the share is one double division. The window runs over the ~25-row
+    aggregate, never the fact table."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    fact = o.join(
+        c, o["o_custkey"] == c["c_custkey"]
+    ).join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    out = agg.share_of_total(
+        fact, ["n_regionkey", "n_name"], ["n_regionkey"], cents
+    )
+    return out.select(
+        "n_regionkey",
+        "n_name",
+        (F.col("group_value").cast("double") / F.lit(100.0)).alias("group_revenue"),
+        "share",
+    )

@@ -193,3 +193,54 @@ def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]) -> D
 def cube_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]) -> DataFrame:
     """GROUP BY CUBE (engine extension)."""
     return df.cube(*keys).agg(*[e.alias(o) for o, e in aggs.items()])
+
+
+def grouped_percentiles_cont(
+    df: DataFrame,
+    group_by: Sequence[str],
+    value: Column,
+    percentiles: Sequence[float],
+    prefix: str = "p",
+) -> DataFrame:
+    """Continuous (linear-interpolated) percentiles per group via the
+    exact ``F.percentile`` aggregate — the PERCENTILE_CONT surface the
+    approx-sketch path (A9) doesn't cover.
+
+    Cross-engine exactness: pass an INTEGER-valued column (scaled cents).
+    The interpolation ``lo*(1-f) + hi*f`` at quarter fractions is then an
+    exact double expression, verified bit-identical against DuckDB
+    quantile_cont. One shuffle; per-group sort is the aggregate's own
+    internal work (exact percentiles require the values — at 100 TB use
+    approx_percentile for sketchable accuracy instead).
+    """
+    aggs = [
+        F.percentile(value, p).alias(f"{prefix}{int(round(p * 100)):02d}")
+        for p in percentiles
+    ]
+    return df.groupBy(*group_by).agg(*aggs)
+
+
+def share_of_total(
+    df: DataFrame,
+    group_by: Sequence[str],
+    within: Sequence[str],
+    value: Column,
+    out: str = "share",
+) -> DataFrame:
+    """Contribution analysis: each group's share of its ``within``
+    super-group total — one aggregation then a window sum over the tiny
+    aggregated result (no second pass over the fact table).
+
+    Pass an exact-integer ``value`` (scaled cents): both the group sums
+    and the super-group total are then exact, and the share is a single
+    double division — bit-identical cross-engine.
+    """
+    from pyspark.sql import Window
+
+    g = df.groupBy(*group_by).agg(F.sum(value).alias("__val"))
+    w = Window.partitionBy(*within)
+    return g.select(
+        *group_by,
+        F.col("__val").alias("group_value"),
+        (F.col("__val").cast("double") / F.sum("__val").over(w)).alias(out),
+    )

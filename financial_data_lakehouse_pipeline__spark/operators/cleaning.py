@@ -112,3 +112,30 @@ def with_date_parts(df: DataFrame, date_col: str, parts: Sequence[str] = ("year"
         "quarter": F.quarter,
     }
     return df.withColumns({p: fns[p](F.col(date_col)) for p in parts})
+
+
+def forward_fill(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    cols: Sequence[str],
+    suffix: str = "_filled",
+) -> DataFrame:
+    """Gap-fill: carry the last non-NULL observation forward within each
+    partition (time-series imputation — the standard prep step before
+    indicators run over sparse series).
+
+    ``F.last(ignorenulls=True)`` over an unbounded-preceding row frame —
+    one shuffle+sort per (partition, order), all columns filled in the
+    same window pass. Leading NULLs (no prior observation) stay NULL.
+    The order must be total (include unique tiebreakers) for
+    deterministic fills when timestamps tie.
+    """
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumns(
+        {f"{c}{suffix}": F.last(c, ignorenulls=True).over(w) for c in cols}
+    )

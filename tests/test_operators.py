@@ -363,3 +363,46 @@ def test_macd_matches_pandas_ewm(spark):
     assert (out["macd"] - m).abs().max() < 1e-9
     assert (out["macd_signal"] - sig).abs().max() < 1e-9
     assert (out["macd_hist"] - (m - sig)).abs().max() < 1e-9
+
+
+def test_forward_fill_carries_last_observation(spark):
+    """Leading NULLs stay NULL; each NULL takes the nearest prior
+    non-NULL within its partition only."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import cleaning
+
+    rows = [
+        Row(k=1, t=1, v=None), Row(k=1, t=2, v=5.0), Row(k=1, t=3, v=None),
+        Row(k=1, t=4, v=None), Row(k=1, t=5, v=8.0),
+        Row(k=2, t=1, v=None),
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+    out = {
+        (r.k, r.t): r.v_filled
+        for r in cleaning.forward_fill(df, ["k"], ["t"], ["v"]).collect()
+    }
+    assert out[(1, 1)] is None
+    assert out[(1, 3)] == 5.0 and out[(1, 4)] == 5.0
+    assert out[(1, 5)] == 8.0
+    assert out[(2, 1)] is None  # other partition's values never leak
+
+
+def test_share_of_total_sums_to_one(spark):
+    """Shares within each super-group sum to exactly 1 (exact integer
+    group sums over a shared total)."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import aggregates
+    from pyspark.sql import functions as F
+
+    rows = [
+        Row(region="r1", nation="a", v=30), Row(region="r1", nation="b", v=70),
+        Row(region="r2", nation="c", v=5),
+    ]
+    out = aggregates.share_of_total(
+        spark.createDataFrame(rows), ["region", "nation"], ["region"], F.col("v")
+    ).collect()
+    by_nation = {r.nation: r.share for r in out}
+    assert by_nation["a"] == 0.3 and by_nation["b"] == 0.7
+    assert by_nation["c"] == 1.0

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from financial_data_lakehouse_pipeline__spark.corpus import register, sql_money_sum
 from financial_data_lakehouse_pipeline__spark.operators import (
     aggregates,
+    cleaning,
     joins,
     sampling,
     text,
@@ -495,3 +496,67 @@ def pack_sequences_docs(spark, sf_dir):
     return sampling.pack_sequences(
         d, text.token_count(F.col("text")), capacity=128
     )
+
+
+@register(
+    "drift_doc_sources",
+    """WITH a AS (
+          SELECT lang, COUNT(*) AS cnt_a FROM documents
+          WHERE doc_id % 2 = 0 GROUP BY 1
+        ),
+        b AS (
+          SELECT lang, COUNT(*) AS cnt_b FROM documents
+          WHERE doc_id % 2 = 1 GROUP BY 1
+        ),
+        m AS (
+          SELECT COALESCE(a.lang, b.lang) AS lang,
+                 COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+          FROM a FULL OUTER JOIN b ON a.lang = b.lang
+        ),
+        t AS (
+          SELECT lang, cnt_a, cnt_b,
+                 SUM(cnt_a) OVER () AS ta, SUM(cnt_b) OVER () AS tb
+          FROM m
+        )
+        SELECT lang,
+               CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+               CAST(cnt_a AS DOUBLE) / ta AS p_a,
+               CAST(cnt_b AS DOUBLE) / tb AS p_b,
+               CAST(ABS(cnt_a * tb - cnt_b * ta) AS DOUBLE) / (ta * tb)
+                   AS abs_diff,
+               5e-1 * CAST(SUM(ABS(cnt_a * tb - cnt_b * ta)) OVER ()
+                           AS DOUBLE) / (ta * tb) AS tvd
+        FROM t""",
+)
+def drift_doc_sources(spark, sf_dir):
+    """Categorical drift check (operators/dq.distribution_drift): language
+    mix of the even-id document half vs the odd-id half, with the global
+    total-variation distance. TVD is assembled from integer
+    cross-products — bit-identical cross-engine, no ln()."""
+    from financial_data_lakehouse_pipeline__spark.operators import dq
+
+    d = read_table(spark, sf_dir, "documents")
+    return dq.distribution_drift(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "lang",
+    )
+
+
+@register(
+    "minmax_scale_events",
+    """SELECT event_id, event_type, value,
+              CASE WHEN mx <> mn THEN (value - mn) / (mx - mn) END
+                  AS value_scaled
+       FROM (SELECT event_id, event_type, value,
+                    MIN(value) OVER (PARTITION BY event_type) AS mn,
+                    MAX(value) OVER (PARTITION BY event_type) AS mx
+             FROM events)""",
+)
+def minmax_scale_events(spark, sf_dir):
+    """Per-group min-max feature scaling (operators/cleaning.minmax_scale):
+    (v - min)/(max - min) on exact double extremes — three IEEE row ops,
+    bit-identical cross-engine; constant groups scale to NULL."""
+    ev = read_table(spark, sf_dir, "events")
+    out = cleaning.minmax_scale(ev, ["event_type"], ["value"])
+    return out.select("event_id", "event_type", "value", "value_scaled")

@@ -139,3 +139,28 @@ def forward_fill(
     return df.withColumns(
         {f"{c}{suffix}": F.last(c, ignorenulls=True).over(w) for c in cols}
     )
+
+
+def minmax_scale(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    cols: Sequence[str],
+    suffix: str = "_scaled",
+) -> DataFrame:
+    """Per-group min-max feature scaling to [0, 1] — the exact-arithmetic
+    normalization for ML feature prep (z-score drags in stddev, which is
+    accumulation-order-dependent; (v−min)/(max−min) is three IEEE row
+    ops on exact extremes, bit-identical cross-engine).
+
+    One window pass per group computes min and max for every column
+    (no separate aggregate+join); constant groups (max == min) scale to
+    NULL rather than 0/0. Groups shuffle once; no skew beyond group size.
+    """
+    w = Window.partitionBy(*partition_by)
+    out_cols: dict[str, Column] = {}
+    for c in cols:
+        mn, mx = F.min(c).over(w), F.max(c).over(w)
+        out_cols[f"{c}{suffix}"] = F.when(
+            mx != mn, (F.col(c) - mn) / (mx - mn)
+        )
+    return df.withColumns(out_cols)

@@ -93,3 +93,53 @@ def enforce(df: DataFrame, row_checks: dict[str, Column]) -> DataFrame:
         detail = ", ".join(f"{r.check_name}={r.n_violations}" for r in bad)
         raise ValueError(f"data-quality violations: {detail}")
     return df
+
+
+def distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Categorical distribution drift between two dataset snapshots —
+    the monitoring check a training pipeline runs when a new crawl/batch
+    lands (did the source/language/type mix shift?).
+
+    Output, one row per category: counts, the two probabilities, the
+    category's |p_a - p_b| contribution, and the global total-variation
+    distance ``tvd`` = 0.5·Σ|p_a − p_b| repeated on every row.
+
+    Exactness: TVD is assembled from INTEGER cross-products —
+    |cnt_a·total_b − cnt_b·total_a| summed as BIGINT, divided once by
+    (total_a·total_b) — so the metric is bit-identical cross-engine (a
+    KL/PSI formulation would drag in ln(), which differs in the last ulp
+    between libm implementations). Shape at scale: one groupBy per side,
+    a full-outer join on the tiny category dimension, window totals over
+    that aggregate — the fact tables are read once each.
+    """
+    from pyspark.sql import Window
+
+    ca = df_a.groupBy(key).agg(F.count(F.lit(1)).alias("cnt_a"))
+    cb = df_b.groupBy(key).agg(F.count(F.lit(1)).alias("cnt_b"))
+    m = (
+        ca.join(cb, key, "full_outer")
+        .withColumns(
+            {
+                "cnt_a": F.coalesce("cnt_a", F.lit(0)),
+                "cnt_b": F.coalesce("cnt_b", F.lit(0)),
+            }
+        )
+    )
+    w = Window.partitionBy()
+    ta, tb = F.sum("cnt_a").over(w), F.sum("cnt_b").over(w)
+    cross = F.abs(F.col("cnt_a") * tb - F.col("cnt_b") * ta)
+    return m.select(
+        key,
+        "cnt_a",
+        "cnt_b",
+        (F.col("cnt_a").cast("double") / ta).alias("p_a"),
+        (F.col("cnt_b").cast("double") / tb).alias("p_b"),
+        (cross.cast("double") / (ta * tb)).alias("abs_diff"),
+        (
+            F.lit(0.5) * F.sum(cross).over(w).cast("double") / (ta * tb)
+        ).alias("tvd"),
+    )

@@ -347,3 +347,36 @@ def test_pack_sequences_invariants(spark):
     assert out[4].start_offset == 8 and (out[4].first_bin, out[4].last_bin) == (2, 4)
     assert out[4].n_bins_spanned == 3
     assert out[5].start_offset == 0 and out[5].first_bin == 0
+
+
+def test_distribution_drift_tvd(spark):
+    """TVD semantics: identical distributions -> 0; disjoint -> 1;
+    categories missing from one side get count 0, probabilities stay
+    normalized."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import dq
+
+    a = spark.createDataFrame([Row(k="x")] * 3 + [Row(k="y")] * 1)
+    b_same = spark.createDataFrame([Row(k="x")] * 6 + [Row(k="y")] * 2)
+    b_disj = spark.createDataFrame([Row(k="z")] * 4)
+    same = dq.distribution_drift(a, b_same, "k").collect()
+    assert all(r.tvd == 0.0 for r in same)
+    disj = {r.k: r for r in dq.distribution_drift(a, b_disj, "k").collect()}
+    assert all(r.tvd == 1.0 for r in disj.values())
+    assert disj["z"].cnt_a == 0 and disj["z"].p_b == 1.0
+
+
+def test_minmax_scale_bounds_and_constant_group(spark):
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import cleaning
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=10.0), Row(g="a", v=20.0), Row(g="a", v=15.0),
+         Row(g="b", v=7.0), Row(g="b", v=7.0)]
+    )
+    out = cleaning.minmax_scale(df, ["g"], ["v"]).collect()
+    a_vals = sorted(r.v_scaled for r in out if r.g == "a")
+    assert a_vals == [0.0, 0.5, 1.0]
+    assert all(r.v_scaled is None for r in out if r.g == "b")

@@ -170,6 +170,102 @@ def rsi_supplier_price(spark, sf_dir):
     return out.select("l_suppkey", "l_orderkey", "l_linenumber", "rsi_14")
 
 
+#: Shared CTE: lineitem with the scaled-integer price alongside every
+#: window-ordering column (the indicator oracles below all start here).
+_CENTS_CTE = f"""SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+                l_extendedprice, l_quantity, l_partkey, {_CENTS} AS c
+         FROM lineitem"""
+
+
+@register(
+    "stochastic_supplier_price",
+    f"""WITH c AS ({_CENTS_CTE}),
+        k AS (
+          SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+                 l_extendedprice, l_quantity, l_partkey,
+                 CASE WHEN MAX(c) OVER w14 <> MIN(c) OVER w14
+                      THEN 100e0 * (c - MIN(c) OVER w14)
+                           / (MAX(c) OVER w14 - MIN(c) OVER w14) END AS pct_k
+          FROM c
+          WINDOW w14 AS ({_LI_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT l_suppkey, l_orderkey, l_linenumber, pct_k,
+               ROUND(AVG(pct_k) OVER w3, 4) AS pct_d
+        FROM k
+        WINDOW w3 AS ({_LI_WIN} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+)
+def stochastic_supplier_price(spark, sf_dir):
+    """Stochastic %K/%D-3 per supplier price series (operators/
+    windows.stochastic). %K is exact — integer rolling extremes, one
+    double division, no ROUND; %D-3 is a 3-row float mean and keeps
+    ROUND 4 (the Bollinger stddev contract)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    out = windows.stochastic(li, ["l_suppkey"], _LI_ORDER_COLS, cents, n=14, d=3)
+    return out.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "pct_k",
+        F.round("pct_d", 4).alias("pct_d"),
+    )
+
+
+@register(
+    "obv_supplier_volume",
+    f"""WITH c AS ({_CENTS_CTE}),
+        d AS (
+          SELECT *, c - LAG(c) OVER ({_LI_WIN}) AS delta FROM c
+        )
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               SUM(CASE WHEN delta > 0 THEN CAST(l_quantity AS BIGINT)
+                        WHEN delta < 0 THEN -CAST(l_quantity AS BIGINT)
+                        ELSE 0 END)
+                   OVER ({_LI_WIN} ROWS UNBOUNDED PRECEDING) AS obv
+        FROM d""",
+)
+def obv_supplier_volume(spark, sf_dir):
+    """On-balance volume per supplier (operators/windows.obv): quantity
+    signed by the price-delta direction, accumulated. All-BIGINT — exact,
+    no float contract (l_quantity is integral 1..50 in the testdata)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    out = windows.obv(
+        li,
+        ["l_suppkey"],
+        _LI_ORDER_COLS,
+        cents,
+        F.col("l_quantity").cast("bigint"),
+    )
+    return out.select("l_suppkey", "l_orderkey", "l_linenumber", "obv")
+
+
+@register(
+    "drawdown_supplier_price",
+    f"""WITH c AS ({_CENTS_CTE})
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               MAX(c) OVER wmax / 100e0 AS peak_price,
+               CAST(c - MAX(c) OVER wmax AS DOUBLE) / MAX(c) OVER wmax
+                   AS drawdown
+        FROM c
+        WINDOW wmax AS ({_LI_WIN} ROWS UNBOUNDED PRECEDING)""",
+)
+def drawdown_supplier_price(spark, sf_dir):
+    """Drawdown from the running price peak per supplier (operators/
+    windows.drawdown). Integer running max; peak/100 and the drawdown
+    ratio are one IEEE division each — bit-identical, no ROUND."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    out = windows.drawdown(li, ["l_suppkey"], _LI_ORDER_COLS, cents)
+    return out.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("peak") / F.lit(100.0)).alias("peak_price"),
+        "drawdown",
+    )
+
+
 @register(
     "lag_momentum",
     f"""SELECT l_suppkey, l_orderkey, l_linenumber,

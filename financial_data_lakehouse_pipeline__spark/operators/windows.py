@@ -182,6 +182,97 @@ def rsi(
     ).drop(delta_c, gain_c, loss_c)
 
 
+def stochastic(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    value: Column | str,
+    n: int = 14,
+    d: int = 3,
+    out_k: str = "pct_k",
+    out_d: str = "pct_d",
+) -> DataFrame:
+    """Stochastic oscillator %K/%D — the rolling-extremes companion to
+    the reference's SMA/Bollinger/momentum set
+    (data_transformation.py:162-228), same window family.
+
+    %K = 100·(v − min_n) / (max_n − min_n): with scaled-integer ``value``
+    the extremes are exact and %K is a single double division —
+    bit-identical across engines. A flat window (max == min) yields NULL.
+    %D is the ``d``-row mean of %K — a float sum, so callers comparing
+    cross-engine must round it (same contract as Bollinger's ±2σ).
+
+    Both window passes share one (partition, order) → one shuffle+sort;
+    the %D pass stacks a second Window operator on the same sort.
+    """
+    w = _w(partition_by, order_by)
+    v = value if isinstance(value, Column) else F.col(value)
+    wf = w.rowsBetween(-(n - 1), 0)
+    lo, hi = F.min(v).over(wf), F.max(v).over(wf)
+    d1 = df.withColumn(
+        out_k, F.when(hi != lo, F.lit(100.0) * (v - lo) / (hi - lo))
+    )
+    return d1.withColumn(
+        out_d, F.avg(out_k).over(w.rowsBetween(-(d - 1), 0))
+    )
+
+
+def obv(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    price: Column | str,
+    volume: Column | str,
+    out: str = "obv",
+) -> DataFrame:
+    """On-balance volume: running sum of volume signed by the price
+    delta's direction (flat delta and the series' first row contribute 0).
+    Extends the reference's indicator set (data_transformation.py:162-228)
+    with its standard volume-flow companion.
+
+    With integer ``price`` (scaled cents) and integer ``volume`` the
+    entire accumulation is BIGINT — exact, no float contract. One lag +
+    one running sum over the same (partition, order) → one shuffle+sort.
+    """
+    w = _w(partition_by, order_by)
+    p = price if isinstance(price, Column) else F.col(price)
+    v = volume if isinstance(volume, Column) else F.col(volume)
+    delta_c = f"__{out}_delta"
+    d = df.withColumn(delta_c, p - F.lag(p).over(w))
+    delta = F.col(delta_c)
+    signed = (
+        F.when(delta > 0, v).when(delta < 0, -v).otherwise(F.lit(0))
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return d.withColumn(out, F.sum(signed).over(cum)).drop(delta_c)
+
+
+def drawdown(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    value: Column | str,
+    out: str = "drawdown",
+    out_peak: str = "peak",
+) -> DataFrame:
+    """Drawdown from the running maximum: peak = max-to-date,
+    drawdown = (v − peak)/peak ∈ [−1, 0] — the risk metric every price
+    pipeline reports next to returns (extends the reference's indicator
+    block, data_transformation.py:162-228).
+
+    With scaled-integer ``value`` the running max is exact and the
+    drawdown is one integer subtraction + one double division —
+    bit-identical across engines. One running-max window → one
+    shuffle+sort shared with any sibling window on the same keys.
+    """
+    w = _w(partition_by, order_by).rowsBetween(Window.unboundedPreceding, 0)
+    v = value if isinstance(value, Column) else F.col(value)
+    peak = F.max(v).over(w)
+    return df.withColumns(
+        {out_peak: peak, out: (v - peak).cast("double") / peak}
+    )
+
+
 def relative_to_rolling(
     df: DataFrame,
     partition_by: Sequence[str],

@@ -311,6 +311,42 @@ def test_rsi_hand_computed(spark):
     assert out[(3, 2)] == 100.0  # monotone gains
 
 
+def test_stochastic_obv_drawdown_hand_computed(spark):
+    """Indicator semantics on a tiny series (n=3 windows):
+    %K from rolling extremes with NULL on flat windows; OBV signs the
+    volume by delta direction starting at 0; drawdown tracks the running
+    peak and is 0 at new highs."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import windows as W
+
+    rows = [
+        Row(k=1, t=i, v=v, vol=q)
+        for i, (v, q) in enumerate([(10, 5), (14, 2), (12, 3), (12, 7), (16, 1)])
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, v long, vol long")
+
+    st = {r.t: r for r in W.stochastic(df, ["k"], ["t"], "v", n=3, d=2).collect()}
+    assert st[0].pct_k is None  # 1-row window is flat
+    assert st[1].pct_k == 100.0  # new high of {10,14}
+    assert st[2].pct_k == 50.0  # 12 within {10,14}
+    assert st[3].pct_k == 0.0  # 12 is the low of {14,12,12}
+    assert st[4].pct_k == 100.0  # new high of {12,12,16}
+    assert st[2].pct_d == 75.0 and st[4].pct_d == 50.0
+    assert st[1].pct_d == 100.0  # NULL %K at t=0 ignored by the mean
+
+    ob = {r.t: r.obv for r in W.obv(df, ["k"], ["t"], "v", "vol").collect()}
+    assert ob[0] == 0  # no delta yet
+    assert ob[1] == 2 and ob[2] == -1  # +vol on gain, -vol on loss
+    assert ob[3] == -1  # flat delta contributes 0
+    assert ob[4] == 0
+
+    dd = {r.t: r for r in W.drawdown(df, ["k"], ["t"], "v").collect()}
+    assert [dd[t].peak for t in range(5)] == [10, 14, 14, 14, 16]
+    assert dd[1].drawdown == 0.0 and dd[4].drawdown == 0.0  # at new highs
+    assert dd[2].drawdown == (12 - 14) / 14
+
+
 def test_repetition_stats_fractions(spark):
     """2-gram repetition fractions: 'a b a b a b' has 5 bigrams, top
     ('a b') x3 -> 0.6, all 5 occurrences duplicated -> 1.0; an all-unique

@@ -19,7 +19,7 @@ from financial_data_lakehouse_pipeline__spark.functions import (
     safe_corr,
 )
 from financial_data_lakehouse_pipeline__spark.operators import aggregates as agg
-from financial_data_lakehouse_pipeline__spark.operators import cleaning, joins
+from financial_data_lakehouse_pipeline__spark.operators import analysis, cleaning, joins
 from financial_data_lakehouse_pipeline__spark.operators.sql_views import VIEWS
 from financial_data_lakehouse_pipeline__spark.sources import read_table, register_views
 
@@ -394,6 +394,80 @@ def grouped_corr(spark, sf_dir):
             "corr_disc_tax"
         ),
     )
+
+
+#: Scaled-integer cents (the 2-decimal money contract; see windows_q._CENTS).
+_CENTS_R = "CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT)"
+
+
+@register(
+    "beta_price_vs_qty",
+    f"""WITH b AS (
+          SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS q, {_CENTS_R} AS c
+          FROM lineitem
+        ),
+        s AS (
+          SELECT l_suppkey,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(q) AS DOUBLE) AS sx,
+                 CAST(SUM(c) AS DOUBLE) AS sy,
+                 CAST(SUM(q * c) AS DOUBLE) AS sxy,
+                 CAST(SUM(q * q) AS DOUBLE) AS sxx
+          FROM b GROUP BY l_suppkey
+        ),
+        f AS (
+          SELECT l_suppkey, n, sx, sy,
+                 CASE WHEN n * sxx - sx * sx > 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope
+          FROM s
+        )
+        SELECT l_suppkey, slope, (sy - slope * sx) / n AS intercept FROM f""",
+)
+def beta_price_vs_qty(spark, sf_dir):
+    """Per-supplier OLS regression of price (cents) on quantity
+    (operators/analysis.linear_fit — regr_slope/regr_intercept
+    semantics): exact BIGINT sums with map-side partials, then one fixed
+    double closed form — bit-identical cross-engine, no ROUND."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    out = analysis.linear_fit(
+        li, ["l_suppkey"], F.col("l_quantity").cast("bigint"), cents
+    )
+    return out.select("l_suppkey", "slope", "intercept")
+
+
+@register(
+    "zscore_outlier_prices",
+    f"""WITH c AS (
+          SELECT l_suppkey, l_orderkey, l_linenumber, {_CENTS_R} AS c
+          FROM lineitem
+        ),
+        s AS (
+          SELECT l_suppkey,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(c) AS DOUBLE) AS sv,
+                 CAST(SUM(c * c) AS DOUBLE) AS svv
+          FROM c GROUP BY l_suppkey
+        ),
+        j AS (
+          SELECT c.l_suppkey, l_orderkey, l_linenumber,
+                 CASE WHEN n > 1 AND (svv - sv * sv / n) / (n - 1e0) > 0
+                      THEN (CAST(c AS DOUBLE) - sv / n)
+                           / SQRT((svv - sv * sv / n) / (n - 1e0)) END AS zscore
+          FROM c JOIN s USING (l_suppkey)
+        )
+        SELECT * FROM j WHERE ABS(zscore) > 18e-1""",
+)
+def zscore_outlier_prices(spark, sf_dir):
+    """Distribution-relative outliers: per-supplier price z-scores with
+    |z| > 1.8 (near-uniform prices bound |z| below ~1.9) (operators/analysis.zscore_flags). The 1-row-per-group
+    stats table broadcasts back to the fact side; z is one fixed double
+    tree over exact BIGINT sums — the threshold filter is therefore
+    deterministic cross-engine (no boundary-tie risk)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    out = analysis.zscore_flags(li, ["l_suppkey"], cents, threshold=1.8)
+    return out.select("l_suppkey", "l_orderkey", "l_linenumber", "zscore")
 
 
 @register(

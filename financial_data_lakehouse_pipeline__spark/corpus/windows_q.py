@@ -267,6 +267,74 @@ def drawdown_supplier_price(spark, sf_dir):
 
 
 @register(
+    "vwap_supplier_price",
+    f"""WITH c AS ({_CENTS_CTE})
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               (SUM(c * CAST(l_quantity AS BIGINT)) OVER wc
+                / CAST(SUM(CAST(l_quantity AS BIGINT)) OVER wc AS DOUBLE))
+                   / 100e0 AS vwap
+        FROM c
+        WINDOW wc AS ({_LI_WIN} ROWS UNBOUNDED PRECEDING)""",
+)
+def vwap_supplier_price(spark, sf_dir):
+    """Cumulative VWAP per supplier (operators/windows.vwap): both
+    running sums are exact BIGINT (cents × integral quantity), the
+    quotient one double division — bit-identical, no ROUND."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    out = windows.vwap(
+        li,
+        ["l_suppkey"],
+        _LI_ORDER_COLS,
+        cents,
+        F.col("l_quantity").cast("bigint"),
+    )
+    return out.select("l_suppkey", "l_orderkey", "l_linenumber", "vwap")
+
+
+@register(
+    "rolling_corr_price_qty",
+    f"""WITH c AS ({_CENTS_CTE}),
+        s AS (
+          SELECT l_suppkey, l_orderkey, l_linenumber,
+                 CAST(COUNT(*) OVER w14 AS DOUBLE) AS n,
+                 CAST(SUM(c) OVER w14 AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w14 AS DOUBLE) AS sy,
+                 CAST(SUM(c * CAST(l_quantity AS BIGINT)) OVER w14 AS DOUBLE)
+                     AS sxy,
+                 CAST(SUM(c * c) OVER w14 AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                      OVER w14 AS DOUBLE) AS syy
+          FROM c
+          WINDOW w14 AS ({_LI_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                    THEN (n * sxy - sx * sy)
+                         / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+                   AS corr_14
+        FROM s""",
+)
+def rolling_corr_price_qty(spark, sf_dir):
+    """Rolling 14-row price-quantity correlation per supplier
+    (operators/windows.rolling_corr): exact BIGINT co-moment sums, then
+    one fixed double expression tree — bit-identical cross-engine with
+    zero tolerance (windowed builtin CORR is NOT reproducible)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    out = windows.rolling_corr(
+        li,
+        ["l_suppkey"],
+        _LI_ORDER_COLS,
+        cents,
+        F.col("l_quantity").cast("bigint"),
+        n=14,
+        out="corr_14",
+    )
+    return out.select("l_suppkey", "l_orderkey", "l_linenumber", "corr_14")
+
+
+@register(
     "lag_momentum",
     f"""SELECT l_suppkey, l_orderkey, l_linenumber,
                CASE WHEN LAG(l_extendedprice, 1) OVER ({_LI_WIN}) IS NOT NULL

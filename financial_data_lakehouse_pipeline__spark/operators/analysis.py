@@ -61,6 +61,86 @@ def alignment_score(signal: Column, outcome: Column) -> Column:
     return F.signum(signal) * F.signum(outcome)
 
 
+def linear_fit(
+    df: DataFrame,
+    keys: Sequence[str],
+    x: Column,
+    y: Column,
+    slope_out: str = "slope",
+    intercept_out: str = "intercept",
+) -> DataFrame:
+    """Per-group OLS fit y = slope·x + intercept (regr_slope/regr_intercept
+    semantics) — the regression companion to the reference's grouped corr
+    (sentiment_analysis.py:73-81; beta-vs-market in any price pipeline).
+
+    ``x``/``y`` must be integer expressions (scale money to cents first):
+    the five sums (n, Σx, Σy, Σxy, Σx²) aggregate exactly as BIGINT with
+    map-side partial aggregation, then slope = (n·Σxy − ΣxΣy)/(n·Σx² −
+    (Σx)²) and intercept = (Σy − slope·Σx)/n are one fixed double
+    expression tree — bit-identical across engines (see rolling_corr).
+    NULL slope/intercept when x has zero variance. One shuffle (the
+    groupBy); no join, no window.
+    """
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum(x * y).cast("double").alias("__sxy"),
+        F.sum(x * x).cast("double").alias("__sxx"),
+    )
+    n, sx, sy = F.col("__n"), F.col("__sx"), F.col("__sy")
+    sxy, sxx = F.col("__sxy"), F.col("__sxx")
+    varx = n * sxx - sx * sx
+    slope = F.when(varx > 0, (n * sxy - sx * sy) / varx)
+    return (
+        g.withColumn(slope_out, slope)
+        .withColumn(intercept_out, (sy - F.col(slope_out) * sx) / n)
+        .drop("__n", "__sx", "__sy", "__sxy", "__sxx")
+    )
+
+
+def zscore_flags(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column,
+    threshold: float = 2.5,
+    out: str = "zscore",
+) -> DataFrame:
+    """Per-group z-score outlier detection: join each row against its
+    group's mean/stddev and keep rows with |z| > threshold — the
+    stats-join-back anomaly pattern (generalizes the reference's
+    threshold event detection, sentiment_analysis.py:215-218, from fixed
+    to distribution-relative thresholds).
+
+    ``value`` must be an integer expression (cents): n, Σv, Σv² aggregate
+    exactly as BIGINT, then mean = Σv/n, var = (Σv² − Σv·Σv/n)/(n−1),
+    z = (v − mean)/√var is one fixed double tree — bit-identical across
+    engines, so the threshold filter is deterministic (no boundary-tie
+    risk). Groups with n < 2 or zero variance yield no flags.
+
+    Scale: the stats table has one row per group — broadcast back to the
+    fact side (no fact shuffle). z is scale-invariant, so cents vs
+    currency units does not change the flags.
+    """
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(value).cast("double").alias("__sv"),
+        F.sum(value * value).cast("double").alias("__svv"),
+    )
+    n, sv, svv = F.col("__n"), F.col("__sv"), F.col("__svv")
+    var = (svv - sv * sv / n) / (n - F.lit(1.0))
+    joined = df.join(F.broadcast(stats), list(keys))
+    z = F.when(
+        (n > 1) & (var > 0),
+        (value.cast("double") - sv / n) / F.sqrt(var),
+    )
+    return (
+        joined.withColumn(out, z)
+        .filter(F.abs(F.col(out)) > F.lit(threshold))
+        .drop("__n", "__sv", "__svv")
+    )
+
+
 def summary_stats(
     df: DataFrame, keys: Sequence[str], value_cols: Sequence[str]
 ) -> DataFrame:

@@ -273,6 +273,76 @@ def drawdown(
     )
 
 
+def vwap(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    price_cents: Column | str,
+    volume: Column | str,
+    out: str = "vwap",
+) -> DataFrame:
+    """Cumulative volume-weighted average price: Σ(price·vol)/Σ(vol) to
+    date — the execution-quality benchmark every trading pipeline reports
+    (extends the reference's indicator block, data_transformation.py:162-228).
+
+    With scaled-integer ``price_cents`` and integer ``volume`` both
+    running sums are exact BIGINT; the quotient is one double division
+    (then /100 back to currency units) — bit-identical across engines.
+    Headroom: Σ(cents·vol) stays under 2^63 up to ~10^9 rows/partition at
+    cents·vol ≈ 5·10^8; beyond that, pre-aggregate per day first.
+    Both sums share one (partition, order) → one shuffle + sort.
+    """
+    w = _w(partition_by, order_by).rowsBetween(Window.unboundedPreceding, 0)
+    p = price_cents if isinstance(price_cents, Column) else F.col(price_cents)
+    v = volume if isinstance(volume, Column) else F.col(volume)
+    cum_pv = F.sum(p * v).over(w)
+    cum_v = F.sum(v).over(w)
+    return df.withColumn(out, (cum_pv / cum_v.cast("double")) / F.lit(100.0))
+
+
+def rolling_corr(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    x: Column | str,
+    y: Column | str,
+    n: int,
+    out: str = "corr_n",
+) -> DataFrame:
+    """Rolling Pearson correlation of two integer series over an n-row
+    frame — the pairwise companion to the reference's grouped corr
+    (sentiment_analysis.py:73-81) in the rolling-window family.
+
+    Determinism: windowed CORR accumulates co-moments in engine-specific
+    order (Spark frame buffer vs DuckDB segment tree), so the builtin is
+    not reproducible cross-engine. Instead the six integer sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) are computed exactly as BIGINT, then the
+    closed form  (n·Σxy − ΣxΣy) / √((n·Σx²−(Σx)²)·(n·Σy²−(Σy)²))  is one
+    fixed double expression tree — each sum rounds to the same nearest
+    double in every engine, and IEEE ops are deterministic, so the result
+    is bit-identical with zero tolerance. NULL when either variance is 0.
+    All six sums share one frame → one shuffle + sort + single Window op.
+    """
+    w = _w(partition_by, order_by).rowsBetween(-(n - 1), 0)
+    xc = x if isinstance(x, Column) else F.col(x)
+    yc = y if isinstance(y, Column) else F.col(y)
+    cnt = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(xc).over(w).cast("double")
+    sy = F.sum(yc).over(w).cast("double")
+    sxy = F.sum(xc * yc).over(w).cast("double")
+    sxx = F.sum(xc * xc).over(w).cast("double")
+    syy = F.sum(yc * yc).over(w).cast("double")
+    varx = cnt * sxx - sx * sx
+    vary = cnt * syy - sy * sy
+    return df.withColumn(
+        out,
+        F.when(
+            (varx > 0) & (vary > 0),
+            (cnt * sxy - sx * sy) / F.sqrt(varx * vary),
+        ),
+    )
+
+
 def relative_to_rolling(
     df: DataFrame,
     partition_by: Sequence[str],

@@ -442,3 +442,92 @@ def test_share_of_total_sums_to_one(spark):
     by_nation = {r.nation: r.share for r in out}
     assert by_nation["a"] == 0.3 and by_nation["b"] == 0.7
     assert by_nation["c"] == 1.0
+
+
+def test_vwap_cumulative(spark):
+    """Cumulative VWAP equals hand-computed Σ(p·v)/Σ(v) at each row."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import windows as W
+
+    # prices in cents, volumes integral
+    rows = [Row(k=1, t=1, p=1000, v=2), Row(k=1, t=2, p=2000, v=1),
+            Row(k=1, t=3, p=1500, v=3), Row(k=2, t=1, p=500, v=4)]
+    df = spark.createDataFrame(rows)
+    out = {(r.k, r.t): r.vwap for r in W.vwap(df, ["k"], ["t"], "p", "v").collect()}
+    assert out[(1, 1)] == 10.0                      # 2000/2/100
+    assert out[(1, 2)] == (1000 * 2 + 2000) / 3 / 100
+    assert out[(1, 3)] == (2000 + 2000 + 4500) / 6 / 100
+    assert out[(2, 1)] == 5.0                       # partitions independent
+
+
+def test_rolling_corr_matches_pandas(spark):
+    """Closed-form rolling corr matches pandas.rolling().corr() to float
+    tolerance; flat-x windows yield NULL."""
+    import pandas as pd
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import windows as W
+
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    ys = [2, 7, 1, 8, 2, 8, 1, 8, 2, 8]
+    df = spark.createDataFrame(
+        [Row(k=1, t=i, x=x, y=y) for i, (x, y) in enumerate(zip(xs, ys))]
+    )
+    out = (
+        W.rolling_corr(df, ["k"], ["t"], "x", "y", n=4, out="c")
+        .orderBy("t").select("c").toPandas()["c"]
+    )
+    exp = pd.Series(xs, dtype=float).rolling(4, min_periods=2).corr(
+        pd.Series(ys, dtype=float)
+    )
+    for got, want in zip(out, exp):
+        if pd.isna(want):
+            assert got is None or pd.isna(got)
+        else:
+            assert abs(got - want) < 1e-9
+
+    flat = spark.createDataFrame([Row(k=1, t=i, x=7, y=i) for i in range(4)])
+    got = W.rolling_corr(flat, ["k"], ["t"], "x", "y", n=3, out="c").collect()
+    assert all(r.c is None for r in got)
+
+
+def test_linear_fit_recovers_line(spark):
+    """Exact line y = 3x + 5 is recovered exactly; zero-variance x
+    yields NULL slope/intercept."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    pts = [Row(g="a", x=x, y=3 * x + 5) for x in (1, 2, 3, 4, 10)]
+    pts += [Row(g="b", x=2, y=9), Row(g="b", x=2, y=11)]
+    out = {
+        r.g: (r.slope, r.intercept)
+        for r in analysis.linear_fit(
+            spark.createDataFrame(pts), ["g"], F.col("x"), F.col("y")
+        ).collect()
+    }
+    assert out["a"] == (3.0, 5.0)
+    assert out["b"] == (None, None)
+
+
+def test_zscore_flags_thresholds(spark):
+    """Only rows beyond the threshold survive; z matches the sample-stddev
+    definition; n<2 groups produce no flags."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    rows = [Row(g="a", id=i, v=v) for i, v in enumerate([10, 10, 10, 10, 110])]
+    rows += [Row(g="solo", id=0, v=999)]
+    out = analysis.zscore_flags(
+        spark.createDataFrame(rows), ["g"], F.col("v"), threshold=1.5
+    ).collect()
+    assert [(r.g, r.id) for r in out] == [("a", 4)]
+    import statistics
+
+    vals = [10, 10, 10, 10, 110]
+    want = (110 - statistics.mean(vals)) / statistics.stdev(vals)
+    assert abs(out[0].zscore - want) < 1e-12

@@ -190,6 +190,63 @@ def token_counts_docs(spark, sf_dir):
 
 
 @register(
+    "chunk_docs_sliding",
+    r"""WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+          FROM documents
+        ),
+        n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        c AS (
+          SELECT doc_id, toks,
+                 UNNEST(range(0, CAST(FLOOR((GREATEST(n - 32, 0) + 23)
+                                            / 24e0) AS INT) + 1)) AS chunk_id
+          FROM n WHERE n > 0
+        )
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+               CAST(len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32])
+                    AS BIGINT) AS n_chunk_tokens,
+               array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32],
+                               ' ') AS chunk_text
+        FROM c""",
+)
+def chunk_docs_sliding(spark, sf_dir):
+    """Sliding-window token chunking, size=32 stride=24
+    (operators/text.chunk_tokens): overlapping fixed context windows,
+    tail always covered, exact integer offsets and strings."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.chunk_tokens(d, size=32, stride=24)
+
+
+@register(
+    "token_entropy_docs",
+    r"""WITH tok AS (
+          SELECT doc_id,
+                 UNNEST(regexp_split_to_array(trim(text), '\s+')) AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        c AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               ROUND(log2(CAST(SUM(c) AS DOUBLE))
+                     - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                       / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+        FROM c GROUP BY doc_id""",
+)
+def token_entropy_docs(spark, sf_dir):
+    """Per-doc Shannon entropy of the token distribution
+    (operators/text.token_entropy). Counts are exact integers; the
+    Σ c·log2(c) float aggregate is engine-order-dependent, so entropy
+    carries ROUND 6 (the stddev/corr contract)."""
+    d = read_table(spark, sf_dir, "documents")
+    out = text.token_entropy(d)
+    return out.select(
+        "doc_id", "n_tokens", F.round("entropy", 6).alias("entropy")
+    )
+
+
+@register(
     "ngram_jaccard_pairs_docs",
     f"""WITH {_SHINGLES_CTE}, {_JACCARD_CTE}
         SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5""",

@@ -282,3 +282,77 @@ def winnowing_fingerprints(
         )
         .filter(F.col("fingerprint").isNotNull())
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Sliding-window token chunking — the standard LLM training-data
+    prep step (fixed context windows with overlap, cf. pack_sequences
+    for the no-overlap concat-and-chunk variant).
+
+    Chunk i covers tokens [i·stride, i·stride+size); the number of
+    chunks is ceil(max(n−size,0)/stride)+1 so the tail is always
+    covered and a doc with n ≤ size yields exactly one chunk. Empty
+    docs yield none. All integer arithmetic (the ceil-div is exact in
+    doubles below 2^53), token slicing is a JVM array op — no Python,
+    no shuffle: embarrassingly parallel per document, output fan-out
+    ~n/stride rows per doc.
+
+    Output: (id, chunk_id, start_tok, n_chunk_tokens, chunk_text).
+    """
+    toks_c, n_c = "__toks", "__n"
+    d = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias(toks_c)
+    ).withColumn(n_c, F.size(toks_c))
+    n = F.col(n_c)
+    overflow = F.greatest(n - F.lit(size), F.lit(0))
+    n_chunks = F.floor((overflow + F.lit(stride - 1)) / F.lit(stride)) + 1
+    ids = F.when(n > 0, F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+    d = d.withColumn("chunk_id", F.explode(ids))
+    start = F.col("chunk_id") * stride
+    chunk = F.slice(F.col(toks_c), start + 1, size)
+    return d.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("start_tok"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits) —
+    the gibberish/boilerplate quality signal complementing
+    repetition_stats' top-fraction metrics: low entropy = repetitive or
+    templated text, high = diverse vocabulary.
+
+    entropy = log2(N) − Σ c·log2(c) / N over exact integer token counts
+    c. The Σ is a float aggregate (engine-defined order), so
+    cross-engine comparisons must round it — same contract as
+    stddev/corr. Two doc-keyed shuffles (token counts, then the doc
+    rollup); both combine map-side. Docs with no tokens are omitted.
+
+    Output: (id, n_tokens bigint, entropy double).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    )
+    counts = tok.groupBy(id_col, "__tok").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    c = F.col("__c")
+    return counts.groupBy(id_col).agg(
+        F.sum(c).alias("n_tokens"),
+        (
+            F.log2(F.sum(c).cast("double"))
+            - F.sum(c.cast("double") * F.log2(c.cast("double")))
+            / F.sum(c).cast("double")
+        ).alias("entropy"),
+    )

@@ -380,3 +380,53 @@ def test_minmax_scale_bounds_and_constant_group(spark):
     a_vals = sorted(r.v_scaled for r in out if r.g == "a")
     assert a_vals == [0.0, 0.5, 1.0]
     assert all(r.v_scaled is None for r in out if r.g == "b")
+
+
+def test_chunk_tokens_overlap_and_tail(spark):
+    """Chunk boundaries: n<=size → 1 chunk; tail always covered; overlap
+    = size-stride tokens; empty docs vanish."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import text
+
+    docs = [
+        Row(doc_id=1, text=" ".join(f"w{i}" for i in range(10))),   # n=10
+        Row(doc_id=2, text=" ".join(f"w{i}" for i in range(5))),    # n=5
+        Row(doc_id=3, text="   "),                                  # empty
+    ]
+    out = text.chunk_tokens(
+        spark.createDataFrame(docs), size=4, stride=3
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by
+    assert [(r.start_tok, r.n_chunk_tokens) for r in sorted(by[2], key=lambda r: r.chunk_id)] == [(0, 4), (3, 2)]
+    c1 = sorted(by[1], key=lambda r: r.chunk_id)
+    # ceil((10-4)/3)+1 = 3 chunks; last covers through token 9
+    assert [(r.start_tok, r.n_chunk_tokens) for r in c1] == [(0, 4), (3, 4), (6, 4)]
+    assert c1[1].chunk_text == "w3 w4 w5 w6"
+    # consecutive chunks overlap by size-stride = 1 token
+    assert c1[0].chunk_text.split()[-1] == c1[1].chunk_text.split()[0]
+
+
+def test_token_entropy_known_values(spark):
+    """Uniform tokens → log2(k) bits; single repeated token → 0; empty
+    doc omitted."""
+    import math
+
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import text
+
+    docs = [
+        Row(doc_id=1, text="a b c d"),     # uniform over 4 → 2 bits
+        Row(doc_id=2, text="x x x x x"),   # degenerate → 0
+        Row(doc_id=3, text=""),
+        Row(doc_id=4, text="a a b b"),     # uniform over 2 → 1 bit
+    ]
+    out = {r.doc_id: r for r in text.token_entropy(spark.createDataFrame(docs)).collect()}
+    assert 3 not in out
+    assert out[1].n_tokens == 4 and abs(out[1].entropy - 2.0) < 1e-12
+    assert out[2].n_tokens == 5 and abs(out[2].entropy) < 1e-12
+    assert out[4].n_tokens == 4 and abs(out[4].entropy - 1.0) < 1e-12

@@ -487,6 +487,46 @@ def streaming_record_highs(spark, sf_dir):
 
 
 @register(
+    "streaming_enrich_users",
+    # Stateless stream-static join == the same batch join (the stream is
+    # bounded and driven to completion), so the oracle is the plain SQL.
+    """SELECT e.event_id, e.user_id, e.event_type, e.value,
+              c.c_mktsegment AS segment, n.n_name AS nation
+       FROM events e
+       LEFT JOIN customer c ON e.user_id = c.c_custkey
+       LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""",
+)
+def streaming_enrich_users(spark, sf_dir):
+    """Stream-static enrichment join (streaming/enrich_stream): the
+    events file stream joins a broadcast customer×nation dim per
+    micro-batch — the stream side never shuffles. Append mode (stateless),
+    availableNow to completion; equals the batch join, which is the
+    oracle."""
+    import os
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+    from financial_data_lakehouse_pipeline__spark.operators import joins
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = st.stream_from_parquet_dir(
+        spark, sf_dir, raw_schema, glob="events.parquet"
+    ).select("event_id", "user_id", "event_type", "value")
+    cust = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    dim = joins.enrich(cust, nat, cust.c_nationkey == nat.n_nationkey).select(
+        F.col("c_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n_name").alias("nation"),
+    )
+    out = st.enrich_stream(
+        stream, dim, stream.user_id == dim.c_custkey
+    ).select("event_id", "user_id", "event_type", "value", "segment", "nation")
+    return st.run_available_now(
+        out, "corpus_streaming_enrich_users", output_mode="append"
+    )
+
+
+@register(
     "funnel_view_click_purchase",
     f"""WITH s1 AS (
           SELECT user_id, MIN(ts) AS t FROM {_EV} e

@@ -156,3 +156,18 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | Column,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — streaming twin of
+    operators.joins.enrich. The static side is broadcast-hinted: each
+    micro-batch probes an executor-local hash map, so the unbounded
+    stream side never shuffles (the only viable plan shape at scale —
+    a shuffle join would re-exchange every micro-batch). Stateless →
+    append output mode, no watermark needed."""
+    return stream.join(F.broadcast(dim), on, how)

@@ -98,3 +98,30 @@ def test_record_highs_state_carries_across_batches(spark, tmp_path):
     emitted = sorted((r.event_id, r.value) for r in result.collect())
     # 100 (first), 103 (new high). 101 below max; 102=4.0 < carried max 5.0.
     assert emitted == [(100, 5.0), (103, 7.0)]
+
+
+def test_enrich_stream_matches_batch_join(spark, tmp_path):
+    """Stream-static join over a bounded stream equals the batch join;
+    re-running with the same sink name in one session is safe."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+
+    d = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [Row(id=1, k=10), Row(id=2, k=20), Row(id=3, k=99)]
+    ).write.mode("overwrite").parquet(d)
+    dim = spark.createDataFrame(
+        [Row(k=10, name="a"), Row(k=20, name="b")]
+    )
+    schema = spark.read.parquet(d).schema
+    for _ in range(2):  # repeat-run probe: memory sink name reuse
+        stream = spark.readStream.schema(schema).parquet(d)
+        out = st.enrich_stream(stream, dim, "k")
+        got = sorted(
+            (r.id, r.name)
+            for r in st.run_available_now(
+                out, "t_enrich_stream", output_mode="append"
+            ).collect()
+        )
+        assert got == [(1, "a"), (2, "b"), (3, None)]

@@ -611,3 +611,50 @@ def gap_fill_events(spark, sf_dir):
         sparse, ["user_id"], ["ts", "event_id"], ["value"]
     )
     return out.select("user_id", "event_id", "ts", "value", "value_filled")
+
+
+@register(
+    "session_concurrency",
+    f"""WITH marked AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM {_EV}
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+                 ts
+          FROM marked
+        ), iv AS (
+          SELECT MIN(ts) AS s, MAX(ts) AS e FROM sess GROUP BY user_id, sid
+        ), d AS (
+          SELECT s AS at, CAST(1 AS BIGINT) AS dlt FROM iv
+          UNION ALL
+          SELECT e + INTERVAL 1 MICROSECOND, CAST(-1 AS BIGINT) FROM iv
+        ), c AS (SELECT at, SUM(dlt) AS delta FROM d GROUP BY at)
+        SELECT at, delta,
+               SUM(delta) OVER (ORDER BY at ROWS UNBOUNDED PRECEDING)
+                   AS concurrent
+        FROM c""",
+)
+def session_concurrency(spark, sf_dir):
+    """How many user sessions are active at every boundary instant, via
+    the linear sweep-line (operators/events.concurrency_sweep) over the
+    sessionized intervals: +1 at session_start, -1 just after
+    session_end, deltas aggregated PER INSTANT before the cumulative
+    sum — the unpartitioned running window scans one row per distinct
+    boundary, never per session. The quadratic alternative (sessions x
+    instants range join) is exactly what this operator exists to avoid."""
+    ev = read_table(spark, sf_dir, "events")
+    sessions = events.session_agg(
+        ev, ["user_id"], "ts", 1800, {}, order_tiebreak=["event_id"]
+    )
+    out = events.concurrency_sweep(
+        sessions,
+        F.col("session_start"),
+        F.col("session_end") + F.expr("INTERVAL 1 MICROSECOND"),
+    )
+    return out.select("at", "delta", "concurrent")

@@ -211,3 +211,39 @@ def retention_cohorts(
         )
         .agg(F.count_distinct(F.col(user_col)).cast("bigint").alias("n_users"))
     )
+
+
+def concurrency_sweep(
+    df: DataFrame,
+    start: Column,
+    end_exclusive: Column,
+    weight: Column | None = None,
+) -> DataFrame:
+    """Sweep-line concurrency curve: for every interval boundary, how
+    many intervals [start, end_exclusive) are active at that instant —
+    e.g. shipments in transit, open sessions, concurrent calls.
+
+    The naive formulation is an interval × instants range join
+    (quadratic); the sweep is linear: each interval becomes a +w delta at
+    ``start`` and a −w delta at ``end_exclusive``, deltas are SUMMED PER
+    INSTANT FIRST (a keyed shuffle with map-side combine), and the
+    running sum over the aggregated curve gives the concurrency.
+
+    Scale note: the final cumulative window is unpartitioned, which is
+    safe ONLY because it runs over the pre-aggregated curve — one row
+    per distinct boundary instant (dates/hours → thousands), not per
+    interval (billions). Aggregate-then-scan is the load-bearing order;
+    the same two-phase shape extends to a distributed prefix sum (per-
+    range partials + broadcast offsets) if the instant domain ever grows
+    past single-node width.
+
+    Output: (at, delta, concurrent) — ``concurrent`` is the count active
+    on [at, next_boundary).
+    """
+    w = weight if weight is not None else F.lit(1).cast("bigint")
+    deltas = df.select(start.alias("at"), w.alias("__d")).unionAll(
+        df.select(end_exclusive.alias("at"), (-w).alias("__d"))
+    )
+    curve = deltas.groupBy("at").agg(F.sum("__d").alias("delta"))
+    cum = Window.orderBy("at").rowsBetween(Window.unboundedPreceding, 0)
+    return curve.withColumn("concurrent", F.sum("delta").over(cum))

@@ -531,3 +531,22 @@ def test_zscore_flags_thresholds(spark):
     vals = [10, 10, 10, 10, 110]
     want = (110 - statistics.mean(vals)) / statistics.stdev(vals)
     assert abs(out[0].zscore - want) < 1e-12
+
+
+def test_concurrency_sweep_counts_overlaps(spark):
+    """Known intervals produce the hand-computed step curve; weights
+    supported; curve rows are per-distinct-boundary."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from financial_data_lakehouse_pipeline__spark.operators import events
+
+    # [1,5) [3,7) [3,4) → concurrency: t1:1 t3:3 t4:2 t5:1 t7:0
+    iv = spark.createDataFrame(
+        [Row(s=1, e=5), Row(s=3, e=7), Row(s=3, e=4)]
+    )
+    out = {
+        r.at: (r.delta, r.concurrent)
+        for r in events.concurrency_sweep(iv, F.col("s"), F.col("e")).collect()
+    }
+    assert out == {1: (1, 1), 3: (2, 3), 4: (-1, 2), 5: (-1, 1), 7: (-1, 0)}

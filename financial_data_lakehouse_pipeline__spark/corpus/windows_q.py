@@ -602,3 +602,78 @@ def macd_supplier_price(spark, sf_dir):
     return out.select(
         "l_suppkey", "l_orderkey", "l_linenumber", "macd", "macd_signal", "macd_hist"
     )
+
+
+#: Daily OHLC bars per supplier — shared oracle CTE for the bar queries.
+#: open/close via the order-encoded MIN/MAX (aggregates.ohlc): okey in
+#: the high bits, cents in the low 24.
+_OHLC_CTE = f"""c AS ({_CENTS_CTE}),
+o AS (
+  SELECT l_suppkey, l_shipdate AS day,
+         MIN((l_orderkey * 10 + l_linenumber) * 16777216 + c) % 16777216
+             AS open,
+         MAX(c) AS high, MIN(c) AS low,
+         MAX((l_orderkey * 10 + l_linenumber) * 16777216 + c) % 16777216
+             AS close,
+         CAST(COUNT(*) AS BIGINT) AS n_trades,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS volume
+  FROM c GROUP BY l_suppkey, l_shipdate
+)"""
+
+
+def _daily_ohlc(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    okey = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    from financial_data_lakehouse_pipeline__spark.operators import aggregates as _agg
+
+    return _agg.ohlc(
+        li,
+        ["l_suppkey", F.col("l_shipdate").alias("day")],
+        okey,
+        cents,
+        volume=F.col("l_quantity").cast("bigint"),
+    )
+
+
+@register("ohlc_supplier_daily", f"WITH {_OHLC_CTE} SELECT * FROM o")
+def ohlc_supplier_daily(spark, sf_dir):
+    """Daily OHLC bars per supplier (operators/aggregates.ohlc): one
+    hash aggregation; open/close from the order-encoded MIN/MAX — all
+    BIGINT, exact, deterministic under okey ties (value rides the low
+    bits)."""
+    return _daily_ohlc(spark, sf_dir)
+
+
+@register(
+    "atr_supplier_daily",
+    f"""WITH {_OHLC_CTE},
+        t AS (
+          SELECT l_suppkey, day, high, low, close,
+                 LAG(close) OVER (PARTITION BY l_suppkey ORDER BY day) AS pc
+          FROM o
+        ),
+        r AS (
+          SELECT l_suppkey, day,
+                 GREATEST(high - low,
+                          COALESCE(ABS(high - pc), high - low),
+                          COALESCE(ABS(low - pc), high - low)) AS tr
+          FROM t
+        )
+        SELECT l_suppkey, day,
+               CAST(SUM(tr) OVER w14 AS BIGINT) / COUNT(*) OVER w14 / 100e0
+                   AS atr_14
+        FROM r
+        WINDOW w14 AS (PARTITION BY l_suppkey ORDER BY day
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""",
+)
+def atr_supplier_daily(spark, sf_dir):
+    """ATR-14 over the daily supplier bars (operators/windows.atr on
+    aggregates.ohlc output): exact BIGINT true ranges (COALESCE'd first
+    bar), one double division — bit-identical, no ROUND. `day` is unique
+    per supplier, so the window order is total."""
+    bars = _daily_ohlc(spark, sf_dir)
+    out = windows.atr(bars, ["l_suppkey"], ["day"], n=14)
+    return out.select(
+        "l_suppkey", "day", (F.col("atr") / F.lit(100.0)).alias("atr_14")
+    )

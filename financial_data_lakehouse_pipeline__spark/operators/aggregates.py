@@ -244,3 +244,41 @@ def share_of_total(
         F.col("__val").alias("group_value"),
         (F.col("__val").cast("double") / F.sum("__val").over(w)).alias(out),
     )
+
+
+def ohlc(
+    df: DataFrame,
+    keys: Sequence[str | Column],
+    order_key: Column,
+    value: Column,
+    volume: Column | None = None,
+    value_bits: int = 24,
+) -> DataFrame:
+    """Per-group OHLC bars: open/high/low/close of an integer ``value``
+    series ordered by integer ``order_key`` — the candlestick rollup every
+    price pipeline feeds its indicator stage (daily bars from ticks;
+    reference ingests pre-built daily bars, data_transformation.py:61-75,
+    this operator builds them).
+
+    open/close use ONE aggregation trick portable to any engine:
+    MIN/MAX over ``order_key·2^value_bits + value`` — the order key in the
+    high bits picks the first/last row, the value rides in the low bits
+    and is recovered with a modulo. Ties on ``order_key`` resolve to the
+    smallest (open) / largest (close) value — deterministic, no
+    first()/arg_min nondeterminism. Requires 0 ≤ value < 2^value_bits and
+    order_key·2^value_bits < 2^63 (cents + row ids: fine to ~10^11 rows).
+
+    One hash aggregation with map-side combine — shuffle rows = groups.
+    """
+    shift = F.lit(1 << value_bits).cast("bigint")
+    enc = order_key.cast("bigint") * shift + value
+    aggs = [
+        (F.min(enc) % shift).alias("open"),
+        F.max(value).alias("high"),
+        F.min(value).alias("low"),
+        (F.max(enc) % shift).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+    ]
+    if volume is not None:
+        aggs.append(F.sum(volume).alias("volume"))
+    return df.groupBy(*keys).agg(*aggs)

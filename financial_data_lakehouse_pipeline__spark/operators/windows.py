@@ -501,3 +501,47 @@ def macd(
         return pdf
 
     return df.groupBy(*partition_by).applyInPandas(_per_group, schema=schema_out)
+
+
+def atr(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    high: Column | str = "high",
+    low: Column | str = "low",
+    close: Column | str = "close",
+    n: int = 14,
+    out: str = "atr",
+) -> DataFrame:
+    """Average True Range over OHLC bars (pairs with aggregates.ohlc):
+    TR = max(high−low, |high−prev_close|, |low−prev_close|), ATR = n-bar
+    rolling mean of TR — the gap-aware volatility companion to
+    Bollinger's close-only stddev (extends the reference's indicator
+    block, data_transformation.py:162-228).
+
+    With integer (cents) bars TR is exact BIGINT; the first bar of each
+    series has no prev_close, so both |·| terms COALESCE to high−low
+    (explicit, rather than relying on engine-specific GREATEST null
+    rules). ATR = Σ TR / count is one double division — bit-identical
+    cross-engine. One lag + one frame over a shared (partition, order)
+    → one shuffle + sort.
+    """
+    w = _w(partition_by, order_by)
+    h = high if isinstance(high, Column) else F.col(high)
+    lo = low if isinstance(low, Column) else F.col(low)
+    cl = close if isinstance(close, Column) else F.col(close)
+    prev = F.lag(cl).over(w)
+    hl = h - lo
+    tr_c = f"__{out}_tr"
+    d = df.withColumn(
+        tr_c,
+        F.greatest(
+            hl,
+            F.coalesce(F.abs(h - prev), hl),
+            F.coalesce(F.abs(lo - prev), hl),
+        ),
+    )
+    wf = w.rowsBetween(-(n - 1), 0)
+    return d.withColumn(
+        out, F.sum(tr_c).over(wf) / F.count(F.lit(1)).over(wf)
+    ).drop(tr_c)

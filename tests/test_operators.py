@@ -550,3 +550,50 @@ def test_concurrency_sweep_counts_overlaps(spark):
         for r in events.concurrency_sweep(iv, F.col("s"), F.col("e")).collect()
     }
     assert out == {1: (1, 1), 3: (2, 3), 4: (-1, 2), 5: (-1, 1), 7: (-1, 0)}
+
+
+def test_ohlc_order_encoded_open_close(spark):
+    """open/close follow the order key, not row order; high/low/volume
+    exact; okey ties resolve to min(open)/max(close) value."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from financial_data_lakehouse_pipeline__spark.operators import aggregates
+
+    rows = [
+        Row(g="a", k=3, p=500, v=1),
+        Row(g="a", k=1, p=300, v=2),   # first by k → open
+        Row(g="a", k=2, p=900, v=3),
+        Row(g="a", k=3, p=400, v=1),   # k tie with 500 → close=max(400,500)
+        Row(g="b", k=7, p=100, v=5),
+    ]
+    out = {
+        r.g: r
+        for r in aggregates.ohlc(
+            spark.createDataFrame(rows), ["g"], F.col("k"), F.col("p"), F.col("v")
+        ).collect()
+    }
+    a = out["a"]
+    assert (a.open, a.high, a.low, a.close) == (300, 900, 300, 500)
+    assert a.n_trades == 4 and a.volume == 7
+    b = out["b"]
+    assert (b.open, b.close, b.n_trades) == (100, 100, 1)
+
+
+def test_atr_true_range_with_gaps(spark):
+    """TR uses prev close on gap bars; first bar falls back to high-low;
+    ATR is the running mean of TR."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import windows as W
+
+    bars = [
+        Row(g=1, t=1, high=110, low=90, close=100),   # TR = 20
+        Row(g=1, t=2, high=130, low=125, close=128),  # gap up: TR = max(5, 30, 25) = 30
+        Row(g=1, t=3, high=120, low=100, close=110),  # TR = max(20, 8, 28) = 28
+    ]
+    out = sorted(
+        W.atr(spark.createDataFrame(bars), ["g"], ["t"], n=14).collect(),
+        key=lambda r: r.t,
+    )
+    assert [r.atr for r in out] == [20.0, 25.0, 26.0]

@@ -66,6 +66,42 @@ def stratified_sample_docs(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+@register(
+    "mixture_resample_docs",
+    f"""WITH n AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents GROUP BY source
+        ),
+        w AS (
+          SELECT source, n,
+                 CASE source WHEN 'src0' THEN 5e-1 WHEN 'src1' THEN 3e-1
+                             WHEN 'src2' THEN 2e-1 END AS w
+          FROM n
+        ),
+        f AS (SELECT source, n, w FROM w WHERE w IS NOT NULL),
+        t AS (SELECT MIN(CAST(n AS DOUBLE) / w) AS tmin FROM f),
+        thr AS (
+          SELECT source,
+                 CAST(FLOOR(w * tmin / CAST(n AS DOUBLE) * 10000) AS BIGINT)
+                     AS thr
+          FROM f, t
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN thr USING (source)
+        WHERE {_bucket_sql('doc_id', 'mixture')} < thr""",
+)
+def mixture_resample_docs(spark, sf_dir):
+    """Resample sources to a 0.5/0.3/0.2 target mixture
+    (operators/sampling.mixture_resample): keep-rates derived from exact
+    counts at the largest no-upsampling total, applied via the salted
+    md5-bucket filter — thresholds and survivors are bit-reproducible."""
+    d = read_table(spark, sf_dir, "documents")
+    out = sampling.mixture_resample(
+        d, "doc_id", "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    )
+    return out.select("doc_id", "source")
+
+
 #: canonicalized text (mirrors dedup.canonical_text / functions.tokens)
 _CANON = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 

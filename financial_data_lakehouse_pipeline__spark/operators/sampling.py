@@ -144,3 +144,64 @@ def pack_sequences(
             "n_bins_spanned"
         ),
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    weights: dict[str, float],
+    salt: str = "mixture",
+) -> DataFrame:
+    """Deterministic resampling to a TARGET MIXTURE: given desired
+    proportions per stratum (e.g. web 0.5 / books 0.3 / code 0.2),
+    derive the per-stratum keep-rates that realize those proportions at
+    the largest total achievable WITHOUT upsampling, then apply the
+    salted-hash Bernoulli filter — the data-mixing step of LLM training
+    set construction (stratified_hash_sample is the fixed-rate
+    primitive; this derives the rates from the target).
+
+    T = min_s(n_s / w_s) is the feasible total (the binding stratum
+    keeps 100%); keep_s = w_s·T/n_s. Rates come from exact BIGINT
+    counts through one fixed double expression tree, so thresholds are
+    reproducible across engines and clusters. Strata absent from
+    ``weights`` are dropped.
+
+    Execution: one count aggregation (rows = strata), a 1-row global
+    min, both broadcast back — the corpus never shuffles; expected
+    output size is w_s·T per stratum (exactly proportional in hash
+    buckets, ±quantization of 1/BUCKETS).
+    """
+    w_expr = None
+    for val, w in weights.items():
+        cond = F.col(stratum_col) == val
+        lw = F.lit(float(w))
+        w_expr = F.when(cond, lw) if w_expr is None else w_expr.when(cond, lw)
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__w", w_expr)
+        .filter(F.col("__w").isNotNull())
+    )
+    tmin = counts.agg(
+        F.min(F.col("__n").cast("double") / F.col("__w")).alias("__tmin")
+    )
+    thr = (
+        counts.crossJoin(F.broadcast(tmin))
+        .withColumn(
+            "__thr",
+            F.floor(
+                F.col("__w")
+                * F.col("__tmin")
+                / F.col("__n").cast("double")
+                * F.lit(BUCKETS)
+            ),
+        )
+        .select(stratum_col, "__thr")
+    )
+    b = hash_bucket(F.col(id_col), salt)
+    return (
+        df.join(F.broadcast(thr), stratum_col)
+        .filter(b.cast("bigint") < F.col("__thr"))
+        .drop("__thr")
+    )

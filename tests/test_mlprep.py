@@ -430,3 +430,27 @@ def test_token_entropy_known_values(spark):
     assert out[1].n_tokens == 4 and abs(out[1].entropy - 2.0) < 1e-12
     assert out[2].n_tokens == 5 and abs(out[2].entropy) < 1e-12
     assert out[4].n_tokens == 4 and abs(out[4].entropy - 1.0) < 1e-12
+
+
+def test_mixture_resample_rates_and_determinism(spark):
+    """Binding stratum keeps 100%; others are scaled to the target
+    mixture; unlisted strata are dropped; re-runs are identical."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import sampling
+
+    rows = [Row(id=i, src="a") for i in range(1000)]
+    rows += [Row(id=10_000 + i, src="b") for i in range(100)]
+    rows += [Row(id=20_000 + i, src="junk") for i in range(50)]
+    df = spark.createDataFrame(rows)
+    out = sampling.mixture_resample(df, "id", "src", {"a": 0.5, "b": 0.5})
+    got = out.groupBy("src").count().collect()
+    by = {r.src: r["count"] for r in got}
+    # T = min(1000/.5, 100/.5) = 200 → b keeps all 100, a keeps ~10%
+    assert "junk" not in by
+    assert by["b"] == 100
+    assert 60 <= by["a"] <= 140  # hash-Bernoulli around 100
+    again = sampling.mixture_resample(df, "id", "src", {"a": 0.5, "b": 0.5})
+    assert sorted(r.id for r in out.collect()) == sorted(
+        r.id for r in again.collect()
+    )

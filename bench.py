@@ -44,6 +44,10 @@ HEADLINE = [
     "signlsh_topk",              # LLM: bucketed ANN
     "tfidf_top_terms_docs",      # LLM: tf-idf terms (explode + 2 aggs + window)
     "campaign_order_windows",    # binned range join
+    "vwap_supplier_price",       # cumulative integer-exact window quotient
+    "atr_supplier_daily",        # OHLC agg + gap-aware rolling TR
+    "session_concurrency",       # sweep-line interval overlap
+    "chunk_docs_sliding",        # LLM: overlapping context windows
 ]
 
 

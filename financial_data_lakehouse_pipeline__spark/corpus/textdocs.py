@@ -346,6 +346,39 @@ def duplicate_clusters_docs(spark, sf_dir):
     return dedup.duplicate_clusters(d, pairs)
 
 
+@register(
+    "dedup_canonical_docs",
+    f"""WITH RECURSIVE {_minhash_ctes()},
+        edges AS MATERIALIZED (
+          SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+          UNION
+          SELECT id_b, id_a FROM lsh_pairs
+        ),
+        closure AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
+        ),
+        rep AS (
+          SELECT d.doc_id
+          FROM documents d LEFT JOIN closure cl ON cl.src = d.doc_id
+          GROUP BY d.doc_id
+          HAVING LEAST(d.doc_id, COALESCE(MIN(cl.dst), d.doc_id)) = d.doc_id
+        )
+        SELECT doc_id, source, lang, n_chars
+        FROM documents JOIN rep USING (doc_id)""",
+)
+def dedup_canonical_docs(spark, sf_dir):
+    """End-to-end near-dup removal (operators/dedup.dedup_keep_canonical):
+    MinHash-LSH pairs → min-label clusters → keep each cluster's
+    representative via LEFT SEMI join — the deduplicated corpus itself,
+    not just the pair/cluster report."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=16, bands=4, threshold=0.5)
+    out = dedup.dedup_keep_canonical(d, pairs)
+    return out.select("doc_id", "source", "lang", "n_chars")
+
+
 def _simhash_oracle(bits: int = 16, max_hamming: int = 3) -> str:
     blocks = max_hamming + 1
     width = bits // blocks or 1

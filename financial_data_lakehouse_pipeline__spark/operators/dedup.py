@@ -460,3 +460,23 @@ def contamination_report(
             "contaminated_frac"
         ),
     )
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """End-to-end near-dup REMOVAL: cluster the pair graph
+    (duplicate_clusters) and keep only each cluster's representative
+    (minimum id) — the final filter a training-corpus dedup pipeline
+    applies after pair finding. Docs in no pair survive untouched.
+
+    The survivor set joins back as a LEFT SEMI join on the id — the
+    document payload (text, binaries) never enters the clustering
+    shuffles; only ids and labels do.
+    """
+    clusters = duplicate_clusters(df, pairs, id_col, max_iterations)
+    keep = clusters.filter(F.col("is_representative")).select(id_col)
+    return df.join(keep, id_col, "left_semi")

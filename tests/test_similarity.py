@@ -132,3 +132,21 @@ def test_quantize_int8_roundtrip_error_bound(spark):
         assert abs(orig - hat) <= r1.scale / 2 + 1e-12
     r2 = by_id[2]
     assert r2.scale == 0.0 and all(q == 0 for q in r2.q_embedding)
+
+
+def test_dedup_keep_canonical_survivors(spark):
+    """Only cluster minima survive; unpaired docs pass through."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{i}") for i in (1, 2, 3, 4, 5)]
+    )
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2, jaccard=0.9), Row(id_a=2, id_b=4, jaccard=0.8)]
+    )
+    out = sorted(
+        r.doc_id for r in dedup.dedup_keep_canonical(docs, pairs).collect()
+    )
+    assert out == [1, 3, 5]  # {1,2,4} collapses to 1; 3 and 5 untouched

@@ -877,3 +877,37 @@ def nation_revenue_share(spark, sf_dir):
         (F.col("group_value").cast("double") / F.lit(100.0)).alias("group_revenue"),
         "share",
     )
+
+
+@register(
+    "mad_outlier_prices",
+    f"""WITH c AS (
+          SELECT l_suppkey, l_orderkey, l_linenumber, {_CENTS_R} AS c
+          FROM lineitem
+        ),
+        m AS (SELECT l_suppkey, quantile_cont(c, 0.5) AS med
+              FROM c GROUP BY l_suppkey),
+        d AS (
+          SELECT c.l_suppkey, l_orderkey, l_linenumber, c, med,
+                 ABS(CAST(c AS DOUBLE) - med) AS dev
+          FROM c JOIN m USING (l_suppkey)
+        ),
+        md AS (SELECT l_suppkey, quantile_cont(dev, 0.5) AS mad
+               FROM d GROUP BY l_suppkey),
+        j AS (
+          SELECT d.l_suppkey, l_orderkey, l_linenumber,
+                 CASE WHEN mad > 0
+                      THEN (CAST(c AS DOUBLE) - med) / mad END AS mad_z
+          FROM d JOIN md USING (l_suppkey)
+        )
+        SELECT * FROM j WHERE ABS(mad_z) > 2e0""",
+)
+def mad_outlier_prices(spark, sf_dir):
+    """Robust median/MAD outliers per supplier, |z| > 2
+    (operators/analysis.mad_outliers): exact interpolated medians on
+    integer cents make the whole z bit-identical cross-engine — the
+    heavy-tail-safe twin of zscore_outlier_prices."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    out = analysis.mad_outliers(li, ["l_suppkey"], cents, threshold=2.0)
+    return out.select("l_suppkey", "l_orderkey", "l_linenumber", "mad_z")

@@ -677,3 +677,37 @@ def atr_supplier_daily(spark, sf_dir):
     return out.select(
         "l_suppkey", "day", (F.col("atr") / F.lit(100.0)).alias("atr_14")
     )
+
+
+@register(
+    "cross_sectional_daily_rank",
+    f"""WITH g AS (
+          SELECT l_shipdate AS day, l_suppkey,
+                 CAST(SUM({_CENTS}) AS BIGINT) AS rev_cents
+          FROM lineitem GROUP BY 1, 2
+        )
+        SELECT day, l_suppkey, rev_cents,
+               RANK() OVER w AS rank,
+               NTILE(10) OVER w AS ntile_10
+        FROM g
+        WINDOW w AS (PARTITION BY day ORDER BY rev_cents DESC, l_suppkey)""",
+)
+def cross_sectional_daily_rank(spark, sf_dir):
+    """CROSS-SECTIONAL ranking: partition by DAY, rank suppliers by that
+    day's revenue (operators/windows.ranked) — the orthogonal window
+    orientation to every time-series indicator (momentum deciles,
+    relative-strength leaders). Runs on the pre-aggregated daily table,
+    so the rank shuffle moves groups, not lineitems; (rev DESC, suppkey)
+    is a total order → rank and ntile deterministic."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    g = li.groupBy(
+        F.col("l_shipdate").alias("day"), "l_suppkey"
+    ).agg(F.sum(cents).alias("rev_cents"))
+    out = windows.ranked(
+        g,
+        ["day"],
+        [F.col("rev_cents").desc(), F.col("l_suppkey")],
+        methods=("rank", "ntile_10"),
+    )
+    return out.select("day", "l_suppkey", "rev_cents", "rank", "ntile_10")

@@ -156,3 +156,46 @@ def summary_stats(
             F.stddev_samp(col).alias(f"{c}_stddev"),
         ]
     return df.groupBy(*keys).agg(*aggs)
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column,
+    threshold: float = 2.0,
+    out: str = "mad_z",
+) -> DataFrame:
+    """Robust per-group outlier detection via median/MAD — the
+    heavy-tail-safe sibling of zscore_flags (mean/stddev break under the
+    very outliers being hunted; median and MAD have a 50% breakdown
+    point).
+
+    mad_z = (v − median) / MAD with MAD = median(|v − median|). ``value``
+    must be integer (cents): exact-interpolated medians land on .0/.5,
+    deviations are dyadic doubles, and the second median interpolates
+    those exactly — the whole z is a fixed double tree, bit-identical
+    cross-engine, so the threshold filter is deterministic. Zero-MAD
+    groups (constant-majority) yield no flags.
+
+    Two grouped exact-percentile passes + two broadcast join-backs
+    (stats tables are one row per group). At 100 TB swap the exact
+    percentile for approx_percentile and accept sketch error.
+    """
+    med_t = df.groupBy(*keys).agg(F.percentile(value, 0.5).alias("__med"))
+    j = df.join(F.broadcast(med_t), list(keys))
+    dev = F.abs(value.cast("double") - F.col("__med"))
+    mad_t = (
+        j.withColumn("__dev", dev)
+        .groupBy(*keys)
+        .agg(F.percentile("__dev", 0.5).alias("__mad"))
+    )
+    jj = j.join(F.broadcast(mad_t), list(keys))
+    z = F.when(
+        F.col("__mad") > 0,
+        (value.cast("double") - F.col("__med")) / F.col("__mad"),
+    )
+    return (
+        jj.withColumn(out, z)
+        .filter(F.abs(F.col(out)) > F.lit(threshold))
+        .drop("__med", "__mad")
+    )

@@ -597,3 +597,21 @@ def test_atr_true_range_with_gaps(spark):
         key=lambda r: r.t,
     )
     assert [r.atr for r in out] == [20.0, 25.0, 26.0]
+
+
+def test_mad_outliers_robust_to_contamination(spark):
+    """The single extreme point is flagged and the median/MAD anchor
+    ignores it (mean/stddev would not); constant groups yield no flags."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    rows = [Row(g="a", id=i, v=v) for i, v in enumerate([10, 12, 11, 13, 9, 11, 1000])]
+    rows += [Row(g="flat", id=i, v=5) for i in range(4)]
+    out = analysis.mad_outliers(
+        spark.createDataFrame(rows), ["g"], F.col("v"), threshold=3.0
+    ).collect()
+    assert [(r.g, r.id) for r in out] == [("a", 6)]
+    # median=11, MAD=1 → z=(1000-11)/1 = 989
+    assert out[0].mad_z == 989.0

@@ -343,3 +343,34 @@ def skew_report_events(spark, sf_dir):
         .orderBy(F.col("n_rows").desc(), "user_id")
         .limit(10)
     )
+
+
+@register(
+    "supplier_date_gaps",
+    """WITH act AS (
+         SELECT DISTINCT l_suppkey, l_shipdate AS day FROM lineitem
+       ),
+       r AS (
+         SELECT l_suppkey, MIN(day) AS d0, MAX(day) AS d1
+         FROM act GROUP BY l_suppkey
+       ),
+       spine AS (
+         SELECT l_suppkey, CAST(day AS DATE) AS day
+         FROM (SELECT l_suppkey,
+                      UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+               FROM r)
+       )
+       SELECT s.l_suppkey, s.day AS missing_day
+       FROM spine s
+       WHERE NOT EXISTS (SELECT 1 FROM act a
+                         WHERE a.l_suppkey = s.l_suppkey AND a.day = s.day)""",
+)
+def supplier_date_gaps(spark, sf_dir):
+    """Missing trading days per supplier inside each supplier's own
+    activity range (operators/dq.date_gaps): generated per-entity date
+    spine + LEFT ANTI join — the completeness report feeding
+    gap_fill_events."""
+    from financial_data_lakehouse_pipeline__spark.operators import dq
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return dq.date_gaps(li, ["l_suppkey"], F.col("l_shipdate").cast("date"))

@@ -911,3 +911,55 @@ def mad_outlier_prices(spark, sf_dir):
     cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
     out = analysis.mad_outliers(li, ["l_suppkey"], cents, threshold=2.0)
     return out.select("l_suppkey", "l_orderkey", "l_linenumber", "mad_z")
+
+
+@register(
+    "wow_nation_revenue",
+    f"""WITH g AS (
+          SELECT n.n_name AS nation,
+                 CAST(FLOOR(datediff('day', DATE '1970-01-01', l.l_shipdate) / 7e0)
+                      AS BIGINT) AS week,
+                 CAST(SUM({_CENTS_R}) AS BIGINT) AS rev_cents
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          GROUP BY 1, 2
+        )
+        SELECT nation, week, rev_cents,
+               rev_cents - LAG(rev_cents) OVER w AS wow_delta,
+               CASE WHEN LAG(rev_cents) OVER w <> 0
+                    THEN CAST(rev_cents - LAG(rev_cents) OVER w AS DOUBLE)
+                         / LAG(rev_cents) OVER w END AS wow_pct
+        FROM g WINDOW w AS (PARTITION BY nation ORDER BY week)""",
+)
+def wow_nation_revenue(spark, sf_dir):
+    """Week-over-week revenue per supplier nation: epoch-day // 7 week
+    buckets (portable — engine week-of-year definitions differ),
+    broadcast dim joins, pre-aggregated lag window over groups not
+    lineitems. Delta is exact BIGINT; pct one guarded double division."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    su = read_table(spark, sf_dir, "supplier")
+    na = read_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    week = F.floor(
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01")) / F.lit(7.0)
+    )
+    g = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), week.alias("week"))
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w = Window.partitionBy("nation").orderBy("week")
+    prev = F.lag("rev_cents").over(w)
+    return g.select(
+        "nation",
+        "week",
+        "rev_cents",
+        (F.col("rev_cents") - prev).alias("wow_delta"),
+        F.when(
+            prev != 0, (F.col("rev_cents") - prev).cast("double") / prev
+        ).alias("wow_pct"),
+    )

@@ -711,3 +711,42 @@ def cross_sectional_daily_rank(spark, sf_dir):
         methods=("rank", "ntile_10"),
     )
     return out.select("day", "l_suppkey", "rev_cents", "rank", "ntile_10")
+
+
+@register(
+    "rolling_beta_price_qty",
+    f"""WITH c AS ({_CENTS_CTE}),
+        s AS (
+          SELECT l_suppkey, l_orderkey, l_linenumber,
+                 CAST(COUNT(*) OVER w14 AS DOUBLE) AS n,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w14 AS DOUBLE) AS sx,
+                 CAST(SUM(c) OVER w14 AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(l_quantity AS BIGINT) * c) OVER w14 AS DOUBLE)
+                     AS sxy,
+                 CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                      OVER w14 AS DOUBLE) AS sxx
+          FROM c
+          WINDOW w14 AS ({_LI_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CASE WHEN n * sxx - sx * sx > 0
+                    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END
+                   AS beta_14
+        FROM s""",
+)
+def rolling_beta_price_qty(spark, sf_dir):
+    """Rolling 14-row hedge ratio: OLS slope of price (cents) on quantity
+    per supplier (operators/windows.rolling_beta) — exact BIGINT
+    co-moments, one fixed double tree, bit-identical cross-engine."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    out = windows.rolling_beta(
+        li,
+        ["l_suppkey"],
+        _LI_ORDER_COLS,
+        F.col("l_quantity").cast("bigint"),
+        cents,
+        n=14,
+        out="beta_14",
+    )
+    return out.select("l_suppkey", "l_orderkey", "l_linenumber", "beta_14")

@@ -15,6 +15,8 @@ Spark allows mixing them.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -142,4 +144,34 @@ def distribution_drift(
         (
             F.lit(0.5) * F.sum(cross).over(w).cast("double") / (ta * tb)
         ).alias("tvd"),
+    )
+
+
+def date_gaps(
+    df: DataFrame,
+    keys: Sequence[str],
+    date_col: Column | str,
+    out: str = "missing_day",
+) -> DataFrame:
+    """Per-entity calendar gap report: every date inside the entity's own
+    [first, last] activity range with NO rows — the completeness check a
+    daily pipeline runs before trusting time-series operators (rolling
+    frames silently span gaps; see gap_fill_events for the repair step).
+
+    Shape: distinct activity (one row per entity-day), per-entity min/max
+    (rows = entities), a generated date spine per entity (explode of
+    sequence — no calendar table scan), then LEFT ANTI join back. The
+    spine is entities × span-days rows — bounded by calendar width, not
+    fact volume; the anti-join shuffles the spine, never the facts.
+    """
+    d = date_col if isinstance(date_col, Column) else F.col(date_col)
+    act = df.select(*keys, d.alias("__day")).distinct()
+    rng = act.groupBy(*keys).agg(
+        F.min("__day").alias("__d0"), F.max("__day").alias("__d1")
+    )
+    spine = rng.select(
+        *keys, F.explode(F.sequence("__d0", "__d1")).alias("__day")
+    )
+    return spine.join(act, [*keys, "__day"], "left_anti").select(
+        *keys, F.col("__day").alias(out)
     )

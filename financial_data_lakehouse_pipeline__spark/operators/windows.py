@@ -545,3 +545,33 @@ def atr(
     return d.withColumn(
         out, F.sum(tr_c).over(wf) / F.count(F.lit(1)).over(wf)
     ).drop(tr_c)
+
+
+def rolling_beta(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    x: Column | str,
+    y: Column | str,
+    n: int,
+    out: str = "beta_n",
+) -> DataFrame:
+    """Rolling OLS slope (hedge ratio / rolling beta) of integer series y
+    on x over an n-row frame — the windowed form of analysis.linear_fit,
+    same exact-co-moment discipline as rolling_corr: five exact BIGINT
+    sums, then slope = (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) as one fixed
+    double tree — bit-identical cross-engine. NULL where x is flat in
+    the window. One shuffle + sort shared with sibling windows.
+    """
+    w = _w(partition_by, order_by).rowsBetween(-(n - 1), 0)
+    xc = x if isinstance(x, Column) else F.col(x)
+    yc = y if isinstance(y, Column) else F.col(y)
+    cnt = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(xc).over(w).cast("double")
+    sy = F.sum(yc).over(w).cast("double")
+    sxy = F.sum(xc * yc).over(w).cast("double")
+    sxx = F.sum(xc * xc).over(w).cast("double")
+    varx = cnt * sxx - sx * sx
+    return df.withColumn(
+        out, F.when(varx > 0, (cnt * sxy - sx * sy) / varx)
+    )

@@ -454,3 +454,25 @@ def test_mixture_resample_rates_and_determinism(spark):
     assert sorted(r.id for r in out.collect()) == sorted(
         r.id for r in again.collect()
     )
+
+
+def test_date_gaps_within_entity_range(spark):
+    """Gaps are reported only inside each entity's own [first, last]
+    range; dense entities report nothing."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import dq
+
+    d = dt.date
+    rows = [
+        Row(k="a", day=d(2024, 1, 1)), Row(k="a", day=d(2024, 1, 2)),
+        Row(k="a", day=d(2024, 1, 5)),               # gaps: 3rd, 4th
+        Row(k="b", day=d(2024, 2, 1)), Row(k="b", day=d(2024, 2, 2)),
+    ]
+    out = sorted(
+        (r.k, r.missing_day.isoformat())
+        for r in dq.date_gaps(spark.createDataFrame(rows), ["k"], "day").collect()
+    )
+    assert out == [("a", "2024-01-03"), ("a", "2024-01-04")]

@@ -658,3 +658,58 @@ def session_concurrency(spark, sf_dir):
         F.col("session_end") + F.expr("INTERVAL 1 MICROSECOND"),
     )
     return out.select("at", "delta", "concurrent")
+
+
+@register(
+    "event_study_revenue",
+    """WITH daily AS (
+         SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+                CAST(SUM(CAST(FLOOR(l_extendedprice * 100e0 + 5e-1)
+                              AS BIGINT)) AS BIGINT) AS rev
+         FROM lineitem GROUP BY 1, 2
+       ),
+       s AS (
+         SELECT l_suppkey, CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(rev) AS DOUBLE) AS sv,
+                CAST(SUM(rev * rev) AS DOUBLE) AS svv
+         FROM daily GROUP BY 1
+       ),
+       e AS (
+         SELECT d.l_suppkey, day AS event_day, rev AS event_rev
+         FROM daily d JOIN s USING (l_suppkey)
+         WHERE CASE WHEN n > 1 AND (svv - sv * sv / n) / (n - 1e0) > 0
+                    THEN (CAST(rev AS DOUBLE) - sv / n)
+                         / SQRT((svv - sv * sv / n) / (n - 1e0)) END > 25e-1
+       ),
+       p AS (
+         SELECT l_suppkey, event_day, event_rev, UNNEST(range(-3, 4)) AS o
+         FROM e
+       ),
+       j AS (
+         SELECT p.o, d.rev, p.event_rev
+         FROM p JOIN daily d
+           ON d.l_suppkey = p.l_suppkey
+          AND d.day = p.event_day + CAST(p.o AS INTEGER)
+       )
+       SELECT CAST(o AS INT) AS "offset",
+              CAST(COUNT(*) AS BIGINT) AS n_obs,
+              CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS avg_value,
+              ROUND(AVG(CAST(rev AS DOUBLE) / event_rev), 6) AS avg_rel
+       FROM j GROUP BY o""",
+)
+def event_study_revenue(spark, sf_dir):
+    """Event study (operators/analysis.event_study): per-supplier daily
+    revenue shocks (z > 2.5, exact-sum deterministic) → average revenue
+    at offsets −3..+3 around each shock. avg_value is an exact
+    sum/count; avg_rel is a float mean of row-wise ratios → ROUND 6."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    daily = li.groupBy(
+        "l_suppkey", F.col("l_shipdate").cast("date").alias("day")
+    ).agg(F.sum(cents).alias("rev"))
+    out = analysis.event_study(
+        daily, ["l_suppkey"], "day", "rev", threshold=2.5, span=3
+    )
+    return out.select(
+        "offset", "n_obs", "avg_value", F.round("avg_rel", 6).alias("avg_rel")
+    )

@@ -199,3 +199,57 @@ def mad_outliers(
         .filter(F.abs(F.col(out)) > F.lit(threshold))
         .drop("__med", "__mad")
     )
+
+
+def event_study(
+    df: DataFrame,
+    keys: Sequence[str],
+    day_col: str,
+    value_col: str,
+    threshold: float = 2.5,
+    span: int = 3,
+) -> DataFrame:
+    """Event study over a daily panel (keys, day, integer value): detect
+    per-entity shock days (value z-score > threshold, same exact-sum
+    discipline as zscore_flags), then average the value at calendar
+    offsets −span..+span around each event — the abnormal-behavior
+    window analysis the reference's event detection feeds
+    (sentiment_analysis.py:215-279: detect, then inspect forward
+    returns).
+
+    Pipeline: panel stats (broadcast back) → deterministic event filter
+    → explode the 2·span+1 offsets → equi-join back to the panel on
+    (keys, day+offset) — a 7-row fan-out of the tiny event set probing
+    the panel by key, never a range scan. Output per offset: n_obs,
+    avg_value (exact sum / count), avg_rel (mean of value/event_value
+    ratios — a float mean; round it when comparing cross-engine).
+    """
+    d, v = F.col(day_col), F.col(value_col)
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(v).cast("double").alias("__sv"),
+        F.sum(v * v).cast("double").alias("__svv"),
+    )
+    n, sv, svv = F.col("__n"), F.col("__sv"), F.col("__svv")
+    var = (svv - sv * sv / n) / (n - F.lit(1.0))
+    z = F.when(
+        (n > 1) & (var > 0), (v.cast("double") - sv / n) / F.sqrt(var)
+    )
+    events = (
+        df.join(F.broadcast(stats), list(keys))
+        .filter(z > F.lit(threshold))
+        .select(
+            *keys,
+            d.alias("__event_day"),
+            v.alias("__event_value"),
+        )
+    )
+    probe = events.withColumn(
+        "offset", F.explode(F.sequence(F.lit(-span), F.lit(span)))
+    ).withColumn(day_col, F.date_add(F.col("__event_day"), F.col("offset")))
+    joined = probe.join(df.select(*keys, d, v), [*keys, day_col])
+    return joined.groupBy("offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        (F.sum(v).cast("double") / F.count(F.lit(1))).alias("avg_value"),
+        F.avg(v.cast("double") / F.col("__event_value")).alias("avg_rel"),
+    )

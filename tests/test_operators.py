@@ -615,3 +615,30 @@ def test_mad_outliers_robust_to_contamination(spark):
     assert [(r.g, r.id) for r in out] == [("a", 6)]
     # median=11, MAD=1 → z=(1000-11)/1 = 989
     assert out[0].mad_z == 989.0
+
+
+def test_event_study_offsets(spark):
+    """A single spike day yields one event; offsets align on the
+    calendar; missing panel days drop out of n_obs."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    d0 = dt.date(2024, 1, 10)
+    vals = {0: 10, 1: 10, 2: 10, 3: 10, 4: 1000, 5: 10, 6: 10}  # spike at +4
+    rows = [
+        Row(k="a", day=d0 + dt.timedelta(days=i), v=v) for i, v in vals.items()
+    ]
+    out = {
+        r.offset: r
+        for r in analysis.event_study(
+            spark.createDataFrame(rows), ["k"], "day", "v", threshold=2.0, span=2
+        ).collect()
+    }
+    # event at day+4; offsets -2..+2 exist in the panel
+    assert sorted(out) == [-2, -1, 0, 1, 2]
+    assert out[0].n_obs == 1 and out[0].avg_value == 1000.0
+    assert out[-1].avg_value == 10.0 and out[1].avg_value == 10.0
+    assert abs(out[2].avg_rel - 0.01) < 1e-12

@@ -713,3 +713,73 @@ def event_study_revenue(spark, sf_dir):
     return out.select(
         "offset", "n_obs", "avg_value", F.round("avg_rel", 6).alias("avg_rel")
     )
+
+
+@register(
+    "streaming_click_attribution",
+    # Bounded input driven to completion == the batch interval join.
+    f"""SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+               p.event_id AS purchase_id, p.ts AS purchase_ts,
+               p.value AS purchase_value
+        FROM (SELECT * FROM {_EV} WHERE event_type = 'click') c
+        JOIN (SELECT * FROM {_EV} WHERE event_type = 'purchase') p
+          ON p.user_id = c.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
+)
+def streaming_click_attribution(spark, sf_dir):
+    """Stream-stream interval join (streaming/stream_interval_join):
+    clicks and purchases arrive as two streams; each click matches the
+    same user's purchases within the following hour. Watermarks + the
+    time-bound condition keep both state buffers finite; with bounded
+    input run to completion it equals the batch interval join (the
+    oracle)."""
+    import os
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def side(event_type, cols):
+        s = st.stream_from_parquet_dir(
+            spark, sf_dir, raw_schema, glob="events.parquet"
+        )
+        if dict(s.dtypes)["ts"] == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s.filter(F.col("event_type") == event_type).select(*cols)
+
+    clicks = side(
+        "click",
+        [
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        ],
+    )
+    purchases = side(
+        "purchase",
+        [
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        ],
+    )
+    out = st.stream_interval_join(
+        clicks,
+        purchases,
+        "click_ts",
+        "purchase_ts",
+        F.col("user_id") == F.col("p_user_id"),
+        span="1 hour",
+        watermark="2 hours",
+    ).select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+    return st.run_available_now(
+        out, "corpus_streaming_click_attribution", output_mode="append"
+    )

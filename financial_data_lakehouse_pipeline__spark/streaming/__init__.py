@@ -171,3 +171,33 @@ def enrich_stream(
     a shuffle join would re-exchange every micro-batch). Stateless →
     append output mode, no watermark needed."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    equi: Column,
+    span: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join within a bounded event-time interval:
+    right rows match left rows with the same key whose timestamp falls in
+    [left_ts, left_ts + span] — attribution joins (click → purchase
+    within the hour) as both sides arrive incrementally.
+
+    Both sides carry watermarks and the join condition bounds right_ts
+    relative to left_ts, so each side's buffered state is watermark+span
+    wide per key — the REQUIRED shape for an unbounded stream-stream
+    join (without the time bound Spark must buffer both streams
+    forever). Column names must be disjoint before the join (rename
+    upstream)."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        equi
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {span}"))
+    )
+    return l.join(r, cond)

@@ -125,3 +125,52 @@ def test_enrich_stream_matches_batch_join(spark, tmp_path):
             ).collect()
         )
         assert got == [(1, "a"), (2, "b"), (3, None)]
+
+
+def test_stream_interval_join_bounds(spark, tmp_path):
+    """Only right rows inside [left_ts, left_ts + span] match; matches
+    equal the batch interval join on the same data."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def feed(name, rows):
+        d = str(tmp_path / name)
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(d)
+        schema = spark.read.parquet(d).schema
+        return spark.readStream.schema(schema).parquet(d)
+
+    clicks = feed(
+        "clicks",
+        [Row(click_id=1, user_id=7, click_ts=t0)],
+    )
+    purchases = feed(
+        "purch",
+        [
+            Row(purchase_id=10, p_user_id=7, purchase_ts=t0 + dt.timedelta(minutes=30)),
+            Row(purchase_id=11, p_user_id=7, purchase_ts=t0 + dt.timedelta(minutes=90)),  # outside span
+            Row(purchase_id=12, p_user_id=8, purchase_ts=t0 + dt.timedelta(minutes=10)),  # other user
+            Row(purchase_id=13, p_user_id=7, purchase_ts=t0 - dt.timedelta(minutes=5)),   # before click
+        ],
+    )
+    out = st.stream_interval_join(
+        clicks,
+        purchases,
+        "click_ts",
+        "purchase_ts",
+        F.col("user_id") == F.col("p_user_id"),
+        span="1 hour",
+        watermark="2 hours",
+    )
+    got = sorted(
+        (r.click_id, r.purchase_id)
+        for r in st.run_available_now(
+            out, "t_stream_interval_join", output_mode="append"
+        ).collect()
+    )
+    assert got == [(1, 10)]

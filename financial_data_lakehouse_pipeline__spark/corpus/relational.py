@@ -963,3 +963,42 @@ def wow_nation_revenue(spark, sf_dir):
             prev != 0, (F.col("rev_cents") - prev).cast("double") / prev
         ).alias("wow_pct"),
     )
+
+
+@register(
+    "volume_profile_prices",
+    f"""WITH c AS (
+          SELECT l_returnflag, {_CENTS_R} AS c,
+                 CAST(l_quantity AS BIGINT) AS q
+          FROM lineitem
+        )
+        SELECT l_returnflag,
+               CAST(FLOOR(c / 1000000) AS BIGINT) * 1000000 AS bucket_lo,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS value_sum
+        FROM c GROUP BY 1, 2""",
+)
+def volume_profile_prices(spark, sf_dir):
+    """Price histogram per return flag in $10,000 buckets
+    (operators/aggregates.histogram): exact integer bucketing — the
+    volume-profile distribution sketch at full fidelity."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    return agg.histogram(li, ["l_returnflag"], cents, width=1_000_000)
+
+
+@register("approx_percentile_prices")  # no oracle: sketch results are engine-specific
+def approx_percentile_prices(spark, sf_dir):
+    """Approximate p50/p95 via Spark's KLL-style sketch
+    (accuracy=10000 → error ≤ n/10000 ranks) — the 100 TB path where
+    exact per-group sorts (percentile_cont_prices) stop being viable.
+    Sketches are mergeable, so map-side partials keep the shuffle to one
+    row per group. Engine-specific estimates → rows-only driver check;
+    the accuracy bound vs the exact answer is pinned in
+    tests/test_operators.py."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(cents, F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_percentile(cents, F.lit(0.95), F.lit(10000)).alias("p95_approx"),
+    )

@@ -750,3 +750,60 @@ def rolling_beta_price_qty(spark, sf_dir):
         out="beta_14",
     )
     return out.select("l_suppkey", "l_orderkey", "l_linenumber", "beta_14")
+
+
+@register(
+    "pair_spread_z",
+    f"""WITH {_OHLC_CTE},
+        a AS (SELECT day, close AS close_a FROM o WHERE l_suppkey = 0),
+        b AS (SELECT day, close AS close_b FROM o WHERE l_suppkey = 1),
+        j AS (
+          SELECT a.day, close_a, close_b, close_a - close_b AS spread
+          FROM a JOIN b USING (day)
+        ),
+        s AS (
+          SELECT day, close_a, close_b, spread,
+                 CAST(COUNT(*) OVER w30 AS DOUBLE) AS n,
+                 CAST(SUM(spread) OVER w30 AS DOUBLE) AS sv,
+                 CAST(SUM(spread * spread) OVER w30 AS DOUBLE) AS svv
+          FROM j
+          WINDOW w30 AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+        )
+        SELECT day, close_a, close_b, spread,
+               CASE WHEN n > 1 AND (svv - sv * sv / n) / (n - 1e0) > 0
+                    THEN (CAST(spread AS DOUBLE) - sv / n)
+                         / SQRT((svv - sv * sv / n) / (n - 1e0)) END
+                   AS spread_z
+        FROM s""",
+)
+def pair_spread_z(spark, sf_dir):
+    """Pairs-trading spread: align suppliers 0 and 1 by trading day
+    (inner join of their daily OHLC closes), spread = close_a − close_b
+    (exact cents), rolling 30-bar z-score of the spread via exact
+    co-moment sums — the mean-reversion entry signal. The unpartitioned
+    window is safe: it runs over the PAIR's aligned series (calendar-
+    bounded), not the fact table; `day` is unique after the join."""
+    from pyspark.sql import Window
+
+    bars = _daily_ohlc(spark, sf_dir)
+    a = bars.filter(F.col("l_suppkey") == 0).select(
+        "day", F.col("close").alias("close_a")
+    )
+    b = bars.filter(F.col("l_suppkey") == 1).select(
+        "day", F.col("close").alias("close_b")
+    )
+    j = a.join(b, "day").withColumn(
+        "spread", F.col("close_a") - F.col("close_b")
+    )
+    w = Window.orderBy("day").rowsBetween(-29, 0)
+    sp = F.col("spread")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sv = F.sum(sp).over(w).cast("double")
+    svv = F.sum(sp * sp).over(w).cast("double")
+    var = (svv - sv * sv / n) / (n - F.lit(1.0))
+    z = F.when(
+        (n > 1) & (var > 0), (sp.cast("double") - sv / n) / F.sqrt(var)
+    )
+    return j.select(
+        "day", "close_a", "close_b", "spread", z.alias("spread_z")
+    )

@@ -282,3 +282,29 @@ def ohlc(
     if volume is not None:
         aggs.append(F.sum(volume).alias("volume"))
     return df.groupBy(*keys).agg(*aggs)
+
+
+def histogram(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column,
+    width: int,
+    value_out: str = "bucket_lo",
+) -> DataFrame:
+    """Fixed-width histogram per group over an integer ``value``:
+    bucket_lo = floor(value/width)·width, with exact count and sum per
+    bucket — the volume-profile / distribution-sketch primitive
+    (generalizes the reference's hand-rolled value buckets,
+    sentiment_analysis.py:153-160, from a fixed when-chain to arithmetic
+    bucketing at any granularity).
+
+    All-integer arithmetic (floor-div on BIGINT is exact and portable);
+    one hash aggregation with map-side combine — shuffle rows = distinct
+    (group, bucket) pairs, bounded by value-range/width regardless of
+    fact volume.
+    """
+    b = F.floor(value / F.lit(width)) * width
+    return df.groupBy(*keys, b.alias(value_out)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(value).alias("value_sum"),
+    )

@@ -642,3 +642,32 @@ def test_event_study_offsets(spark):
     assert out[0].n_obs == 1 and out[0].avg_value == 1000.0
     assert out[-1].avg_value == 10.0 and out[1].avg_value == 10.0
     assert abs(out[2].avg_rel - 0.01) < 1e-12
+
+
+def test_approx_percentile_accuracy(spark, sf_dir):
+    """Sketch percentiles land within the documented rank-error bound of
+    the exact answer at sf fixture scale."""
+    from pyspark.sql import functions as F
+
+    from financial_data_lakehouse_pipeline__spark.corpus import queries
+    from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+    approx = {
+        r.l_returnflag: r
+        for r in queries()["approx_percentile_prices"](spark, str(sf_dir)).collect()
+    }
+    li = read_table(spark, str(sf_dir), "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(cents, 0.5).alias("p50"),
+            F.percentile(cents, 0.95).alias("p95"),
+        )
+        .collect()
+    }
+    for flag, e in exact.items():
+        # accuracy=10000 → within ~0.5% of the value range in practice
+        assert abs(approx[flag].p50_approx - e.p50) / e.p50 < 0.05
+        assert abs(approx[flag].p95_approx - e.p95) / e.p95 < 0.05

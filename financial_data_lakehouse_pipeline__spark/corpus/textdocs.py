@@ -576,3 +576,33 @@ def decontaminate_docs(spark, sf_dir):
     train = d.filter(F.col("doc_id") % 25 != 0)
     ev = d.filter(F.col("doc_id") % 25 == 0)
     return dedup.contamination_report(train, ev, n=3)
+
+
+@register(
+    "unigram_logprob_docs",
+    f"""WITH t AS (
+          SELECT doc_id, unnest(regexp_split_to_array({_CANON}, ' ')) AS term
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        m AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY term),
+        n AS (SELECT SUM(c) AS N FROM m)
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+               ROUND(SUM(CAST(tf.tf AS DOUBLE) * ln(CAST(m.c AS DOUBLE)))
+                     / CAST(SUM(tf.tf) AS DOUBLE)
+                     - ln(CAST(n.N AS DOUBLE)), 6) AS avg_logprob
+        FROM tf JOIN m USING (term), n
+        GROUP BY tf.doc_id, n.N""",
+)
+def unigram_logprob_docs(spark, sf_dir):
+    """Corpus-unigram-LM mean token log-probability per document
+    (operators/text.unigram_logprob) — the perplexity-surrogate quality
+    filter. Term counts are exact integers and the model table
+    broadcasts (vocabulary-bounded); the ln-sum is the one float
+    aggregate, ROUNDed to 6 per the stddev/corr contract."""
+    d = read_table(spark, sf_dir, "documents")
+    out = text.unigram_logprob(d)
+    return out.select(
+        "doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob")
+    )

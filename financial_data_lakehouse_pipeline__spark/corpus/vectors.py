@@ -220,6 +220,111 @@ def label_centroid_similarity(spark, sf_dir):
     )
 
 
+def _dist2_sql(a: str, b: str) -> str:
+    """Sequential squared-L2 fold — mirrors similarity.kmeans_assign."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * "
+        f"(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+#: Per-coordinate mean over 1e-12-quantized values — mirrors the kmeans /
+#: semantic_dedup centroid update (exact DECIMAL(38,0) integer sums, one
+#: cast-to-double, two double divisions; no decimal-cast tie rules).
+_CMEAN = (
+    "CAST(SUM(CAST(FLOOR(x * 1e12 + 5e-1) AS DECIMAL(38,0))) AS DOUBLE) "
+    "/ 1e12 / COUNT(*)"
+)
+
+
+def _kmeans_sql(k: int, iters: int) -> str:
+    """Unrolled Lloyd iterations: assignment (argmin over the centroid
+    set, ties to smallest cid) and update (quantized-integer mean),
+    exactly the recurrence similarity.kmeans runs — the driver verifies
+    an ITERATIVE algorithm end-to-end, not a one-shot projection."""
+    parts = [
+        "v AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c "
+        f"FROM v WHERE vec_id < {k})",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"a{t} AS (SELECT vec_id, v, cid, d FROM ("
+            f"SELECT v.vec_id, v.v, c.cid, {_dist2_sql('v.v', 'c.c')} AS d "
+            f"FROM v, c{t} c) "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id "
+            f"ORDER BY d, cid) = 1)"
+        )
+        parts.append(
+            f"c{t + 1} AS (SELECT cid, list(cc ORDER BY i) AS c FROM ("
+            f"SELECT cid, i, {_CMEAN} AS cc "
+            f"FROM (SELECT cid, unnest(v) AS x, "
+            f"unnest(range(1, len(v) + 1)) AS i FROM a{t}) "
+            f"GROUP BY cid, i) GROUP BY cid)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+        SELECT vec_id, cid AS cluster, d AS dist2 FROM (
+          SELECT v.vec_id, c.cid, {_dist2_sql('v.v', 'c.c')} AS d
+          FROM v, c{iters} c)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1"""
+    )
+
+
+@register("kmeans_embeddings", _kmeans_sql(k=8, iters=2))
+def kmeans_embeddings(spark, sf_dir):
+    """Lloyd's k-means (k=8, 2 update rounds) over the embedding corpus
+    (operators/similarity.kmeans) — the iterative-DataFrame-algorithm
+    pattern: literal-centroid assignment (pure projection, no shuffle),
+    k×dim exact-integer update aggregation, O(k·dim) driver collect per
+    iteration (the MLlib iteration structure). Every centroid and
+    distance is bit-identical cross-engine (quantized-integer means,
+    sequential folds), so the oracle hash-matches an ITERATIVE
+    clustering — assignments included — with no rounding."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans(emb, k=8, iters=2, dim=64)
+
+
+@register(
+    "semantic_dedup_embeddings",
+    f"""WITH s AS (
+          SELECT label, i, {_CMEAN} AS cc
+          FROM (SELECT label,
+                       unnest(list_transform(embedding, y -> CAST(y AS DOUBLE)))
+                           AS x,
+                       unnest(range(1, len(embedding) + 1)) AS i
+                FROM embeddings)
+          GROUP BY label, i
+        ), c AS (
+          SELECT label, list(cc ORDER BY i) AS centroid FROM s GROUP BY label
+        ), sc AS (
+          SELECT e.vec_id, e.label,
+                 {_cosine_sql('e.embedding', 'c.centroid')} AS centroid_cosine
+          FROM embeddings e JOIN c ON e.label = c.label
+        ), r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                    ORDER BY centroid_cosine DESC, vec_id) AS rn
+          FROM sc
+        )
+        SELECT vec_id, label, centroid_cosine,
+               CASE WHEN rn = 1 THEN 'representative' ELSE 'distinct' END AS role
+        FROM r WHERE rn = 1 OR centroid_cosine < 0.2""",
+)
+def semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/similarity
+    .semantic_dedup): per-label centroids (exact quantized-integer
+    means), each vector's cosine to its own cluster center, drop
+    everything at cosine ≥ 0.2 except the single closest representative.
+    The threshold comparison runs on bit-identical doubles — centroid
+    construction and cosine folds are deterministic cross-engine — so
+    survivorship itself is oracle-exact."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.2, dim=64)
+
+
 @register(
     "quantize_embeddings_int8",
     """WITH q AS (

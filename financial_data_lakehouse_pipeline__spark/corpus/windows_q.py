@@ -807,3 +807,121 @@ def pair_spread_z(spark, sf_dir):
     return j.select(
         "day", "close_a", "close_b", "spread", z.alias("spread_z")
     )
+
+
+@register(
+    "autocorr_supplier_price",
+    f"""WITH c AS ({_CENTS_CTE}),
+        p AS (
+          SELECT l_suppkey, c AS y, LAG(c) OVER ({_LI_WIN}) AS x FROM c
+        ),
+        s AS (
+          SELECT l_suppkey,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                 CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                 CAST(SUM(y * y) AS DOUBLE) AS syy
+          FROM p WHERE x IS NOT NULL GROUP BY l_suppkey
+        )
+        SELECT l_suppkey, n_pairs,
+               CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0
+                     AND CAST(n_pairs AS DOUBLE) * syy - sy * sy > 0
+                    THEN (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                         / (SQRT(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                            * SQRT(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) END
+                   AS autocorr_1
+        FROM s""",
+)
+def autocorr_supplier_price(spark, sf_dir):
+    """Lag-1 autocorrelation of each supplier's price series
+    (operators/analysis.autocorrelation) — the AR(1) mean-reversion /
+    momentum-persistence diagnostic. Exact BIGINT co-moments over the
+    (lag, current) pair series, one fixed double tree — bit-identical
+    cross-engine, no ROUND."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    out = analysis.autocorrelation(
+        li, ["l_suppkey"], _LI_ORDER_COLS, cents, lag=1, out="autocorr_1"
+    )
+    return out.select("l_suppkey", "n_pairs", "autocorr_1")
+
+
+@register(
+    "supplier_close_corr_matrix",
+    f"""WITH {_OHLC_CTE},
+        p AS (SELECT l_suppkey, day, close FROM o WHERE l_suppkey < 8),
+        j AS (
+          SELECT a.l_suppkey AS entity_a, b.l_suppkey AS entity_b,
+                 a.close AS x, b.close AS y
+          FROM p a JOIN p b ON a.day = b.day AND a.l_suppkey < b.l_suppkey
+        ),
+        s AS (
+          SELECT entity_a, entity_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_obs,
+                 CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                 CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                 CAST(SUM(y * y) AS DOUBLE) AS syy
+          FROM j GROUP BY 1, 2
+        )
+        SELECT entity_a, entity_b, n_obs,
+               CASE WHEN CAST(n_obs AS DOUBLE) * sxx - sx * sx > 0
+                     AND CAST(n_obs AS DOUBLE) * syy - sy * sy > 0
+                    THEN (CAST(n_obs AS DOUBLE) * sxy - sx * sy)
+                         / (SQRT(CAST(n_obs AS DOUBLE) * sxx - sx * sx)
+                            * SQRT(CAST(n_obs AS DOUBLE) * syy - sy * sy)) END
+                   AS corr
+        FROM s""",
+)
+def supplier_close_corr_matrix(spark, sf_dir):
+    """Pairwise correlation matrix of daily closes for suppliers 0-7
+    (operators/analysis.pairwise_corr over aggregates.ohlc bars) — the
+    cross-sectional pairs-screening matrix. Self-join on the DAY key
+    over the pre-aggregated panel (never a cross join; at scale the
+    join input is the universe × days, not the fact table). Exact
+    BIGINT co-moments per pair, fixed double tree — bit-identical."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    bars = _daily_ohlc(spark, sf_dir).filter(F.col("l_suppkey") < 8)
+    return analysis.pairwise_corr(bars, "l_suppkey", "day", F.col("close"))
+
+
+@register(
+    "ohlc_supplier_weekly",
+    f"""WITH {_OHLC_CTE},
+        w AS (
+          SELECT l_suppkey,
+                 CAST(FLOOR(datediff('day', DATE '1970-01-01', day) / 7e0)
+                      AS BIGINT) AS week,
+                 datediff('day', DATE '1970-01-01', day) AS ed,
+                 open, high, low, close, n_trades, volume
+          FROM o
+        )
+        SELECT l_suppkey, week,
+               MIN(ed * 16777216 + open) % 16777216 AS open,
+               MAX(high) AS high, MIN(low) AS low,
+               MAX(ed * 16777216 + close) % 16777216 AS close,
+               CAST(SUM(n_trades) AS BIGINT) AS n_trades,
+               CAST(SUM(volume) AS BIGINT) AS volume
+        FROM w GROUP BY 1, 2""",
+)
+def ohlc_supplier_weekly(spark, sf_dir):
+    """Weekly OHLC bars resampled from the daily bars
+    (operators/aggregates.ohlc_resample): open from the week's first
+    day, close from its last (order-encoded MIN/MAX on the unique epoch
+    day — no tie rules reachable), high/low/volume direct. Epoch-day//7
+    week buckets (portable, wow_nation_revenue rationale). All BIGINT,
+    exact; composes daily → weekly without re-reading lineitem."""
+    from financial_data_lakehouse_pipeline__spark.operators import aggregates as agg
+
+    bars = _daily_ohlc(spark, sf_dir)
+    ed = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    week = F.floor(ed / F.lit(7.0))
+    return agg.ohlc_resample(
+        bars, ["l_suppkey", week.alias("week")], ed
+    ).select(
+        "l_suppkey", "week", "open", "high", "low", "close", "n_trades", "volume"
+    )

@@ -308,3 +308,36 @@ def histogram(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(value).alias("value_sum"),
     )
+
+
+def ohlc_resample(
+    bars: DataFrame,
+    keys: Sequence[str | Column],
+    order_key: Column,
+    value_bits: int = 24,
+) -> DataFrame:
+    """Roll OHLC bars up to a coarser grain (daily → weekly/monthly):
+    open = the open of the FIRST bar by ``order_key``, close = the close
+    of the LAST, high/low/volume aggregate directly — the standard
+    resample every charting/indicator stack needs above its base bars.
+
+    Same order-encoded MIN/MAX trick as ``ohlc`` (order_key in the high
+    bits, value in the low); ``order_key`` must be unique within the
+    coarser group (the bar's own grain key — e.g. epoch day for daily
+    bars), so no tie rules are even reachable. One hash aggregation
+    with map-side combine; composes with itself (daily → weekly →
+    monthly) without re-reading facts.
+    """
+    shift = F.lit(1 << value_bits).cast("bigint")
+    enc_open = order_key.cast("bigint") * shift + F.col("open")
+    enc_close = order_key.cast("bigint") * shift + F.col("close")
+    aggs = [
+        (F.min(enc_open) % shift).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        (F.max(enc_close) % shift).alias("close"),
+        F.sum("n_trades").alias("n_trades"),
+    ]
+    if "volume" in bars.columns:
+        aggs.append(F.sum("volume").alias("volume"))
+    return bars.groupBy(*keys).agg(*aggs)

@@ -253,3 +253,104 @@ def event_study(
         (F.sum(v).cast("double") / F.count(F.lit(1))).alias("avg_value"),
         F.avg(v.cast("double") / F.col("__event_value")).alias("avg_rel"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value: Column,
+    lag: int = 1,
+    out: str = "autocorr",
+) -> DataFrame:
+    """Per-group lag-k autocorrelation: Pearson correlation of the series
+    with itself shifted by ``lag`` rows — the mean-reversion /
+    momentum-persistence diagnostic (AR(1) signature) behind every
+    trading-signal decay analysis.
+
+    ``value`` must be an integer expression (cents): the pair series
+    (x = lag(v), y = v) aggregates its five co-moments exactly as
+    BIGINT, then corr = (n·Σxy − ΣxΣy)/(√(n·Σxx − Σx²)·√(n·Σyy − Σy²))
+    is one fixed double tree — bit-identical cross-engine (the
+    linear_fit / rolling_corr contract). NULL when either side has zero
+    variance or fewer than 2 pairs. One window shuffle+sort (shared
+    with any other per-entity window) + one grouped aggregation.
+
+    Output: (keys..., n_pairs bigint, ``out`` double).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    pairs = (
+        df.withColumn("__y", value)
+        .withColumn("__x", F.lag(F.col("__y"), lag).over(w))
+        .filter(F.col("__x").isNotNull())
+    )
+    x, y = F.col("__x"), F.col("__y")
+    g = pairs.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum(x * y).cast("double").alias("__sxy"),
+        F.sum(x * x).cast("double").alias("__sxx"),
+        F.sum(y * y).cast("double").alias("__syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("__sx"), F.col("__sy")
+    sxy, sxx, syy = F.col("__sxy"), F.col("__sxx"), F.col("__syy")
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    corr = F.when((vx > 0) & (vy > 0), (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)))
+    return g.withColumn(out, corr).drop(
+        "__sx", "__sy", "__sxy", "__sxx", "__syy"
+    )
+
+
+def pairwise_corr(
+    df: DataFrame,
+    entity_col: str,
+    time_col: str,
+    value: Column,
+    out: str = "corr",
+) -> DataFrame:
+    """Correlation matrix over a panel (entity, time, value): Pearson
+    correlation for every entity pair, computed over their time-aligned
+    observations — the cross-sectional diversification / pairs-screening
+    matrix (upper triangle, entity_a < entity_b).
+
+    Self-join on the TIME key (never a cross join): cost follows
+    Σ_t m_t² for m_t entities per timestamp — at 100 TB run it on the
+    pre-aggregated per-(entity, time) panel, where m is the universe
+    size, not the fact volume; the join input shrinks from rows to
+    groups first. ``value`` must be integer (cents): exact BIGINT
+    co-moments per pair, then the same fixed double tree as
+    autocorrelation — bit-identical cross-engine. Pairs with zero
+    variance on either side yield NULL.
+
+    Output: (entity_a, entity_b, n_obs bigint, corr double).
+    """
+    a = df.select(
+        F.col(entity_col).alias("__ea"), F.col(time_col).alias("__t"),
+        value.alias("__x"),
+    )
+    b = df.select(
+        F.col(entity_col).alias("__eb"), F.col(time_col).alias("__t"),
+        value.alias("__y"),
+    )
+    j = a.join(b, "__t").filter(F.col("__ea") < F.col("__eb"))
+    x, y = F.col("__x"), F.col("__y")
+    g = j.groupBy(
+        F.col("__ea").alias("entity_a"), F.col("__eb").alias("entity_b")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum(x * y).cast("double").alias("__sxy"),
+        F.sum(x * x).cast("double").alias("__sxx"),
+        F.sum(y * y).cast("double").alias("__syy"),
+    )
+    n = F.col("n_obs").cast("double")
+    sx, sy = F.col("__sx"), F.col("__sy")
+    sxy, sxx, syy = F.col("__sxy"), F.col("__sxx"), F.col("__syy")
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    corr = F.when((vx > 0) & (vy > 0), (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)))
+    return g.withColumn(out, corr).drop("__sx", "__sy", "__sxy", "__sxx", "__syy")

@@ -227,6 +227,197 @@ def signlsh_topk(
     )
 
 
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    dist_col: str = "dist2",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2).
+
+    ``centroids`` is a driver-side list of (cid, coords) — k·dim doubles,
+    embedded as literals so assignment is a PURE PROJECTION: no join, no
+    shuffle, whole-stage codegen over the scan. This is the same design
+    MLlib's KMeans uses (centroids live on the driver between
+    iterations); at 100 TB the per-iteration cost is one scan plus one
+    tiny (k×dim) aggregation, never an n×k shuffle.
+
+    Distance is a sequential fold (zip_with + aggregate) so plain SQL
+    reproduces it bit-for-bit; ties on distance break to the smallest
+    cid via lexicographic struct min.
+    """
+    carr = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__v"),
+                        F.array(*[F.lit(float(x)) for x in coords]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, coords in centroids
+        ]
+    )
+    vecs = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    best = F.array_min(carr)
+    return vecs.select(
+        id_col,
+        F.col("__v"),
+        best["cid"].alias(cluster_col),
+        best["d"].alias(dist_col),
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column — the iterative-algorithm
+    pattern on DataFrames (cf. dedup.duplicate_clusters for the
+    label-propagation variant).
+
+    Deterministic and oracle-reproducible end to end:
+      * init: the k vectors with the smallest ids, cid = their rank
+        (with contiguous ids 0..n, cid == id);
+      * assignment: literal-centroid projection (kmeans_assign) — exact
+        double folds, ties to smallest cid;
+      * update: per-coordinate mean over 1e-12-quantized coordinates —
+        floor(x·1e12 + 0.5) scaled integers (the money_sum trick: pure
+        IEEE double ops, no engine-specific decimal-cast tie rules),
+        summed exactly as DECIMAL(38,0), one cast-to-double + two
+        divisions. Every centroid, distance, and assignment is therefore
+        bit-identical across engines regardless of partitioning or
+        aggregation order.
+
+    Per iteration: one scan (assignment is a projection) + one hash
+    aggregation shuffling k×dim decimals + an O(k·dim) driver collect —
+    the MLlib iteration structure, linear in rows at any scale. Empty
+    clusters are dropped (k shrinks), matching the SQL twin.
+
+    Returns (id, cluster int, dist2 double) for the assignment against
+    the final updated centroids — ``iters`` update rounds, iters+1
+    assignments.
+    """
+    init = df.orderBy(F.col(id_col)).limit(k).select(id_col, vec_col).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in row[vec_col]]) for i, row in enumerate(init)
+    ]
+    if not cents:  # empty input: no centroids, empty assignment
+        return df.select(
+            id_col,
+            F.lit(0).cast("int").alias("cluster"),
+            F.lit(0.0).alias("dist2"),
+        ).limit(0)
+    for _ in range(iters):
+        assigned = kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col)
+        sums = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(
+                    F.floor(
+                        F.element_at("__v", i + 1) * F.lit(1e12) + F.lit(0.5)
+                    ).cast("decimal(38,0)")
+                ).alias(f"__s{i}")
+                for i in range(dim)
+            ],
+        )
+        updated = sums.select(
+            "cluster",
+            *[
+                (F.col(f"__s{i}").cast("double") / F.lit(1e12) / F.col("__n")).alias(
+                    f"__c{i}"
+                )
+                for i in range(dim)
+            ],
+        ).collect()
+        cents = sorted(
+            (int(r["cluster"]), [r[f"__c{i}"] for i in range(dim)]) for r in updated
+        )
+    out = kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col)
+    return out.select(id_col, "cluster", "dist2")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: within each cluster
+    (``label_col``), vectors whose cosine to the cluster centroid is
+    ≥ threshold are semantic near-duplicates of the cluster core — keep
+    only the one closest to the centroid (the representative) and every
+    vector below the threshold (genuinely distinct content).
+
+    Centroids use exact quantized-integer sums (see kmeans) so the
+    cosine — a sequential fold over bit-identical inputs — and hence the
+    threshold comparison itself are deterministic cross-engine; no
+    rounding, no boundary flakiness.
+
+    One k×dim aggregation + broadcast join + one per-cluster window.
+    Output: survivors (id, label, centroid_cosine, role), role ∈
+    {'representative', 'distinct'}.
+    """
+    from pyspark.sql import Window
+
+    sums = df.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(
+                F.floor(
+                    F.element_at(vec_col, i + 1).cast("double") * F.lit(1e12)
+                    + F.lit(0.5)
+                ).cast("decimal(38,0)")
+            ).alias(f"__s{i}")
+            for i in range(dim)
+        ],
+    )
+    cent = sums.select(
+        label_col,
+        F.array(
+            *[
+                (F.col(f"__s{i}").cast("double") / F.lit(1e12) / F.col("__n"))
+                for i in range(dim)
+            ]
+        ).alias("__centroid"),
+    )
+    scored = df.join(F.broadcast(cent), label_col).select(
+        F.col(id_col),
+        F.col(label_col),
+        _sim(F.col(vec_col), F.col("__centroid")).alias("centroid_cosine"),
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.col("centroid_cosine").desc(), F.col(id_col)
+    )
+    ranked = scored.withColumn("__rn", F.row_number().over(w))
+    return ranked.filter(
+        (F.col("__rn") == 1) | (F.col("centroid_cosine") < threshold)
+    ).select(
+        id_col,
+        label_col,
+        "centroid_cosine",
+        F.when(F.col("__rn") == 1, F.lit("representative"))
+        .otherwise(F.lit("distinct"))
+        .alias("role"),
+    )
+
+
 def quantize_int8(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -356,3 +356,44 @@ def token_entropy(
             / F.sum(c).cast("double")
         ).alias("entropy"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str = "avg_logprob",
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    unigram language model — the KenLM-style perplexity surrogate used
+    as an LLM-data quality filter (low avg logprob = rare-token noise /
+    gibberish, suspiciously high = boilerplate).
+
+    avg_logprob = (Σ_t tf_t·ln(c_t)) / n − ln(N): c_t = corpus count of
+    term t, N = total corpus tokens, n = doc tokens. Terms are
+    lowercase whitespace tokens (canonical text), so every doc term
+    exists in the vocabulary — no smoothing branch needed.
+
+    Shape at scale: one (doc, term) aggregation for tf, one term
+    aggregation for the model (vocabulary-bounded → broadcast, same as
+    tfidf_top_terms' df table), one doc rollup. The ln-sum is a float
+    aggregate (engine-defined order) — cross-engine comparisons must
+    round it (stddev/corr contract). Empty docs are omitted.
+
+    Output: (id, n_tokens bigint, avg_logprob double).
+    """
+    canon = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = df.select(F.col(id_col), F.explode(tokens(canon)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__tf"))
+    model = tf.groupBy("term").agg(F.sum("__tf").alias("__c"))
+    total = model.agg(F.sum("__c").alias("__N"))
+    scored = tf.join(F.broadcast(model), "term").crossJoin(F.broadcast(total))
+    n = F.sum("__tf")
+    return scored.groupBy(id_col).agg(
+        n.cast("bigint").alias("n_tokens"),
+        (
+            F.sum(F.col("__tf").cast("double") * F.log(F.col("__c").cast("double")))
+            / n.cast("double")
+            - F.log(F.max("__N").cast("double"))
+        ).alias(out),
+    )

@@ -671,3 +671,126 @@ def test_approx_percentile_accuracy(spark, sf_dir):
         # accuracy=10000 → within ~0.5% of the value range in practice
         assert abs(approx[flag].p50_approx - e.p50) / e.p50 < 0.05
         assert abs(approx[flag].p95_approx - e.p95) / e.p95 < 0.05
+
+
+def test_autocorrelation_matches_numpy(spark):
+    import numpy as np
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    rng = np.random.default_rng(3)
+    series = {"a": rng.integers(100, 10000, 50), "b": rng.integers(100, 10000, 30)}
+    rows = [
+        Row(k=k, t=int(i), v=int(x))
+        for k, xs in series.items()
+        for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.k: (r.n_pairs, r.autocorr)
+        for r in analysis.autocorrelation(
+            df, ["k"], ["t"], F.col("v"), lag=1
+        ).collect()
+    }
+    for k, xs in series.items():
+        expect = float(np.corrcoef(xs[:-1], xs[1:])[0, 1])
+        assert out[k][0] == len(xs) - 1
+        assert out[k][1] == pytest.approx(expect, rel=1e-9)
+
+
+def test_autocorrelation_constant_series_null(spark):
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    df = spark.createDataFrame([Row(k="c", t=i, v=5) for i in range(10)])
+    out = analysis.autocorrelation(df, ["k"], ["t"], F.col("v"), lag=1).collect()
+    assert out[0].autocorr is None
+
+
+def test_pairwise_corr_matches_numpy(spark):
+    import numpy as np
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    rng = np.random.default_rng(5)
+    panel = {e: rng.integers(100, 5000, 20) for e in ["x", "y", "z"]}
+    rows = [
+        Row(e=e, t=int(t), v=int(v))
+        for e, xs in panel.items()
+        for t, v in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r.entity_a, r.entity_b): (r.n_obs, r.corr)
+        for r in analysis.pairwise_corr(df, "e", "t", F.col("v")).collect()
+    }
+    assert set(out) == {("x", "y"), ("x", "z"), ("y", "z")}
+    for (a, b), (n, c) in out.items():
+        assert n == 20
+        assert c == pytest.approx(
+            float(np.corrcoef(panel[a], panel[b])[0, 1]), rel=1e-9
+        )
+
+
+def test_pairwise_corr_only_aligned_times(spark):
+    """Entities with disjoint time ranges produce no pair row; partial
+    overlap correlates only the shared observations."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    rows = (
+        [Row(e="a", t=i, v=i * 10) for i in range(10)]
+        + [Row(e="b", t=i, v=i * 7 + 3) for i in range(5, 15)]
+        + [Row(e="c", t=i, v=i) for i in range(100, 105)]
+    )
+    df = spark.createDataFrame(rows)
+    out = {
+        (r.entity_a, r.entity_b): r
+        for r in analysis.pairwise_corr(df, "e", "t", F.col("v")).collect()
+    }
+    assert set(out) == {("a", "b")}
+    assert out[("a", "b")].n_obs == 5  # t = 5..9
+    assert out[("a", "b")].corr == pytest.approx(1.0, rel=1e-9)
+
+
+def test_ohlc_resample_weekly_semantics(spark):
+    """Weekly open = open of first day, close = close of last day,
+    high/low/volume aggregate across the week's bars."""
+    from financial_data_lakehouse_pipeline__spark.operators import aggregates as agg
+
+    bars = spark.createDataFrame(
+        [
+            # week 0: days 0, 2, 4
+            Row(k="s", day=0, open=10, high=20, low=5, close=12, n_trades=3, volume=100),
+            Row(k="s", day=2, open=13, high=30, low=11, close=25, n_trades=2, volume=50),
+            Row(k="s", day=4, open=24, high=26, low=2, close=7, n_trades=1, volume=10),
+            # week 1: day 7 only
+            Row(k="s", day=7, open=8, high=9, low=7, close=9, n_trades=4, volume=40),
+        ]
+    )
+    week = F.floor(F.col("day") / F.lit(7.0))
+    out = {
+        r.week: r
+        for r in agg.ohlc_resample(
+            bars, ["k", week.alias("week")], F.col("day")
+        ).collect()
+    }
+    w0, w1 = out[0], out[1]
+    assert (w0.open, w0.high, w0.low, w0.close) == (10, 30, 2, 7)
+    assert (w0.n_trades, w0.volume) == (6, 160)
+    assert (w1.open, w1.high, w1.low, w1.close) == (8, 9, 7, 9)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    from financial_data_lakehouse_pipeline__spark.operators import text as text_ops
+
+    # corpus: "a a b" + "b c" -> counts a:2 b:2 c:1, N=5
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="a a b"), Row(doc_id=1, text="b c"), Row(doc_id=2, text="  ")]
+    )
+    out = {
+        r.doc_id: r for r in text_ops.unigram_logprob(df).collect()
+    }
+    assert set(out) == {0, 1}  # blank doc omitted
+    lp0 = (2 * math.log(2) + math.log(2)) / 3 - math.log(5)
+    lp1 = (math.log(2) + math.log(1)) / 2 - math.log(5)
+    assert out[0].n_tokens == 3
+    assert out[0].avg_logprob == pytest.approx(lp0, rel=1e-12)
+    assert out[1].n_tokens == 2
+    assert out[1].avg_logprob == pytest.approx(lp1, rel=1e-12)

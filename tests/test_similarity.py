@@ -150,3 +150,71 @@ def test_dedup_keep_canonical_survivors(spark):
         r.doc_id for r in dedup.dedup_keep_canonical(docs, pairs).collect()
     )
     assert out == [1, 3, 5]  # {1,2,4} collapses to 1; 3 and 5 untouched
+
+
+def _np_lloyd(vecs, k, iters):
+    """Reference Lloyd with the operator's exact semantics: first-k init,
+    ties to smallest cid, 1e-12-quantized means, empty clusters dropped."""
+    cents = {i: vecs[i].copy() for i in range(k)}
+    for _ in range(iters):
+        assign = {}
+        for vid, v in enumerate(vecs):
+            best = min(
+                (float(np.sum((v - c) ** 2)), cid) for cid, c in cents.items()
+            )
+            assign[vid] = best[1]
+        new = {}
+        for cid in set(assign.values()):
+            members = np.array([vecs[i] for i in assign if assign[i] == cid])
+            q = np.floor(members * 1e12 + 0.5).sum(axis=0)
+            new[cid] = q / 1e12 / len(members)
+        cents = new
+    final = {}
+    for vid, v in enumerate(vecs):
+        d, cid = min(
+            (float(np.sum((v - c) ** 2)), cid) for cid, c in cents.items()
+        )
+        final[vid] = (cid, d)
+    return final
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    rng = np.random.default_rng(7)
+    vecs = [rng.normal(size=4).astype(np.float64) for _ in range(40)]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+    got = {
+        r.vec_id: (r.cluster, r.dist2)
+        for r in similarity.kmeans(df, k=3, iters=2, dim=4).collect()
+    }
+    expect = _np_lloyd(vecs, k=3, iters=2)
+    assert set(got) == set(expect)
+    for vid, (cid, d) in expect.items():
+        assert got[vid][0] == cid
+        assert got[vid][1] == pytest.approx(d, rel=1e-9)
+
+
+def test_kmeans_moves_points_off_init(spark, sf_dir):
+    """After 2 updates, assignment must differ from the init assignment
+    for at least some vectors (i.e. the iteration actually iterated)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    two = similarity.kmeans(emb, k=8, iters=2, dim=64)
+    zero = similarity.kmeans(emb, k=8, iters=0, dim=64)
+    j = two.alias("a").join(zero.alias("b"), "vec_id")
+    moved = j.filter(F.col("a.cluster") != F.col("b.cluster")).count()
+    assert moved > 0
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(emb, threshold=0.2, dim=64).collect()
+    n_in = emb.count()
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    reps = [r for r in out if r.role == "representative"]
+    # exactly one representative per label
+    assert sorted(r.label for r in reps) == sorted(labels)
+    # every non-representative survivor is strictly below the threshold
+    assert all(r.centroid_cosine < 0.2 for r in out if r.role == "distinct")
+    # and the dedup actually dropped something on the real corpus
+    assert len(out) < n_in

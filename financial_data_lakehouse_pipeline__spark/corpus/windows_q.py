@@ -925,3 +925,119 @@ def ohlc_supplier_weekly(spark, sf_dir):
     ).select(
         "l_suppkey", "week", "open", "high", "low", "close", "n_trades", "volume"
     )
+
+
+@register(
+    "donchian_supplier_price",
+    f"""WITH {_OHLC_CTE}
+        SELECT l_suppkey, day, close,
+               MAX(high) OVER w AS donchian_upper,
+               MIN(low) OVER w AS donchian_lower,
+               CAST(MAX(high) OVER w + MIN(low) OVER w AS DOUBLE) / 2
+                   AS donchian_mid,
+               CAST(close >= MAX(high) OVER w AS BIGINT) AS new_high,
+               CAST(close <= MIN(low) OVER w AS BIGINT) AS new_low
+        FROM o
+        WINDOW w AS (PARTITION BY l_suppkey ORDER BY day
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
+)
+def donchian_supplier_price(spark, sf_dir):
+    """Donchian-20 channel over the daily supplier bars
+    (operators/windows.donchian on aggregates.ohlc output): exact
+    BIGINT channel extremes, integer breakout predicates, one double
+    division for the midline — bit-identical, no ROUND. Shares the one
+    (supplier, day) shuffle + sort across all three frames."""
+    bars = _daily_ohlc(spark, sf_dir)
+    out = windows.donchian(bars, ["l_suppkey"], ["day"], n=20)
+    return out.select(
+        "l_suppkey",
+        "day",
+        "close",
+        "donchian_upper",
+        "donchian_lower",
+        "donchian_mid",
+        F.col("new_high").cast("bigint").alias("new_high"),
+        F.col("new_low").cast("bigint").alias("new_low"),
+    )
+
+
+@register(
+    "ichimoku_supplier_price",
+    f"""WITH {_OHLC_CTE},
+        m AS (
+          SELECT l_suppkey, day, close,
+                 CAST(MAX(high) OVER w9 + MIN(low) OVER w9 AS DOUBLE) / 2
+                     AS tenkan,
+                 CAST(MAX(high) OVER w26 + MIN(low) OVER w26 AS DOUBLE) / 2
+                     AS kijun,
+                 CAST(MAX(high) OVER w52 + MIN(low) OVER w52 AS DOUBLE) / 2
+                     AS mid52
+          FROM o
+          WINDOW
+            w9 AS (PARTITION BY l_suppkey ORDER BY day
+                   ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+            w26 AS (PARTITION BY l_suppkey ORDER BY day
+                    ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+            w52 AS (PARTITION BY l_suppkey ORDER BY day
+                    ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+        )
+        SELECT l_suppkey, day, tenkan, kijun,
+               LAG((tenkan + kijun) / 2, 26) OVER wo AS senkou_a,
+               LAG(mid52, 26) OVER wo AS senkou_b,
+               LEAD(close, 26) OVER wo AS chikou
+        FROM m
+        WINDOW wo AS (PARTITION BY l_suppkey ORDER BY day)""",
+)
+def ichimoku_supplier_price(spark, sf_dir):
+    """Ichimoku cloud over the daily supplier bars
+    (operators/windows.ichimoku): three midpoint frames + two offsets
+    in ONE (supplier, day) shuffle + sort. Midpoints are exact-BIGINT
+    extremes with one double division each; span A is a fixed-order
+    double expression — bit-identical cross-engine, no ROUND. Spans /
+    chikou are NULL until the 26-bar offset exists (both engines)."""
+    bars = _daily_ohlc(spark, sf_dir)
+    out = windows.ichimoku(bars, ["l_suppkey"], ["day"])
+    return out.select(
+        "l_suppkey", "day", "tenkan", "kijun", "senkou_a", "senkou_b", "chikou"
+    )
+
+
+@register(
+    "candlestick_flags_supplier",
+    f"""WITH {_OHLC_CTE},
+        t AS (
+          SELECT l_suppkey, day, open, high, low, close,
+                 LAG(open) OVER w AS po, LAG(close) OVER w AS pc,
+                 LAG(high) OVER w AS ph, LAG(low) OVER w AS pl
+          FROM o
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY day)
+        )
+        SELECT l_suppkey, day,
+               CAST(high - low > 0 AND ABS(close - open) * 10 <= high - low
+                    AS BIGINT) AS doji,
+               CAST(COALESCE(pc < po AND close > open AND open <= pc
+                             AND close >= po
+                             AND ABS(close - open) > po - pc, FALSE)
+                    AS BIGINT) AS bullish_engulf,
+               CAST(COALESCE(pc > po AND close < open AND open >= pc
+                             AND close <= po
+                             AND ABS(close - open) > pc - po, FALSE)
+                    AS BIGINT) AS bearish_engulf,
+               CAST(COALESCE(low > ph, FALSE) AS BIGINT) AS gap_up,
+               CAST(COALESCE(high < pl, FALSE) AS BIGINT) AS gap_down
+        FROM t""",
+)
+def candlestick_flags_supplier(spark, sf_dir):
+    """Candlestick pattern flags over the daily supplier bars
+    (operators/analysis.candlestick_flags): doji via the scaled-integer
+    10% body test, engulfing / gap flags from one lag set — every
+    predicate pure BIGINT arithmetic, exact, first-bar flags pinned
+    FALSE by explicit COALESCE in both engines."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    bars = _daily_ohlc(spark, sf_dir)
+    out = analysis.candlestick_flags(bars, ["l_suppkey"], ["day"])
+    flags = ["doji", "bullish_engulf", "bearish_engulf", "gap_up", "gap_down"]
+    return out.select(
+        "l_suppkey", "day", *[F.col(c).cast("bigint").alias(c) for c in flags]
+    )

@@ -354,3 +354,61 @@ def pairwise_corr(
     vx, vy = n * sxx - sx * sx, n * syy - sy * sy
     corr = F.when((vx > 0) & (vy > 0), (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)))
     return g.withColumn(out, corr).drop("__sx", "__sy", "__sxy", "__sxx", "__syy")
+
+
+def candlestick_flags(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    open_: Column | str = "open",
+    high: Column | str = "high",
+    low: Column | str = "low",
+    close: Column | str = "close",
+) -> DataFrame:
+    """Candlestick pattern flags over OHLC bars (pairs with
+    aggregates.ohlc): doji, bullish/bearish engulfing, gap up/down —
+    the pattern-detection layer a signal pipeline stacks on the
+    indicator block (extends the reference's indicator set,
+    data_transformation.py:162-228).
+
+    - ``doji``: body ≤ 10% of the bar's range (|close−open|·10 ≤
+      high−low, and range > 0) — scaled INTEGER compare, no division.
+    - ``bullish_engulf``: previous bar bearish, this bar bullish, and
+      this body strictly contains the previous body.
+    - ``bearish_engulf``: the mirror image.
+    - ``gap_up`` / ``gap_down``: this bar's low opens above the previous
+      high / high below the previous low.
+
+    With integer (cents) bars every predicate is pure integer
+    arithmetic — exact, no float anywhere. One lag set over one
+    (partition, order) shuffle + sort; first bar of each series gets
+    FALSE for the lag-dependent flags (explicit coalesce, not
+    engine-specific null-compare rules).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    o = open_ if isinstance(open_, Column) else F.col(open_)
+    h = high if isinstance(high, Column) else F.col(high)
+    lo = low if isinstance(low, Column) else F.col(low)
+    c = close if isinstance(close, Column) else F.col(close)
+    po, pc = F.lag(o).over(w), F.lag(c).over(w)
+    ph, pl = F.lag(h).over(w), F.lag(lo).over(w)
+    body = F.abs(c - o)
+    rng = h - lo
+    f = F.lit(False)
+    return df.withColumns(
+        {
+            "doji": ((rng > 0) & (body * 10 <= rng)).cast("boolean"),
+            "bullish_engulf": F.coalesce(
+                (pc < po) & (c > o) & (o <= pc) & (c >= po) & (body > (po - pc)),
+                f,
+            ),
+            "bearish_engulf": F.coalesce(
+                (pc > po) & (c < o) & (o >= pc) & (c <= po) & (body > (pc - po)),
+                f,
+            ),
+            "gap_up": F.coalesce(lo > ph, f),
+            "gap_down": F.coalesce(h < pl, f),
+        }
+    )

@@ -575,3 +575,90 @@ def rolling_beta(
     return df.withColumn(
         out, F.when(varx > 0, (cnt * sxy - sx * sy) / varx)
     )
+
+
+def donchian(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    high: Column | str = "high",
+    low: Column | str = "low",
+    close: Column | str = "close",
+    n: int = 20,
+    prefix: str = "donchian",
+) -> DataFrame:
+    """Donchian channel over OHLC bars (pairs with aggregates.ohlc):
+    upper = n-bar rolling max(high), lower = n-bar rolling min(low),
+    mid = (upper+lower)/2, plus breakout flags — the channel the turtle
+    /breakout strategies trade (extends the reference's indicator block,
+    data_transformation.py:162-228, which stops at SMA/Bollinger).
+
+    With integer (cents) bars upper/lower are exact BIGINT and the
+    breakout comparisons are pure integer predicates; mid is one double
+    division — bit-identical cross-engine. ``new_high`` flags close
+    touching the channel top (close >= upper), ``new_low`` the bottom.
+    All frames share one (partition, order) shuffle + sort.
+    """
+    w = _w(partition_by, order_by).rowsBetween(-(n - 1), 0)
+    h = high if isinstance(high, Column) else F.col(high)
+    lo = low if isinstance(low, Column) else F.col(low)
+    cl = close if isinstance(close, Column) else F.col(close)
+    upper = F.max(h).over(w)
+    lower = F.min(lo).over(w)
+    return df.withColumns(
+        {
+            f"{prefix}_upper": upper,
+            f"{prefix}_lower": lower,
+            f"{prefix}_mid": (upper + lower).cast("double") / F.lit(2.0),
+            "new_high": (cl >= upper).cast("boolean"),
+            "new_low": (cl <= lower).cast("boolean"),
+        }
+    )
+
+
+def ichimoku(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    high: Column | str = "high",
+    low: Column | str = "low",
+    close: Column | str = "close",
+    tenkan_n: int = 9,
+    kijun_n: int = 26,
+    span_b_n: int = 52,
+) -> DataFrame:
+    """Ichimoku cloud over OHLC bars: tenkan (conversion) = 9-bar
+    midpoint, kijun (base) = 26-bar midpoint, senkou span A =
+    (tenkan+kijun)/2 shifted forward kijun_n bars, senkou span B =
+    52-bar midpoint shifted forward kijun_n, chikou (lagging) = close
+    shifted back kijun_n. "Shifted forward" means the value plotted at
+    bar t was computed at t−kijun_n → a LAG; chikou is a LEAD.
+
+    Midpoint = (rolling max high + rolling min low)/2: exact BIGINT
+    extremes, one double division each; span A is one further fixed-
+    order double expression — all row-wise, bit-identical cross-engine
+    with no ROUND. Five frames + two offsets share ONE (partition,
+    order) shuffle + sort (the window-collapse this module documents).
+    Early-series bars use partial windows (reference SMA semantic);
+    span/chikou are NULL until the offset exists.
+    """
+    w = _w(partition_by, order_by)
+    h = high if isinstance(high, Column) else F.col(high)
+    lo = low if isinstance(low, Column) else F.col(low)
+    cl = close if isinstance(close, Column) else F.col(close)
+
+    def midpoint(n: int) -> Column:
+        wf = w.rowsBetween(-(n - 1), 0)
+        return (F.max(h).over(wf) + F.min(lo).over(wf)).cast("double") / F.lit(2.0)
+
+    tenkan = midpoint(tenkan_n)
+    kijun = midpoint(kijun_n)
+    return df.withColumns(
+        {
+            "tenkan": tenkan,
+            "kijun": kijun,
+            "senkou_a": F.lag((tenkan + kijun) / F.lit(2.0), kijun_n).over(w),
+            "senkou_b": F.lag(midpoint(span_b_n), kijun_n).over(w),
+            "chikou": F.lead(cl, kijun_n).over(w),
+        }
+    )

@@ -794,3 +794,88 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[0].avg_logprob == pytest.approx(lp0, rel=1e-12)
     assert out[1].n_tokens == 2
     assert out[1].avg_logprob == pytest.approx(lp1, rel=1e-12)
+
+
+def test_donchian_channel_bounds_and_breakouts(spark):
+    """Upper/lower track the n-bar extremes (partial frames at the
+    start); breakout flags fire exactly when close touches a band."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import windows as W
+
+    bars = [
+        Row(g=1, t=1, high=110, low=90, close=100),
+        Row(g=1, t=2, high=120, low=95, close=120),   # close == max high → new_high
+        Row(g=1, t=3, high=115, low=80, close=80),    # close == min low → new_low
+        Row(g=1, t=4, high=112, low=100, close=105),
+    ]
+    out = sorted(
+        W.donchian(spark.createDataFrame(bars), ["g"], ["t"], n=3).collect(),
+        key=lambda r: r.t,
+    )
+    assert [r.donchian_upper for r in out] == [110, 120, 120, 120]
+    assert [r.donchian_lower for r in out] == [90, 90, 80, 80]
+    assert [r.donchian_mid for r in out] == [100.0, 105.0, 100.0, 100.0]
+    assert [r.new_high for r in out] == [False, True, False, False]
+    assert [r.new_low for r in out] == [False, False, True, False]
+
+
+def test_ichimoku_offsets_and_midpoints(spark):
+    """Midpoints aggregate the right frames; senkou spans lag by
+    kijun_n bars and chikou leads; offsets are NULL where undefined."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import windows as W
+
+    bars = [Row(g=1, t=i, high=100 + 10 * i, low=10 * i, close=50 + 10 * i)
+            for i in range(1, 7)]
+    out = sorted(
+        W.ichimoku(
+            spark.createDataFrame(bars), ["g"], ["t"],
+            tenkan_n=2, kijun_n=3, span_b_n=4,
+        ).collect(),
+        key=lambda r: r.t,
+    )
+    # tenkan at t=3: (max(high[2..3]) + min(low[2..3]))/2 = (130+20)/2
+    assert out[2].tenkan == 75.0
+    # kijun at t=3: (130+10)/2
+    assert out[2].kijun == 70.0
+    # senkou_a at t=6 was computed at t=3: (tenkan+kijun)/2
+    assert out[5].senkou_a == (75.0 + 70.0) / 2
+    # senkou_b at t=6 from t=3's 4-bar midpoint: (130+10)/2
+    assert out[5].senkou_b == 70.0
+    # chikou at t=1 is close at t=4; NULL once the lead runs out
+    assert out[0].chikou == 90 and out[3].chikou is None
+    assert out[0].senkou_a is None and out[2].senkou_a is None
+
+
+def test_candlestick_flags_hand_built(spark):
+    """Doji 10% body rule, engulfing orientation + strict containment,
+    gaps vs previous extremes; first bar lag flags pinned FALSE."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    bars = [
+        # body 1 vs range 20 → doji
+        Row(g=1, t=1, open=100, high=110, low=90, close=101),
+        # bearish bar (o>c)
+        Row(g=1, t=2, open=106, high=108, low=99, close=100),
+        # bullish engulfing: o=99 <= pc=100, c=107 >= po=106, body 8 > 6
+        Row(g=1, t=3, open=99, high=112, low=98, close=107),
+        # gap up: low 115 > prev high 112; also bearish (o>c)
+        Row(g=1, t=4, open=120, high=125, low=115, close=116),
+        # gap down: high 110 < prev low 115
+        Row(g=1, t=5, open=105, high=110, low=100, close=108),
+    ]
+    out = {
+        r.t: r
+        for r in analysis.candlestick_flags(
+            spark.createDataFrame(bars), ["g"], ["t"]
+        ).collect()
+    }
+    assert out[1].doji and not out[2].doji
+    assert not out[1].bullish_engulf and not out[1].bearish_engulf  # first bar
+    assert out[3].bullish_engulf and not out[3].bearish_engulf
+    assert out[4].gap_up and not out[4].gap_down
+    assert out[5].gap_down and not out[5].gap_up

@@ -374,3 +374,69 @@ def quantize_embeddings_int8(spark, sf_dir):
         ).alias("q_checksum"),
         F.array_max(F.transform(qv, lambda x: F.abs(x))).cast("int").alias("q_max_abs"),
     )
+
+
+@register(
+    "hard_negatives_topk",
+    f"""WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                          embedding AS qv
+                   FROM embeddings WHERE vec_id < 20),
+             c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label,
+                          embedding AS cv FROM embeddings),
+             scored AS (
+               SELECT query_id, query_label, neighbor_id, neighbor_label,
+                      {_cosine_sql('qv', 'cv')} AS cosine
+               FROM c, q WHERE neighbor_label <> query_label
+             )
+        SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+               CAST(rn AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rn
+              FROM scored)
+        WHERE rn <= 10""",
+)
+def hard_negatives_topk(spark, sf_dir):
+    """Hard-negative mining (operators/similarity.hard_negatives): the
+    10 most-similar DIFFERENT-label vectors per query — contrastive
+    training pairs. Queries broadcast, corpus streams, label filter
+    before the per-query heap; cosines are fold-identical cross-engine."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return similarity.hard_negatives(q, emb, k=10)
+
+
+@register(
+    "knn_label_eval",
+    f"""WITH q AS (SELECT vec_id AS qid, label AS qlab, embedding AS qv
+                   FROM embeddings WHERE vec_id % 10 = 0),
+             c AS (SELECT vec_id AS nid, label AS nlab, embedding AS cv
+                   FROM embeddings),
+             nn AS (
+               SELECT qid, qlab, nlab, rn FROM (
+                 SELECT qid, qlab, nlab,
+                        ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY {_cosine_sql('qv', 'cv')} DESC, nid) AS rn
+                 FROM c, q WHERE qid <> nid)
+               WHERE rn <= 5
+             ),
+             votes AS (
+               SELECT qid, qlab, nlab, COUNT(*) AS votes, MIN(rn) AS best
+               FROM nn GROUP BY 1, 2, 3
+             )
+        SELECT qid AS vec_id, qlab AS label, nlab AS predicted,
+               CAST(votes AS BIGINT) AS n_votes,
+               CAST(nlab = qlab AS BIGINT) AS correct
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY votes DESC, best, nlab) AS pick
+              FROM votes)
+        WHERE pick = 1""",
+)
+def knn_label_eval(spark, sf_dir):
+    """k-NN (k=5) majority-vote label prediction over a 10% query sample
+    (operators/similarity.knn_classify) — the embedding-quality probe.
+    Deterministic argmax (votes desc, best rank, smallest label); the
+    oracle replays the identical vote and tie-break rules, so the
+    prediction table hash-matches exactly."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    return similarity.knn_classify(q, emb, k=5)

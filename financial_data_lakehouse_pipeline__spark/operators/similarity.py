@@ -459,3 +459,118 @@ def dequantize(
     return df.withColumn(
         out, F.transform(F.col(q_col), lambda q: q.cast("double") * s)
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the k most-similar corpus vectors with a DIFFERENT label —
+    the near-miss negatives that make embedding models learn (random
+    negatives are too easy; same-label hits would be false negatives).
+
+    Same shape as brute_force_topk — queries broadcast, corpus streams,
+    one per-query heap (row_number ≤ k) — plus the label-inequality
+    predicate applied BEFORE ranking, so the k slots are all negatives.
+    At 100 TB restrict candidates first (signlsh_topk / ivf_topk
+    buckets), then mine within the candidate set.
+
+    Output: (query_id, query_label, neighbor_id, neighbor_label,
+    cosine, rank), rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("__cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .withColumn("cosine", _sim(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "cosine", "rank",
+        )
+    )
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote label prediction — the standard embedding-
+    quality probe (label a held-out vector by its k nearest neighbors'
+    majority label and compare to ground truth).
+
+    Two stages: (1) exact top-k neighbors per query (queries broadcast,
+    corpus streams, self-match excluded, per-query heap); (2) a
+    (query, neighbor_label) vote count and a deterministic argmax —
+    most votes, ties to the BEST-RANKED candidate label (min rank =
+    highest cosine among the tied labels), then smallest label. At
+    100 TB stage 1 swaps to a bucketed candidate join (signlsh/ivf);
+    stage 2 is unchanged.
+
+    Output: (vec_id, label, predicted, n_votes bigint, correct) —
+    ``correct`` as 0/1 BIGINT so accuracy is one AVG away.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("__qid"),
+        F.col(label_col).alias("__qlab"),
+        F.col(vec_col).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("__nid"),
+        F.col(label_col).alias("__nlab"),
+        F.col(vec_col).alias("__cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("__qid") != F.col("__nid"))
+        .withColumn("cosine", _sim(F.col("__qv"), F.col("__cv")))
+    )
+    wk = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__nid"))
+    nn = scored.withColumn("__rank", F.row_number().over(wk)).filter(
+        F.col("__rank") <= k
+    )
+    votes = nn.groupBy("__qid", "__qlab", "__nlab").agg(
+        F.count(F.lit(1)).alias("__votes"), F.min("__rank").alias("__best")
+    )
+    wv = Window.partitionBy("__qid").orderBy(
+        F.col("__votes").desc(), F.col("__best"), F.col("__nlab")
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(wv))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__qid").alias(id_col),
+            F.col("__qlab").alias(label_col),
+            F.col("__nlab").alias("predicted"),
+            F.col("__votes").cast("bigint").alias("n_votes"),
+            (F.col("__nlab") == F.col("__qlab")).cast("bigint").alias("correct"),
+        )
+    )

@@ -218,3 +218,66 @@ def test_semantic_dedup_invariants(spark, sf_dir):
     assert all(r.centroid_cosine < 0.2 for r in out if r.role == "distinct")
     # and the dedup actually dropped something on the real corpus
     assert len(out) < n_in
+
+
+def test_hard_negatives_excludes_same_label(spark, sf_dir):
+    """Every mined negative has a different label than its query, ranks
+    are dense 1..k, and each negative is the TRUE best: no different-
+    label vector outside the list beats the worst listed cosine."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    out = similarity.hard_negatives(q, emb, k=5).collect()
+    by_q = {}
+    for r in out:
+        assert r.neighbor_label != r.query_label
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        assert sorted(r.rank for r in rows) == list(range(1, 6))
+    # cross-check against brute-force top-k with post-filtering: the
+    # operator's rank-1 negative must equal the best different-label
+    # neighbor found the slow way
+    allk = similarity.brute_force_topk(q, emb, k=2000).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for qid, rows in by_q.items():
+        qlab = rows[0].query_label
+        best = min(
+            (r for r in allk if r.query_id == qid and labels[r.neighbor_id] != qlab),
+            key=lambda r: r.rank,
+        )
+        got1 = next(r for r in rows if r.rank == 1)
+        assert got1.neighbor_id == best.neighbor_id
+
+
+def test_knn_classify_hand_built(spark):
+    """Majority vote with the documented tie-break: ties go to the label
+    holding the best-ranked (most similar) neighbor."""
+    # Two clusters on orthogonal axes; query q sits nearer cluster A.
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.05], label=1),   # query, true label 1
+        Row(vec_id=1, embedding=[1.0, 0.0], label=1),
+        Row(vec_id=2, embedding=[1.0, 0.1], label=1),
+        Row(vec_id=3, embedding=[0.0, 1.0], label=2),
+        Row(vec_id=4, embedding=[0.1, 1.0], label=2),
+        Row(vec_id=5, embedding=[0.2, 1.0], label=2),
+    ]
+    df = spark.createDataFrame(rows)
+    q = df.filter(F.col("vec_id") == 0)
+    # k=2: both nearest are label 1 -> predicted 1, correct
+    out = similarity.knn_classify(q, df, k=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.predicted == 1 and r.correct == 1 and r.n_votes == 2
+    # k=4: 2 votes each; label 1 holds rank 1 -> tie breaks to 1
+    r4 = similarity.knn_classify(q, df, k=4).collect()[0]
+    assert r4.predicted == 1 and r4.n_votes == 2
+
+
+def test_knn_accuracy_beats_chance(spark, sf_dir):
+    """On the synthetic labeled corpus, 5-NN accuracy over a sample must
+    beat the uniform-chance rate (labels carry geometric signal)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    out = similarity.knn_classify(q, emb, k=5)
+    acc = out.agg(F.avg("correct")).first()[0]
+    n_labels = emb.select("label").distinct().count()
+    assert acc > 1.0 / n_labels

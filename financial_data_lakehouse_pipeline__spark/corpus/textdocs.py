@@ -606,3 +606,102 @@ def unigram_logprob_docs(spark, sf_dir):
     return out.select(
         "doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob")
     )
+
+
+#: tokens with the [] guard for blank text (functions.tokens twin)
+_TOKS = (
+    f"CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+    f"ELSE regexp_split_to_array({_CANON}, ' ') END"
+)
+
+_BM25_TERMS = ("spark", "table", "join")
+
+
+def _bm25_sql(terms, k1=1.2, b=0.75) -> str:
+    tf_cols = ",\n".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    contrib = " + ".join(
+        f"ln(1.0 + (CAST(N AS DOUBLE) - df{i} + 0.5) / (df{i} + 0.5)) "
+        f"* (tf{i} * ({k1} + 1.0)) "
+        f"/ (tf{i} + {k1} * (0.25 + {b} * CAST(dl AS DOUBLE) / avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""WITH toks AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        t AS (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, {tf_cols} FROM toks
+        ),
+        s AS (
+          SELECT COUNT(*) AS N, AVG(CAST(dl AS DOUBLE)) AS avgdl, {df_cols}
+          FROM t
+        )
+        SELECT doc_id, dl, ROUND(0.0 + {contrib}, 6) AS score
+        FROM t, s"""
+
+
+@register("bm25_docs", _bm25_sql(_BM25_TERMS))
+def bm25_docs(spark, sf_dir):
+    """BM25 relevance of every document against a fixed query term set
+    (operators/text.bm25_scores) — the retrieval scorer. Per-term
+    contributions combine in fixed left-to-right order (row expression,
+    not a float aggregate); corpus stats (N, avgdl, per-term df) are
+    tiny broadcast aggregates; avgdl is exact (integer lengths summed
+    in doubles). ROUND 6 for the ln() libm variance (unigram_logprob
+    contract)."""
+    d = read_table(spark, sf_dir, "documents")
+    out = text.bm25_scores(d, list(_BM25_TERMS))
+    return out.select("doc_id", "dl", F.round("score", 6).alias("score"))
+
+
+@register(
+    "segment_dedup_docs",
+    f"""WITH toks AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        seg AS (
+          SELECT doc_id, i AS seg_idx,
+                 array_to_string(toks[i*10+1 : i*10+10], ' ') AS segment
+          FROM (SELECT doc_id, toks,
+                       unnest(range(0, CAST(ceil(len(toks) / 10.0) AS INT))) AS i
+                FROM toks)
+        ),
+        f AS (
+          SELECT md5(segment) AS h, COUNT(DISTINCT doc_id) AS docs
+          FROM seg GROUP BY 1
+        ),
+        m AS (
+          SELECT seg.*, f.docs <= 2 AS keep
+          FROM seg JOIN f ON md5(seg.segment) = f.h
+        ),
+        g AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_segments,
+                 CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dropped,
+                 COALESCE(string_agg(CASE WHEN keep THEN segment END, ' '
+                                     ORDER BY seg_idx), '') AS cleaned_text
+          FROM m GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(g.n_segments, 0) AS n_segments,
+               COALESCE(g.n_dropped, 0) AS n_dropped,
+               COALESCE(g.cleaned_text, '') AS cleaned_text
+        FROM documents d LEFT JOIN g USING (doc_id)""",
+)
+def segment_dedup_docs(spark, sf_dir):
+    """Boilerplate segment removal (operators/text.segment_dedup) — the
+    CCNet/RefinedWeb line-dedup step on 10-token segments: segments
+    appearing in >2 distinct documents are dropped, survivors
+    reassembled in order. The frequency table groups on the segment md5
+    (small, uniform shuffle keys); reassembly is one doc-keyed
+    order-preserving aggregation. All-exact: counts, md5, string
+    assembly — no floats anywhere."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.segment_dedup(d)

@@ -7,6 +7,8 @@ every operator is embarrassingly parallel per row except where noted.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -396,4 +398,158 @@ def unigram_logprob(
             / n.cast("double")
             - F.log(F.max("__N").cast("double"))
         ).alias(out),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed query term set —
+    the retrieval scorer a RAG / dedup-by-retrieval pipeline runs over
+    the corpus (Robertson/Okapi form, Lucene's idf variant so scores
+    stay positive):
+
+        idf(t)   = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+
+    Cross-engine determinism: the per-term contributions are combined in
+    the FIXED order of ``query_terms`` (a left-to-right row expression,
+    not a float aggregate), so the only engine-sensitive atom is ln()
+    (last-ulp libm variance) — callers comparing cross-engine round to
+    6 (unigram_logprob contract).
+
+    Shape at scale: tf for the query terms only (explode + filter on a
+    broadcast literal set, one (doc, term) aggregation), df/avgdl as
+    one-row / |query| aggregates broadcast back, final score one
+    row-wise projection pivoted via conditional sums — never a per-doc
+    float aggregation. Docs containing no query term score 0 and are
+    kept (a retrieval pipeline ranks them last, it doesn't lose them).
+
+    Output: (id, dl bigint, score double).
+    """
+    from financial_data_lakehouse_pipeline__spark.operators.dedup import canonical_text
+
+    terms = [t.lower() for t in query_terms]
+    toked = df.select(
+        F.col(id_col), tokens(canonical_text(F.col(text_col))).alias("__toks")
+    )
+    dl = toked.select(F.col(id_col), F.size("__toks").cast("bigint").alias("dl"))
+    # corpus stats: N and average document length (one tiny aggregate)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.avg(F.col("dl").cast("double")).alias("__avgdl"),
+    )
+    tok = toked.select(F.col(id_col), F.explode("__toks").alias("__t")).filter(
+        F.col("__t").isin(terms)
+    )
+    tf = tok.groupBy(id_col).pivot("__t", terms).count().na.fill(0)
+    # document frequency per query term, as columns of one small row
+    dfreq = tf.agg(
+        *[
+            F.sum((F.col(t) > 0).cast("bigint")).alias(f"__df_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    scored = (
+        dl.join(tf.withColumnsRenamed({t: f"__tf_{i}" for i, t in enumerate(terms)}),
+                id_col, "left")
+        .na.fill({f"__tf_{i}": 0 for i in range(len(terms))})
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfreq))
+    )
+    n = F.col("__N").cast("double")
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf_c = F.col(f"__tf_{i}").cast("double")
+        df_c = F.col(f"__df_{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (n - df_c + 0.5) / (df_c + 0.5))
+        denom = tf_c + k1 * (
+            1.0 - b + b * F.col("dl").cast("double") / F.col("__avgdl")
+        )
+        score = score + idf * (tf_c * (k1 + 1.0)) / denom
+    return scored.select(id_col, "dl", score.alias("score"))
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 10,
+    max_docs: int = 2,
+) -> DataFrame:
+    """Boilerplate segment removal — the CCNet/RefinedWeb line-dedup
+    step adapted to token segments: split each document into
+    consecutive ``seg_tokens``-token segments, drop every segment whose
+    exact content appears in more than ``max_docs`` DISTINCT documents
+    (headers, footers, license blocks — text that repeats across the
+    corpus is boilerplate, not signal), and reassemble the survivors in
+    order.
+
+    Shape at scale: one explode to (doc, seg_idx, segment), the
+    frequency table is a (segment-hash → distinct-doc count) aggregate
+    — grouping on the md5 keeps shuffle rows small and uniformly
+    distributed regardless of segment length — and a broadcast-able
+    semi-join back (the blocklist is the aggregate's heavy tail: tiny).
+    Reassembly is an order-preserving collect over (doc, seg_idx) —
+    one shuffle keyed by doc.
+
+    Output: (id, n_segments, n_dropped bigint, cleaned_text) — one row
+    per input document (empty docs keep a row with empty text).
+    """
+    from financial_data_lakehouse_pipeline__spark.operators.dedup import canonical_text
+
+    toked = df.select(
+        F.col(id_col), tokens(canonical_text(F.col(text_col))).alias("__toks")
+    )
+    nseg = F.ceil(F.size("__toks") / F.lit(seg_tokens)).cast("int")
+    segs = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                nseg > 0,
+                F.transform(
+                    F.sequence(F.lit(0), nseg - 1),
+                    lambda i: F.struct(
+                        i.alias("seg_idx"),
+                        F.concat_ws(
+                            " ", F.slice(F.col("__toks"), i * seg_tokens + 1, seg_tokens)
+                        ).alias("segment"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<seg_idx:int,segment:string>>"))
+        ).alias("__s"),
+    ).select(F.col(id_col), "__s.seg_idx", "__s.segment", F.md5("__s.segment").alias("__h"))
+    freq = segs.groupBy("__h").agg(
+        F.count_distinct(F.col(id_col)).alias("__docs")
+    )
+    marked = segs.join(freq, "__h").withColumn(
+        "__keep", F.col("__docs") <= max_docs
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum((~F.col("__keep")).cast("bigint")).alias("n_dropped"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"),
+                                F.struct(F.col("seg_idx"), F.col("segment")),
+                            )
+                        )
+                    ),
+                    lambda s: s["segment"],
+                ),
+            ).alias("cleaned_text"),
+        )
+        .join(df.select(id_col), id_col, "right")
+        .na.fill({"n_segments": 0, "n_dropped": 0, "cleaned_text": ""})
     )

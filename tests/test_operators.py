@@ -879,3 +879,63 @@ def test_candlestick_flags_hand_built(spark):
     assert out[3].bullish_engulf and not out[3].bearish_engulf
     assert out[4].gap_up and not out[4].gap_down
     assert out[5].gap_down and not out[5].gap_up
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 (Lucene idf) against a hand-computed value; docs missing
+    every query term score 0 but keep their row."""
+    import math
+
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import text as T
+
+    docs = [
+        Row(doc_id=0, text="spark spark join"),
+        Row(doc_id=1, text="table scan"),
+        Row(doc_id=2, text="nothing relevant here"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in T.bm25_scores(
+            spark.createDataFrame(docs), ["spark", "table"], k1=1.2, b=0.75
+        ).collect()
+    }
+    n, avgdl = 3, (3 + 2 + 3) / 3.0
+    def idf(df_t):
+        return math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+    def term(tf, df_t, dl):
+        return idf(df_t) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert out[0].score == pytest.approx(term(2, 1, 3), rel=1e-12)
+    assert out[1].score == pytest.approx(term(1, 1, 2), rel=1e-12)
+    assert out[2].score == 0.0 and out[2].dl == 3
+
+
+def test_segment_dedup_drops_boilerplate(spark):
+    """A segment shared by >max_docs documents is dropped everywhere;
+    unique segments survive in order; empty docs keep an empty row."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import text as T
+
+    boiler = "all rights reserved"
+    docs = [
+        Row(doc_id=0, text=f"{boiler} unique zero content"),
+        Row(doc_id=1, text=f"{boiler} other one words"),
+        Row(doc_id=2, text=f"{boiler} third body text"),
+        Row(doc_id=3, text="totally original document"),
+        Row(doc_id=4, text="   "),
+    ]
+    out = {
+        r.doc_id: r
+        for r in T.segment_dedup(
+            spark.createDataFrame(docs), seg_tokens=3, max_docs=2
+        ).collect()
+    }
+    for i in (0, 1, 2):
+        assert out[i].n_dropped == 1
+        assert boiler not in out[i].cleaned_text
+    assert out[0].cleaned_text == "unique zero content"
+    assert out[3].n_dropped == 0
+    assert out[3].cleaned_text == "totally original document"
+    assert out[4].n_segments == 0 and out[4].cleaned_text == ""

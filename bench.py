@@ -63,15 +63,30 @@ def main() -> None:
 
     # Steady-state methodology: one untimed warmup execution per query
     # (JIT + whole-stage-codegen compilation — constant overhead that is
-    # noise at benchmark scale), then one timed execution.
-    for name in HEADLINE:
+    # noise at benchmark scale), then one timed execution. A query that
+    # raises degrades to a missing entry (under "errors") — one broken
+    # query must never cost the whole bench line (r2 lesson).
+    errors: dict[str, str] = {}
+
+    def run(name: str) -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    for name in HEADLINE:
+        try:
+            run(name)
+        except Exception as exc:  # pragma: no cover - resilience path
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if name in errors:
+            continue
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            run(name)
+        except Exception as exc:  # pragma: no cover - resilience path
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
@@ -83,6 +98,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

@@ -10,7 +10,7 @@ from financial_data_lakehouse_pipeline__spark.corpus import register, sql_dsum
 from financial_data_lakehouse_pipeline__spark.functions import dmean, dsum
 from financial_data_lakehouse_pipeline__spark.operators import analysis, cleaning, events, joins
 from financial_data_lakehouse_pipeline__spark.operators.analysis import alignment_score
-from financial_data_lakehouse_pipeline__spark.sources import read_table
+from financial_data_lakehouse_pipeline__spark.sources import normalize_event_ts, read_table
 
 # DuckDB-side: events.ts normalized to microsecond TIMESTAMP (matches the
 # Spark-side ns→µs conversion in sources.readers.read_table).
@@ -390,8 +390,7 @@ def streaming_session_windows(spark, sf_dir):
 
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = st.stream_from_parquet_dir(spark, sf_dir, raw_schema, glob="events.parquet")
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     agg = st.session_windows(
         stream,
         "ts",
@@ -431,8 +430,7 @@ def streaming_hourly_counts(spark, sf_dir):
     stream = st.stream_from_parquet_dir(
         spark, sf_dir, raw_schema, glob="events.parquet"
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     agg = st.windowed_counts(
         stream,
         "ts",
@@ -472,8 +470,7 @@ def streaming_record_highs(spark, sf_dir):
     stream = st.stream_from_parquet_dir(
         spark, sf_dir, raw_schema, glob="events.parquet"
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     out = st.record_highs_stateful(
         stream.select("user_id", "ts", "event_id", "value"),
         key_col="user_id",
@@ -743,8 +740,7 @@ def streaming_click_attribution(spark, sf_dir):
         s = st.stream_from_parquet_dir(
             spark, sf_dir, raw_schema, glob="events.parquet"
         )
-        if dict(s.dtypes)["ts"] == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        s = normalize_event_ts(s)
         return s.filter(F.col("event_type") == event_type).select(*cols)
 
     clicks = side(

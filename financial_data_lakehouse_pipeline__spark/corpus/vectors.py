@@ -50,6 +50,26 @@ def _bucket_sql(v: str, planes: int) -> str:
     return f"({bits})"
 
 
+#: The seeded projection matrix shared by the Spark plan and the SQL
+#: oracle — repr(float) literals round-trip exactly in both engines, and
+#: the projection fold order matches (_dot_sql ≡ functions.dot), so
+#: bucket bits are bit-identical cross-engine.
+_HYPERPLANES_NEARDUP = similarity.random_hyperplanes(dim=64, planes=8, seed=7)
+_HYPERPLANES_TOPK = similarity.random_hyperplanes(dim=64, planes=4, seed=7)
+
+
+def _bucket_proj_sql(v: str, hyperplanes) -> str:
+    """Random-hyperplane sign-LSH sketch — mirrors
+    similarity.sign_lsh_bucket_projected with the identical literals."""
+    bits = []
+    for plane in hyperplanes:
+        lits = ", ".join(repr(float(w)) for w in plane)
+        bits.append(
+            f"CASE WHEN {_dot_sql(v, f'[{lits}]')} >= 0 THEN '1' ELSE '0' END"
+        )
+    return "(" + " || ".join(bits) + ")"
+
+
 @register(
     "brute_force_topk",
     f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
@@ -77,7 +97,7 @@ def brute_force_topk(spark, sf_dir):
 @register(
     "cosine_neardup",
     f"""WITH e AS (SELECT vec_id, embedding,
-                          {_bucket_sql('embedding', 4)} AS b
+                          {_bucket_proj_sql('embedding', _HYPERPLANES_NEARDUP)} AS b
                    FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
@@ -85,21 +105,25 @@ def brute_force_topk(spark, sf_dir):
         WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= 0.35""",
 )
 def cosine_neardup(spark, sf_dir):
-    """All pairs with cosine >= 0.35 among sign-LSH bucket collisions —
-    equi-join on the bucket key, never all-pairs (operators/similarity
-    .cosine_neardup). The oracle reproduces the SAME bucketing, so the
-    (documented) recall loss of axis-aligned planes is pinned, not hidden."""
+    """Near-dup pairs (cosine >= 0.35) among seeded random-hyperplane
+    sign-LSH bucket collisions — equi-join on the bucket key, never
+    all-pairs (operators/similarity.cosine_neardup). 8 Gaussian planes
+    (256 uniform buckets; scale planes ~log2(N)); recall is approximate
+    by design and the oracle reproduces the SAME projection literals, so
+    the bucketing is pinned, not hidden."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_neardup(emb, threshold=0.35, planes=4)
+    return similarity.cosine_neardup(
+        emb, threshold=0.35, hyperplanes=_HYPERPLANES_NEARDUP
+    )
 
 
 @register(
     "signlsh_topk",
     f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
-                          {_bucket_sql('embedding', 4)} AS b
+                          {_bucket_proj_sql('embedding', _HYPERPLANES_TOPK)} AS b
                    FROM embeddings WHERE vec_id < 20),
              c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
-                          {_bucket_sql('embedding', 4)} AS b
+                          {_bucket_proj_sql('embedding', _HYPERPLANES_TOPK)} AS b
                    FROM embeddings),
              scored AS (
                SELECT query_id, neighbor_id, {_cosine_sql('qv', 'cv')} AS cosine
@@ -112,13 +136,14 @@ def cosine_neardup(spark, sf_dir):
         WHERE rn <= 5""",
 )
 def signlsh_topk(spark, sf_dir):
-    """Approximate top-5 restricted to the query's sign-LSH bucket — the
-    IVF-style scale path: one equi-join on the bucket key instead of a
-    cross join (operators/similarity.signlsh_topk). Recall vs brute force
-    is pinned in tests/test_similarity.py."""
+    """Approximate top-5 restricted to the query's seeded random-
+    hyperplane sign-LSH bucket — the IVF-style scale path: one equi-join
+    on the bucket key instead of a cross join (operators/similarity
+    .signlsh_topk). Recall vs brute force is pinned in
+    tests/test_similarity.py."""
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
-    return similarity.signlsh_topk(q, emb, k=5, planes=4)
+    return similarity.signlsh_topk(q, emb, k=5, hyperplanes=_HYPERPLANES_TOPK)
 
 
 @register(

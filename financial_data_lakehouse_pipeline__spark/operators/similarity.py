@@ -18,10 +18,13 @@ queries broadcast, corpus streams, and bucketing bounds the join fan-out.
 
 from __future__ import annotations
 
+import random
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from financial_data_lakehouse_pipeline__spark.functions import cosine_similarity
+from financial_data_lakehouse_pipeline__spark.functions import cosine_similarity, dot
 
 
 def _sim(a: Column, b: Column) -> Column:
@@ -66,13 +69,46 @@ def brute_force_topk(
 
 
 def sign_lsh_bucket(vec: Column, planes: int = 8) -> Column:
-    """Deterministic sign-LSH sketch: concatenated signs of the first
-    ``planes`` coordinates. (Axis-aligned hyperplanes — deterministic and
-    reproducible in plain SQL; swap in seeded random projections for
-    production recall tuning.)"""
+    """Axis-aligned sign-LSH sketch: concatenated signs of the first
+    ``planes`` coordinates. Kept as the zero-dependency fallback;
+    production paths should pass seeded ``random_hyperplanes`` to the
+    bucketing operators instead — embedding coordinate signs are
+    correlated, so fixed axis planes skew bucket sizes at scale."""
     bits = [
         F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for i in range(planes)
+    ]
+    return F.concat(*bits)
+
+
+def random_hyperplanes(dim: int, planes: int, seed: int = 7) -> list[list[float]]:
+    """Seeded Gaussian random projection matrix (``planes`` × ``dim``).
+
+    Deterministic for a given (dim, planes, seed): both the Spark plan and
+    any SQL oracle can materialize the identical literals, so bucket
+    assignments are reproducible cross-engine. Scale guidance: pick
+    ``planes ≈ log2(N)`` so expected bucket occupancy stays ~constant as
+    the corpus grows (fixes the fixed-bucket quadratic blowup of the
+    axis-aligned variant)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+
+
+def sign_lsh_bucket_projected(
+    vec: Column, hyperplanes: Sequence[Sequence[float]]
+) -> Column:
+    """Random-hyperplane sign-LSH sketch: one bit per plane, the sign of
+    the projection ``dot(vec, plane)``. Hyperplanes enter the plan as
+    literal arrays (JVM-side fold per plane, whole-stage codegen); with
+    Gaussian planes the bits are i.i.d. fair coins for isotropic data, so
+    2^planes buckets fill uniformly — collision probability per plane is
+    1 - theta/pi (Charikar's SimHash bound)."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(float(w)) for w in plane])) >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in hyperplanes
     ]
     return F.concat(*bits)
 
@@ -83,16 +119,27 @@ def cosine_neardup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int = 4,
+    hyperplanes: Sequence[Sequence[float]] | None = None,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold, id_a < id_b.
+    """Near-duplicate pairs with cosine >= threshold, id_a < id_b, among
+    sign-LSH bucket collisions.
 
-    Bucketed by sign-LSH then exactly verified: high-cosine pairs agree on
-    most coordinate signs, so few planes already prune hard. planes=0
+    Approximate by design: a qualifying pair whose sketch bits differ on
+    any plane is missed (recall < 1; collision probability per plane is
+    1 - theta/pi). Within a bucket, verification is exact. planes=0
     degrades to exact all-pairs.
+
+    Pass ``hyperplanes`` (from :func:`random_hyperplanes`, planes ≈
+    log2(N)) for the scale path — Gaussian planes spread buckets
+    uniformly, so within-bucket candidate counts stay bounded as the
+    corpus grows; the axis-aligned default is the SQL-trivial fallback.
     """
-    withb = df.select(
-        F.col(id_col), F.col(vec_col), sign_lsh_bucket(F.col(vec_col), planes).alias("__b")
+    bucket = (
+        sign_lsh_bucket_projected(F.col(vec_col), hyperplanes)
+        if hyperplanes is not None
+        else sign_lsh_bucket(F.col(vec_col), planes)
     )
+    withb = df.select(F.col(id_col), F.col(vec_col), bucket.alias("__b"))
     a = withb.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__b")
     )
@@ -193,24 +240,31 @@ def signlsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int = 4,
+    hyperplanes: Sequence[Sequence[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's sign-LSH bucket.
 
     One equi-join on the bucket key instead of a cross join — the IVF-
-    style scale path. Recall is tested against brute_force_topk in
-    tests/test_similarity.py.
+    style scale path. Pass ``hyperplanes`` (seeded random projections)
+    for uniform bucket occupancy at scale; recall is tested against
+    brute_force_topk in tests/test_similarity.py.
     """
     from pyspark.sql import Window
+
+    def bucket() -> Column:
+        if hyperplanes is not None:
+            return sign_lsh_bucket_projected(F.col(vec_col), hyperplanes)
+        return sign_lsh_bucket(F.col(vec_col), planes)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        sign_lsh_bucket(F.col(vec_col), planes).alias("__b"),
+        bucket().alias("__b"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        sign_lsh_bucket(F.col(vec_col), planes).alias("__b"),
+        bucket().alias("__b"),
     )
     scored = (
         c.join(F.broadcast(q), "__b")

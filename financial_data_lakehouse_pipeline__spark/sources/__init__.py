@@ -1,5 +1,6 @@
 from financial_data_lakehouse_pipeline__spark.sources.readers import (
     TABLES,
+    normalize_event_ts,
     read_json,
     read_parquet,
     read_table,
@@ -12,6 +13,7 @@ from financial_data_lakehouse_pipeline__spark.sources.catalog import register_vi
 
 __all__ = [
     "TABLES",
+    "normalize_event_ts",
     "read_json",
     "read_parquet",
     "read_table",

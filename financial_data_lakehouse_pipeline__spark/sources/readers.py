@@ -51,17 +51,43 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
     return reader.json(path)
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-zoned ``TimestampType``
+    (microseconds) regardless of the physical parquet encoding.
+
+    The driver testdata has shipped ``events.ts`` under three different
+    physical types across rounds, so this contract is pinned here (and
+    property-tested in tests/test_sources.py):
+
+    - ``int64`` TIMESTAMP(NANOS) read as a nanosecond LONG under
+      ``spark.sql.legacy.parquet.nanosAsLong`` → integer-divide to micros
+      (same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP).
+    - ``timestamp[us]`` without tz metadata, which Spark 4 reads as
+      ``TIMESTAMP_NTZ`` → cast to TimestampType. The session timezone is
+      pinned UTC (session.py), so the wall-clock value maps to the
+      identical instant and oracle hashes are unchanged.
+    - already ``TimestampType`` → pass through.
+
+    Works on batch and streaming DataFrames alike (pure column rewrite).
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast(T.TimestampType()))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table with normalized logical types.
 
-    events.ts is stored as parquet TIMESTAMP(NANOS), which Spark reads
-    (only) as a nanosecond LONG under spark.sql.legacy.parquet.nanosAsLong;
-    we convert to a microsecond TimestampType via integer division — the
-    same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, so
-    oracle comparisons line up exactly.
+    events.ts physical encoding has drifted across driver rounds (nanos
+    LONG, then timestamp[us]/NTZ); ``normalize_event_ts`` maps every
+    variant to session-zoned TimestampType micros so operators downstream
+    always see one logical type.
     """
     tune_runtime(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df

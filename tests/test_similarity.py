@@ -65,6 +65,49 @@ def test_signlsh_recall_and_cosine_parity(spark, sf_dir):
         assert r.cosine == pytest.approx(expect, rel=1e-9)
 
 
+def test_projected_lsh_recall_improves_with_fewer_planes(spark, sf_dir):
+    """Seeded random-hyperplane LSH: (a) deterministic — the same seed
+    yields the same pairs across runs; (b) recall@5 vs brute force is
+    monotone-ish in plane count (fewer planes → bigger buckets → higher
+    recall); (c) with 2 planes recall is substantial on the real corpus."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in
+             similarity.brute_force_topk(q, emb, k=5).collect()}
+
+    def recall(planes):
+        hp = similarity.random_hyperplanes(dim=64, planes=planes, seed=7)
+        got = {(r.query_id, r.neighbor_id) for r in
+               similarity.signlsh_topk(q, emb, k=5, hyperplanes=hp).collect()}
+        return len(exact & got) / len(exact)
+
+    r2, r6 = recall(2), recall(6)
+    assert r2 >= r6  # coarser sketch can only widen candidate sets
+    assert r2 >= 0.25
+    # determinism: same seed → identical projection matrix
+    assert similarity.random_hyperplanes(8, 3, seed=42) == \
+        similarity.random_hyperplanes(8, 3, seed=42)
+
+
+def test_projected_bucket_splits_opposite_vectors(spark):
+    """Antipodal vectors always land in different projected buckets
+    (every projection flips sign); near-identical vectors collide."""
+    hp = similarity.random_hyperplanes(dim=4, planes=6, seed=1)
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.5, -0.25, 2.0]),
+        Row(vec_id=1, embedding=[1.01, 0.5, -0.25, 2.0]),
+        Row(vec_id=2, embedding=[-1.0, -0.5, 0.25, -2.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = df.select(
+        "vec_id",
+        similarity.sign_lsh_bucket_projected(F.col("embedding"), hp).alias("b"),
+    ).collect()
+    b = {r.vec_id: r.b for r in out}
+    assert b[0] == b[1]
+    assert b[2] == "".join("1" if c == "0" else "0" for c in b[0])
+
+
 def test_ivf_topk_probes_nearest_cells(spark, sf_dir):
     """IVF results come only from the nprobe nearest centroid cells, and
     within the probed cells the ranking equals brute force."""

@@ -90,3 +90,49 @@ def test_json_explode_paths(spark):
     m = qs["json_clean_map"](spark, None)
     assert m.count() == 3  # empty map yields no rows for T3
     assert m.filter(F.col("symbol") == "T1").count() == 2
+
+
+def test_event_ts_normalization_contract(spark, tmp_path):
+    """Pin the events.ts physical-encoding contract: whatever parquet
+    type the driver testdata ships — int64 nanos, timestamp[ns], or
+    timestamp[us] without tz (read as TIMESTAMP_NTZ by Spark 4) —
+    read_table must yield session-zoned TimestampType at microsecond
+    precision with identical instants (driver dtype drift broke r1 AND
+    r2; this test is the regression guard)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0, 123456)
+    instants = [base, base + datetime.timedelta(hours=5, microseconds=789)]
+    encodings = {
+        "us_ntz": pa.timestamp("us"),
+        "ns_ntz": pa.timestamp("ns"),
+        "int64_nanos": pa.int64(),
+    }
+    expect = [i.isoformat() for i in instants]
+    for label, typ in encodings.items():
+        if typ == pa.int64():
+            vals = [int(i.timestamp() * 1_000_000) * 1000 for i in instants]
+        else:
+            vals = instants
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(vals, typ),
+            }
+        )
+        d = tmp_path / label
+        d.mkdir()
+        pq.write_table(tbl, str(d / "events.parquet"))
+        df = read_table(spark, str(d), "events")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType), label
+        got = [
+            r.ts.replace(tzinfo=None).isoformat()
+            for r in df.orderBy("event_id").collect()
+        ]
+        assert got == expect, (label, got, expect)

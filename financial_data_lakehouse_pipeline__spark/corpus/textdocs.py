@@ -705,3 +705,36 @@ def segment_dedup_docs(spark, sf_dir):
     assembly — no floats anywhere."""
     d = read_table(spark, sf_dir, "documents")
     return text.segment_dedup(d)
+
+
+@register(
+    "vocab_coverage_docs",
+    f"""WITH terms AS (
+          SELECT unnest({_TOKS}) AS term FROM documents
+        ), counts AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM terms WHERE length(term) >= 1 GROUP BY term
+        ), tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS total
+          FROM terms WHERE length(term) >= 1
+        ), top AS (
+          SELECT term, cnt,
+                 ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank
+          FROM counts QUALIFY rank <= 200
+        )
+        SELECT CAST(rank AS INT) AS rank, term, cnt,
+               CAST(SUM(cnt) OVER (ORDER BY rank) AS BIGINT) AS cum_cnt,
+               CAST(SUM(cnt) OVER (ORDER BY rank) AS DOUBLE)
+                   / CAST(total AS DOUBLE) AS cum_share
+        FROM top, tot""",
+)
+def vocab_coverage_docs(spark, sf_dir):
+    """Global vocabulary frequency + cumulative coverage curve
+    (operators/text.vocab_coverage): rank terms by corpus frequency,
+    report the share of all token occurrences the top-r cover — the
+    tokenizer-vocab-sizing primitive. Top-k goes through
+    TakeOrderedAndProject (per-partition heaps), never a single-task
+    sort of the full vocabulary; cum_share is one double division of
+    exact integers."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.vocab_coverage(d, top_k=200)

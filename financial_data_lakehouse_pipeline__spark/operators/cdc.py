@@ -120,3 +120,25 @@ def scd2_apply(
         F.lit(None).cast(dim.schema[valid_to].dataType).alias(valid_to),
     )
     return closed.select(*kept_open.columns).unionByName(kept_open).unionByName(fresh)
+
+
+def merge_upsert(
+    target: DataFrame, updates: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """MERGE INTO semantics on plain DataFrames: WHEN MATCHED THEN UPDATE
+    ALL, WHEN NOT MATCHED THEN INSERT ALL — updates win on key collision,
+    untouched target rows pass through unchanged.
+
+    Equivalent relational form (and the plan this compiles to):
+    ``updates UNION ALL (target LEFT ANTI JOIN updates ON keys)`` — one
+    keyed shuffle, no full-table rewrite logic. This is the TESTED
+    parquet-native stand-in for sources/delta_io.upsert_delta (which
+    needs delta-spark); rewrite-in-place then lands via the partitioned
+    writer, ideally partition-pruned to only the partitions the update
+    batch touches.
+
+    Both inputs must share a schema (enforced by unionByName).
+    """
+    cond = [target[k].eqNullSafe(updates[k]) for k in keys]
+    untouched = target.join(updates, cond, "left_anti")
+    return untouched.unionByName(updates)

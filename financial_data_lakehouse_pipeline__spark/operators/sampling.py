@@ -205,3 +205,44 @@ def mixture_resample(
         .filter(b.cast("bigint") < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def weighted_poisson_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    expected_k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling (Poisson design): row i survives
+    with probability min(1, expected_k * w_i / W) where W = total weight,
+    so the expected sample size is ~expected_k and inclusion probability
+    is proportional to weight — the standard design for importance-
+    weighted corpus subsampling (long docs sampled more often, each
+    surviving row reweightable by 1/p for unbiased estimates).
+
+    The coin flip is the salted 28-bit md5 bucket vs an integer
+    threshold: keep iff  h * W < expected_k * w * 2^28,  evaluated in
+    DECIMAL(38,0) so it never overflows at any corpus weight (100 TB:
+    W ~ 1e14 → product ~ 1e22, well inside 38 digits). No rand(), no
+    floats — bit-reproducible on any engine/cluster/partitioning.
+
+    One broadcast of the 1-row total; the filter itself is
+    embarrassingly parallel.
+    """
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    h28 = F.conv(F.substring(h, 1, 7), 16, 10).cast("decimal(38,0)")
+    total = df.agg(
+        F.sum(F.col(weight_col).cast("bigint")).cast("decimal(38,0)").alias("__W")
+    )
+    lhs = h28 * F.col("__W")
+    rhs = (
+        F.lit(expected_k).cast("decimal(38,0)")
+        * F.col(weight_col).cast("decimal(38,0)")
+        * F.lit(1 << 28).cast("decimal(38,0)")
+    )
+    return (
+        df.crossJoin(F.broadcast(total))
+        .filter(lhs < rhs)
+        .drop("__W")
+    )

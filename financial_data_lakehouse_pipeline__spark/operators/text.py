@@ -553,3 +553,54 @@ def segment_dedup(
         .join(df.select(id_col), id_col, "right")
         .na.fill({"n_segments": 0, "n_dropped": 0, "cleaned_text": ""})
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 200,
+    min_term_len: int = 1,
+) -> DataFrame:
+    """Global vocabulary frequency table with cumulative corpus coverage —
+    the tokenizer-construction primitive: rank terms by frequency and
+    report what share of all token occurrences the top-r terms cover
+    (BPE/WordPiece vocab sizing reads the knee of this curve).
+
+    Shape at scale: one explode + one term groupBy (map-side combined),
+    then ordering/cumsum over only the top-k slice — the full vocabulary
+    never sorts globally; the unpartitioned window runs on ≤ top_k rows.
+    cum_share is a single double division of two exact integers, so it is
+    bit-identical cross-engine.
+    """
+    from financial_data_lakehouse_pipeline__spark.functions import tokens as _tokens
+    from pyspark.sql import Window
+
+    canon = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    terms = df.select(F.explode(_tokens(canon)).alias("term")).filter(
+        F.length("term") >= min_term_len
+    )
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = terms.agg(F.count(F.lit(1)).alias("__total"))
+    # top-k via orderBy+limit → TakeOrderedAndProject (per-partition heaps,
+    # no single-task sort of the full vocabulary); the row_number window
+    # then runs on ≤ top_k rows only.
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("term"))
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w_rank))
+    )
+    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.withColumn("cum_cnt", F.sum("cnt").over(w_cum))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("cum_cnt").cast("bigint").alias("cum_cnt"),
+            (F.col("cum_cnt").cast("double") / F.col("__total").cast("double")).alias(
+                "cum_share"
+            ),
+        )
+    )

@@ -476,3 +476,76 @@ def test_date_gaps_within_entity_range(spark):
         for r in dq.date_gaps(spark.createDataFrame(rows), ["k"], "day").collect()
     )
     assert out == [("a", "2024-01-03"), ("a", "2024-01-04")]
+
+
+def test_merge_upsert_semantics(spark):
+    """MERGE: matched keys take the update row wholesale, unmatched
+    updates insert, untouched target rows pass through unchanged."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import cdc
+
+    target = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    updates = spark.createDataFrame([Row(k=2, v="B2"), Row(k=9, v="new")])
+    got = {r.k: r.v for r in cdc.merge_upsert(target, updates, ["k"]).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 9: "new"}
+
+
+def test_weighted_poisson_sample_properties(spark, sf_dir):
+    """Weighted sampling: deterministic across runs, zero-weight rows
+    never survive, and heavier rows are overrepresented relative to
+    their row share (inclusion prob proportional to weight)."""
+    from financial_data_lakehouse_pipeline__spark.operators import sampling
+    from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    s1 = sorted(
+        r.doc_id
+        for r in sampling.weighted_poisson_sample(
+            d, "doc_id", "n_chars", expected_k=50
+        ).collect()
+    )
+    s2 = sorted(
+        r.doc_id
+        for r in sampling.weighted_poisson_sample(
+            d, "doc_id", "n_chars", expected_k=50
+        ).collect()
+    )
+    assert s1 == s2 and len(s1) > 0
+    # zero-weight rows can never be selected
+    z = d.withColumn("n_chars", d.n_chars * 0)
+    assert (
+        sampling.weighted_poisson_sample(z, "doc_id", "n_chars", expected_k=50).count()
+        == 0
+    )
+    # average weight of survivors exceeds the corpus average (length bias)
+    import pyspark.sql.functions as F
+
+    avg_all = d.agg(F.avg("n_chars")).first()[0]
+    surv = sampling.weighted_poisson_sample(d, "doc_id", "n_chars", expected_k=50)
+    avg_surv = surv.agg(F.avg("n_chars")).first()[0]
+    assert avg_surv > avg_all
+
+
+def test_vocab_coverage_known_counts(spark):
+    """Hand-built corpus: ranks follow (cnt desc, term asc), cum counts
+    telescope, and full-vocab coverage reaches exactly 1.0."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat"),
+            Row(doc_id=2, text="the dog sat"),
+        ]
+    )
+    out = {r.rank: r for r in text.vocab_coverage(docs, top_k=100).collect()}
+    assert (out[1].term, out[1].cnt) == ("the", 3)
+    assert (out[2].term, out[2].cnt) == ("sat", 2)
+    # ties at cnt=1 order alphabetically
+    assert [out[i].term for i in range(3, 7)] == ["cat", "dog", "mat", "on"]
+    assert out[max(out)].cum_share == 1.0
+    assert out[max(out)].cum_cnt == 9

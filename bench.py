@@ -48,6 +48,7 @@ HEADLINE = [
     "atr_supplier_daily",        # OHLC agg + gap-aware rolling TR
     "session_concurrency",       # sweep-line interval overlap
     "chunk_docs_sliding",        # LLM: overlapping context windows
+    "pagerank_copurchase",       # iterative graph message passing
 ]
 
 

@@ -1002,3 +1002,61 @@ def approx_percentile_prices(spark, sf_dir):
         F.approx_percentile(cents, F.lit(0.5), F.lit(10000)).alias("p50_approx"),
         F.approx_percentile(cents, F.lit(0.95), F.lit(10000)).alias("p95_approx"),
     )
+
+
+def _pagerank_sql(iters: int = 2, damping: float = 0.85) -> str:
+    """Unrolled PageRank oracle, bit-identical to operators/graph.pagerank:
+    every float literal is emitted from the SAME Python double the Spark
+    plan uses (repr + e0 forces a DOUBLE literal in DuckDB — a bare
+    decimal literal would be DECIMAL and divide differently; note
+    1.0-0.85 != 0.15 in IEEE), and per-node contribution sums are exact
+    DECIMAL(38,0) quanta, so iteration order and partitioning are
+    irrelevant."""
+    d = repr(damping) + "e0"
+    one_minus_d = repr(1.0 - damping) + "e0"
+    parts = [
+        """pairs AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey < b.l_partkey
+        )""",
+        "edges AS (SELECT src, dst FROM pairs "
+        "UNION ALL SELECT dst, src FROM pairs)",
+        "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM edges GROUP BY src)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg)",
+        "r0 AS (SELECT node, deg, 1e0 / CAST(n AS DOUBLE) AS r FROM deg, nn)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"s{t} AS (SELECT e.dst AS node, "
+            f"SUM(CAST(FLOOR(r.r / CAST(r.deg AS DOUBLE) * 1e12 + 5e-1) "
+            f"AS DECIMAL(38,0))) AS s "
+            f"FROM edges e JOIN r{t} r ON e.src = r.node GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{t + 1} AS (SELECT d.node, d.deg, "
+            f"{one_minus_d} / CAST(n AS DOUBLE) "
+            f"+ {d} * (CAST(s.s AS DOUBLE) / 1e12) AS r "
+            f"FROM deg d JOIN s{t} s ON d.node = s.node, nn)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, deg, r AS pagerank FROM r{iters}"
+    )
+
+
+@register("pagerank_copurchase", _pagerank_sql(iters=2, damping=0.85))
+def pagerank_copurchase(spark, sf_dir):
+    """PageRank over the part co-purchase graph (operators/graph):
+    parts sharing an order get an edge; 2 synchronous message-passing
+    iterations, uniform init. DataFrame-iterative — state is a (node,
+    rank) DataFrame, each iteration one keyed join + one integer-exact
+    aggregation, nothing on the driver — the Pregel shape in plain Spark
+    SQL, verified bit-for-bit by an unrolled oracle."""
+    from financial_data_lakehouse_pipeline__spark.operators import graph
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.pagerank(edges, iters=2, damping=0.85)

@@ -1001,3 +1001,41 @@ def test_media_features_real_png_decoder(spark):
         multimodal.extract_media_features(
             bad, decoder=multimodal.png_header_decoder
         ).collect()
+
+
+def test_pagerank_path_graph_matches_reference(spark):
+    """PageRank on the path graph 1-2-3 equals a reference power
+    iteration with the operator's exact quantization semantics."""
+    import math
+
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import graph
+
+    rows = [Row(g=10, item=1), Row(g=10, item=2), Row(g=20, item=2), Row(g=20, item=3)]
+    df = spark.createDataFrame(rows)
+    edges = graph.cooccurrence_edges(df, "g", "item")
+    # symmetric: (1,2),(2,1),(2,3),(3,2)
+    assert sorted((r.src, r.dst) for r in edges.collect()) == [
+        (1, 2), (2, 1), (2, 3), (3, 2),
+    ]
+    got = {r.node: r for r in graph.pagerank(edges, iters=2).collect()}
+
+    def ref(iters, d=0.85):
+        adj = {1: [2], 2: [1, 3], 3: [2]}
+        deg = {k: len(v) for k, v in adj.items()}
+        r = {k: 1.0 / 3 for k in adj}
+        for _ in range(iters):
+            s = {k: 0 for k in adj}
+            for u, outs in adj.items():
+                q = math.floor(r[u] / float(deg[u]) * 1e12 + 0.5)
+                for v in outs:
+                    s[v] += q
+            r = {k: (1.0 - d) / 3 + d * (s[k] / 1e12) for k in adj}
+        return r
+
+    expect = ref(2)
+    for node in (1, 2, 3):
+        assert got[node].pagerank == expect[node]
+    assert got[2].pagerank > got[1].pagerank  # hub outranks leaves
+    assert got[1].pagerank == got[3].pagerank  # symmetry

@@ -779,3 +779,48 @@ def streaming_click_attribution(spark, sf_dir):
     return st.run_available_now(
         out, "corpus_streaming_click_attribution", output_mode="append"
     )
+
+
+@register(
+    "streaming_upsert_keep_latest",
+    # The final committed version of the streaming MERGE equals batch
+    # keep-latest per user (latest ts, ties to highest event_id).
+    """SELECT user_id, ts, event_id, value FROM (
+         SELECT user_id, ts, event_id, value,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events)
+       WHERE rn = 1""",
+)
+def streaming_upsert_keep_latest(spark, sf_dir):
+    """Streaming MERGE sink (streaming.upsert_sink): foreachBatch
+    dedups each micro-batch to its latest row per user and MERGEs it
+    into a copy-on-write versioned parquet table (the poor-man's Delta
+    log; delta_io.upsert_delta is the ACID variant). Driven to
+    completion, the committed state equals batch keep-latest — the
+    oracle."""
+    import os
+    import shutil
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+
+    scratch = os.path.join(
+        os.path.dirname(__file__), "..", "..", ".scratch", "upsert_state"
+    )
+    scratch = os.path.abspath(scratch)
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = normalize_event_ts(
+        st.stream_from_parquet_dir(spark, sf_dir, raw_schema, glob="events.parquet")
+    ).select("user_id", "ts", "event_id", "value")
+    q = st.upsert_sink(
+        stream,
+        scratch,
+        keys=["user_id"],
+        order_col="ts",
+        tiebreak_col="event_id",
+        query_name="corpus_streaming_upsert",
+    )
+    q.awaitTermination()
+    return st.read_upsert_state(spark, scratch)

@@ -201,3 +201,77 @@ def stream_interval_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {span}"))
     )
     return l.join(r, cond)
+
+
+def upsert_sink(
+    stream: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    order_col: str,
+    tiebreak_col: str,
+    query_name: str = "upsert_sink",
+):
+    """Streaming MERGE sink via foreachBatch: each micro-batch is
+    deduplicated to its latest row per key, then MERGEd (update-or-
+    insert) into a copy-on-write versioned parquet table —
+    ``path/v0, path/v1, ...`` with each version a complete snapshot and
+    ``path/_LATEST`` naming the current one. The poor-man's Delta
+    transaction log: readers always see a complete committed version,
+    and the versions double as time travel.
+
+    At scale the same foreachBatch body targets delta_io.upsert_delta
+    (real ACID MERGE, no full-table rewrite); the copy-on-write variant
+    here keeps the semantics testable without delta-spark.
+
+    Returns the StreamingQuery (caller awaits termination); read the
+    result with :func:`read_upsert_state`.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    from financial_data_lakehouse_pipeline__spark.operators.cdc import merge_upsert
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(order_col).desc(), F.col(tiebreak_col).desc()
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        marker = os.path.join(path, "_LATEST")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                cur = int(fh.read().strip())
+            target = spark.read.parquet(os.path.join(path, f"v{cur}"))
+            merged = merge_upsert(target, latest, keys)
+            nxt = cur + 1
+        else:
+            merged, nxt = latest, 0
+        merged.write.mode("overwrite").parquet(os.path.join(path, f"v{nxt}"))
+        with open(marker + ".tmp", "w") as fh:
+            fh.write(str(nxt))
+        os.replace(marker + ".tmp", marker)  # atomic commit
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_upsert_state(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed version of an upsert_sink table (default: the
+    one _LATEST points at) — the time-travel read."""
+    import os
+
+    if version is None:
+        with open(os.path.join(path, "_LATEST")) as fh:
+            version = int(fh.read().strip())
+    return spark.read.parquet(os.path.join(path, f"v{version}"))

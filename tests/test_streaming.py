@@ -175,3 +175,135 @@ def test_stream_interval_join_bounds(spark, tmp_path):
         ).collect()
     )
     assert got == [(1, 10)]
+
+
+def test_stream_stream_left_outer_semantics(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: all INNER matches equal
+    the batch join exactly, but unmatched left rows whose watermark
+    window reaches past end-of-input are held in state and never emitted
+    (the watermark only advances on new data — a structural property of
+    Spark outer stream joins, not a bug in this engine). Pin both sides
+    of that contract."""
+    import os
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+    from financial_data_lakehouse_pipeline__spark.sources import (
+        normalize_event_ts,
+        read_table,
+    )
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def side(event_type, cols):
+        s = normalize_event_ts(
+            st.stream_from_parquet_dir(spark, sf_dir, raw_schema, glob="events.parquet")
+        )
+        return s.filter(F.col("event_type") == event_type).select(*cols)
+
+    clicks = side(
+        "click",
+        [F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")],
+    )
+    purch = side(
+        "purchase",
+        [F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")],
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour"))
+    )
+    j = (
+        clicks.withWatermark("click_ts", "2 hours")
+        .join(purch.withWatermark("p_ts", "2 hours"), cond, "left_outer")
+    )
+    q = (
+        j.writeStream.format("memory")
+        .queryName("t_lo_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT click_id, p_id FROM t_lo_join").collect()
+
+    ev = read_table(spark, sf_dir, "events")
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    bcond = (
+        (bc.user_id == bp.p_user)
+        & (bp.p_ts >= bc.click_ts)
+        & (bp.p_ts <= bc.click_ts + F.expr("INTERVAL 1 hour"))
+    )
+    batch = bc.join(bp, bcond, "left_outer").select("click_id", "p_id").collect()
+
+    got_matched = {(r.click_id, r.p_id) for r in got if r.p_id is not None}
+    batch_matched = {(r.click_id, r.p_id) for r in batch if r.p_id is not None}
+    assert got_matched == batch_matched  # inner part: exact
+    got_unmatched = {r.click_id for r in got if r.p_id is None}
+    batch_unmatched = {r.click_id for r in batch if r.p_id is None}
+    # outer part: a subset (tail rows held in state), never extras
+    assert got_unmatched <= batch_unmatched
+    assert len(batch_unmatched) - len(got_unmatched) < 50  # only the tail
+
+
+def test_upsert_sink_multi_batch_versions(spark, tmp_path):
+    """foreachBatch MERGE sink with one file per micro-batch: keys
+    updated in batch 2 take the new value, untouched keys carry through,
+    and each committed version is a complete readable snapshot
+    (time travel)."""
+    import os
+    import time
+
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+
+    def write_batch(name, rows):
+        tmp = tmp_path / ("_" + name)
+        spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp)
+        )
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(tmp / part, os.path.join(feed, f"{name}.parquet"))
+
+    write_batch(
+        "b1",
+        [
+            Row(k=1, ts=100, eid=1, v="a1"),
+            Row(k=1, ts=200, eid=2, v="a2"),  # later ts wins within batch
+            Row(k=2, ts=100, eid=3, v="b1"),
+        ],
+    )
+    time.sleep(1.1)
+    write_batch(
+        "b2",
+        [
+            Row(k=2, ts=300, eid=4, v="b2"),  # updates k=2
+            Row(k=3, ts=100, eid=5, v="c1"),  # inserts k=3
+        ],
+    )
+
+    state = str(tmp_path / "state")
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(feed)
+    )
+    q = st.upsert_sink(
+        stream, state, keys=["k"], order_col="ts", tiebreak_col="eid",
+        query_name="t_upsert_sink",
+    )
+    q.awaitTermination()
+
+    final = {r.k: r.v for r in st.read_upsert_state(spark, state).collect()}
+    assert final == {1: "a2", 2: "b2", 3: "c1"}
+    # time travel: version 0 is the committed state after batch 1
+    v0 = {r.k: r.v for r in st.read_upsert_state(spark, state, version=0).collect()}
+    assert v0 == {1: "a2", 2: "b1"}

@@ -1041,3 +1041,128 @@ def candlestick_flags_supplier(spark, sf_dir):
     return out.select(
         "l_suppkey", "day", *[F.col(c).cast("bigint").alias(c) for c in flags]
     )
+
+
+@register(
+    "keltner_supplier_daily",
+    # EMA centerline replayed as a recursive CTE (same operation order as
+    # the applyInPandas loop), ATR band from exact BIGINT true ranges;
+    # band arithmetic is double ops on bit-identical inputs — no ROUND.
+    f"""WITH RECURSIVE {_OHLC_CTE},
+        base AS MATERIALIZED (
+          SELECT l_suppkey, day, high, low, close,
+                 CAST(close AS DOUBLE) AS v,
+                 ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY day)
+                     AS rn
+          FROM o
+        ),
+        r AS (
+          SELECT l_suppkey, day, rn, v AS ema FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b.l_suppkey, b.day, b.rn,
+                 (2.0 / 21.0) * b.v + (1.0 - 2.0 / 21.0) * r.ema
+          FROM base b
+          JOIN r ON b.l_suppkey = r.l_suppkey AND b.rn = r.rn + 1
+        ),
+        t AS (
+          SELECT l_suppkey, day, high, low, close,
+                 LAG(close) OVER (PARTITION BY l_suppkey ORDER BY day) AS pc
+          FROM base
+        ),
+        tr AS (
+          SELECT l_suppkey, day,
+                 GREATEST(high - low,
+                          COALESCE(ABS(high - pc), high - low),
+                          COALESCE(ABS(low - pc), high - low)) AS tr
+          FROM t
+        ),
+        a AS (
+          SELECT l_suppkey, day,
+                 CAST(SUM(tr) OVER w AS BIGINT) / COUNT(*) OVER w AS atr
+          FROM tr
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY day
+                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT r.l_suppkey, r.day,
+               r.ema / 100e0 AS kc_middle,
+               (r.ema + 2.0 * a.atr) / 100e0 AS kc_upper,
+               (r.ema - 2.0 * a.atr) / 100e0 AS kc_lower
+        FROM r JOIN a ON r.l_suppkey = a.l_suppkey AND r.day = a.day""",
+)
+def keltner_supplier_daily(spark, sf_dir):
+    """Keltner channel over daily supplier bars (operators/windows
+    .keltner): true-EMA(20) centerline (applyInPandas recurrence) ±
+    2·ATR(14) gap-aware bands — composes the engine's two hardest window
+    primitives in one (partition, order), verified bit-for-bit by a
+    recursive-CTE + window oracle."""
+    bars = _daily_ohlc(spark, sf_dir)
+    out = windows.keltner(bars, ["l_suppkey"], ["day"], span=20, n_atr=14, mult=2.0)
+    return out.select(
+        "l_suppkey",
+        "day",
+        (F.col("kc_middle") / F.lit(100.0)).alias("kc_middle"),
+        (F.col("kc_upper") / F.lit(100.0)).alias("kc_upper"),
+        (F.col("kc_lower") / F.lit(100.0)).alias("kc_lower"),
+    )
+
+
+@register(
+    "adx_supplier_daily",
+    # DM±/TR exact BIGINTs; DI/DX closed double forms on exact inputs;
+    # ADX = mean of 1e-9-quantized DX integers — windowed double sums
+    # are engine-dependent, integer sums are not, so no ROUND anywhere.
+    f"""WITH {_OHLC_CTE},
+        t AS (
+          SELECT l_suppkey, day, high, low, close,
+                 LAG(high) OVER w AS ph, LAG(low) OVER w AS pl,
+                 LAG(close) OVER w AS pc
+          FROM o
+          WINDOW w AS (PARTITION BY l_suppkey ORDER BY day)
+        ),
+        m AS (
+          SELECT l_suppkey, day,
+                 COALESCE(CASE WHEN (high - ph) > (pl - low)
+                                AND (high - ph) > 0
+                               THEN high - ph ELSE 0 END, 0) AS pdm,
+                 COALESCE(CASE WHEN (pl - low) > (high - ph)
+                                AND (pl - low) > 0
+                               THEN pl - low ELSE 0 END, 0) AS mdm,
+                 GREATEST(high - low,
+                          COALESCE(ABS(high - pc), high - low),
+                          COALESCE(ABS(low - pc), high - low)) AS tr
+          FROM t
+        ),
+        di AS (
+          SELECT l_suppkey, day,
+                 100e0 * SUM(pdm) OVER wf / NULLIF(SUM(tr) OVER wf, 0)
+                     AS pdi,
+                 100e0 * SUM(mdm) OVER wf / NULLIF(SUM(tr) OVER wf, 0)
+                     AS mdi
+          FROM m
+          WINDOW wf AS (PARTITION BY l_suppkey ORDER BY day
+                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        ),
+        dx AS (
+          SELECT l_suppkey, day, pdi, mdi,
+                 100e0 * ABS(pdi - mdi) / NULLIF(pdi + mdi, 0e0) AS dx
+          FROM di
+        ),
+        q AS (
+          SELECT *, CAST(FLOOR(dx * 1e9 + 5e-1) AS BIGINT) AS dxq FROM dx
+        )
+        SELECT l_suppkey, day, pdi, mdi, dx,
+               CAST(SUM(dxq) OVER wf AS DOUBLE)
+                   / CAST(COUNT(dxq) OVER wf AS DOUBLE) / 1e9 AS adx
+        FROM q
+        WINDOW wf AS (PARTITION BY l_suppkey ORDER BY day
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""",
+)
+def adx_supplier_daily(spark, sf_dir):
+    """ADX-14 over daily supplier bars (operators/windows.adx, rolling-
+    sum variant): directional movement, DI±, DX, and the ADX trend-
+    strength line — all in one shared (partition, order) window spec,
+    integer-exact inputs, quantized-DX mean, no rounding."""
+    bars = _daily_ohlc(spark, sf_dir)
+    return windows.adx(bars, ["l_suppkey"], ["day"], n=14).select(
+        "l_suppkey", "day", "pdi", "mdi", "dx", "adx"
+    )

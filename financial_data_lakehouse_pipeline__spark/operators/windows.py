@@ -662,3 +662,101 @@ def ichimoku(
             "chikou": F.lead(cl, kijun_n).over(w),
         }
     )
+
+
+def keltner(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    span: int = 20,
+    n_atr: int = 14,
+    mult: float = 2.0,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+) -> DataFrame:
+    """Keltner channel over OHLC bars: middle = EMA(close, span), bands
+    middle ± mult·ATR(n_atr) — the volatility envelope that pairs the
+    gap-aware ATR with a true recursive centerline (Bollinger's sibling;
+    extends the reference's indicator block, data_transformation
+    .py:162-228).
+
+    Composition of two existing primitives sharing one (partition,
+    order): the EMA's grouped Arrow pass and the ATR's window frame.
+    Band arithmetic is plain double ops on bit-identical inputs, so the
+    whole channel stays oracle-exact with no rounding.
+
+    Outputs: kc_middle, kc_upper, kc_lower.
+    """
+    mid = ema(df, partition_by, order_by, close, span=span, out="kc_middle")
+    withatr = atr(
+        mid, partition_by, order_by, high=high, low=low, close=close,
+        n=n_atr, out="__kc_atr",
+    )
+    m = F.col("kc_middle")
+    a = F.col("__kc_atr")
+    return (
+        withatr.withColumn("kc_upper", m + F.lit(mult) * a)
+        .withColumn("kc_lower", m - F.lit(mult) * a)
+        .drop("__kc_atr")
+    )
+
+
+def adx(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+    n: int = 14,
+) -> DataFrame:
+    """ADX (average directional index) over integer OHLC bars, rolling-
+    sum variant: directional movements and true range stay exact BIGINTs,
+    DI± = 100·Σn(DM±)/Σn(TR) is one double division of exact integers,
+    DX = 100·|DI+ − DI−|/(DI+ + DI−), and ADX is an n-bar mean of DX
+    *quantized to 1e-9 integers first* — windowed double sums are
+    engine-dependent (segment-tree vs streaming accumulation), integer
+    sums are not, so the whole indicator is bit-identical cross-engine.
+    (Wilder's recursive smoothing would need the applyInPandas EMA path;
+    the rolling-sum form is the standard window-algebra variant.)
+
+    One (partition, order) spec shared by every lag and frame → one
+    shuffle + sort. Outputs: pdi, mdi, dx, adx (dx/adx null while
+    DI+ + DI− = 0).
+    """
+    w = _w(partition_by, order_by)
+    wf = w.rowsBetween(-(n - 1), 0)
+    h, lo, cl = F.col(high), F.col(low), F.col(close)
+    ph, pl, pc = F.lag(h).over(w), F.lag(lo).over(w), F.lag(cl).over(w)
+    up = h - ph
+    down = pl - lo
+    pdm = F.coalesce(F.when((up > down) & (up > 0), up).otherwise(F.lit(0)), F.lit(0))
+    mdm = F.coalesce(
+        F.when((down > up) & (down > 0), down).otherwise(F.lit(0)), F.lit(0)
+    )
+    hl = h - lo
+    tr = F.greatest(hl, F.coalesce(F.abs(h - pc), hl), F.coalesce(F.abs(lo - pc), hl))
+    d = (
+        df.withColumn("__pdm", pdm)
+        .withColumn("__mdm", mdm)
+        .withColumn("__tr", tr)
+    )
+    str_ = F.sum("__tr").over(wf)
+    pdi = F.lit(100.0) * F.sum("__pdm").over(wf) / F.nullif(str_, F.lit(0))
+    mdi = F.lit(100.0) * F.sum("__mdm").over(wf) / F.nullif(str_, F.lit(0))
+    d = d.withColumn("pdi", pdi).withColumn("mdi", mdi)
+    dx = (
+        F.lit(100.0)
+        * F.abs(F.col("pdi") - F.col("mdi"))
+        / F.nullif(F.col("pdi") + F.col("mdi"), F.lit(0.0))
+    )
+    d = d.withColumn("dx", dx).withColumn(
+        "__dxq", F.floor(F.col("dx") * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    )
+    adx_col = (
+        F.sum("__dxq").over(wf).cast("double")
+        / F.count("__dxq").over(wf).cast("double")
+        / F.lit(1e9)
+    )
+    return d.withColumn("adx", adx_col).drop("__pdm", "__mdm", "__tr", "__dxq")

@@ -1039,3 +1039,26 @@ def test_pagerank_path_graph_matches_reference(spark):
         assert got[node].pagerank == expect[node]
     assert got[2].pagerank > got[1].pagerank  # hub outranks leaves
     assert got[1].pagerank == got[3].pagerank  # symmetry
+
+
+def test_adx_bounds_and_monotone_trend(spark):
+    """DI/ADX stay in [0,100]; a strictly trending series drives DI+ to
+    dominate DI− (directional movement all upward)."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import windows as W
+
+    bars = [
+        Row(k=1, day=i, high=100 + 10 * i, low=90 + 10 * i, close=95 + 10 * i)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(bars)
+    out = W.adx(df, ["k"], ["day"], n=5).orderBy("day").collect()
+    for r in out:
+        if r.pdi is not None:
+            assert 0.0 <= r.pdi <= 100.0 and 0.0 <= r.mdi <= 100.0
+        if r.adx is not None:
+            assert 0.0 <= r.adx <= 100.0
+    last = out[-1]
+    assert last.pdi > last.mdi  # uptrend: +DM dominates
+    assert last.mdi == 0.0      # lows never fall -> -DM is all zeros

@@ -186,3 +186,28 @@ def test_sweep_curve_aggregates_before_global_window(spark, sf_dir):
     # exchange that feeds the cumulative window
     single = plan.index("SinglePartition")
     assert "HashAggregate" in plan[:single]
+
+
+def test_pagerank_no_cartesian_product(spark, sf_dir):
+    """Message passing is keyed equi-joins end to end — the only
+    acceptable shape for an iterative algorithm at scale; the 1-row N
+    broadcast must not plan as a CartesianProduct either (BroadcastNested
+    LoopJoin on a 1-row side is fine)."""
+    p = plans.formatted_plan(_q("pagerank_copurchase")(spark, sf_dir))
+    assert "CartesianProduct" not in p
+
+
+def test_vocab_coverage_topk_is_heap_based(spark, sf_dir):
+    """The vocabulary top-k must plan TakeOrderedAndProject (per-
+    partition heaps), never a single-task global sort of the whole
+    vocabulary."""
+    p = plans.formatted_plan(_q("vocab_coverage_docs")(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_weighted_sample_total_is_broadcast(spark, sf_dir):
+    """The 1-row total-weight aggregate joins in via broadcast — the
+    sample filter itself never shuffles the document table."""
+    p = plans.formatted_plan(_q("weighted_sample_docs")(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p

@@ -666,3 +666,99 @@ def weighted_sample_docs(spark, sf_dir):
     return sampling.weighted_poisson_sample(
         d, id_col="doc_id", weight_col="n_chars", expected_k=50, salt="wsample"
     )
+
+
+@register(
+    "pit_join_orders_segments",
+    # Each order picks the dimension version valid at o_orderdate:
+    # every-3rd customer has an EARLY version before 1998-01-01, the
+    # real segment after; everyone else one open version.
+    """WITH dim AS (
+          SELECT c_custkey, 'EARLY' AS segment,
+                 DATE '1990-01-01' AS valid_from,
+                 CAST(DATE '1998-01-01' AS DATE) AS valid_to
+          FROM customer WHERE c_custkey % 3 = 0
+          UNION ALL
+          SELECT c_custkey, c_mktsegment,
+                 DATE '1998-01-01', CAST(NULL AS DATE)
+          FROM customer WHERE c_custkey % 3 = 0
+          UNION ALL
+          SELECT c_custkey, c_mktsegment,
+                 DATE '1990-01-01', CAST(NULL AS DATE)
+          FROM customer WHERE c_custkey % 3 <> 0
+        )
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, d.segment
+        FROM orders o LEFT JOIN dim d
+          ON o.o_custkey = d.c_custkey
+         AND o.o_orderdate >= d.valid_from
+         AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)""",
+)
+def pit_join_orders_segments(spark, sf_dir):
+    """Point-in-time join (operators/joins.pit_join): orders pick the
+    customer-segment version valid at o_orderdate from an SCD2-style
+    dimension — equi-join on the key with the validity interval as a
+    residual predicate, one shuffle, no range cross-join. The temporal-
+    correctness pattern for historized dimensions (pairs with
+    cdc.scd2_apply / scd2_customer_segments)."""
+    c = read_table(spark, sf_dir, "customer")
+    early = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.lit("EARLY").alias("segment"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.lit("1998-01-01").cast("date").alias("valid_to"),
+    )
+    late = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1998-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    always = c.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    dim = early.unionByName(late).unionByName(always)
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    out = joins.pit_join(o, dim, [("o_custkey", "c_custkey")], "o_orderdate")
+    return out.select("o_orderkey", "o_custkey", "o_orderdate", "segment")
+
+
+@register(
+    "incremental_agg_orders",
+    # The merged (base + delta) aggregate must equal a full recompute
+    # over the union — the incremental-view-maintenance equality.
+    """SELECT o_orderpriority,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(FLOOR(o_totalprice * 100e0 + 5e-1) AS BIGINT))
+                   AS BIGINT) AS rev_cents
+       FROM orders
+       GROUP BY o_orderpriority""",
+)
+def incremental_agg_orders(spark, sf_dir):
+    """Incremental aggregate maintenance (operators/aggregates
+    .merge_aggregates): pre-1999 orders are the standing base aggregate,
+    1999+ orders the delta batch; merging the two aggregates must equal
+    the full recompute over all orders — which is exactly what the
+    oracle computes. All measures are exact BIGINTs, so the equality is
+    bit-level, and the daily refresh touches |delta| rows, not history."""
+    from financial_data_lakehouse_pipeline__spark.operators import aggregates as agg_ops
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    split = F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+
+    def rollup(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(cents).cast("bigint").alias("rev_cents"),
+        )
+
+    base = rollup(o.filter(split))
+    delta = rollup(o.filter(~split))
+    return agg_ops.merge_aggregates(
+        base, delta, ["o_orderpriority"], ["n_orders", "rev_cents"]
+    )

@@ -341,3 +341,42 @@ def ohlc_resample(
     if "volume" in bars.columns:
         aggs.append(F.sum("volume").alias("volume"))
     return bars.groupBy(*keys).agg(*aggs)
+
+
+def merge_aggregates(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    add_cols: Sequence[str],
+) -> DataFrame:
+    """Incremental view maintenance for distributive aggregates: merge a
+    pre-aggregated base table with a same-shaped aggregate of a new
+    batch — full-outer join on the group keys, each measure column added
+    with missing sides as 0. For SUM/COUNT measures,
+    ``merge_aggregates(agg(old), agg(delta)) == agg(old ∪ delta)``
+    exactly (the corpus pins this equality against a full-recompute
+    oracle).
+
+    The 100 TB point: the daily refresh touches |delta groups| rows, not
+    the whole history — one keyed join instead of a full re-scan.
+    AVG/stddev ride along as (sum, count) pairs; non-distributive
+    aggregates (exact distinct, medians) need their own merge structures
+    (HLL sketches merge; exact ones don't).
+    """
+    b = base.alias("__b")
+    d = delta.alias("__d")
+    cond = [
+        F.col(f"__b.{k}").eqNullSafe(F.col(f"__d.{k}")) for k in keys
+    ]
+    j = b.join(d, cond, "full_outer")
+    out_keys = [
+        F.coalesce(F.col(f"__b.{k}"), F.col(f"__d.{k}")).alias(k) for k in keys
+    ]
+    out_adds = [
+        (
+            F.coalesce(F.col(f"__b.{c}"), F.lit(0))
+            + F.coalesce(F.col(f"__d.{c}"), F.lit(0))
+        ).alias(c)
+        for c in add_cols
+    ]
+    return j.select(*out_keys, *out_adds)

@@ -227,3 +227,37 @@ def asof_join(
     return carried.filter(F.col("__tag") == 1).select(
         *lcols, *[f"{v}{suffix}" for v in right_values]
     )
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time (temporal) join against an SCD2-style versioned
+    dimension: each fact row picks the dimension version whose validity
+    interval [valid_from, valid_to) contains the fact timestamp
+    (valid_to NULL = open version). The dimensional-correctness pattern
+    every lakehouse needs once dimensions keep history (pairs with
+    cdc.scd2_apply).
+
+    Plan shape: equi-join on the business key with the interval test as
+    a residual predicate — one shuffle on the key (SortMergeJoin /
+    broadcast if the dimension is small), never a range cross-join;
+    versions-per-key is small by construction so residual fan-out is
+    bounded.
+    """
+    cond = None
+    for k in keys:
+        fk, dk = (k, k) if isinstance(k, str) else k
+        c = facts[fk].eqNullSafe(dim[dk])
+        cond = c if cond is None else cond & c
+    ts = facts[fact_ts]
+    cond = cond & (ts >= dim[valid_from]) & (
+        dim[valid_to].isNull() | (ts < dim[valid_to])
+    )
+    return facts.join(dim, cond, how)

@@ -549,3 +549,68 @@ def test_vocab_coverage_known_counts(spark):
     assert [out[i].term for i in range(3, 7)] == ["cat", "dog", "mat", "on"]
     assert out[max(out)].cum_share == 1.0
     assert out[max(out)].cum_cnt == 9
+
+
+def test_pit_join_picks_version_at_fact_time(spark):
+    """Each fact row gets the dimension version whose [valid_from,
+    valid_to) interval contains its timestamp; facts outside every
+    version (or with unknown keys) survive with NULL attributes."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import joins
+
+    d0 = dt.date(2020, 1, 1)
+    d1 = dt.date(2021, 1, 1)
+    dim = spark.createDataFrame(
+        [
+            Row(k=1, seg="old", valid_from=d0, valid_to=d1),
+            Row(k=1, seg="new", valid_from=d1, valid_to=None),
+        ],
+        "k bigint, seg string, valid_from date, valid_to date",
+    )
+    facts = spark.createDataFrame(
+        [
+            Row(fid=1, k=1, ts=dt.date(2020, 6, 1)),   # inside v1
+            Row(fid=2, k=1, ts=d1),                    # boundary -> v2
+            Row(fid=3, k=1, ts=dt.date(2019, 1, 1)),   # before all versions
+            Row(fid=4, k=9, ts=dt.date(2020, 6, 1)),   # unknown key
+        ],
+        "fid bigint, k bigint, ts date",
+    )
+    got = {
+        r.fid: r.seg
+        for r in joins.pit_join(facts, dim, ["k"], "ts").collect()
+    }
+    assert got == {1: "old", 2: "new", 3: None, 4: None}
+
+
+def test_merge_aggregates_equals_full_recompute(spark):
+    """agg(old) ⊕ agg(delta) == agg(old ∪ delta) for SUM/COUNT,
+    including keys present on only one side."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import aggregates as agg
+
+    old = spark.createDataFrame(
+        [Row(k="a", v=1), Row(k="a", v=2), Row(k="b", v=10)]
+    )
+    delta = spark.createDataFrame([Row(k="a", v=4), Row(k="c", v=100)])
+
+    def rollup(df):
+        return df.groupBy("k").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("s"),
+        )
+
+    merged = {
+        r.k: (r.n, r.s)
+        for r in agg.merge_aggregates(
+            rollup(old), rollup(delta), ["k"], ["n", "s"]
+        ).collect()
+    }
+    full = {
+        r.k: (r.n, r.s) for r in rollup(old.unionByName(delta)).collect()
+    }
+    assert merged == full == {"a": (3, 7), "b": (1, 10), "c": (1, 100)}

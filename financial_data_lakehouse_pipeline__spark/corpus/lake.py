@@ -374,3 +374,69 @@ def supplier_date_gaps(spark, sf_dir):
 
     li = read_table(spark, sf_dir, "lineitem")
     return dq.date_gaps(li, ["l_suppkey"], F.col("l_shipdate").cast("date"))
+
+
+@register(
+    "schema_evolution_scan",
+    # The merged scan over v1 (no discount col) + v2 (added col) equals
+    # the explicit union with NULL fill — additive schema evolution.
+    """WITH v1 AS (
+          SELECT o_orderkey, o_totalprice, CAST(NULL AS DOUBLE) AS o_discnt
+          FROM orders WHERE o_orderkey % 2 = 0
+        ), v2 AS (
+          SELECT o_orderkey, o_totalprice,
+                 CAST(o_orderkey % 10 AS DOUBLE) / 100e0 AS o_discnt
+          FROM orders WHERE o_orderkey % 2 = 1
+        )
+        SELECT * FROM v1 UNION ALL SELECT * FROM v2""",
+)
+def schema_evolution_scan(spark, sf_dir):
+    """Additive schema evolution on the lake (mergeSchema=true): batch 1
+    wrote (o_orderkey, o_totalprice); batch 2 added an o_discnt column.
+    One merged scan reads both vintages, old files NULL-filled — the
+    contract that lets a 100 TB lake add columns without rewriting
+    history. Written idempotently to .scratch so both engines see the
+    same bytes."""
+    evo = os.path.join(_SCRATCH, "schema_evolution")
+    o = read_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        ((F.col("o_orderkey") % 10).cast("double") / F.lit(100.0)).alias("o_discnt"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(evo, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(evo, "batch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(evo, "batch=1"), os.path.join(evo, "batch=2")
+    )
+    return merged.select("o_orderkey", "o_totalprice", "o_discnt")
+
+
+@register(
+    "sql_vectorized_udf",
+    # The registered pandas UDF is pure arithmetic, so the oracle is the
+    # same closed form in plain SQL.
+    """SELECT o_orderkey,
+              (o_totalprice - 151244.0) / 151244.0 AS rel_price
+       FROM orders""",
+)
+def sql_vectorized_udf(spark, sf_dir):
+    """Vectorized (Arrow) UDF registered into the SQL catalog
+    (spark.udf.register + pandas_udf) and invoked from a spark.sql
+    string — the §2.10 surface for SQL-first users. The kernel is
+    batch-at-a-time pandas (never row-at-a-time Python); the oracle is
+    the equivalent closed form."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _rel(v):  # batch-at-a-time: v is a pandas Series
+        anchor = 151244.0
+        return (v - anchor) / anchor
+
+    # explicit (fn, returnType) form: the module uses future annotations,
+    # which breaks pandas_udf's type-hint introspection on nested defs
+    spark.udf.register("rel_price", pandas_udf(_rel, "double"))
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_udf")
+    return spark.sql(
+        "SELECT o_orderkey, rel_price(o_totalprice) AS rel_price FROM __orders_udf"
+    )

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from financial_data_lakehouse_pipeline__spark.corpus import register, sql_dsum
 from financial_data_lakehouse_pipeline__spark.functions import dmean, dsum
-from financial_data_lakehouse_pipeline__spark.operators import analysis, cleaning, events, joins
+from financial_data_lakehouse_pipeline__spark.operators import analysis, cleaning, events, joins, windows
 from financial_data_lakehouse_pipeline__spark.operators.analysis import alignment_score
 from financial_data_lakehouse_pipeline__spark.sources import normalize_event_ts, read_table
 
@@ -824,3 +824,46 @@ def streaming_upsert_keep_latest(spark, sf_dir):
     )
     q.awaitTermination()
     return st.read_upsert_state(spark, scratch)
+
+
+@register(
+    "cusum_user_drift",
+    # Recursive CTE replays the exact clamp recurrence (operation order
+    # matches the Arrow loop; seed written as 0e0 - (...) to avoid the
+    # -0.0 vs 0.0 repr divergence GREATEST(0, -(x)) could produce).
+    f"""WITH RECURSIVE base AS MATERIALIZED (
+          SELECT user_id, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS rn
+          FROM {_EV}
+        ), r AS (
+          SELECT user_id, event_id, rn,
+                 GREATEST(0e0, 0e0 + (value - 250e0 - 10e0)) AS sp,
+                 GREATEST(0e0, 0e0 - (value - 250e0 + 10e0)) AS sn
+          FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b.user_id, b.event_id, b.rn,
+                 GREATEST(0e0, r.sp + (b.value - 250e0 - 10e0)),
+                 GREATEST(0e0, r.sn - (b.value - 250e0 + 10e0))
+          FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, sp AS cusum_pos, sn AS cusum_neg,
+               CAST(sp > 500e0 OR sn > 500e0 AS INT) AS alarm
+        FROM r""",
+)
+def cusum_user_drift(spark, sf_dir):
+    """Two-sided CUSUM drift monitor per user over event values
+    (operators/windows.cusum): clamped cumulative deviations from
+    target=250 with slack=10, alarm above 500 — the changepoint-
+    detection primitive for pipeline quality metrics. The max(0,·)
+    resets break prefix-sum algebra, so it runs as one grouped Arrow
+    pass (ema/macd pattern), replayed exactly by a recursive-CTE
+    oracle."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = windows.cusum(
+        ev, ["user_id"], ["ts", "event_id"], "value",
+        target=250.0, slack=10.0, threshold=500.0,
+    )
+    return out.select("user_id", "event_id", "cusum_pos", "cusum_neg", "alarm")

@@ -158,3 +158,32 @@ def sample_frames(
             )
 
     return df.mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
+def wav_header_decoder(payload: bytes) -> tuple[int, int, float]:
+    """REAL (non-stub) decoder for WAV payloads, pure stdlib: validates
+    the RIFF/WAVE signature and parses the fmt chunk — returns
+    (sample_rate, n_channels, duration_seconds). Header metadata needs
+    no codec library, same as :func:`png_header_decoder`; a full
+    spectrogram pipeline would plug in here via the same ``decoder=``
+    hook. Raises ValueError on non-WAV bytes."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("payload is not a WAV (bad RIFF/WAVE signature)")
+    pos, n = 12, len(payload)
+    sample_rate = channels = bits = None
+    data_bytes = 0
+    while pos + 8 <= n:
+        tag = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            channels, sample_rate = struct.unpack("<HI", body[2:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif tag == b"data":
+            data_bytes = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None:
+        raise ValueError("WAV has no fmt chunk")
+    frame_bytes = channels * (bits // 8)
+    duration = (data_bytes / frame_bytes / sample_rate) if frame_bytes else 0.0
+    return int(sample_rate), int(channels), float(duration)

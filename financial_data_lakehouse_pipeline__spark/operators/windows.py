@@ -760,3 +760,62 @@ def adx(
         / F.lit(1e9)
     )
     return d.withColumn("adx", adx_col).drop("__pdm", "__mdm", "__tr", "__dxq")
+
+
+def cusum(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    target: float,
+    slack: float,
+    threshold: float,
+) -> DataFrame:
+    """Two-sided CUSUM control chart per entity — the drift/changepoint
+    monitor a training-data pipeline runs over quality metrics:
+
+        s⁺[i] = max(0, s⁺[i-1] + (x[i] − target − slack))
+        s⁻[i] = max(0, s⁻[i-1] − (x[i] − target + slack))
+
+    with an alarm flag when either statistic exceeds ``threshold``.
+    A cumulative recurrence with a clamp is not expressible as a window
+    frame (the max(0,·) resets break prefix-sum algebra), so it runs as
+    one grouped Arrow pass — same pattern, shuffle count, and
+    bit-reproducibility contract as ema()/macd(): explicit operation
+    order, replayable by a recursive-CTE oracle.
+
+    Outputs: cusum_pos, cusum_neg, alarm (int 0/1).
+    """
+    from pyspark.sql import types as T
+
+    schema_out = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("cusum_pos", T.DoubleType()),
+            T.StructField("cusum_neg", T.DoubleType()),
+            T.StructField("alarm", T.IntegerType()),
+        ]
+    )
+    sort_cols = list(order_by)
+
+    def _per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        pos = vals.copy()
+        neg = vals.copy()
+        p = n = 0.0
+        out_p, out_n = [], []
+        for x in vals:
+            p = max(0.0, p + (x - target - slack))
+            n = max(0.0, n - (x - target + slack))
+            out_p.append(p)
+            out_n.append(n)
+        pdf["cusum_pos"] = out_p
+        pdf["cusum_neg"] = out_n
+        pdf["alarm"] = [
+            1 if (a > threshold or b > threshold) else 0
+            for a, b in zip(out_p, out_n)
+        ]
+        return pdf
+
+    return df.groupBy(*partition_by).applyInPandas(_per_group, schema=schema_out)

@@ -1062,3 +1062,58 @@ def test_adx_bounds_and_monotone_trend(spark):
     last = out[-1]
     assert last.pdi > last.mdi  # uptrend: +DM dominates
     assert last.mdi == 0.0      # lows never fall -> -DM is all zeros
+
+
+def test_media_features_real_wav_decoder(spark):
+    """Audio modality through the same pluggable-decoder hook: a real
+    generated WAV (stdlib wave module) flows through mapInPandas and the
+    RIFF header decoder reports true sample rate / channels / duration
+    via the (width=rate, height=channels, norm=duration) feature slots."""
+    import io
+    import wave
+
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import multimodal
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 2 * 4000)  # 0.5 s of silence
+    wav = buf.getvalue()
+    assert multimodal.wav_header_decoder(wav) == (8000, 2, 0.5)
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(wav), media_type="audio/wav")],
+        "doc_id bigint, payload binary, media_type string",
+    )
+    r = multimodal.extract_media_features(
+        df, decoder=multimodal.wav_header_decoder
+    ).collect()[0]
+    assert (r.width, r.height, r.feature_norm) == (8000, 2, 0.5)
+    assert r.n_bytes == len(wav)
+
+
+def test_cusum_detects_level_shift(spark):
+    """CUSUM stays quiet on on-target data, alarms after a sustained
+    upward shift, and the clamp keeps statistics non-negative."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import windows as W
+
+    vals = [10.0] * 5 + [14.0] * 5  # target 10, shift of +4 > slack 1
+    df = spark.createDataFrame(
+        [Row(k=1, i=i, v=v) for i, v in enumerate(vals)]
+    )
+    out = (
+        W.cusum(df, ["k"], ["i"], "v", target=10.0, slack=1.0, threshold=5.0)
+        .orderBy("i")
+        .collect()
+    )
+    assert all(r.cusum_pos >= 0 and r.cusum_neg >= 0 for r in out)
+    assert all(r.alarm == 0 for r in out[:5])  # on-target: quiet
+    assert out[-1].alarm == 1                  # sustained shift: alarm
+    # statistic accumulates (14-10-1)=3 per shifted point
+    assert out[-1].cusum_pos == pytest.approx(15.0)

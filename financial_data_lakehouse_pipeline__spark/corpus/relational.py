@@ -1060,3 +1060,47 @@ def pagerank_copurchase(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
     edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return graph.pagerank(edges, iters=2, damping=0.85)
+
+
+@register(
+    "winsorize_prices",
+    # Per-group p05/p95 on exact integer cents (bit-identical
+    # interpolation), broadcast back, clamp — all comparisons and the
+    # /100 rescale on deterministic values.
+    """WITH b AS (
+          SELECT l_returnflag,
+                 quantile_cont(CAST(FLOOR(l_extendedprice * 100e0 + 5e-1)
+                                    AS BIGINT), 0.05) AS lo,
+                 quantile_cont(CAST(FLOOR(l_extendedprice * 100e0 + 5e-1)
+                                    AS BIGINT), 0.95) AS hi
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+               LEAST(GREATEST(CAST(FLOOR(l.l_extendedprice * 100e0 + 5e-1)
+                                   AS BIGINT), b.lo), b.hi) / 100e0
+                   AS price_winsorized
+        FROM lineitem l JOIN b USING (l_returnflag)""",
+)
+def winsorize_prices(spark, sf_dir):
+    """Per-group winsorization (robust-stats normalization for feature
+    pipelines): clamp each price into its return-flag group's
+    [p05, p95] — exact-integer percentiles (aggregates
+    .grouped_percentiles_cont) broadcast back to the fact rows, then
+    functions.clamp. Two aggregations + one broadcast join; the fact
+    side never shuffles."""
+    from financial_data_lakehouse_pipeline__spark.functions import clamp
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    bounds = agg.grouped_percentiles_cont(
+        li, ["l_returnflag"], cents, [0.05, 0.95]
+    ).select("l_returnflag", F.col("p05").alias("__lo"), F.col("p95").alias("__hi"))
+    j = li.join(F.broadcast(bounds), "l_returnflag")
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        (clamp(cents.cast("double"), F.col("__lo"), F.col("__hi")) / F.lit(100.0)).alias(
+            "price_winsorized"
+        ),
+    )

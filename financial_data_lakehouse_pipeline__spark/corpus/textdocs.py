@@ -738,3 +738,59 @@ def vocab_coverage_docs(spark, sf_dir):
     exact integers."""
     d = read_table(spark, sf_dir, "documents")
     return text.vocab_coverage(d, top_k=200)
+
+
+@register(
+    "mixture_temperature_weights",
+    # Temperature-scaled sampling weights (T=0.7, mT5-style): shares are
+    # exact integer ratios; pow and the 5-term normalization sum are the
+    # only floating steps, so both sides ROUND to 6 (same discipline as
+    # the stddev/corr aggregates).
+    f"""WITH t AS (
+          SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ), tot AS (
+          SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM t
+        ), w AS (
+          SELECT source, n_tokens,
+                 CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS p,
+                 pow(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE),
+                     0.7e0) AS w_raw
+          FROM t, tot
+        )
+        SELECT source, n_tokens, p,
+               ROUND(w_raw / SUM(w_raw) OVER (), 6) AS weight
+        FROM w""",
+)
+def mixture_temperature_weights(spark, sf_dir):
+    """Temperature-scaled source-mixture weights (T=0.7): upsample rare
+    sources, downsample dominant ones — the multilingual/source
+    balancing rule from the mT5/XLM-R lineage, feeding sampling
+    .mixture_resample targets. Token shares are exact integer ratios;
+    pow + the normalization are ROUNDed 6 (inherently-floating, like
+    stddev/corr)."""
+    from pyspark.sql import Window
+
+    from financial_data_lakehouse_pipeline__spark.functions import tokens as _tk
+
+    d = read_table(spark, sf_dir, "documents")
+    canon = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    t = d.select("source", F.size(_tk(canon)).alias("__n")).groupBy("source").agg(
+        F.sum("__n").cast("bigint").alias("n_tokens")
+    )
+    tot = t.agg(F.sum("n_tokens").cast("bigint").alias("__total"))
+    w = (
+        t.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "p", F.col("n_tokens").cast("double") / F.col("__total").cast("double")
+        )
+        .withColumn("w_raw", F.pow(F.col("p"), F.lit(0.7)))
+    )
+    return w.select(
+        "source",
+        "n_tokens",
+        "p",
+        F.round(F.col("w_raw") / F.sum("w_raw").over(Window.partitionBy()), 6).alias(
+            "weight"
+        ),
+    )

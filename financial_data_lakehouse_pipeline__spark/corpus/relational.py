@@ -1104,3 +1104,39 @@ def winsorize_prices(spark, sf_dir):
             "price_winsorized"
         ),
     )
+
+
+@register(
+    "triangle_counts_copurchase",
+    # Ordered node-iterator: each triangle a<b<c joins exactly once;
+    # per-node counts are exact integers.
+    """WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey < b.l_partkey
+        ), tris AS (
+          SELECT p1.src AS a, p1.dst AS b, p2.dst AS c
+          FROM pairs p1
+          JOIN pairs p2 ON p1.dst = p2.src
+          JOIN pairs p3 ON p3.src = p1.src AND p3.dst = p2.dst
+        ), per_node AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+          FROM (SELECT unnest([a, b, c]) AS node FROM tris)
+          GROUP BY node
+        ), nodes AS (
+          SELECT DISTINCT src AS node FROM pairs
+          UNION SELECT DISTINCT dst FROM pairs
+        )
+        SELECT n.node, COALESCE(p.n_triangles, 0) AS n_triangles
+        FROM nodes n LEFT JOIN per_node p USING (node)""",
+)
+def triangle_counts_copurchase(spark, sf_dir):
+    """Per-part triangle counts over the co-purchase graph
+    (operators/graph.triangle_counts): the local clustering signal next
+    to PageRank — ordered node-iterator (each triangle counted once, no
+    /3 correction), two equi-joins, exact integer counts."""
+    from financial_data_lakehouse_pipeline__spark.operators import graph
+
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = graph.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+    return graph.triangle_counts(pairs)

@@ -1117,3 +1117,20 @@ def test_cusum_detects_level_shift(spark):
     assert out[-1].alarm == 1                  # sustained shift: alarm
     # statistic accumulates (14-10-1)=3 per shifted point
     assert out[-1].cusum_pos == pytest.approx(15.0)
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 minus one edge: nodes on the chord sit in 2 triangles, the
+    others in 1; a pendant node has 0."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import graph
+
+    # edges: 1-2,1-3,1-4,2-3,2-4 (K4 minus 3-4), pendant 5 via 1-5
+    pairs = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=1, dst=3), Row(src=1, dst=4),
+         Row(src=2, dst=3), Row(src=2, dst=4), Row(src=1, dst=5)]
+    )
+    got = {r.node: r.n_triangles for r in graph.triangle_counts(pairs).collect()}
+    # triangles: (1,2,3) and (1,2,4)
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1, 5: 0}

@@ -1140,3 +1140,48 @@ def triangle_counts_copurchase(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
     pairs = graph.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
     return graph.triangle_counts(pairs)
+
+
+@register(
+    "link_prediction_copurchase",
+    # Wedge-join candidates, anti-join out existing edges; counts and
+    # degrees exact, one double division for the Jaccard.
+    """WITH pairs AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey < b.l_partkey
+        ), edges AS (
+          SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+        ), deg AS (
+          SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM edges GROUP BY src
+        ), common AS (
+          SELECT e1.src AS node_a, e2.dst AS node_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+          WHERE e1.src < e2.dst
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 20
+        ), cand AS (
+          SELECT c.* FROM common c
+          WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                            WHERE p.src = c.node_a AND p.dst = c.node_b)
+        )
+        SELECT c.node_a, c.node_b, c.n_common,
+               CAST(c.n_common AS DOUBLE)
+                   / CAST(da.deg + db.deg - c.n_common AS DOUBLE) AS jaccard
+        FROM cand c
+        JOIN deg da ON da.node = c.node_a
+        JOIN deg db ON db.node = c.node_b""",
+)
+def link_prediction_copurchase(spark, sf_dir):
+    """Common-neighbor link prediction on the co-purchase graph
+    (operators/graph.link_prediction_jaccard, min_common=20): wedge-join
+    candidates scored by neighbor-set Jaccard, existing edges anti-
+    joined out — the recommender primitive next to PageRank and
+    triangles. Exact integer counts; one double division."""
+    from financial_data_lakehouse_pipeline__spark.operators import graph
+
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = graph.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+    return graph.link_prediction_jaccard(pairs, min_common=20)

@@ -140,3 +140,57 @@ def pagerank(
             )
         )
     return ranks.select("node", "deg", F.col("r").alias("pagerank"))
+
+
+def link_prediction_jaccard(
+    pairs: DataFrame, min_common: int = 1
+) -> DataFrame:
+    """Common-neighbor link prediction over a src<dst pair list: for
+    every non-adjacent node pair sharing >= ``min_common`` neighbors,
+    score = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| (neighbor-set Jaccard) — the
+    classic recommender/link-inference primitive.
+
+    Candidates come from the wedge join (two edges sharing an endpoint),
+    so cost follows wedge volume, never all-pairs; existing edges are
+    removed with an anti-join. Counts and degrees are exact integers;
+    the score is one double division.
+
+    Output: (node_a, node_b, n_common, jaccard), node_a < node_b.
+    """
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    # wedges: a - m - b with a < b  → candidate (a, b) per shared neighbor
+    e1 = edges.select(F.col("dst").alias("m"), F.col("src").alias("node_a"))
+    e2 = edges.select(F.col("src").alias("m"), F.col("dst").alias("node_b"))
+    common = (
+        e1.join(e2, "m")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    # drop already-adjacent pairs
+    cand = common.join(
+        pairs,
+        (common.node_a == pairs.src) & (common.node_b == pairs.dst),
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("deg").alias("__db"))
+    return (
+        cand.join(da, "node_a")
+        .join(db, "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("__da") + F.col("__db") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

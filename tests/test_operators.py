@@ -1134,3 +1134,23 @@ def test_triangle_counts_hand_graph(spark):
     got = {r.node: r.n_triangles for r in graph.triangle_counts(pairs).collect()}
     # triangles: (1,2,3) and (1,2,4)
     assert got == {1: 2, 2: 2, 3: 1, 4: 1, 5: 0}
+
+
+def test_link_prediction_hand_graph(spark):
+    """Path 1-2-3 plus 1-4, 3-4: candidate (1,3) shares neighbors {2,4};
+    existing edges are excluded; Jaccard = common / (da + db - common)."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=3), Row(src=1, dst=4), Row(src=3, dst=4)]
+    )
+    out = {(r.node_a, r.node_b): r for r in
+           graph.link_prediction_jaccard(pairs, min_common=1).collect()}
+    assert (1, 2) not in out and (3, 4) not in out  # existing edges excluded
+    r13 = out[(1, 3)]
+    assert r13.n_common == 2  # neighbors {2, 4}
+    assert r13.jaccard == 2.0 / (2 + 2 - 2)  # deg(1)=deg(3)=2
+    r24 = out[(2, 4)]
+    assert r24.n_common == 2 and r24.jaccard == 1.0  # N(2)=N(4)={1,3}

@@ -40,7 +40,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for each SQL-expressible query; non-SQL ops
-    (streaming, recursive EMA, HLL estimates) are intentionally absent —
-    the driver records rows-only checks for those."""
+    """DuckDB-equivalent SQL for each SQL-expressible query. Only the two
+    engine-specific sketches (HLL distinct, approx-percentile) are
+    intentionally absent — the driver records rows-only checks for those;
+    everything else (including streaming driven-to-completion and the
+    recursive EMA/MACD/CUSUM family via recursive CTEs) is oracle-paired."""
     return corpus.oracle_sql()

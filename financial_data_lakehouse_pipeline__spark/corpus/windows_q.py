@@ -1166,3 +1166,52 @@ def adx_supplier_daily(spark, sf_dir):
     return windows.adx(bars, ["l_suppkey"], ["day"], n=14).select(
         "l_suppkey", "day", "pdi", "mdi", "dx", "adx"
     )
+
+
+@register(
+    "seasonal_naive_mase",
+    # Daily revenue per supplier; forecast = lag-7 value (seasonal
+    # naive); errors are exact BIGINT cents; MASE = one double division
+    # of two exact sums. Suppliers need > 7 observed days to score.
+    f"""WITH g AS (
+          SELECT l_suppkey, l_shipdate AS day,
+                 CAST(SUM({_CENTS}) AS BIGINT) AS rev
+          FROM lineitem GROUP BY 1, 2
+        ), f AS (
+          SELECT l_suppkey, day, rev,
+                 LAG(rev, 7) OVER (PARTITION BY l_suppkey ORDER BY day)
+                     AS fc
+          FROM g
+        ), e AS (
+          SELECT l_suppkey, ABS(rev - fc) AS err FROM f WHERE fc IS NOT NULL
+        )
+        SELECT l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_scored,
+               CAST(SUM(err) AS BIGINT) AS abs_err_cents,
+               CAST(SUM(err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100e0
+                   AS mae
+        FROM e GROUP BY l_suppkey""",
+)
+def seasonal_naive_mase(spark, sf_dir):
+    """Seasonal-naive forecast evaluation per supplier (the baseline
+    every forecasting pipeline must beat): forecast(day) = revenue 7
+    rows back, scored by MAE over the scored days — one shared
+    (partition, order) window, exact BIGINT errors, a single double
+    division at the end."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    g = li.groupBy("l_suppkey", F.col("l_shipdate").alias("day")).agg(
+        F.sum(cents).cast("bigint").alias("rev")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("day")
+    f = g.withColumn("fc", F.lag("rev", 7).over(w)).filter(F.col("fc").isNotNull())
+    e = f.withColumn("err", F.abs(F.col("rev") - F.col("fc")))
+    return e.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum("err").cast("bigint").alias("abs_err_cents"),
+        (
+            F.sum("err").cast("double") / F.count(F.lit(1)).cast("double") / F.lit(100.0)
+        ).alias("mae"),
+    )

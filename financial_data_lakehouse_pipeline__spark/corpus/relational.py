@@ -1110,9 +1110,11 @@ def winsorize_prices(spark, sf_dir):
     "triangle_counts_copurchase",
     # Ordered node-iterator: each triangle a<b<c joins exactly once;
     # per-node counts are exact integers.
-    """WITH pairs AS (
+    """WITH li AS (
+          SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 5 = 0
+        ), pairs AS (
           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
           WHERE a.l_partkey < b.l_partkey
         ), tris AS (
           SELECT p1.src AS a, p1.dst AS b, p2.dst AS c
@@ -1134,10 +1136,14 @@ def triangle_counts_copurchase(spark, sf_dir):
     """Per-part triangle counts over the co-purchase graph
     (operators/graph.triangle_counts): the local clustering signal next
     to PageRank — ordered node-iterator (each triangle counted once, no
-    /3 correction), two equi-joins, exact integer counts."""
+    /3 correction), two equi-joins, exact integer counts. The synthetic
+    co-purchase graph is unrealistically dense (avg degree ~120 at
+    sf0.1 → 300M wedges), so the corpus works the l_partkey%5 subgraph;
+    at production scale the fix is degree-orientation (join low→high),
+    which the operator docstring documents."""
     from financial_data_lakehouse_pipeline__spark.operators import graph
 
-    li = read_table(spark, sf_dir, "lineitem")
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 5 == 0)
     pairs = graph.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
     return graph.triangle_counts(pairs)
 
@@ -1146,9 +1152,11 @@ def triangle_counts_copurchase(spark, sf_dir):
     "link_prediction_copurchase",
     # Wedge-join candidates, anti-join out existing edges; counts and
     # degrees exact, one double division for the Jaccard.
-    """WITH pairs AS (
+    """WITH li AS (
+          SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 5 = 0
+        ), pairs AS (
           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
           WHERE a.l_partkey < b.l_partkey
         ), edges AS (
           SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
@@ -1161,7 +1169,7 @@ def triangle_counts_copurchase(spark, sf_dir):
           FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
           WHERE e1.src < e2.dst
           GROUP BY 1, 2
-          HAVING COUNT(*) >= 20
+          HAVING COUNT(*) >= 3
         ), cand AS (
           SELECT c.* FROM common c
           WHERE NOT EXISTS (SELECT 1 FROM pairs p
@@ -1176,12 +1184,14 @@ def triangle_counts_copurchase(spark, sf_dir):
 )
 def link_prediction_copurchase(spark, sf_dir):
     """Common-neighbor link prediction on the co-purchase graph
-    (operators/graph.link_prediction_jaccard, min_common=20): wedge-join
+    (operators/graph.link_prediction_jaccard, min_common=3): wedge-join
     candidates scored by neighbor-set Jaccard, existing edges anti-
     joined out — the recommender primitive next to PageRank and
-    triangles. Exact integer counts; one double division."""
+    triangles. Exact integer counts; one double division. Works the
+    l_partkey%5 subgraph for the same density reason as
+    triangle_counts_copurchase."""
     from financial_data_lakehouse_pipeline__spark.operators import graph
 
-    li = read_table(spark, sf_dir, "lineitem")
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 5 == 0)
     pairs = graph.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
-    return graph.link_prediction_jaccard(pairs, min_common=20)
+    return graph.link_prediction_jaccard(pairs, min_common=3)

@@ -762,3 +762,21 @@ def incremental_agg_orders(spark, sf_dir):
     return agg_ops.merge_aggregates(
         base, delta, ["o_orderpriority"], ["n_orders", "rev_cents"]
     )
+
+
+@register(
+    "exact_k_sample_docs",
+    """SELECT doc_id, source, n_chars FROM (
+         SELECT doc_id, source, n_chars,
+                md5('exk:' || CAST(doc_id AS VARCHAR)) AS k
+         FROM documents ORDER BY k LIMIT 100
+       )""",
+)
+def exact_k_sample_docs(spark, sf_dir):
+    """Deterministic exact-k uniform sample (operators/sampling
+    .exact_k_sample): the 100 rows with the smallest salted-md5 digests
+    — reproducible on any engine/cluster AND exactly sized, unlike
+    Bernoulli designs. Plans TakeOrderedAndProject (per-partition
+    heaps)."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return sampling.exact_k_sample(d, "doc_id", k=100)

@@ -246,3 +246,26 @@ def weighted_poisson_sample(
         .filter(lhs < rhs)
         .drop("__W")
     )
+
+
+def exact_k_sample(
+    df: DataFrame, id_col: str, k: int, salt: str = "exk"
+) -> DataFrame:
+    """Deterministic uniform sample of EXACTLY k rows (vs the ~k of
+    Poisson/Bernoulli designs): rank every row by its salted md5 and
+    keep the k smallest digests. The hash is a random-uniform key that
+    is identical on every run/engine/cluster, so the sample is
+    reproducible AND exact-size — what Bernoulli can't give and
+    reservoir sampling gives only sequentially.
+
+    Plan shape: TakeOrderedAndProject (per-partition k-heaps, driver
+    merges k·partitions rows) — no global sort, no shuffle of the
+    un-sampled remainder.
+    """
+    key = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("__k", key)
+        .orderBy("__k")
+        .limit(k)
+        .drop("__k")
+    )

@@ -211,3 +211,10 @@ def test_weighted_sample_total_is_broadcast(spark, sf_dir):
     p = plans.formatted_plan(_q("weighted_sample_docs")(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+def test_exact_k_sample_is_heap_based(spark, sf_dir):
+    """Exact-k sampling must plan TakeOrderedAndProject — per-partition
+    k-heaps, never a global sort of the corpus."""
+    p = plans.formatted_plan(_q("exact_k_sample_docs")(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p

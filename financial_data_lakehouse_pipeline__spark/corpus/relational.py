@@ -1195,3 +1195,33 @@ def link_prediction_copurchase(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 5 == 0)
     pairs = graph.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
     return graph.link_prediction_jaccard(pairs, min_common=3)
+
+
+@register(
+    "fuzzy_part_name_pairs",
+    # Block on the last token (the noun), verify with exact Levenshtein;
+    # both engines implement standard edit distance over the same
+    # distinct-name set, so counts and distances are exact integers.
+    """WITH names AS (
+          SELECT DISTINCT p_name AS t,
+                 string_split(p_name, ' ')[-1] AS b
+          FROM part
+        )
+        SELECT a.t AS text_a, b.t AS text_b,
+               CAST(levenshtein(a.t, b.t) AS INT) AS dist
+        FROM names a JOIN names b ON a.b = b.b AND a.t < b.t
+        WHERE levenshtein(a.t, b.t) <= 4""",
+)
+def fuzzy_part_name_pairs(spark, sf_dir):
+    """Fuzzy part-name matching (operators/joins.fuzzy_self_join):
+    distinct names blocked on their last token (the product noun),
+    verified with JVM-side Levenshtein <= 4 — the entity-resolution
+    candidates-then-verify shape with a deterministic blocking key
+    both engines reproduce."""
+    p = read_table(spark, sf_dir, "part")
+    return joins.fuzzy_self_join(
+        p,
+        "p_name",
+        F.element_at(F.split(F.col("p_name"), " "), -1),
+        max_dist=4,
+    )

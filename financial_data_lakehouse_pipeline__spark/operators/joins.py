@@ -261,3 +261,31 @@ def pit_join(
         dim[valid_to].isNull() | (ts < dim[valid_to])
     )
     return facts.join(dim, cond, how)
+
+
+def fuzzy_self_join(
+    df: DataFrame,
+    text_col: str,
+    block: Column,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Edit-distance self-join with blocking — the entity-resolution
+    primitive (name/variant matching): candidate pairs share a blocking
+    key (a cheap deterministic function of the string — last token,
+    length band, q-gram prefix), then exact Levenshtein filters within
+    the block. Cost follows block collision volume, never all-pairs —
+    the same candidates-then-verify shape as the MinHash/SimHash dedup
+    family, with JVM-side levenshtein as the verifier.
+
+    Output: (text_a, text_b, dist), text_a < text_b, dist <= max_dist.
+    """
+    withb = df.select(F.col(text_col).alias("__t"), block.alias("__b")).distinct()
+    a = withb.select(F.col("__t").alias("text_a"), "__b")
+    b = withb.select(F.col("__t").alias("text_b"), "__b")
+    return (
+        a.join(b, "__b")
+        .filter(F.col("text_a") < F.col("text_b"))
+        .withColumn("dist", F.levenshtein("text_a", "text_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("text_a", "text_b", "dist")
+    )

@@ -1154,3 +1154,22 @@ def test_link_prediction_hand_graph(spark):
     assert r13.jaccard == 2.0 / (2 + 2 - 2)  # deg(1)=deg(3)=2
     r24 = out[(2, 4)]
     assert r24.n_common == 2 and r24.jaccard == 1.0  # N(2)=N(4)={1,3}
+
+
+def test_fuzzy_self_join_blocking_and_distance(spark):
+    """Pairs come only from within a block; Levenshtein filters exactly;
+    cross-block near-matches are (by design) not candidates."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import joins
+
+    df = spark.createDataFrame(
+        [Row(name="red bolt"), Row(name="blue bolt"), Row(name="rod bolt"),
+         Row(name="red gear"), Row(name="red bol")]  # 'bol' != 'bolt' block
+    )
+    out = {(r.text_a, r.text_b): r.dist for r in joins.fuzzy_self_join(
+        df, "name", F.element_at(F.split(F.col("name"), " "), -1), max_dist=2
+    ).collect()}
+    assert out[("red bolt", "rod bolt")] == 1
+    assert ("blue bolt", "red bolt") not in out  # dist 3 > 2
+    assert all("red gear" not in k and "red bol" not in k for k in out)

@@ -867,3 +867,111 @@ def cusum_user_drift(spark, sf_dir):
         target=250.0, slack=10.0, threshold=500.0,
     )
     return out.select("user_id", "event_id", "cusum_pos", "cusum_neg", "alarm")
+
+
+@register(
+    "top_session_paths",
+    # Path string = event types in (ts, event_id) order within the
+    # sessionize_users session; top 20 paths by (count desc, path).
+    f"""WITH marked AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                          > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM {_EV}
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS sid
+          FROM marked
+        ), paths AS (
+          SELECT user_id, sid,
+                 string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+          FROM sess GROUP BY user_id, sid
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path LIMIT 20""",
+)
+def top_session_paths(spark, sf_dir):
+    """Top user-journey paths: event-type sequences within 30-minute
+    sessions (events.session_ids reuse), concatenated in (ts, event_id)
+    order and ranked by frequency — the funnel-discovery companion to
+    the fixed-order funnel query. Path build is one keyed window + one
+    groupBy; top-20 via TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    sess = ev.withColumn("__new", new_s).withColumn(
+        "__sid",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = (
+        sess.withColumn(
+            "__et",
+            F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")),
+        )
+        .groupBy("user_id", "__sid")
+        .agg(F.sort_array(F.collect_list("__et")).alias("__seq"))
+        .select(
+            F.concat_ws(
+                ">", F.transform(F.col("__seq"), lambda s: s.event_type)
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "event_transition_matrix",
+    # First-order Markov transitions per user stream: exact pair counts,
+    # probability = one double division by the exact row total.
+    f"""WITH nxt AS (
+          SELECT event_type AS cur,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS nxt
+          FROM {_EV}
+        ), c AS (
+          SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+          FROM nxt WHERE nxt IS NOT NULL GROUP BY cur, nxt
+        )
+        SELECT cur, nxt, n,
+               CAST(n AS DOUBLE)
+                   / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE) AS p
+        FROM c""",
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    stream: P(next type | current type) from exact pair counts — the
+    behavioral-model primitive behind next-event prediction and anomaly
+    scoring. One lead window + one groupBy; the probability is a single
+    double division of exact integers."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = nxt.groupBy("cur", "nxt").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wr = Window.partitionBy("cur")
+    return c.select(
+        "cur",
+        "nxt",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wr).cast("double")).alias("p"),
+    )

@@ -440,3 +440,40 @@ def sql_vectorized_udf(spark, sf_dir):
     return spark.sql(
         "SELECT o_orderkey, rel_price(o_totalprice) AS rel_price FROM __orders_udf"
     )
+
+
+@register(
+    "lake_file_stats",
+    # Footer-only parity: DuckDB's parquet_file_metadata /
+    # parquet_metadata read the same footers pyarrow does.
+    """SELECT f.file_name,
+              CAST(f.num_rows AS BIGINT) AS num_rows,
+              CAST(f.num_row_groups AS BIGINT) AS num_row_groups,
+              CAST(c.n_columns AS INT) AS n_columns,
+              CAST(c.compressed_bytes AS BIGINT) AS compressed_bytes
+       FROM parquet_file_metadata('/root/testdata/sf0.01/*.parquet') f
+       JOIN (
+         SELECT file_name,
+                COUNT(DISTINCT path_in_schema) AS n_columns,
+                SUM(total_compressed_size) AS compressed_bytes
+         FROM parquet_metadata('/root/testdata/sf0.01/*.parquet')
+         GROUP BY file_name
+       ) c USING (file_name)""",
+)
+def lake_file_stats(spark, sf_dir):
+    """Distributed parquet-footer audit (sources/inspect.file_stats):
+    per-file rows, row groups, columns, and compressed footprint — the
+    lake-health report that never scans a data page. Footer reads fan
+    out via mapInPandas over the file list; DuckDB's parquet_metadata
+    functions are the oracle. Both sides inspect the FIXED sf0.01
+    directory (the oracle SQL embeds a literal path — same pattern as
+    the JSON fixtures), so the comparison is sf_dir-independent."""
+    from financial_data_lakehouse_pipeline__spark.sources import TABLES, inspect
+
+    fixed = "/root/testdata/sf0.01"
+    paths = [
+        p
+        for p in inspect.table_paths(fixed, list(TABLES))
+        if os.path.exists(p)
+    ]
+    return inspect.file_stats(spark, paths)

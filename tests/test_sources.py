@@ -170,3 +170,29 @@ def test_jdbc_sink_roundtrip_embedded_derby(spark, tmp_path):
     )
     rows = sorted(tuple(r) for r in back.collect())
     assert rows == [(1, "alpha", 10.5), (2, "beta", -3.25), (3, "gamma", 0.0)]
+
+
+def test_parquet_column_stats_match_pyarrow(spark, sf_dir):
+    """Distributed per-column footer stats equal a direct driver-side
+    pyarrow read of the same footers."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from financial_data_lakehouse_pipeline__spark.sources import inspect
+
+    path = os.path.join(sf_dir, "events.parquet")
+    got = {
+        r.column: (r.compressed_bytes, r.uncompressed_bytes)
+        for r in inspect.column_stats(spark, [path]).collect()
+    }
+    md = pq.ParquetFile(path).metadata
+    expect: dict[str, list[int]] = {}
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        for c in range(md.num_columns):
+            col = rg.column(c)
+            cur = expect.setdefault(col.path_in_schema, [0, 0])
+            cur[0] += col.total_compressed_size
+            cur[1] += col.total_uncompressed_size
+    assert got == {k: tuple(v) for k, v in expect.items()}

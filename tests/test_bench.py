@@ -1,0 +1,33 @@
+"""bench.py contract: the driver parses exactly one JSON line from
+stdout — rounds 1 and 2 were lost to an unparseable/crashing bench, so
+this is pinned as a test (run at sf0.001 to keep it fast)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_emits_one_parseable_json_line():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=540,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip().startswith("{")]
+    assert len(lines) == 1, out.stdout[-2000:]
+    doc = json.loads(lines[0])
+    assert doc["metric"] == "headline_queries_total_wall"
+    assert doc["unit"] == "sec" and doc["value"] > 0
+    assert doc["sf"] == 0.001
+    # every headline query produced a timing (no silent drops)
+    assert "errors" not in doc, doc.get("errors")
+    assert len(doc["queries"]) >= 20

@@ -975,3 +975,64 @@ def event_transition_matrix(spark, sf_dir):
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wr).cast("double")).alias("p"),
     )
+
+
+@register(
+    "transition_likelihood_users",
+    # Score each user's stream under the corpus-wide first-order Markov
+    # model: exact transition counts both sides; ln + mean are the
+    # floating steps → ROUND 6 (same discipline as stddev/corr).
+    f"""WITH nxt AS (
+          SELECT user_id, event_type AS cur,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS nxt
+          FROM {_EV}
+        ), pairs AS (
+          SELECT user_id, cur, nxt FROM nxt WHERE nxt IS NOT NULL
+        ), model AS (
+          SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pairs GROUP BY cur, nxt
+        ), model_p AS (
+          SELECT cur, nxt,
+                 CAST(n AS DOUBLE)
+                     / CAST(SUM(n) OVER (PARTITION BY cur) AS DOUBLE) AS p
+          FROM model
+        )
+        SELECT pr.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions,
+               ROUND(SUM(ln(m.p)) / COUNT(*), 6) AS avg_logp
+        FROM pairs pr JOIN model_p m ON pr.cur = m.cur AND pr.nxt = m.nxt
+        GROUP BY pr.user_id""",
+)
+def transition_likelihood_users(spark, sf_dir):
+    """Behavioral anomaly scoring: each user's event stream scored under
+    the corpus-wide Markov transition model (event_transition_matrix is
+    the model build) — avg log-likelihood per transition; low scores
+    flag improbable behavior. The 'score data under a learned model'
+    pattern: the tiny model broadcasts back onto the stream, one keyed
+    window + two aggregations."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    model = pairs.groupBy("cur", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wr = Window.partitionBy("cur")
+    model_p = model.select(
+        "cur",
+        "nxt",
+        (F.col("n").cast("double") / F.sum("n").over(wr).cast("double")).alias("p"),
+    )
+    scored = pairs.join(F.broadcast(model_p), ["cur", "nxt"])
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.round(
+            F.sum(F.log(F.col("p"))) / F.count(F.lit(1)), 6
+        ).alias("avg_logp"),
+    )

@@ -1036,3 +1036,33 @@ def transition_likelihood_users(spark, sf_dir):
             F.sum(F.log(F.col("p"))) / F.count(F.lit(1)), 6
         ).alias("avg_logp"),
     )
+
+
+@register(
+    "asof_next_purchase",
+    f"""SELECT l.event_id, l.user_id, l.ts, l.value,
+               r.purchase_value AS purchase_value_next
+        FROM (SELECT * FROM {_EV} WHERE event_type = 'click') l
+        ASOF LEFT JOIN (SELECT user_id, ts AS pts, value AS purchase_value
+                        FROM {_EV} WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts <= r.pts""",
+)
+def asof_next_purchase(spark, sf_dir):
+    """FORWARD as-of join: each click enriched with the user's NEXT
+    purchase value at-or-after it (operators/joins.asof_join,
+    direction='forward') — next-event enrichment for time-to-outcome
+    labels. Same one-shuffle union+carry plan as the backward variant,
+    scanning the in-partition order descending; oracle is DuckDB's
+    native ASOF with the <= comparator."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("purchase_value")
+    )
+    out = joins.asof_join(
+        clicks, purchases, ["user_id"], "ts", "pts", ["purchase_value"],
+        suffix="_next", direction="forward",
+    )
+    return out.select("event_id", "user_id", "ts", "value", "purchase_value_next")

@@ -177,9 +177,15 @@ def asof_join(
     right_time: str,
     right_values: Sequence[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: for each left row, the latest right row with
-    right_time <= left_time within the same key group.
+    """As-of join. ``direction="backward"`` (default): for each left row,
+    the LATEST right row with right_time <= left_time within the key
+    group. ``direction="forward"``: the EARLIEST right row with
+    right_time >= left_time — next-event enrichment (time-to-outcome
+    labels, next-fill matching). Both are the same one-shuffle
+    union-and-carry plan; forward just scans the in-partition order
+    descending.
 
     Spark lacks a native as-of join; a naive range join is O(n*m). This
     implementation uses the union-and-carry-forward trick — one shuffle on
@@ -213,9 +219,18 @@ def asof_join(
     ).select(*lcols, *[f"__rv_{v}" for v in right_values], "__t", "__tag")
 
     unioned = l_side.unionByName(r_side)
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    order = (
+        [F.col("__t"), F.col("__tag")]
+        if direction == "backward"
+        # forward: scan later times first; at time ties the right row
+        # (tag 0) still precedes the left row, keeping >= inclusive
+        else [F.col("__t").desc(), F.col("__tag")]
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__t"), F.col("__tag"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumns(

@@ -1066,3 +1066,36 @@ def asof_next_purchase(spark, sf_dir):
         suffix="_next", direction="forward",
     )
     return out.select("event_id", "user_id", "ts", "value", "purchase_value_next")
+
+
+@register(
+    "asof_last_purchase_1h",
+    # Tolerance-bounded as-of: the matched value is kept only while the
+    # purchase is <= 1 hour older than the click.
+    f"""SELECT l.event_id, l.user_id, l.ts,
+               CASE WHEN epoch_us(l.ts) - epoch_us(r.pts)
+                         <= CAST(3600 AS BIGINT) * 1000000
+                    THEN r.purchase_value END AS purchase_value_1h
+        FROM (SELECT * FROM {_EV} WHERE event_type = 'click') l
+        ASOF LEFT JOIN (SELECT user_id, ts AS pts, value AS purchase_value
+                        FROM {_EV} WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.pts""",
+)
+def asof_last_purchase_1h(spark, sf_dir):
+    """Staleness-bounded as-of join (operators/joins.asof_join,
+    tolerance_seconds=3600): the last purchase value, but only if it is
+    at most one hour old at click time — the market-data contract
+    ('last quote, never older than 30s'). The bound applies after the
+    carry, so the plan stays one shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("purchase_value")
+    )
+    out = joins.asof_join(
+        clicks, purchases, ["user_id"], "ts", "pts", ["purchase_value"],
+        suffix="_1h", tolerance_seconds=3600.0,
+    )
+    return out.select("event_id", "user_id", "ts", "purchase_value_1h")

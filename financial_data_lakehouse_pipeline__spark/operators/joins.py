@@ -178,6 +178,7 @@ def asof_join(
     right_values: Sequence[str],
     suffix: str = "_asof",
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join. ``direction="backward"`` (default): for each left row,
     the LATEST right row with right_time <= left_time within the key
@@ -185,7 +186,10 @@ def asof_join(
     right_time >= left_time — next-event enrichment (time-to-outcome
     labels, next-fill matching). Both are the same one-shuffle
     union-and-carry plan; forward just scans the in-partition order
-    descending.
+    descending. ``tolerance_seconds`` bounds staleness (timestamp time
+    columns only): a match farther than the tolerance from the left
+    timestamp is nulled out — the market-data contract ("last quote, but
+    never older than 30s"); applied AFTER the carry, no extra shuffle.
 
     Spark lacks a native as-of join; a naive range join is O(n*m). This
     implementation uses the union-and-carry-forward trick — one shuffle on
@@ -239,6 +243,21 @@ def asof_join(
             for v in right_values
         }
     )
+    if tolerance_seconds is not None:
+        carried = carried.withColumn(
+            "__mt",
+            F.last(
+                F.when(F.col("__tag") == 0, F.col("__t")), ignorenulls=True
+            ).over(w),
+        )
+        gap = F.abs(F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__mt")))
+        within = gap <= F.lit(int(tolerance_seconds * 1_000_000))
+        carried = carried.withColumns(
+            {
+                f"{v}{suffix}": F.when(within, F.col(f"{v}{suffix}"))
+                for v in right_values
+            }
+        )
     return carried.filter(F.col("__tag") == 1).select(
         *lcols, *[f"{v}{suffix}" for v in right_values]
     )

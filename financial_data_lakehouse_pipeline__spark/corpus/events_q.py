@@ -1099,3 +1099,75 @@ def asof_last_purchase_1h(spark, sf_dir):
         suffix="_1h", tolerance_seconds=3600.0,
     )
     return out.select("event_id", "user_id", "ts", "purchase_value_1h")
+
+
+@register(
+    "user_active_time",
+    # Classic interval merge: each event opens a 30-min activity window;
+    # overlapping windows coalesce; covered time sums the merged spans.
+    # All arithmetic in exact epoch micros.
+    f"""WITH iv AS (
+          SELECT user_id, epoch_us(ts) AS s,
+                 epoch_us(ts) + CAST(1800 AS BIGINT) * 1000000 AS e,
+                 event_id
+          FROM {_EV}
+        ), m AS (
+          SELECT user_id, s, e,
+                 CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY user_id
+                          ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          CAST(-9223372036854775807 AS BIGINT))
+                      THEN 1 ELSE 0 END AS new_g
+          FROM iv
+        ), g AS (
+          SELECT user_id, s, e,
+                 SUM(new_g) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+          FROM m
+        ), spans AS (
+          SELECT user_id, gid, MIN(s) AS ms, MAX(e) AS me
+          FROM g GROUP BY user_id, gid
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_active_spans,
+               SUM(me - ms) // 1000000 AS active_seconds
+        FROM spans GROUP BY user_id""",
+)
+def user_active_time(spark, sf_dir):
+    """Total active time per user from overlapping 30-minute activity
+    windows — the interval-union problem (uptime, SLA coverage, session
+    time accounting): one keyed window merges overlaps via the
+    running-max-end trick, one aggregation sums the merged spans. Exact
+    epoch-microsecond integers throughout."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + F.lit(1800 * 1_000_000).cast("bigint")).alias(
+            "e"
+        ),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    m = iv.withColumn(
+        "new_g",
+        F.when(
+            F.col("s")
+            > F.coalesce(prev_max_e, F.lit(-9223372036854775807).cast("bigint")),
+            1,
+        ).otherwise(0),
+    )
+    wg = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    g = m.withColumn("gid", F.sum("new_g").over(wg))
+    spans = g.groupBy("user_id", "gid").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active_spans"),
+        F.expr("sum(me - ms) div 1000000").alias("active_seconds"),
+    )

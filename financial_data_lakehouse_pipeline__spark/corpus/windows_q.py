@@ -1215,3 +1215,48 @@ def seasonal_naive_mase(spark, sf_dir):
             F.sum("err").cast("double") / F.count(F.lit(1)).cast("double") / F.lit(100.0)
         ).alias("mae"),
     )
+
+
+@register(
+    "rolling_median_price",
+    # Rolling median over the trailing 15 rows: Spark sorts the exact
+    # integer frame (collect_list + sort_array) and interpolates with
+    # the same lo*(1-f)+hi*f closed form DuckDB's windowed quantile_cont
+    # uses — all on integer cents, so bit-exact.
+    f"""SELECT l_suppkey, l_orderkey, l_linenumber,
+               quantile_cont({_CENTS}, 0.5) OVER w / 100e0 AS med_15
+        FROM lineitem
+        WINDOW w AS ({_LI_WIN}
+                     ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)""",
+)
+def rolling_median_price(spark, sf_dir):
+    """Rolling median (robust smoother — the outlier-immune cousin of
+    the SMA): trailing-15 window, frame collected and sorted as exact
+    integer cents, continuous-quantile interpolation in the same closed
+    form as the grouped percentiles. Frame collect is O(n·w log w) per
+    partition — fine for bounded windows; for wide windows switch to a
+    sketch."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(*_LI_ORDER_COLS)
+        .rowsBetween(-14, 0)
+    )
+    arr = F.sort_array(F.collect_list(cents).over(w))
+    n = F.size(arr)
+    # continuous quantile at q=0.5: h = (n-1)*q; lo=arr[floor(h)+1]
+    h = (n - 1).cast("double") * F.lit(0.5)
+    lo_i = F.floor(h).cast("int")
+    frac = h - lo_i.cast("double")
+    lo = F.element_at(arr, lo_i + 1).cast("double")
+    hi = F.element_at(arr, F.least(lo_i + 2, n)).cast("double")
+    med = lo * (F.lit(1.0) - frac) + hi * frac
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (med / F.lit(100.0)).alias("med_15"),
+    )

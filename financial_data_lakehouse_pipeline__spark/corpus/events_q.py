@@ -1171,3 +1171,63 @@ def user_active_time(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_active_spans"),
         F.expr("sum(me - ms) div 1000000").alias("active_seconds"),
     )
+
+
+@register(
+    "longest_active_streak",
+    # Gaps-and-islands via the row_number difference trick: consecutive
+    # active days share (day - rn) — all exact integer day arithmetic.
+    f"""WITH d AS (
+          SELECT DISTINCT user_id,
+                 CAST(epoch_us(ts) // (CAST(86400 AS BIGINT) * 1000000)
+                      AS BIGINT) AS day
+          FROM {_EV}
+        ), isl AS (
+          SELECT user_id, day,
+                 day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS grp
+          FROM d
+        ), runs AS (
+          SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+                 MIN(day) AS start_day
+          FROM isl GROUP BY user_id, grp
+        )
+        SELECT user_id, len AS longest_streak_days,
+               CAST(start_day AS BIGINT) AS streak_start_epoch_day
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY len DESC, start_day) AS rn FROM runs)
+        WHERE rn = 1""",
+)
+def longest_active_streak(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands pattern (engagement metrics, uptime streaks):
+    distinct active days, islands identified by the day-minus-row_number
+    constant, longest run per user with a deterministic tiebreak. All
+    exact integer epoch-day arithmetic."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.expr(
+            "CAST(unix_micros(ts) div (CAST(86400 AS BIGINT) * 1000000) AS BIGINT)"
+        ).alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = d.withColumn("grp", F.col("day") - F.row_number().over(w))
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("day").alias("start_day"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("start_day")
+    )
+    return (
+        runs.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak_days"),
+            F.col("start_day").cast("bigint").alias("streak_start_epoch_day"),
+        )
+    )

@@ -1231,3 +1231,45 @@ def longest_active_streak(spark, sf_dir):
             F.col("start_day").cast("bigint").alias("streak_start_epoch_day"),
         )
     )
+
+
+@register(
+    "debounce_user_events",
+    # Greedy keep-chain replayed as a recursive CTE: carry the last KEPT
+    # timestamp; keep when the gap reaches 5 minutes. Exact integer
+    # microseconds throughout.
+    f"""WITH RECURSIVE base AS MATERIALIZED (
+          SELECT user_id, event_type, ts, event_id, epoch_us(ts) AS tus,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn
+          FROM {_EV}
+        ), r AS (
+          SELECT user_id, event_type, ts, event_id, rn,
+                 tus AS last_kept, TRUE AS kept
+          FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b.user_id, b.event_type, b.ts, b.event_id, b.rn,
+                 CASE WHEN b.tus - r.last_kept
+                           >= CAST(300 AS BIGINT) * 1000000
+                      THEN b.tus ELSE r.last_kept END,
+                 b.tus - r.last_kept >= CAST(300 AS BIGINT) * 1000000
+          FROM base b
+          JOIN r ON b.user_id = r.user_id
+                AND b.event_type = r.event_type
+                AND b.rn = r.rn + 1
+        )
+        SELECT user_id, event_type, ts, event_id FROM r WHERE kept""",
+)
+def debounce_user_events(spark, sf_dir):
+    """Debounce per (user, event_type): keep an event only when at least
+    5 minutes have passed since the last KEPT event of that key
+    (operators/events.debounce) — alert-suppression/rate-limiting
+    semantics. The greedy chain depends on prior keep decisions, so it
+    runs as a grouped Arrow pass (ema/cusum pattern) and is replayed
+    exactly by a recursive-CTE oracle."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return events.debounce(
+        ev, ["user_id", "event_type"], "ts", 300, tiebreak=["event_id"]
+    )

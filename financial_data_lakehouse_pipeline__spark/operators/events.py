@@ -247,3 +247,46 @@ def concurrency_sweep(
     curve = deltas.groupBy("at").agg(F.sum("__d").alias("delta"))
     cum = Window.orderBy("at").rowsBetween(Window.unboundedPreceding, 0)
     return curve.withColumn("concurrent", F.sum("delta").over(cum))
+
+
+def debounce(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    min_gap_seconds: int,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Debounce/throttle per key: keep an event only if it is at least
+    ``min_gap_seconds`` after the LAST KEPT event of the same key — the
+    rate-limiting primitive (alert suppression, notification throttling,
+    dedup of event bursts).
+
+    The greedy keep-chain depends on which prior events were kept, so no
+    window frame expresses it (lag sees the previous EVENT, not the
+    previous KEPT event). Runs as one grouped Arrow pass — the same
+    shape, shuffle count, and bit-reproducibility contract as
+    ema()/cusum(): an explicit loop a recursive-CTE oracle replays
+    exactly. Emits only the kept rows.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema_out = T.StructType(list(df.schema.fields))
+    sort_cols = [ts_col, *tiebreak]
+    gap_us = min_gap_seconds * 1_000_000
+
+    def _per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        # robust to datetime64[ns] vs [us] pandas dtypes
+        ts_us = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")
+        keep = []
+        last = None
+        for t in ts_us:
+            if last is None or t - last >= gap_us:
+                keep.append(True)
+                last = t
+            else:
+                keep.append(False)
+        return pdf[pd.Series(keep, index=pdf.index)]
+
+    return df.groupBy(*keys).applyInPandas(_per_group, schema=schema_out)

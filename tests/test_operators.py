@@ -1173,3 +1173,28 @@ def test_fuzzy_self_join_blocking_and_distance(spark):
     assert out[("red bolt", "rod bolt")] == 1
     assert ("blue bolt", "red bolt") not in out  # dist 3 > 2
     assert all("red gear" not in k and "red bol" not in k for k in out)
+
+
+def test_debounce_greedy_chain(spark):
+    """Debounce keeps the greedy chain, not the naive gap-from-previous:
+    events at t=0,200,400 with a 300s gap keep {0, 400} — lag-based
+    session logic would drop 400 (only 200s after the previous EVENT),
+    but it is 400s after the last KEPT event."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import events as E
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(k=1, ts=t0 + dt.timedelta(seconds=s), eid=i)
+        for i, s in enumerate([0, 200, 400, 450, 710])
+    ]
+    df = spark.createDataFrame(rows)
+    kept = sorted(
+        r.eid for r in E.debounce(df, ["k"], "ts", 300, tiebreak=["eid"]).collect()
+    )
+    # 0 kept; 200 dropped (<300 after 0); 400 kept (>=300 after 0);
+    # 450 dropped (<300 after 400); 710 kept (310 after 400)
+    assert kept == [0, 2, 4]

@@ -1273,3 +1273,29 @@ def debounce_user_events(spark, sf_dir):
     return events.debounce(
         ev, ["user_id", "event_type"], "ts", 300, tiebreak=["event_id"]
     )
+
+
+@register(
+    "streaming_distinct_keys",
+    # Bounded stream driven to completion: streaming dropDuplicates
+    # equals batch DISTINCT.
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_distinct_keys(spark, sf_dir):
+    """Streaming exact deduplication (dropDuplicates over the event
+    stream, state = one row per distinct key): driven to completion over
+    the bounded input it must equal batch DISTINCT — the oracle. The
+    unbounded-state variant of dedup_within_watermark (which bounds
+    state by the watermark and is pinned in tests/test_streaming.py)."""
+    import os
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = st.stream_from_parquet_dir(
+        spark, sf_dir, raw_schema, glob="events.parquet"
+    )
+    out = stream.select("user_id", "event_type").dropDuplicates()
+    return st.run_available_now(
+        out, "corpus_streaming_distinct", output_mode="append"
+    )

@@ -1260,3 +1260,58 @@ def rolling_median_price(spark, sf_dir):
         "l_linenumber",
         (med / F.lit(100.0)).alias("med_15"),
     )
+
+
+@register(
+    "rsi_wilder_supplier",
+    # Seed = integer-exact gain/loss sums over the first 14 deltas / 14;
+    # recurrence (prev*13 + x)/14 replayed with identical operation
+    # order; RSI closed form on the carried doubles — no ROUND.
+    f"""WITH RECURSIVE {_OHLC_CTE},
+        b AS MATERIALIZED (
+          SELECT l_suppkey, day, close,
+                 ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY day)
+                     AS rn,
+                 close - LAG(close) OVER (PARTITION BY l_suppkey
+                                          ORDER BY day) AS delta
+          FROM o
+        ),
+        g AS (
+          SELECT l_suppkey, day, rn,
+                 CASE WHEN delta > 0 THEN delta ELSE 0 END AS gain,
+                 CASE WHEN delta < 0 THEN -delta ELSE 0 END AS loss
+          FROM b
+        ),
+        seed AS (
+          SELECT l_suppkey,
+                 CAST(SUM(gain) AS DOUBLE) / 14e0 AS ag,
+                 CAST(SUM(loss) AS DOUBLE) / 14e0 AS al
+          FROM g WHERE rn BETWEEN 2 AND 15
+          GROUP BY l_suppkey HAVING COUNT(*) = 14
+        ),
+        r AS (
+          SELECT g.l_suppkey, g.day, g.rn, s.ag, s.al
+          FROM g JOIN seed s ON g.l_suppkey = s.l_suppkey
+          WHERE g.rn = 15
+          UNION ALL
+          SELECT g.l_suppkey, g.day, g.rn,
+                 (r.ag * 13e0 + CAST(g.gain AS DOUBLE)) / 14e0,
+                 (r.al * 13e0 + CAST(g.loss AS DOUBLE)) / 14e0
+          FROM g JOIN r ON g.l_suppkey = r.l_suppkey AND g.rn = r.rn + 1
+        )
+        SELECT l_suppkey, day,
+               CASE WHEN al = 0e0 THEN 100e0
+                    ELSE 100e0 - 100e0 / (1e0 + ag / al) END AS rsi_w
+        FROM r""",
+)
+def rsi_wilder_supplier(spark, sf_dir):
+    """Wilder's recursive RSI-14 over daily supplier bars
+    (operators/windows.rsi_wilder) — the authentic smoothed form next to
+    the simplified rolling-mean RSI already in the corpus: integer-exact
+    deltas, seed means, and the (prev*13 + x)/14 recurrence replayed
+    bit-for-bit by a recursive-CTE oracle."""
+    bars = _daily_ohlc(spark, sf_dir)
+    out = windows.rsi_wilder(bars, ["l_suppkey"], ["day"], n=14)
+    return out.filter(F.col("rsi_w").isNotNull()).select(
+        "l_suppkey", "day", "rsi_w"
+    )

@@ -819,3 +819,60 @@ def cusum(
         return pdf
 
     return df.groupBy(*partition_by).applyInPandas(_per_group, schema=schema_out)
+
+
+def rsi_wilder(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    close: str = "close",
+    n: int = 14,
+    out: str = "rsi_w",
+) -> DataFrame:
+    """Wilder's RSI — the AUTHENTIC recursive form (the rolling-mean RSI
+    elsewhere in the corpus is the simplified variant): seed gain/loss
+    averages over the first ``n`` deltas, then
+    ``avg = (prev*(n-1) + x) / n`` each bar; RSI = 100 − 100/(1+RS).
+
+    A linear recurrence per entity → grouped Arrow pass (ema/cusum
+    contract): integer-exact deltas, explicit double operation order a
+    recursive-CTE oracle replays bit-for-bit. Rows before the seed bar
+    emit null; avg_loss = 0 emits RSI = 100 (Wilder's convention).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema_out = T.StructType(
+        list(df.schema.fields) + [T.StructField(out, T.DoubleType())]
+    )
+    sort_cols = list(order_by)
+    nf = float(n)
+
+    def _per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        closes = pdf[close].to_numpy()
+        rsi = [None] * len(closes)
+        if len(closes) > n:
+            gains = [0] * len(closes)
+            losses = [0] * len(closes)
+            for i in range(1, len(closes)):
+                d = int(closes[i]) - int(closes[i - 1])
+                gains[i] = d if d > 0 else 0
+                losses[i] = -d if d < 0 else 0
+            ag = float(sum(gains[1 : n + 1])) / nf
+            al = float(sum(losses[1 : n + 1])) / nf
+
+            def _rsi(ag: float, al: float) -> float:
+                if al == 0.0:
+                    return 100.0
+                return 100.0 - 100.0 / (1.0 + ag / al)
+
+            rsi[n] = _rsi(ag, al)
+            for i in range(n + 1, len(closes)):
+                ag = (ag * (nf - 1.0) + float(gains[i])) / nf
+                al = (al * (nf - 1.0) + float(losses[i])) / nf
+                rsi[i] = _rsi(ag, al)
+        pdf[out] = rsi
+        return pdf
+
+    return df.groupBy(*partition_by).applyInPandas(_per_group, schema=schema_out)

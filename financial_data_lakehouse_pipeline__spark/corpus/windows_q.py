@@ -1315,3 +1315,52 @@ def rsi_wilder_supplier(spark, sf_dir):
     return out.filter(F.col("rsi_w").isNotNull()).select(
         "l_suppkey", "day", "rsi_w"
     )
+
+
+@register(
+    "atr_wilder_supplier",
+    # Seed = integer-exact TR mean over the first 14 bars; recurrence
+    # (prev*13 + tr)/14 with identical operation order — no ROUND.
+    f"""WITH RECURSIVE {_OHLC_CTE},
+        b AS MATERIALIZED (
+          SELECT l_suppkey, day, high, low, close,
+                 ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY day)
+                     AS rn,
+                 LAG(close) OVER (PARTITION BY l_suppkey ORDER BY day)
+                     AS pc
+          FROM o
+        ),
+        t AS (
+          SELECT l_suppkey, day, rn,
+                 GREATEST(high - low,
+                          COALESCE(ABS(high - pc), high - low),
+                          COALESCE(ABS(low - pc), high - low)) AS tr
+          FROM b
+        ),
+        seed AS (
+          SELECT l_suppkey, CAST(SUM(tr) AS DOUBLE) / 14e0 AS a
+          FROM t WHERE rn <= 14
+          GROUP BY l_suppkey HAVING COUNT(*) = 14
+        ),
+        r AS (
+          SELECT t.l_suppkey, t.day, t.rn, s.a
+          FROM t JOIN seed s ON t.l_suppkey = s.l_suppkey
+          WHERE t.rn = 14
+          UNION ALL
+          SELECT t.l_suppkey, t.day, t.rn,
+                 (r.a * 13e0 + CAST(t.tr AS DOUBLE)) / 14e0
+          FROM t JOIN r ON t.l_suppkey = r.l_suppkey AND t.rn = r.rn + 1
+        )
+        SELECT l_suppkey, day, a / 100e0 AS atr_w FROM r""",
+)
+def atr_wilder_supplier(spark, sf_dir):
+    """Wilder-smoothed ATR-14 over daily supplier bars
+    (operators/windows.atr_wilder) — completes the authentic recursive
+    indicator trio (EMA, Wilder RSI, Wilder ATR): exact integer true
+    ranges, seed mean, (prev*13 + tr)/14 recurrence, recursive-CTE
+    oracle, no rounding."""
+    bars = _daily_ohlc(spark, sf_dir)
+    out = windows.atr_wilder(bars, ["l_suppkey"], ["day"], n=14)
+    return out.filter(F.col("atr_w").isNotNull()).select(
+        "l_suppkey", "day", (F.col("atr_w") / F.lit(100.0)).alias("atr_w")
+    )

@@ -876,3 +876,55 @@ def rsi_wilder(
         return pdf
 
     return df.groupBy(*partition_by).applyInPandas(_per_group, schema=schema_out)
+
+
+def atr_wilder(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+    n: int = 14,
+    out: str = "atr_w",
+) -> DataFrame:
+    """Wilder-smoothed ATR — the authentic recursive form (atr() is the
+    rolling-mean variant): seed = mean of the first ``n`` true ranges,
+    then ``atr = (prev*(n-1) + tr) / n``. Same grouped-Arrow contract
+    and recursive-CTE reproducibility as rsi_wilder/ema. Rows before the
+    seed bar emit null. Integer (cents) bars keep every TR exact.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema_out = T.StructType(
+        list(df.schema.fields) + [T.StructField(out, T.DoubleType())]
+    )
+    sort_cols = list(order_by)
+    nf = float(n)
+
+    def _per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        h = pdf[high].to_numpy()
+        lo = pdf[low].to_numpy()
+        cl = pdf[close].to_numpy()
+        m = len(h)
+        atr_vals = [None] * m
+        if m >= n:
+            trs = [0] * m
+            for i in range(m):
+                hl = int(h[i]) - int(lo[i])
+                if i == 0:
+                    trs[i] = hl
+                else:
+                    pc = int(cl[i - 1])
+                    trs[i] = max(hl, abs(int(h[i]) - pc), abs(int(lo[i]) - pc))
+            a = float(sum(trs[:n])) / nf
+            atr_vals[n - 1] = a
+            for i in range(n, m):
+                a = (a * (nf - 1.0) + float(trs[i])) / nf
+                atr_vals[i] = a
+        pdf[out] = atr_vals
+        return pdf
+
+    return df.groupBy(*partition_by).applyInPandas(_per_group, schema=schema_out)

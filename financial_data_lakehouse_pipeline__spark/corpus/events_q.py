@@ -631,10 +631,11 @@ def gap_fill_events(spark, sf_dir):
           SELECT s AS at, CAST(1 AS BIGINT) AS dlt FROM iv
           UNION ALL
           SELECT e + INTERVAL 1 MICROSECOND, CAST(-1 AS BIGINT) FROM iv
-        ), c AS (SELECT at, SUM(dlt) AS delta FROM d GROUP BY at)
+        ), c AS (SELECT at, CAST(SUM(dlt) AS BIGINT) AS delta
+                 FROM d GROUP BY at)
         SELECT at, delta,
-               SUM(delta) OVER (ORDER BY at ROWS UNBOUNDED PRECEDING)
-                   AS concurrent
+               CAST(SUM(delta) OVER (ORDER BY at ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS concurrent
         FROM c""",
 )
 def session_concurrency(spark, sf_dir):
@@ -1112,7 +1113,7 @@ def asof_last_purchase_1h(spark, sf_dir):
                  event_id
           FROM {_EV}
         ), m AS (
-          SELECT user_id, s, e,
+          SELECT user_id, s, e, event_id,
                  CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY user_id
                           ORDER BY s, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
@@ -1121,7 +1122,7 @@ def asof_last_purchase_1h(spark, sf_dir):
           FROM iv
         ), g AS (
           SELECT user_id, s, e,
-                 SUM(new_g) OVER (PARTITION BY user_id ORDER BY s, e
+                 SUM(new_g) OVER (PARTITION BY user_id ORDER BY s, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
           FROM m
         ), spans AS (
@@ -1130,7 +1131,7 @@ def asof_last_purchase_1h(spark, sf_dir):
         )
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_active_spans,
-               SUM(me - ms) // 1000000 AS active_seconds
+               CAST(SUM(me - ms) // 1000000 AS BIGINT) AS active_seconds
         FROM spans GROUP BY user_id""",
 )
 def user_active_time(spark, sf_dir):
@@ -1160,7 +1161,11 @@ def user_active_time(spark, sf_dir):
             1,
         ).otherwise(0),
     )
-    wg = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+    # orderBy (s, event_id) — NOT (s, e) — so the gid running sum uses the
+    # same total order as the new_g window above; with duplicate
+    # (user_id, ts) rows an (s, e)-ordered sum would be tie-nondeterministic
+    # and could bridge a real gap (both engines would diverge freely).
+    wg = Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     g = m.withColumn("gid", F.sum("new_g").over(wg))

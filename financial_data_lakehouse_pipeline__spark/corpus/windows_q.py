@@ -218,10 +218,11 @@ def stochastic_supplier_price(spark, sf_dir):
           SELECT *, c - LAG(c) OVER ({_LI_WIN}) AS delta FROM c
         )
         SELECT l_suppkey, l_orderkey, l_linenumber,
-               SUM(CASE WHEN delta > 0 THEN CAST(l_quantity AS BIGINT)
-                        WHEN delta < 0 THEN -CAST(l_quantity AS BIGINT)
-                        ELSE 0 END)
-                   OVER ({_LI_WIN} ROWS UNBOUNDED PRECEDING) AS obv
+               CAST(SUM(CASE WHEN delta > 0 THEN CAST(l_quantity AS BIGINT)
+                             WHEN delta < 0 THEN -CAST(l_quantity AS BIGINT)
+                             ELSE 0 END)
+                    OVER ({_LI_WIN} ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS obv
         FROM d""",
 )
 def obv_supplier_volume(spark, sf_dir):

@@ -102,18 +102,36 @@ def pagerank(
     Scale shape: state is one (node, rank) DataFrame; each iteration is
     one broadcast-free equi-join edges⋈ranks on src (pre-partition both
     by the node key to make it shuffle-free) + one groupBy dst. No
-    driver-side state at any size.
+    driver-side state at any size. The loop-invariant ``edges``/``deg``
+    are persisted before the loop (recompute-vs-persist: without this,
+    every iteration re-derives the full edge lineage and the plan scans
+    the source O(iters) times — the difference between O(scan) and
+    O(iters × scan) at 100 TB), the rank lineage is truncated with a
+    ``localCheckpoint`` every few iterations, and the final result is
+    eagerly checkpointed so the caches can be released before returning
+    (no cache leak into the caller's session).
+
+    Contribution-less nodes (possible only if the caller passes a
+    non-symmetric edge list — the parameter is just ``edges``) keep the
+    damped baseline ``(1-d)/N`` via a left join instead of silently
+    vanishing from the rank table.
 
     Output: (node, deg, pagerank).
     """
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("deg")
+    from pyspark import StorageLevel
+
+    edges = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = deg.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     ranks = deg.crossJoin(F.broadcast(n)).select(
         "node", "deg", "__n", (F.lit(1.0) / F.col("__n").cast("double")).alias("r")
     )
-    for _ in range(iters):
+    zero = F.lit(0).cast("decimal(38,0)")
+    for i in range(iters):
         contrib = (
             edges.join(ranks, edges.src == ranks.node)
             .select(
@@ -127,7 +145,7 @@ def pagerank(
             .agg(F.sum("__c").alias("__s"))
         )
         ranks = (
-            deg.join(contrib, "node")
+            deg.join(contrib, "node", "left")
             .crossJoin(F.broadcast(n))
             .select(
                 "node",
@@ -135,11 +153,18 @@ def pagerank(
                 "__n",
                 (
                     F.lit(1.0 - damping) / F.col("__n").cast("double")
-                    + F.lit(damping) * (F.col("__s").cast("double") / F.lit(_Q))
+                    + F.lit(damping)
+                    * (F.coalesce("__s", zero).cast("double") / F.lit(_Q))
                 ).alias("r"),
             )
         )
-    return ranks.select("node", "deg", F.col("r").alias("pagerank"))
+        if (i + 1) % 5 == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("node", "deg", F.col("r").alias("pagerank"))
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    deg.unpersist()
+    return out
 
 
 def link_prediction_jaccard(

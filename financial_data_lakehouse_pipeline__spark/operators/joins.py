@@ -244,17 +244,35 @@ def asof_join(
         }
     )
     if tolerance_seconds is not None:
-        carried = carried.withColumn(
-            "__mt",
-            F.last(
-                F.when(F.col("__tag") == 0, F.col("__t")), ignorenulls=True
-            ).over(w),
-        )
-        gap = F.abs(F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__mt")))
-        within = gap <= F.lit(int(tolerance_seconds * 1_000_000))
+        # Per-VALUE matched timestamp with the same null-skipping rule as
+        # the value carry: a right row with a NULL value column supplies
+        # nothing, so it must not advance that column's staleness clock —
+        # otherwise the gap is measured against a newer right row than the
+        # one whose value is carried, and the tolerance check nulls out
+        # (or keeps) the wrong match. Same window → shares the one sort.
+        tol = F.lit(int(tolerance_seconds * 1_000_000))
         carried = carried.withColumns(
             {
-                f"{v}{suffix}": F.when(within, F.col(f"{v}{suffix}"))
+                f"__mt_{v}": F.last(
+                    F.when(
+                        (F.col("__tag") == 0) & F.col(f"__rv_{v}").isNotNull(),
+                        F.col("__t"),
+                    ),
+                    ignorenulls=True,
+                ).over(w)
+                for v in right_values
+            }
+        )
+        carried = carried.withColumns(
+            {
+                f"{v}{suffix}": F.when(
+                    F.abs(
+                        F.unix_micros(F.col("__t"))
+                        - F.unix_micros(F.col(f"__mt_{v}"))
+                    )
+                    <= tol,
+                    F.col(f"{v}{suffix}"),
+                )
                 for v in right_values
             }
         )

@@ -231,6 +231,42 @@ def test_asof_join_takes_latest_at_or_before(spark):
     assert got == {1: None, 5: 50.0, 10: 90.0}  # inclusive at-or-before
 
 
+def test_asof_join_tolerance_skips_null_value_rows(spark):
+    """A right row with a NULL value column supplies no value, so it must
+    not advance the staleness clock either: the tolerance gap is measured
+    against the row whose value was actually carried."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    left = spark.createDataFrame(
+        [Row(k="a", t=ts(120)), Row(k="a", t=ts(130))]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", rt=ts(0), val=10.0), Row(k="a", rt=ts(100), val=None)]
+    )
+    out = joins.asof_join(
+        left, right, ["k"], "t", "rt", ["val"], tolerance_seconds=50.0
+    )
+    got = {r.t: r.val_asof for r in out.collect()}
+    # value 10.0 came from rt=0 (gap 120s/130s > 50s) — the NULL row at
+    # rt=100 must not make it look fresh. Pre-fix this returned 10.0.
+    assert got == {ts(120): None, ts(130): None}
+
+    # and a non-null supplier inside tolerance still matches
+    right2 = spark.createDataFrame(
+        [Row(k="a", rt=ts(0), val=None), Row(k="a", rt=ts(100), val=7.0)]
+    )
+    out2 = joins.asof_join(
+        left, right2, ["k"], "t", "rt", ["val"], tolerance_seconds=50.0
+    )
+    got2 = {r.t: r.val_asof for r in out2.collect()}
+    assert got2 == {ts(120): 7.0, ts(130): 7.0}
+
+
 def test_language_id_votes(spark):
     from financial_data_lakehouse_pipeline__spark.operators import text
 
@@ -1039,6 +1075,23 @@ def test_pagerank_path_graph_matches_reference(spark):
         assert got[node].pagerank == expect[node]
     assert got[2].pagerank > got[1].pagerank  # hub outranks leaves
     assert got[1].pagerank == got[3].pagerank  # symmetry
+
+
+def test_pagerank_directed_keeps_sink_sources(spark):
+    """A caller passing a DIRECTED edge list (documented as symmetric,
+    but the parameter is just `edges`) must not see nodes silently
+    vanish: a source node that receives no contributions keeps the
+    damped baseline (1-d)/N instead of being inner-joined away."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import graph
+
+    # 1 -> 2 only: node 1 never receives a contribution.
+    edges = spark.createDataFrame([Row(src=1, dst=2), Row(src=2, dst=1)])
+    directed = edges.filter("src = 1")
+    got = {r.node: r for r in graph.pagerank(directed, iters=3).collect()}
+    assert set(got) == {1}  # deg table only has out-degree nodes...
+    assert got[1].pagerank == (1.0 - 0.85) / 1.0  # ...but 1 survives at baseline
 
 
 def test_adx_bounds_and_monotone_trend(spark):

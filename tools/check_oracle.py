@@ -45,6 +45,88 @@ def normalize(rows, cols):
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
+# -- result-TYPE comparison (the driver hashes with Arrow types, so a
+#    DuckDB HUGEINT/decimal128(38,0) SUM vs a Spark BIGINT is a hash
+#    mismatch even when every value agrees). Both sides normalize to
+#    coarse classes: integer widths and timestamp flavors collapse, but
+#    int-vs-decimal and decimal-scale differences stay visible.
+
+
+def norm_spark_type(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return f"dec{dt.scale}"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.BinaryType):
+        return "bin"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{norm_spark_type(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return "map"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    return dt.simpleString()
+
+
+def norm_duck_type(s: str) -> str:
+    s = s.strip().upper()
+    if s.endswith("[]"):
+        return f"list<{norm_duck_type(s[:-2])}>"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT", "INT", "INT1", "INT2",
+             "INT4", "INT8"):
+        return "int"
+    if s == "HUGEINT":  # arrives as arrow decimal128(38,0) — NOT int64
+        return "dec0"
+    if s.startswith("DECIMAL"):
+        scale = s[s.index("(") + 1:s.index(")")].split(",")[1] if "(" in s else "0"
+        return f"dec{int(scale)}"
+    if s in ("DOUBLE", "FLOAT", "REAL", "FLOAT4", "FLOAT8"):
+        return "float"
+    if s.startswith("TIMESTAMP"):
+        return "ts"
+    if s == "DATE":
+        return "date"
+    if s in ("VARCHAR", "TEXT", "STRING", "CHAR", "BPCHAR"):
+        return "str"
+    if s in ("BOOLEAN", "BOOL"):
+        return "bool"
+    if s in ("BLOB", "BYTEA", "VARBINARY"):
+        return "bin"
+    if s.startswith("STRUCT"):
+        return "struct"
+    if s.startswith("MAP"):
+        return "map"
+    return s.lower()
+
+
+def type_mismatches(spark_df, con, sql) -> list[str]:
+    """Column-by-column coarse type classes: Spark schema vs DuckDB
+    DESCRIBE (bind-only, no execution). Returns human-readable diffs."""
+    s_types = {f.name: norm_spark_type(f.dataType) for f in spark_df.schema.fields}
+    d_types = {
+        r[0]: norm_duck_type(r[1])
+        for r in con.execute(f"DESCRIBE {sql}").fetchall()
+    }
+    return [
+        f"{c}: spark={s_types[c]} duck={d_types[c]}"
+        for c in sorted(set(s_types) & set(d_types))
+        if s_types[c] != d_types[c]
+    ]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -92,6 +174,13 @@ def main() -> int:
             problems.append(f"count {len(s_rows)} vs {len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols {sorted(s_cols)} vs {sorted(d_cols)}")
+        else:
+            try:
+                tm = type_mismatches(df, con, oracles[name])
+            except Exception as e:  # noqa: BLE001
+                tm = [f"DESCRIBE error: {type(e).__name__}: {e}"]
+            if tm:
+                problems.append(f"types [{'; '.join(tm)}]")
         if not problems:
             ns, nd = normalize(s_rows, s_cols), normalize(d_rows, d_cols)
             if ns != nd:

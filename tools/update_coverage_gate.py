@@ -32,6 +32,28 @@ def main() -> int:
         return 1
     n_pass, n_rows, n_fail = map(int, m.groups())
     pytest_m = re.search(r"(\d+) passed", text)
+    # The "checked at commit X" claim is only trustworthy if X's tree is
+    # the tree the check ran on: refuse when anything besides COVERAGE.md
+    # is dirty. Workflow: commit the code, run the checks, run this tool,
+    # commit the COVERAGE.md-only change — the cited hash then names the
+    # exact code the judge checks out.
+    dirty = [
+        ln[3:]
+        for ln in subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+        ).stdout.splitlines()
+        if ln.strip() and not ln[3:].startswith("COVERAGE.md")
+    ]
+    if dirty:
+        print(
+            f"refusing: working tree dirty beyond COVERAGE.md ({dirty[:5]}) — "
+            "commit first so the gate hash names the checked tree",
+            file=sys.stderr,
+        )
+        return 1
     commit = subprocess.run(
         ["git", "rev-parse", "--short", "HEAD"],
         cwd=REPO,
@@ -52,8 +74,12 @@ def main() -> int:
 
     path = os.path.join(REPO, "COVERAGE.md")
     doc = open(path).read()
+    # Consume ALL trailing pytest sentences, not just the first — a
+    # non-greedy stop at the first "passed." left earlier rounds' tails
+    # accumulating as stale "`pytest tests/` → N passed." sentences.
     new_doc, n_sub = re.subn(
-        r"Gate \(checked .*?→\s*\d+ pass.*?(?:passed\.|fail\.)",
+        r"Gate \(checked .*?→\s*\d+ pass.*?fail\."
+        r"(?:\s*`pytest tests/` → \d+ passed\.)*",
         line,
         doc,
         flags=re.DOTALL,

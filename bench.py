@@ -39,6 +39,7 @@ HEADLINE = [
     "tumbling_hourly",           # event-time window agg
     "exact_dedup_docs",          # LLM: hash dedup
     "minhash_lsh_pairs_docs",    # LLM: MinHash LSH
+    "minhash_lsh_capped_docs",   # LLM: LSH under hot-bucket skew (capped)
     "simhash_pairs_docs",        # LLM: SimHash banding
     "brute_force_topk",          # LLM: cosine top-k
     "signlsh_topk",              # LLM: bucketed ANN

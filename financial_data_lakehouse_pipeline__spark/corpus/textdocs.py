@@ -258,11 +258,65 @@ def ngram_jaccard_pairs_docs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5)
 
 
-def _minhash_ctes(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+#: Boilerplate appended to EVERY doc for the stop-shingle stress query —
+#: its 12 internal 3-grams hit doc-frequency = corpus size, the skew the
+#: posting-list cap exists to neutralize.
+_HOT_FOOTER = (
+    "subscribe to our newsletter for updates and follow us on social media every day"
+)
+
+
+@register(
+    "ngram_jaccard_capped_docs",
+    f"""WITH documents AS (
+          SELECT doc_id, concat_ws(' ', text, '{_HOT_FOOTER}') AS text
+          FROM main.documents
+        ),
+        {_SHINGLES_CTE},
+        hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 50),
+        shc AS (SELECT * FROM sh
+                WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM shc a JOIN shc b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        jac AS (
+          SELECT id_a, id_b,
+                 CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+          FROM common
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+        )
+        SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5""",
+)
+def ngram_jaccard_capped_docs(spark, sf_dir):
+    """Stop-shingle stress: every document gets a shared boilerplate
+    footer (universal posting lists — the skew that makes the exact
+    quadratic join blow up O(df²) per hot shingle), then exact Jaccard
+    runs with max_doc_freq=50 (operators/dedup.drop_stop_shingles). The
+    cap drops exactly the universal shingles, the join cost returns to
+    the unskewed profile, and Jaccard stays exact over the capped
+    shingle universe — mirrored in the oracle."""
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "text", F.concat_ws(" ", F.col("text"), F.lit(_HOT_FOOTER))
+    )
+    return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5, max_doc_freq=50)
+
+
+def _minhash_ctes(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> str:
     """Shared CTE chain ending in `lsh_pairs(id_a, id_b, jaccard)` —
     the MinHash+LSH pipeline as reusable oracle SQL. Embeds the same
     universal-hash coefficients as operators/dedup.minhash_coeffs, over
-    the same two 28-bit md5-prefix integers."""
+    the same two 28-bit md5-prefix integers. ``max_bucket_size`` mirrors
+    the engine's hot-bucket skip (dedup.minhash_lsh_pairs)."""
     rows = num_hashes // bands
     P = dedup.MINHASH_P
     mins = ", ".join(
@@ -276,6 +330,15 @@ def _minhash_ctes(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) 
             f"SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS key FROM sig"
         )
     buckets = " UNION ALL ".join(band_selects)
+    bucket_ctes = f"buckets AS ({buckets})"
+    if max_bucket_size is not None:
+        bucket_ctes = f"""buckets0 AS ({buckets}),
+        hotb AS (SELECT band, key FROM buckets0
+                 GROUP BY band, key HAVING COUNT(*) > {max_bucket_size}),
+        buckets AS (
+          SELECT b.* FROM buckets0 b
+          ANTI JOIN hotb h ON b.band = h.band AND b.key = h.key
+        )"""
     return f"""{_SHINGLES_CTE},
         shh AS (
           SELECT doc_id,
@@ -284,7 +347,7 @@ def _minhash_ctes(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) 
           FROM sh
         ),
         sig AS (SELECT doc_id, {mins} FROM shh GROUP BY doc_id),
-        buckets AS ({buckets}),
+        {bucket_ctes},
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM buckets a
@@ -311,6 +374,41 @@ def minhash_lsh_pairs_docs(spark, sf_dir):
     scale path; md5 minhashes make the oracle SQL-reproducible)."""
     d = read_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, num_hashes=16, bands=4, threshold=0.5)
+
+
+#: Dead-page boilerplate for the hot-bucket stress query — every crawl
+#: corpus has one ("page not found"), and its exact duplicates share all
+#: band keys, making one degenerate O(m²) LSH bucket per band.
+_BOILER = "this page could not be found please check the url and try again later"
+
+
+@register(
+    "minhash_lsh_capped_docs",
+    f"""WITH documents AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN '{_BOILER}' ELSE text END AS text
+          FROM main.documents
+        ),
+        {_minhash_ctes(max_bucket_size=50)}
+        SELECT id_a, id_b, jaccard FROM lsh_pairs""",
+)
+def minhash_lsh_capped_docs(spark, sf_dir):
+    """Hot-bucket stress: 20% of the corpus is replaced by one identical
+    dead-page boilerplate (every crawl has one), so those docs share ALL
+    band keys — one m=|corpus|/5 bucket per band, m(m-1)/2 candidate
+    pairs each, the quadratic blowup banding is supposed to avoid.
+    max_bucket_size=50 skips the degenerate buckets before pair
+    expansion (broadcast anti-join, no extra shuffle); organic near-dup
+    pairs among the remaining 80% are unaffected. Exact-duplicate groups
+    like this are the province of exact_dedup_docs, which is why
+    skipping them loses nothing — mirrored in the oracle."""
+    d = read_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(_BOILER)).otherwise(F.col("text")),
+    )
+    return dedup.minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, threshold=0.5, max_bucket_size=50
+    )
 
 
 @register(

@@ -168,6 +168,31 @@ def _maybe_persist(df: DataFrame, persist: bool) -> DataFrame:
     return df
 
 
+def drop_stop_shingles(
+    shingles: DataFrame, max_doc_freq: int
+) -> DataFrame:
+    """Stop-shingle cap: remove shingles whose posting list exceeds
+    ``max_doc_freq`` documents BEFORE any quadratic self-join.
+
+    A shingle shared by every document (boilerplate footers, license
+    headers, navigation chrome) carries no near-dup signal but
+    contributes O(df²) join output — one 100k-doc stop-shingle is 5e9
+    pairs. The cap bounds per-shingle join fan-out at max_doc_freq²,
+    turning worst-case skew into a constant. The hot list is tiny by
+    construction (only pathological shingles qualify), so it broadcasts
+    and the filter is a broadcast anti-join — no extra shuffle on the
+    posting table. Jaccard downstream is computed on the reduced shingle
+    universe (sizes post-cap), keeping it a proper similarity there.
+    """
+    hot = (
+        shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("shingle")
+    )
+    return shingles.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -175,14 +200,19 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     persist_shingles: bool = False,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard >= threshold.
 
     Exact but quadratic in the size of each shingle's posting list — the
     correctness baseline minhash_lsh_pairs is verified against. At scale,
-    cap pathological posting lists (stop-shingles) before the self-join.
+    pass ``max_doc_freq`` to cap pathological posting lists
+    (:func:`drop_stop_shingles`) before the self-join; Jaccard is then
+    exact over the capped shingle universe.
     """
     sh = _maybe_persist(word_shingles(df, id_col, text_col, n), persist_shingles)
+    if max_doc_freq is not None:
+        sh = drop_stop_shingles(sh, max_doc_freq)
     return _pairwise_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
 
 
@@ -224,6 +254,8 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     persist_shingles: bool = False,
+    max_doc_freq: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -237,11 +269,24 @@ def minhash_lsh_pairs(
     candidate pair members (semi-join) before the pairwise intersection,
     so its cost also follows candidate volume (asserted in
     tests/test_operators.py).
+
+    Skew guards: ``max_doc_freq`` drops stop-shingles before signatures
+    (:func:`drop_stop_shingles` — boilerplate shared by every doc would
+    otherwise dominate the minhashes AND the verify join);
+    ``max_bucket_size`` skips LSH buckets with more members than the cap
+    before pair expansion — a bucket of m docs emits m(m-1)/2 candidate
+    pairs, so one degenerate band key (near-identical boilerplate corpus)
+    is a quadratic blowup. Both hot lists are tiny → broadcast anti-join,
+    no extra shuffle. Cost: recall loss only on groups larger than the
+    cap, which at threshold-grade similarity are better handled by exact
+    dedup first.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     rows_per_band = num_hashes // bands
     sh = _maybe_persist(word_shingles(df, id_col, text_col, n), persist_shingles)
+    if max_doc_freq is not None:
+        sh = drop_stop_shingles(sh, max_doc_freq)
     sig = minhash_signatures(sh, id_col, num_hashes)
 
     band_cols = []
@@ -253,6 +298,14 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    if max_bucket_size is not None:
+        hot = (
+            buckets.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "key")
+        )
+        buckets = buckets.join(F.broadcast(hot), ["band", "key"], "left_anti")
 
     l = buckets.select(F.col(id_col).alias("id_a"), "band", "key")
     r = buckets.select(F.col(id_col).alias("id_b"), "band", "key")

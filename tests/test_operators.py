@@ -164,6 +164,51 @@ def test_minhash_verify_is_candidate_restricted(spark):
     assert "LeftSemi" in plan
 
 
+def test_stop_shingle_cap_drops_boilerplate_keeps_signal(spark):
+    """drop_stop_shingles removes only shingles above the doc-frequency
+    cap: with a footer shared by every doc, capped Jaccard still finds
+    the planted near-dup pair but no footer-only pairings."""
+    footer = " all rights reserved contact us for details"
+    docs = _docs(spark).withColumn("text", F.concat(F.col("text"), F.lit(footer)))
+    sh = dedup.word_shingles(docs, "doc_id", "text", 3)
+    capped = dedup.drop_stop_shingles(sh, max_doc_freq=4)
+    left = {r.shingle for r in capped.collect()}
+    assert "rights reserved contact" not in left  # df=5 > 4 → dropped
+    assert "quick brown fox" in left  # df=3 ≤ 4 → kept
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_doc_freq=4
+        ).collect()
+    }
+    assert (0, 4) in pairs and (0, 1) in pairs  # real dups survive the cap
+    # unrelated docs share ONLY the footer — capped Jaccard must not pair them
+    assert (2, 3) not in pairs
+
+
+def test_minhash_bucket_cap_skips_degenerate_group(spark):
+    """max_bucket_size skips LSH buckets bigger than the cap: a planted
+    group of identical boilerplate docs (which shares every band key)
+    produces no candidate pairs, while organic near-dups still match."""
+    boiler = "page not found please try again later with different words"
+    extra = [Row(doc_id=100 + i, text=boiler) for i in range(6)]
+    docs = _docs(spark).unionByName(spark.createDataFrame(extra))
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.5, max_bucket_size=5
+        ).collect()
+    }
+    assert (0, 4) in capped  # organic exact-dup pair unaffected
+    assert not any(a >= 100 and b >= 100 for a, b in capped)  # group skipped
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (100, 101) in uncapped  # without the cap the blowup is real
+
+
 def test_duplicate_clusters_chain_and_singletons(spark):
     """Min-label propagation converges on a chain graph (diameter > 1
     forces multiple iterations) and leaves singletons self-representative."""

@@ -1139,6 +1139,27 @@ def test_pagerank_directed_keeps_sink_sources(spark):
     assert got[1].pagerank == (1.0 - 0.85) / 1.0  # ...but 1 survives at baseline
 
 
+def test_pagerank_persist_path_matches_recompute(spark):
+    """persist_edges=True (the iters>4 auto-path) must be bit-identical
+    to the lazy recompute path — quantized-integer sums make the result
+    independent of materialization strategy — and must return a
+    checkpoint-backed plan whose size no longer grows with iterations."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import graph
+
+    rows = [Row(g=10, item=1), Row(g=10, item=2), Row(g=20, item=2), Row(g=20, item=3)]
+    edges = graph.cooccurrence_edges(spark.createDataFrame(rows), "g", "item")
+    lazy = {r.node: r.pagerank
+            for r in graph.pagerank(edges, iters=6, persist_edges=False).collect()}
+    mat = graph.pagerank(edges, iters=6, persist_edges=True)
+    got = {r.node: r.pagerank for r in mat.collect()}
+    assert got == lazy
+    # eager checkpoint → constant-size plan, no per-iteration lineage
+    plan = mat._jdf.queryExecution().toString()
+    assert "Scan ExistingRDD" in plan and "Join" not in plan
+
+
 def test_adx_bounds_and_monotone_trend(spark):
     """DI/ADX stay in [0,100]; a strictly trending series drives DI+ to
     dominate DI− (directional movement all upward)."""

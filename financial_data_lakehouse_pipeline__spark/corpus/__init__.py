@@ -87,6 +87,7 @@ def _load() -> None:
         lake,
         mlprep,
         relational,
+        sketches_q,
         textdocs,
         vectors,
         windows_q,

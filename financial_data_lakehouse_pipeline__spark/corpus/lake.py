@@ -20,9 +20,13 @@ from financial_data_lakehouse_pipeline__spark.corpus import register, sql_dsum
 from financial_data_lakehouse_pipeline__spark.functions import dsum
 from financial_data_lakehouse_pipeline__spark.operators import cleaning
 from financial_data_lakehouse_pipeline__spark.sources import (
+    read_csv,
     read_json,
+    read_orc,
     read_parquet,
     read_table,
+    write_csv,
+    write_orc,
     write_parquet,
     write_partitioned_parquet,
 )
@@ -249,6 +253,31 @@ def parquet_roundtrip_plain(spark, sf_dir):
     path = os.path.join(_SCRATCH, "roundtrip_plain")
     write_parquet(_revenue_by_flag(spark, sf_dir), path)
     back = read_parquet(spark, path)
+    return back.select("l_returnflag", "l_linestatus", "n_lines", "revenue")
+
+
+@register("orc_roundtrip", _ROUNDTRIP_SQL)
+def orc_roundtrip(spark, sf_dir):
+    """ORC sink → re-scan: the columnar interchange contract holds
+    across formats (sources.write_orc / read_orc) — same values, same
+    types, same pushdown machinery as parquet."""
+    path = os.path.join(_SCRATCH, "roundtrip_orc")
+    write_orc(_revenue_by_flag(spark, sf_dir), path)
+    back = read_orc(spark, path)
+    return back.select("l_returnflag", "l_linestatus", "n_lines", "revenue")
+
+
+@register("csv_roundtrip", _ROUNDTRIP_SQL)
+def csv_roundtrip(spark, sf_dir):
+    """CSV sink → typed re-scan (sources.write_csv / read_csv): the
+    landing-zone contract — types survive only because the reader
+    re-declares the schema explicitly. Doubles round-trip bit-exact
+    (Spark writes shortest-round-trip decimal strings), which is why
+    the revenue hash still matches the oracle."""
+    path = os.path.join(_SCRATCH, "roundtrip_csv")
+    df = _revenue_by_flag(spark, sf_dir)
+    write_csv(df, path)
+    back = read_csv(spark, path, schema=df.schema)
     return back.select("l_returnflag", "l_linestatus", "n_lines", "revenue")
 
 

@@ -1,0 +1,142 @@
+"""Frequency sketches: count-min + heavy hitters (engine extension; the
+reference has no sketch family — SURVEY.md §2.4 covers exact and
+approx-distinct aggregation, and this adds the bounded-memory frequency
+side every 100 TB profiling/DQ pass wants: "which keys are hot, without
+a full-cardinality groupBy state").
+
+Design for oracle portability (the dedup.py md5 discipline): every hash
+is an md5-prefix integer, so DuckDB reproduces the sketch bit-for-bit —
+a *sketch* whose contents are still deterministic, partition-independent
+and differential-testable. Estimates carry the classic CMS guarantee:
+``est >= true`` always, ``est <= true + eps*N`` with prob 1-delta for
+width=ceil(e/eps), depth=ceil(ln(1/delta)).
+
+Scale shape: the sketch build is one explode(depth) + groupBy(d, w) —
+shuffle rows are (tiny int pair, count), and the result is depth*width
+cells regardless of input size. That fixed size is the point: a 100 TB
+key column reduces to a table that broadcasts anywhere, while the exact
+groupBy it replaces carries full key cardinality through the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key: Column, seed: int, width: int) -> Column:
+    """Row hash d_seed(key) ∈ [0, width): 28-bit md5-prefix integer of
+    "seed|key" — the universal-hash trick shared with dedup.minhash."""
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), key.cast("string")))
+    return F.conv(F.substring(h, 1, 7), 16, 10).cast("bigint") % F.lit(width)
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build a count-min sketch of ``key_col``: one (d, w, cnt) row per
+    non-empty cell. NULL keys are skipped (they are not a frequency
+    class). Empty cells are implicit zeros — readers coalesce.
+
+    One narrow projection + explode(depth) + one groupBy on (d, w):
+    map-side partial aggregation collapses almost everything before the
+    shuffle, and the shuffled payload is two small ints + a count.
+    """
+    key = F.col(key_col)
+    cells = df.filter(key.isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("d"),
+                        _bucket(key, d, width).alias("w"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        cells.select(F.col("c.d").alias("d"), F.col("c.w").alias("w"))
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: est_cnt =
+    min over the key's depth cells (missing cell → 0).
+
+    The sketch side is depth*width rows at most — it BROADCASTS, so
+    probing any number of keys is a map-side join, no shuffle on the
+    probe side.
+    """
+    key = F.col(key_col)
+    probes = keys.select(
+        key.alias(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("d"),
+                        _bucket(key, d, width).alias("w"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, F.col("c.d").alias("d"), F.col("c.w").alias("w"))
+    joined = probes.join(F.broadcast(sketch), ["d", "w"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce("cnt", F.lit(0).cast("bigint"))).alias("est_cnt")
+    )
+
+
+def heavy_hitters_exact(
+    df: DataFrame, key_col: str, min_count: int
+) -> DataFrame:
+    """Exact heavy hitters: keys with >= min_count occurrences — the
+    full-cardinality groupBy baseline the sketch path is verified
+    against. Output: (key, cnt)."""
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Sketch-pruned heavy hitters with exact verification — the same
+    candidates-then-verify shape as LSH dedup: the CMS overestimates,
+    so filtering candidates on ``est_cnt >= min_count`` has NO false
+    negatives; the exact count then removes collision-inflated false
+    positives. The expensive full groupBy runs only over rows whose key
+    survived the sketch filter (semi-join), so its shuffle carries the
+    hot tail, not the full key cardinality.
+
+    Output: (key, est_cnt, cnt) for keys with exact cnt >= min_count.
+    """
+    sketch = count_min_sketch(df, key_col, depth, width)
+    distinct_keys = df.filter(F.col(key_col).isNotNull()).select(key_col).distinct()
+    cand = cms_estimate(sketch, distinct_keys, key_col, depth, width).filter(
+        F.col("est_cnt") >= min_count
+    )
+    hot_rows = df.join(F.broadcast(cand.select(key_col)), key_col, "left_semi")
+    exact = heavy_hitters_exact(hot_rows, key_col, min_count)
+    return cand.join(exact, key_col).select(key_col, "est_cnt", "cnt")

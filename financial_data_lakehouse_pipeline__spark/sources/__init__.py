@@ -1,11 +1,15 @@
 from financial_data_lakehouse_pipeline__spark.sources.readers import (
     TABLES,
     normalize_event_ts,
+    read_csv,
     read_json,
+    read_orc,
     read_parquet,
     read_table,
 )
 from financial_data_lakehouse_pipeline__spark.sources.writers import (
+    write_csv,
+    write_orc,
     write_parquet,
     write_partitioned_parquet,
 )
@@ -14,9 +18,13 @@ from financial_data_lakehouse_pipeline__spark.sources.catalog import register_vi
 __all__ = [
     "TABLES",
     "normalize_event_ts",
+    "read_csv",
     "read_json",
+    "read_orc",
     "read_parquet",
     "read_table",
+    "write_csv",
+    "write_orc",
     "write_parquet",
     "write_partitioned_parquet",
     "register_views",

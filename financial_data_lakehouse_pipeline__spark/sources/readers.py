@@ -38,6 +38,38 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan. Same columnar pushdown/pruning contract as parquet
+    (predicate pushdown, column pruning, vectorized read are all native
+    Spark) — the interchange format choice is a config concern, not an
+    engine one."""
+    tune_runtime(spark)
+    return spark.read.orc(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan with an explicit schema (the production contract —
+    inference costs an extra pass AND silently widens types; the
+    landing-zone pattern is CSV in, typed columnar out, see
+    write_parquet). Pushdown note: CSV supports column pruning but not
+    predicate pushdown to the scan — another reason it is a landing
+    format, never the query format.
+    """
+    tune_runtime(spark)
+    reader = spark.read.option("header", str(header).lower()).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
 def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
     """JSON scan, schema-on-read (reference data_cleaning.py:45).
 

@@ -68,6 +68,27 @@ def write_bucketed_table(
     w.format("parquet").saveAsTable(name)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — columnar interchange for ORC-native downstream stacks
+    (Hive/Trino); same layout guidance as write_parquet."""
+    df.write.mode(mode).orc(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    sep: str = ",",
+) -> None:
+    """CSV sink — serving-layer exports for spreadsheet/legacy consumers
+    only: no column statistics, no pushdown, strings all the way down.
+    Types must be re-declared on read (read_csv(schema=...))."""
+    df.write.mode(mode).option("header", str(header).lower()).option(
+        "sep", sep
+    ).csv(path)
+
+
 def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options) -> None:
     """JDBC serving-layer sink (reference declares but never implements it:
     SURVEY.md §2.1 S7; postgresql_schemas.sql targets, config.py:80-82)."""

@@ -1139,6 +1139,50 @@ def test_pagerank_directed_keeps_sink_sources(spark):
     assert got[1].pagerank == (1.0 - 0.85) / 1.0  # ...but 1 survives at baseline
 
 
+def test_cms_overestimate_guarantee_and_mass(spark, sf_dir):
+    """Count-min invariants on real data: every per-depth row of the
+    sketch sums to the total row count (mass conservation), and the
+    point estimate never undercounts any key (est >= exact, the
+    guarantee that makes sketch-pruned heavy hitters lossless)."""
+    from financial_data_lakehouse_pipeline__spark.operators import sketches
+    from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    n = ev.filter(F.col("user_id").isNotNull()).count()
+    sk = sketches.count_min_sketch(ev, "user_id", depth=4, width=64)
+    per_depth = {r.d: r.total for r in sk.groupBy("d").agg(
+        F.sum("cnt").alias("total")).collect()}
+    assert per_depth == {0: n, 1: n, 2: n, 3: n}
+
+    exact = {r.user_id: r.cnt
+             for r in sketches.heavy_hitters_exact(ev, "user_id", 0).collect()}
+    keys = ev.select("user_id").distinct()
+    est = {r.user_id: r.est_cnt
+           for r in sketches.cms_estimate(sk, keys, "user_id", 4, 64).collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+
+
+def test_cms_heavy_hitters_matches_exact_set(spark, sf_dir):
+    """Sketch-pruned + exact-verified heavy hitters return EXACTLY the
+    exact-groupBy heavy-hitter set (the sketch only prunes, never
+    decides), with true counts."""
+    from financial_data_lakehouse_pipeline__spark.operators import sketches
+    from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    want = {(r.user_id, r.cnt)
+            for r in sketches.heavy_hitters_exact(ev, "user_id", 80).collect()}
+    got = {(r.user_id, r.cnt)
+           for r in sketches.cms_heavy_hitters(ev, "user_id", 80, width=32).collect()}
+    assert got == want  # tight width → collisions → still exact output
+    est_ge = all(
+        r.est_cnt >= r.cnt
+        for r in sketches.cms_heavy_hitters(ev, "user_id", 80, width=32).collect()
+    )
+    assert est_ge
+
+
 def test_pagerank_persist_path_matches_recompute(spark):
     """persist_edges=True (the iters>4 auto-path) must be bit-identical
     to the lazy recompute path — quantized-integer sums make the result

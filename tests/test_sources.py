@@ -196,3 +196,38 @@ def test_parquet_column_stats_match_pyarrow(spark, sf_dir):
             cur[0] += col.total_compressed_size
             cur[1] += col.total_uncompressed_size
     assert got == {k: tuple(v) for k, v in expect.items()}
+
+
+def test_csv_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
+    """CSV (typed re-read) and ORC sinks round-trip values AND dtypes:
+    the landing-zone / interchange contract. CSV nulls and doubles
+    survive because the reader re-declares the schema and Spark writes
+    shortest-round-trip decimal strings."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.sources import (
+        read_csv,
+        read_orc,
+        write_csv,
+        write_orc,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(k="a", n=1, x=0.1 + 0.2, s="hey,comma"),
+            Row(k="b", n=None, x=-1.5e-17, s=None),
+        ]
+    )
+    orc_path = str(tmp_path / "orc")
+    write_orc(df, orc_path)
+    back = read_orc(spark, orc_path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    csv_path = str(tmp_path / "csv")
+    write_csv(df, csv_path)
+    back = read_csv(spark, csv_path, schema=df.schema)
+    assert back.schema == df.schema
+    assert sorted(
+        map(tuple, back.collect()), key=str
+    ) == sorted(map(tuple, df.collect()), key=str)

@@ -313,6 +313,90 @@ def kmeans_embeddings(spark, sf_dir):
     return similarity.kmeans(emb, k=8, iters=2, dim=64)
 
 
+def _pq_sql(m: int = 4, k: int = 8, iters: int = 1, dim: int = 64, topk: int = 10) -> str:
+    """Unrolled product quantization: per subspace, the same Lloyd
+    recurrence as _kmeans_sql on the coordinate slice; then encode
+    (argmin over the final codebook), an ADC distance table for the
+    query (vec_id 0), and the table-lookup top-k — mirrors
+    similarity.pq_train / pq_encode / pq_adc_topk term for term,
+    including the left-to-right addition order of the m lookup terms."""
+    sub = dim // m
+    parts = [
+        "v AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+    ]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(f"v_{s} AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM v)")
+        parts.append(
+            f"c0_{s} AS (SELECT CAST(vec_id AS INT) AS cid, sv AS c "
+            f"FROM v_{s} WHERE vec_id < {k})"
+        )
+        for t in range(iters):
+            parts.append(
+                f"a{t}_{s} AS (SELECT vec_id, sv, cid FROM ("
+                f"SELECT w.vec_id, w.sv, c.cid, {_dist2_sql('w.sv', 'c.c')} AS d "
+                f"FROM v_{s} w, c{t}_{s} c) "
+                f"QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id "
+                f"ORDER BY d, cid) = 1)"
+            )
+            parts.append(
+                f"c{t + 1}_{s} AS (SELECT cid, list(cc ORDER BY i) AS c FROM ("
+                f"SELECT cid, i, {_CMEAN} AS cc "
+                f"FROM (SELECT cid, unnest(sv) AS x, "
+                f"unnest(range(1, len(sv) + 1)) AS i FROM a{t}_{s}) "
+                f"GROUP BY cid, i) GROUP BY cid)"
+            )
+        parts.append(
+            f"e_{s} AS (SELECT vec_id, cid AS code FROM ("
+            f"SELECT w.vec_id, c.cid, {_dist2_sql('w.sv', 'c.c')} AS d "
+            f"FROM v_{s} w, c{iters}_{s} c) "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id "
+            f"ORDER BY d, cid) = 1)"
+        )
+        parts.append(f"q_{s} AS (SELECT sv FROM v_{s} WHERE vec_id = 0)")
+        parts.append(
+            f"t_{s} AS (SELECT c.cid, {_dist2_sql('q.sv', 'c.c')} AS d "
+            f"FROM c{iters}_{s} c, q_{s} q)"
+        )
+    enc_joins = " ".join(
+        f"JOIN e_{s} ON e_{s}.vec_id = v.vec_id" for s in range(m)
+    )
+    t_joins = " ".join(f"JOIN t_{s} ON t_{s}.cid = e_{s}.code" for s in range(m))
+    codes_list = ", ".join(f"e_{s}.code" for s in range(m))
+    dist_sum = " + ".join(f"t_{s}.d" for s in range(m))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT v.vec_id, [{codes_list}] AS codes, {dist_sum} AS adc_dist
+        FROM v {enc_joins} {t_joins}
+        ORDER BY adc_dist, v.vec_id LIMIT {topk}"""
+    )
+
+
+@register("pq_adc_topk_embeddings", _pq_sql(m=4, k=8, iters=1, dim=64, topk=10))
+def pq_adc_topk_embeddings(spark, sf_dir):
+    """Product quantization end to end (operators/similarity.pq_train /
+    pq_encode / pq_adc_topk): m=4 per-subspace Lloyd codebooks, vectors
+    compressed to 4 small ints, and asymmetric-distance top-10 for the
+    query vector (vec_id 0) via a literal m×k lookup table — scoring is
+    element_at + 3 additions per row inside codegen, no float reads at
+    query time. Every codebook coordinate, code, and ADC distance is
+    bit-identical cross-engine (quantized-integer means + sequential
+    folds), so even the compressed index is oracle-hashable."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb, m=4, k=8, iters=1, dim=64)
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").take(1)
+    if not qrow or any(not b for b in books):
+        return spark.createDataFrame(
+            [], "vec_id bigint, codes array<int>, adc_dist double"
+        )
+    codes = similarity.pq_encode(emb, books, dim=64)
+    query = [float(x) for x in qrow[0][0]]
+    return similarity.pq_adc_topk(codes, books, query, topk=10)
+
+
 @register(
     "semantic_dedup_embeddings",
     f"""WITH s AS (

@@ -324,3 +324,66 @@ def test_knn_accuracy_beats_chance(spark, sf_dir):
     acc = out.agg(F.avg("correct")).first()[0]
     n_labels = emb.select("label").distinct().count()
     assert acc > 1.0 / n_labels
+
+
+def test_pq_encode_codes_and_adc_vs_numpy(spark, sf_dir):
+    """PQ pipeline vs a numpy re-implementation on real embeddings:
+    codes match per-subspace argmin against the trained codebooks, and
+    ADC distances equal the per-subspace lookup sums (same float path)."""
+    emb = read_table(spark, sf_dir, "embeddings").limit(60)
+    m, k, dim = 4, 8, 64
+    sub = dim // m
+    books = similarity.pq_train(emb, m=m, k=k, iters=1, dim=dim)
+    assert len(books) == m and all(1 <= len(b) <= k for b in books)
+
+    rows = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    codes = {r.vec_id: list(r.codes)
+             for r in similarity.pq_encode(emb, books, dim=dim).collect()}
+    for vid, vec in rows.items():
+        for s, book in enumerate(books):
+            sv = vec[s * sub:(s + 1) * sub]
+            d = {cid: float(((sv - np.asarray(c)) ** 2).sum())
+                 for cid, c in book}
+            best = min(d, key=lambda cid: (d[cid], cid))
+            assert codes[vid][s] == best, (vid, s)
+
+    query = [float(x) for x in rows[min(rows)]]
+    got = similarity.pq_adc_topk(
+        similarity.pq_encode(emb, books, dim=dim), books, query, topk=5
+    ).collect()
+    assert len(got) == 5
+    # ascending, ties broken by id; distances are plain lookup sums
+    dists = [r.adc_dist for r in got]
+    assert dists == sorted(dists)
+    for r in got:
+        expect = 0.0
+        for s, book in enumerate(books):
+            qs = np.asarray(query[s * sub:(s + 1) * sub])
+            c = dict(book)[r.codes[s]]
+            acc = 0.0
+            for a, b in zip(qs, c):
+                acc += (a - b) * (a - b)
+            expect += acc
+        assert r.adc_dist == pytest.approx(expect, abs=0.0, rel=1e-12)
+
+
+def test_pq_adc_recall_against_brute_force(spark, sf_dir):
+    """Compressed-domain top-10 must substantially agree with exact L2
+    top-10 (the PQ fidelity sanity: m=4, k=8 on 64-dim is coarse, so
+    demand overlap, not identity)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb, m=4, k=8, iters=1, dim=64)
+    query = [float(x)
+             for x in emb.filter(F.col("vec_id") == 0).take(1)[0].embedding]
+    pq_ids = {r.vec_id for r in similarity.pq_adc_topk(
+        similarity.pq_encode(emb, books, dim=64), books, query, topk=10
+    ).collect()}
+
+    qarr = np.asarray(query)
+    exact = sorted(
+        ((float(((np.asarray(r.embedding, dtype=np.float64) - qarr) ** 2).sum()),
+          r.vec_id) for r in emb.collect()),
+    )[:10]
+    exact_ids = {vid for _, vid in exact}
+    assert len(pq_ids & exact_ids) >= 3  # coarse codes, honest bar

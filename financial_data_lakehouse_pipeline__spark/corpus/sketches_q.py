@@ -84,3 +84,25 @@ def cms_heavy_users(spark, sf_dir):
     return sketches.cms_heavy_hitters(
         ev, "user_id", min_count=80, depth=_DEPTH, width=_WIDTH
     )
+
+
+@register(
+    "streaming_cms_users",
+    f"WITH {_CELLS} SELECT d, w, cnt FROM sketch",
+)
+def streaming_cms_users(spark, sf_dir):
+    """Streaming count-min sketch driven to completion
+    (streaming/sketch_stream): cell counts are linearly mergeable, so
+    the incremental aggregation equals the batch sketch exactly — same
+    oracle as cms_sketch_users. State is depth×width counters, bounded
+    forever (the streaming story exact per-key counting can't tell)."""
+    import os
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = st.stream_from_parquet_dir(
+        spark, sf_dir, raw_schema, glob="events.parquet"
+    )
+    sk = st.sketch_stream(stream, "user_id", depth=_DEPTH, width=_WIDTH)
+    return st.run_available_now(sk, "corpus_streaming_cms_users")

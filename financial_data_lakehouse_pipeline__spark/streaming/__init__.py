@@ -173,6 +173,32 @@ def enrich_stream(
     return stream.join(F.broadcast(dim), on, how)
 
 
+def sketch_stream(
+    stream: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Streaming count-min sketch: the batch sketch build
+    (operators/sketches.count_min_sketch) applied to a stream — explode
+    each key into its depth cells, then an unbounded groupBy(d, w)
+    count in complete mode.
+
+    This works BECAUSE the sketch is linearly mergeable: cell counts
+    add, so the incremental aggregation state after any prefix of
+    batches equals the batch sketch of that prefix — streamed-to-
+    completion output is bit-identical to the batch build (pinned in
+    tests and by sharing the batch oracle). The state is depth×width
+    counters — BOUNDED no matter how many rows or distinct keys flow
+    through, which is the whole point of sketching a stream: an exact
+    streaming groupBy(key) would grow state with key cardinality
+    forever (or need a watermark it can't have for all-time totals).
+    """
+    from financial_data_lakehouse_pipeline__spark.operators import sketches
+
+    return sketches.count_min_sketch(stream, key_col, depth=depth, width=width)
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

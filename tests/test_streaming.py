@@ -307,3 +307,39 @@ def test_upsert_sink_multi_batch_versions(spark, tmp_path):
     # time travel: version 0 is the committed state after batch 1
     v0 = {r.k: r.v for r in st.read_upsert_state(spark, state, version=0).collect()}
     assert v0 == {1: "a2", 2: "b1"}
+
+
+def test_streaming_cms_multi_batch_equals_batch(spark, tmp_path):
+    """Sketch mergeability across micro-batches: feed rows in 2 separate
+    files (maxFilesPerTrigger=1 → 2 batches) and the final streaming
+    sketch must equal the batch sketch of the full input — cell counts
+    add, so incremental state composes exactly."""
+    import os
+
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+    from financial_data_lakehouse_pipeline__spark.operators import sketches
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    rows1 = [Row(user_id=i % 7, x=i) for i in range(50)]
+    rows2 = [Row(user_id=(3 * i) % 11, x=i) for i in range(70)]
+    spark.createDataFrame(rows1).coalesce(1).write.parquet(feed + "/b1")
+    spark.createDataFrame(rows2).coalesce(1).write.parquet(feed + "/b2")
+
+    batch = spark.read.parquet(feed + "/b1", feed + "/b2")
+    want = {(r.d, r.w): r.cnt for r in sketches.count_min_sketch(
+        batch, "user_id", depth=3, width=16).collect()}
+
+    schema = batch.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed)
+    )
+    sk = st.sketch_stream(stream, "user_id", depth=3, width=16)
+    got_df = st.run_available_now(sk, "t_streaming_cms")
+    got = {(r.d, r.w): r.cnt for r in got_df.collect()}
+    assert got == want

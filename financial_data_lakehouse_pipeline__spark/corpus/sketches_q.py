@@ -106,3 +106,66 @@ def streaming_cms_users(spark, sf_dir):
     )
     sk = st.sketch_stream(stream, "user_id", depth=_DEPTH, width=_WIDTH)
     return st.run_available_now(sk, "corpus_streaming_cms_users")
+
+
+_HLO, _HHI, _HBINS = 0.0, 500000.0, 64
+_HW = (_HHI - _HLO) / _HBINS  # 7812.5 — exact in binary, identical literal
+
+#: equi-width bin id with edge clamping; FLOOR before CAST (DuckDB CAST
+#: rounds, so the cast must see an integral double)
+_HBIN = (
+    f"CAST(LEAST({_HBINS - 1}, GREATEST(0, "
+    f"CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - {_HLO!r}e0) / {_HW!r}e0) "
+    f"AS INT))) AS INT)"
+)
+
+
+@register(
+    "hist_order_totals",
+    f"""SELECT {_HBIN} AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1""",
+)
+def hist_order_totals(spark, sf_dir):
+    """Equi-width histogram sketch of order totals
+    (operators/sketches.histogram_sketch): 64 mergeable bin counters —
+    the bounded-state alternative to a full sort when one binwidth of
+    error is acceptable."""
+    orders = read_table(spark, sf_dir, "orders")
+    return sketches.histogram_sketch(
+        orders, "o_totalprice", lo=_HLO, hi=_HHI, bins=_HBINS
+    )
+
+
+@register(
+    "hist_quantiles_order_totals",
+    f"""WITH h AS (
+          SELECT {_HBIN} AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+        ),
+        cum AS (
+          SELECT bin, SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                 AS cum
+          FROM h
+        ),
+        n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+        qs AS (SELECT unnest([0.5e0, 0.9e0, 0.99e0]) AS q),
+        sel AS (
+          SELECT q, MIN(bin) AS bin
+          FROM cum, n, qs
+          WHERE cum >= CEIL(q * n)
+          GROUP BY q
+        )
+        SELECT q, {_HLO!r}e0 + (bin + 1) * {_HW!r}e0 AS est FROM sel""",
+)
+def hist_quantiles_order_totals(spark, sf_dir):
+    """p50/p90/p99 estimates from the 64-bin histogram sketch
+    (operators/sketches.quantiles_from_histogram): the cumulative window
+    runs over the sketch (<= 64 rows), never the data — error bounded by
+    one binwidth, pinned against exact percentiles in pytest."""
+    orders = read_table(spark, sf_dir, "orders")
+    h = sketches.histogram_sketch(
+        orders, "o_totalprice", lo=_HLO, hi=_HHI, bins=_HBINS
+    )
+    return sketches.quantiles_from_histogram(
+        h, lo=_HLO, hi=_HHI, bins=_HBINS, qs=[0.5, 0.9, 0.99]
+    )

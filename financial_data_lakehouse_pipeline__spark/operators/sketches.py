@@ -140,3 +140,75 @@ def cms_heavy_hitters(
     hot_rows = df.join(F.broadcast(cand.select(key_col)), key_col, "left_semi")
     exact = heavy_hitters_exact(hot_rows, key_col, min_count)
     return cand.join(exact, key_col).select(key_col, "est_cnt", "cnt")
+
+
+# ---- Equi-width histogram sketch (the quantile-side companion) --------
+
+def histogram_sketch(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+) -> DataFrame:
+    """Equi-width histogram over a known value range: (bin, cnt) with
+    bin = clamp(floor((x - lo) / binwidth), 0, bins-1); NULLs skipped,
+    out-of-range values clamp into the edge bins.
+
+    Like the count-min sketch, this is a LINEARLY MERGEABLE fixed-size
+    summary (bin counts add) — safe for partial aggregation, multi-day
+    rollup, or an unbounded streaming groupBy with `bins` rows of state.
+    The exact-percentile path (aggregates.percentile_disc) shuffles a
+    full sort per group; this shuffles `bins` integers, trading one
+    binwidth of error for scale-independence.
+    """
+    width = (hi - lo) / bins  # driver-computed literal: identical in SQL
+    x = F.col(col).cast("double")
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((x - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    return (
+        df.filter(x.isNotNull())
+        .select(b.cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    lo: float,
+    hi: float,
+    bins: int,
+    qs: list[float],
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each q, the upper
+    edge of the first bin whose cumulative count reaches ceil(q·N).
+    Error is bounded by one binwidth — the estimate never leaves the
+    crossing bin.
+
+    The cumulative window runs over at most ``bins`` rows (the sketch,
+    not the data), so the unpartitioned sort is O(bins) — the whole
+    point of sketch-then-query. Output: (q, est), one row per requested
+    quantile.
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    n = hist.agg(F.sum("cnt").cast("bigint").alias("__n"))
+    spark = hist.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    crossed = (
+        cum.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("__n")))
+        .groupBy("q")
+        .agg(F.min("bin").alias("__bin"))
+    )
+    return crossed.select(
+        "q",
+        (F.lit(lo) + (F.col("__bin") + F.lit(1)) * F.lit(width)).alias("est"),
+    )

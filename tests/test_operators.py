@@ -1183,6 +1183,47 @@ def test_cms_heavy_hitters_matches_exact_set(spark, sf_dir):
     assert est_ge
 
 
+def test_histogram_quantiles_within_one_binwidth(spark, sf_dir):
+    """Histogram-sketch quantile estimates vs exact order statistics:
+    the estimate is the crossing bin's upper edge, so it can exceed the
+    exact quantile by at most one binwidth and never undershoot it."""
+    from financial_data_lakehouse_pipeline__spark.operators import sketches
+    from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+    lo, hi, bins = 0.0, 500000.0, 64
+    width = (hi - lo) / bins
+    orders = read_table(spark, sf_dir, "orders")
+    h = sketches.histogram_sketch(orders, "o_totalprice", lo, hi, bins)
+    est = {r.q: r.est for r in
+           sketches.quantiles_from_histogram(h, lo, hi, bins, [0.5, 0.9, 0.99]).collect()}
+
+    import math
+
+    vals = sorted(r.o_totalprice for r in orders.select("o_totalprice").collect())
+    for q in (0.5, 0.9, 0.99):
+        exact = vals[max(0, math.ceil(q * len(vals)) - 1)]
+        assert exact <= est[q] <= exact + width, (q, exact, est[q])
+
+
+def test_histogram_sketch_merges_linearly(spark, sf_dir):
+    """Bin counts from two disjoint halves sum to the full sketch —
+    the mergeability that makes the sketch partial-agg/rollup-safe."""
+    from financial_data_lakehouse_pipeline__spark.operators import sketches
+    from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b = orders.filter(F.col("o_orderkey") % 2 == 1)
+
+    def cells(df):
+        return {r.bin: r.cnt for r in sketches.histogram_sketch(
+            df, "o_totalprice", 0.0, 500000.0, 16).collect()}
+
+    full, ca, cb = cells(orders), cells(a), cells(b)
+    merged = {k: ca.get(k, 0) + cb.get(k, 0) for k in set(ca) | set(cb)}
+    assert merged == full
+
+
 def test_pagerank_persist_path_matches_recompute(spark):
     """persist_edges=True (the iters>4 auto-path) must be bit-identical
     to the lazy recompute path — quantized-integer sums make the result

@@ -375,6 +375,151 @@ def _pq_sql(m: int = 4, k: int = 8, iters: int = 1, dim: int = 64, topk: int = 1
     )
 
 
+def _ivfpq_sql(
+    coarse_k: int = 4,
+    coarse_iters: int = 1,
+    m: int = 4,
+    k: int = 8,
+    pq_iters: int = 1,
+    dim: int = 64,
+    nprobe: int = 2,
+    topk: int = 10,
+) -> str:
+    """Unrolled residual IVF-PQ — mirrors similarity.ivfpq_index /
+    ivfpq_topk term for term: coarse Lloyd cells, residual subtraction,
+    per-subspace residual codebooks, the query's per-cell ADC tables,
+    and the probed-cell top-k. Same tie rules everywhere (d then cid;
+    adc then vec_id); same left-to-right float addition order."""
+    sub = dim // m
+    parts = [
+        "v AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c "
+        f"FROM v WHERE vec_id < {coarse_k})",
+    ]
+    for t in range(coarse_iters):
+        parts.append(
+            f"a{t} AS (SELECT vec_id, v, cid FROM ("
+            f"SELECT w.vec_id, w.v, c.cid, {_dist2_sql('w.v', 'c.c')} AS d "
+            f"FROM v w, c{t} c) "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id "
+            f"ORDER BY d, cid) = 1)"
+        )
+        parts.append(
+            f"c{t + 1} AS (SELECT cid, list(cc ORDER BY i) AS c FROM ("
+            f"SELECT cid, i, {_CMEAN} AS cc "
+            f"FROM (SELECT cid, unnest(v) AS x, "
+            f"unnest(range(1, len(v) + 1)) AS i FROM a{t}) "
+            f"GROUP BY cid, i) GROUP BY cid)"
+        )
+    cf = f"c{coarse_iters}"
+    parts.append(
+        f"af AS (SELECT vec_id, v, cid FROM ("
+        f"SELECT w.vec_id, w.v, c.cid, {_dist2_sql('w.v', 'c.c')} AS d "
+        f"FROM v w, {cf} c) "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1)"
+    )
+    parts.append(
+        "r AS (SELECT af.vec_id, af.cid AS cluster, "
+        "list_transform(list_zip(af.v, c.c), "
+        "x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS rv "
+        f"FROM af JOIN {cf} c ON c.cid = af.cid)"
+    )
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f"r_{s} AS (SELECT vec_id, cluster, rv[{lo}:{hi}] AS sv FROM r)"
+        )
+        parts.append(
+            f"pc0_{s} AS (SELECT CAST(vec_id AS INT) AS cid, sv AS c "
+            f"FROM r_{s} WHERE vec_id < {k})"
+        )
+        for t in range(pq_iters):
+            parts.append(
+                f"pa{t}_{s} AS (SELECT vec_id, sv, cid FROM ("
+                f"SELECT w.vec_id, w.sv, c.cid, {_dist2_sql('w.sv', 'c.c')} AS d "
+                f"FROM r_{s} w, pc{t}_{s} c) "
+                f"QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id "
+                f"ORDER BY d, cid) = 1)"
+            )
+            parts.append(
+                f"pc{t + 1}_{s} AS (SELECT cid, list(cc ORDER BY i) AS c FROM ("
+                f"SELECT cid, i, {_CMEAN} AS cc "
+                f"FROM (SELECT cid, unnest(sv) AS x, "
+                f"unnest(range(1, len(sv) + 1)) AS i FROM pa{t}_{s}) "
+                f"GROUP BY cid, i) GROUP BY cid)"
+            )
+        parts.append(
+            f"e_{s} AS (SELECT vec_id, cid AS code FROM ("
+            f"SELECT w.vec_id, c.cid, {_dist2_sql('w.sv', 'c.c')} AS d "
+            f"FROM r_{s} w, pc{pq_iters}_{s} c) "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id "
+            f"ORDER BY d, cid) = 1)"
+        )
+    parts.append("q AS (SELECT v FROM v WHERE vec_id = 0)")
+    parts.append(
+        f"qcells AS (SELECT cid, c FROM ("
+        f"SELECT c.cid, c.c, {_dist2_sql('q.v', 'c.c')} AS d FROM {cf} c, q) "
+        f"QUALIFY ROW_NUMBER() OVER (ORDER BY d, cid) <= {nprobe})"
+    )
+    parts.append(
+        "qr AS (SELECT qc.cid AS cell, "
+        "list_transform(list_zip(q.v, qc.c), "
+        "x -> CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) AS qr "
+        "FROM qcells qc, q)"
+    )
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f"t_{s} AS (SELECT qr.cell, cb.cid AS code, "
+            f"{_dist2_sql(f'qr.qr[{lo}:{hi}]', 'cb.c')} AS d "
+            f"FROM qr, pc{pq_iters}_{s} cb)"
+        )
+    enc_joins = " ".join(f"JOIN e_{s} ON e_{s}.vec_id = r.vec_id" for s in range(m))
+    t_joins = " ".join(
+        f"JOIN t_{s} ON t_{s}.cell = r.cluster AND t_{s}.code = e_{s}.code"
+        for s in range(m)
+    )
+    codes_list = ", ".join(f"e_{s}.code" for s in range(m))
+    dist_sum = " + ".join(f"t_{s}.d" for s in range(m))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT r.vec_id, r.cluster, [{codes_list}] AS codes,
+               {dist_sum} AS adc_dist
+        FROM r {enc_joins} {t_joins}
+        ORDER BY adc_dist, r.vec_id LIMIT {topk}"""
+    )
+
+
+@register(
+    "ivfpq_topk_embeddings",
+    _ivfpq_sql(coarse_k=4, coarse_iters=1, m=4, k=8, pq_iters=1, dim=64,
+               nprobe=2, topk=10),
+)
+def ivfpq_topk_embeddings(spark, sf_dir):
+    """Residual IVF-PQ end to end (operators/similarity.ivfpq_index /
+    ivfpq_topk): 4-cell coarse quantizer, residual product quantization
+    (4 subspaces × 8 codes), and nprobe=2 top-10 for the query vector
+    (vec_id 0) with per-cell ADC tables. The probed-cell filter is the
+    IVF pruning (partition-prunable when the index is laid out by
+    cluster); scoring is table lookups in codegen. Every centroid,
+    residual, code, and distance hash-matches the unrolled oracle
+    bit-for-bit."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").take(1)
+    index, cents, books = similarity.ivfpq_index(
+        emb, coarse_k=4, coarse_iters=1, m=4, k=8, pq_iters=1, dim=64
+    )
+    if not qrow or not cents or any(not b for b in books):
+        return spark.createDataFrame(
+            [], "vec_id bigint, cluster int, codes array<int>, adc_dist double"
+        )
+    query = [float(x) for x in qrow[0][0]]
+    return similarity.ivfpq_topk(index, cents, books, query, nprobe=2, topk=10)
+
+
 @register("pq_adc_topk_embeddings", _pq_sql(m=4, k=8, iters=1, dim=64, topk=10))
 def pq_adc_topk_embeddings(spark, sf_dir):
     """Product quantization end to end (operators/similarity.pq_train /

@@ -782,3 +782,122 @@ def pq_adc_topk(
         dist = dist + t
     scored = codes.select(id_col, "codes", dist.alias("adc_dist"))
     return scored.orderBy(F.col("adc_dist"), F.col(id_col)).limit(topk)
+
+
+def ivfpq_index(
+    df: DataFrame,
+    coarse_k: int = 4,
+    coarse_iters: int = 1,
+    m: int = 4,
+    k: int = 8,
+    pq_iters: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Build a residual IVF-PQ index (Jégou et al.): a coarse Lloyd
+    quantizer routes each vector to a cell, the RESIDUAL (vector minus
+    its cell centroid) is product-quantized with one shared codebook
+    set — residuals concentrate near the origin, so the same m×k codes
+    capture far more precision than PQ on raw vectors.
+
+    Returns (index_df, coarse_centroids, codebooks):
+      index_df       (id, cluster, codes array<int>) — 4+m bytes/vector
+      coarse_cents   [(cid, coords)] driver-side (k_c × dim doubles)
+      codebooks      m per-subspace codebooks over residuals
+
+    Plan shape: coarse assignment and residual subtraction are literal
+    projections (no shuffle); PQ training is m small Lloyd runs over
+    residual slices. Everything stays deterministic (quantized-integer
+    means, sequential folds) — the full compressed index is
+    oracle-hashable.
+    """
+    cents = lloyd_centroids(
+        df, k=coarse_k, iters=coarse_iters, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    if not cents:
+        empty = df.select(
+            F.col(id_col),
+            F.lit(0).cast("int").alias("cluster"),
+            F.array().cast("array<int>").alias("codes"),
+        ).limit(0)
+        return empty, [], []
+    assigned = kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col)
+    resid = F.lit(None).cast("array<double>")
+    for cid, coords in cents:
+        sub = F.zip_with(
+            F.col("__v"),
+            F.array(*[F.lit(float(x)) for x in coords]),
+            lambda a, b: a - b,
+        )
+        resid = F.when(F.col("cluster") == cid, sub).otherwise(resid)
+    rdf = assigned.select(id_col, "cluster", resid.alias("__r"))
+    books = pq_train(
+        rdf, m=m, k=k, iters=pq_iters, dim=dim, id_col=id_col, vec_col="__r"
+    )
+    codes = pq_encode(rdf, books, dim=dim, id_col=id_col, vec_col="__r")
+    index = rdf.select(id_col, "cluster").join(codes, id_col)
+    return index, cents, books
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    coarse_cents: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    query: list[float],
+    nprobe: int = 2,
+    topk: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query a residual IVF-PQ index: rank cells by coarse distance,
+    probe the ``nprobe`` nearest, and score ONLY their members with
+    per-cell ADC tables built from the query's per-cell residual
+    (q - cell centroid).
+
+    Everything the executor sees is literals and small ints: the cell
+    filter is an isin over cluster ids (partition-prunable if the index
+    is written partitioned by cluster), the distance is element_at
+    lookups + adds in codegen, then TakeOrderedAndProject. Per query the
+    driver does O(k_c·dim + nprobe·m·k·dim/m) float work — microseconds.
+
+    Output: (id, cluster, codes, adc_dist) ascending, ties to smallest id.
+    """
+    m = len(codebooks)
+    sub = len(query) // m
+
+    def fold(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    ranked = sorted(
+        ((fold(query, coords), cid, coords) for cid, coords in coarse_cents),
+    )[:nprobe]
+
+    dist = F.lit(None).cast("double")
+    for _, cell_cid, coords in ranked:
+        qr = [a - b for a, b in zip(query, coords)]
+        terms = []
+        for s, book in enumerate(codebooks):
+            qs = qr[s * sub : (s + 1) * sub]
+            size = max(cid for cid, _ in book) + 1
+            table = [float("inf")] * size
+            for cid, ccoords in book:
+                table[cid] = fold(qs, ccoords)
+            terms.append(
+                F.element_at(
+                    F.array(*[F.lit(x) for x in table]),
+                    F.element_at("codes", s + 1) + F.lit(1),
+                )
+            )
+        cell_dist = terms[0]
+        for t in terms[1:]:
+            cell_dist = cell_dist + t
+        dist = F.when(F.col("cluster") == cell_cid, cell_dist).otherwise(dist)
+
+    probed = index.filter(
+        F.col("cluster").isin([cid for _, cid, _ in ranked])
+    )
+    scored = probed.select(id_col, "cluster", "codes", dist.alias("adc_dist"))
+    return scored.orderBy(F.col("adc_dist"), F.col(id_col)).limit(topk)

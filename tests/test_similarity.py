@@ -387,3 +387,44 @@ def test_pq_adc_recall_against_brute_force(spark, sf_dir):
     )[:10]
     exact_ids = {vid for _, vid in exact}
     assert len(pq_ids & exact_ids) >= 3  # coarse codes, honest bar
+
+
+def test_ivfpq_residual_index_and_probe(spark, sf_dir):
+    """Residual IVF-PQ invariants: every vector lands in a coarse cell,
+    codes come from the residual codebooks (numpy argmin parity on a
+    sample), probed results only come from the nprobe nearest cells,
+    and the query vector itself ranks first (its own residual is the
+    best-quantized vector in its own cell)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    index, cents, books = similarity.ivfpq_index(
+        emb, coarse_k=4, coarse_iters=1, m=4, k=8, pq_iters=1, dim=64
+    )
+    rows = {r.vec_id: r for r in index.collect()}
+    n = emb.count()
+    assert len(rows) == n
+    cmap = dict(cents)
+    assert all(r.cluster in cmap for r in rows.values())
+
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.limit(40).collect()}
+    sub = 64 // 4
+    for vid, vec in vecs.items():
+        cid = rows[vid].cluster
+        # cell is the argmin coarse centroid (ties to smallest cid)
+        d = {c: float(((vec - np.asarray(co)) ** 2).sum()) for c, co in cents}
+        assert cid == min(d, key=lambda c: (d[c], c))
+        resid = vec - np.asarray(cmap[cid])
+        for s, book in enumerate(books):
+            sv = resid[s * sub:(s + 1) * sub]
+            dd = {bc: float(((sv - np.asarray(co)) ** 2).sum())
+                  for bc, co in book}
+            assert rows[vid].codes[s] == min(dd, key=lambda c: (dd[c], c))
+
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).take(1)[0].embedding]
+    got = similarity.ivfpq_topk(index, cents, books, query, nprobe=2, topk=10).collect()
+    qd = {c: sum((a - b) ** 2 for a, b in zip(query, co)) for c, co in cents}
+    probed = set(sorted(qd, key=lambda c: (qd[c], c))[:2])
+    assert {r.cluster for r in got} <= probed
+    assert got[0].vec_id == 0  # self is the best-quantized match
+    dists = [r.adc_dist for r in got]
+    assert dists == sorted(dists)

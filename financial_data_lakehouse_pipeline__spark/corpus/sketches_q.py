@@ -169,3 +169,87 @@ def hist_quantiles_order_totals(spark, sf_dir):
     return sketches.quantiles_from_histogram(
         h, lo=_HLO, hi=_HHI, bins=_HBINS, qs=[0.5, 0.9, 0.99]
     )
+
+
+_HLL_P = 8
+_HLL_M = 2 ** _HLL_P
+_HLL_NBITS = 52 - _HLL_P
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+#: md5-derived HLL registers over orders.o_custkey — 52-bit hash, low p
+#: bits = bucket, rank = lowest-set-bit position of the rest (+1).
+#: Divisions by 2^p are exact in double (52-bit ints), floor(log2(2^k))
+#: is exact on powers of two — every register is deterministic.
+_HLL_SK = f"""
+hsh AS (
+  SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13))
+              AS BIGINT) AS h
+  FROM orders WHERE o_custkey IS NOT NULL
+),
+br AS (
+  SELECT CAST(h % {_HLL_M} AS INT) AS bucket,
+         CAST(FLOOR(h / {_HLL_M}e0) AS BIGINT) AS rest
+  FROM hsh
+),
+rk AS (
+  SELECT bucket,
+         CASE WHEN rest = 0 THEN {_HLL_NBITS + 1}
+              ELSE CAST(FLOOR(log2(CAST((rest & -rest) AS DOUBLE))) AS INT) + 1
+         END AS rank
+  FROM br
+),
+sk AS (
+  SELECT bucket, CAST(MAX(rank) AS INT) AS max_rank FROM rk GROUP BY bucket
+)"""
+
+
+@register(
+    "hll_sketch_custkey",
+    f"WITH {_HLL_SK} SELECT bucket, max_rank FROM sk",
+)
+def hll_sketch_custkey(spark, sf_dir):
+    """HyperLogLog registers over ordering customers
+    (operators/sketches.hll_sketch, p=8): 256 max-rank counters,
+    MAX-mergeable — and, because the hash is md5-derived, the full
+    register state hash-matches plain SQL (Spark's built-in HLL++ state
+    is engine-private; approx_distinct_parts stays rows-only for
+    exactly that reason, this one does not have to)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return sketches.hll_sketch(orders, "o_custkey", p=_HLL_P)
+
+
+@register(
+    "hll_estimate_custkey",
+    f"""WITH {_HLL_SK},
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                 SUM(POWER(2e0, -max_rank)) AS s
+          FROM sk
+        ),
+        e AS (
+          SELECT v,
+                 {_HLL_ALPHA * _HLL_M * _HLL_M!r}e0
+                   / (s + CAST({_HLL_M} - v AS DOUBLE)) AS raw,
+                 {_HLL_M} - v AS zeros
+          FROM agg
+        )
+        SELECT v AS n_buckets_used,
+               ROUND(CASE WHEN raw <= {2.5 * _HLL_M!r}e0 AND zeros > 0
+                          THEN {float(_HLL_M)!r}e0
+                               * LN({float(_HLL_M)!r}e0 / CAST(zeros AS DOUBLE))
+                          ELSE raw END, 6) AS estimate
+        FROM e""",
+)
+def hll_estimate_custkey(spark, sf_dir):
+    """HLL cardinality estimate (operators/sketches.hll_estimate):
+    harmonic mean of the registers with linear-counting correction. The
+    2^-rank harmonic sum is EXACT in double (<= 2^8 multiples of
+    2^-45 — 53 significant bits, no rounding, so no order dependence);
+    only the ln of the small-range branch is inherently floating,
+    hence ROUND 6 (the stddev/corr contract)."""
+    orders = read_table(spark, sf_dir, "orders")
+    sk = sketches.hll_sketch(orders, "o_custkey", p=_HLL_P)
+    est = sketches.hll_estimate(sk, p=_HLL_P)
+    return est.select(
+        "n_buckets_used", F.round("estimate", 6).alias("estimate")
+    )

@@ -212,3 +212,83 @@ def quantiles_from_histogram(
         "q",
         (F.lit(lo) + (F.col("__bin") + F.lit(1)) * F.lit(width)).alias("est"),
     )
+
+
+# ---- HyperLogLog (md5-based, oracle-reproducible) ---------------------
+
+def hll_sketch(
+    df: DataFrame,
+    key_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """HyperLogLog registers over ``key_col``: 2^p rows (bucket,
+    max_rank), md5-derived so the registers are bit-identical in plain
+    SQL — unlike Spark's built-in approx_count_distinct, whose HLL++
+    state is engine-private (that one stays a rows-only check; this one
+    gets a full oracle).
+
+    Hash layout per key: a 52-bit integer from the md5 hex prefix —
+    low ``p`` bits pick the bucket, and the rank is the position of the
+    first set bit scanning the remaining 52-p bits from the low end
+    (+1), i.e. rank = r such that bit r-1 is the lowest set bit of
+    h >> p (52-p+1 if those bits are all zero). floor(log2) expresses
+    it portably: lowest set bit of x = log2(x & -x).
+
+    Mergeability: registers combine by MAX — safe for partial
+    aggregation, multi-day rollup, or streaming complete mode, same as
+    the CMS cells (by SUM) and histogram bins (by SUM). State: 2^p tiny
+    ints regardless of cardinality.
+    """
+    nbits = 52 - p
+    key = F.col(key_col)
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 13), 16, 10).cast(
+        "bigint"
+    )
+    bucket = h % F.lit(2**p)
+    rest = F.floor(h / F.lit(float(2**p))).cast("bigint")
+    # lowest set bit index (0-based) of rest = floor(log2(rest & -rest));
+    # rank is 1-based, and all-zero rest saturates at nbits+1
+    low = rest.bitwiseAND(-rest)
+    rank = F.when(
+        rest == 0, F.lit(nbits + 1)
+    ).otherwise(F.floor(F.log2(low.cast("double"))).cast("int") + F.lit(1))
+    return (
+        df.filter(key.isNotNull())
+        .select(bucket.cast("int").alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").cast("int").alias("max_rank"))
+    )
+
+
+def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
+    """Cardinality estimate from HLL registers: the classic
+    alpha_m · m² / Σ 2^(-rank) harmonic mean, with the small-range
+    linear-counting correction (E <= 2.5m and empty registers present →
+    m·ln(m/V)). Empty registers contribute 2^0 = 1 to the harmonic sum.
+
+    One aggregation over <= 2^p rows; every operation is double
+    arithmetic in a deterministic order (SUM over at most m values of
+    2^-rank is rounding-stable here because ranks repeat from a tiny
+    value set — pinned by the oracle at the corpus scale).
+
+    Output: one row (n_buckets_used, estimate double, est_bigint).
+    """
+    m = 2**p
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # standard constant for p >= 7
+    agg = sketch.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__v"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("__s"),
+    )
+    # empty buckets add 1.0 each to the harmonic sum
+    harm = F.col("__s") + (F.lit(m) - F.col("__v")).cast("double")
+    raw = F.lit(alpha * m * m) / harm
+    zeros = F.lit(m) - F.col("__v")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.col("__v").alias("n_buckets_used"),
+        est.alias("estimate"),
+        F.floor(est + F.lit(0.5)).cast("bigint").alias("est_bigint"),
+    )

@@ -1402,3 +1402,30 @@ def test_debounce_greedy_chain(spark):
     # 0 kept; 200 dropped (<300 after 0); 400 kept (>=300 after 0);
     # 450 dropped (<300 after 400); 710 kept (310 after 400)
     assert kept == [0, 2, 4]
+
+
+def test_hll_accuracy_and_merge(spark, sf_dir):
+    """HLL estimate within the expected error band (sigma = 1.04/sqrt(m)
+    ~ 6.5% at p=8 — allow 3 sigma), and registers merge by MAX: the
+    sketch of a union equals the element-wise max of the halves'
+    sketches."""
+    from financial_data_lakehouse_pipeline__spark.operators import sketches
+    from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    exact = orders.select("o_custkey").distinct().count()
+    sk = sketches.hll_sketch(orders, "o_custkey", p=8)
+    [est] = sketches.hll_estimate(sk, p=8).collect()
+    assert abs(est.estimate - exact) / exact < 0.20
+    assert est.est_bigint == int(est.estimate + 0.5)
+
+    a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b = orders.filter(F.col("o_orderkey") % 2 == 1)
+
+    def regs(df):
+        return {r.bucket: r.max_rank
+                for r in sketches.hll_sketch(df, "o_custkey", p=8).collect()}
+
+    full, ra, rb = regs(orders), regs(a), regs(b)
+    merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
+    assert merged == full

@@ -218,3 +218,42 @@ def test_exact_k_sample_is_heap_based(spark, sf_dir):
     k-heaps, never a global sort of the corpus."""
     p = plans.formatted_plan(_q("exact_k_sample_docs")(spark, sf_dir))
     assert "TakeOrderedAndProject" in p
+
+
+def test_cms_estimate_broadcasts_sketch(spark, sf_dir):
+    """The sketch side of a CMS probe is depth*width rows at most — it
+    must broadcast so probing is map-side (operators/sketches)."""
+    df = _q("cms_heavy_users")(spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+
+
+def test_pq_encode_is_pure_projection(spark, sf_dir):
+    """PQ encoding embeds the codebooks as literals: the plan over the
+    scan must contain NO Exchange and NO Join — the property that lets
+    a 100 TB corpus encode in one pass."""
+    from financial_data_lakehouse_pipeline__spark.operators import similarity
+    from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb, m=4, k=8, iters=1, dim=64)
+    codes = similarity.pq_encode(emb, books, dim=64)
+    p = plans.formatted_plan(codes)
+    assert plans.count_exchanges(codes) == 0
+    assert "Join" not in p
+
+
+def test_hist_quantiles_window_runs_over_sketch_not_data(spark, sf_dir):
+    """The unpartitioned cumulative window in the histogram-quantile
+    plan must sit ABOVE the bin aggregation (<= bins rows), never over
+    the raw table — the sketch-then-query order of operations."""
+    import re
+
+    df = _q("hist_quantiles_order_totals")(spark, sf_dir)
+    p = plans.formatted_plan(df)
+    # formatted-mode operator ids number leaf -> root: the bin
+    # HashAggregate must carry a SMALLER id than every Window operator.
+    ids = {}
+    for num, name in re.findall(r"\((\d+)\)\s+(\w+)", p):
+        ids.setdefault(name, []).append(int(num))
+    assert "Window" in ids and "HashAggregate" in ids
+    assert min(ids["HashAggregate"]) < min(ids["Window"])

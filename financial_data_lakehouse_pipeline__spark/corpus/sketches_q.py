@@ -253,3 +253,62 @@ def hll_estimate_custkey(spark, sf_dir):
     return est.select(
         "n_buckets_used", F.round("estimate", 6).alias("estimate")
     )
+
+
+_NB, _NK = 4096, 3
+
+#: k md5-derived bit positions per key — same 28-bit md5-prefix hash as
+#: the CMS cells, mod num_bits.
+_BLOOM_BITS = f"""
+bbits AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(concat(CAST(i AS VARCHAR), '|',
+                            CAST(o_custkey AS VARCHAR))), 1, 7))
+                       AS BIGINT) % {_NB} AS bit
+  FROM orders, UNNEST(range(0, {_NK})) AS t(i)
+  WHERE o_custkey IS NOT NULL AND o_orderpriority = '1-URGENT'
+)"""
+
+
+@register(
+    "bloom_bits_custkey",
+    f"WITH {_BLOOM_BITS} SELECT bit FROM bbits",
+)
+def bloom_bits_custkey(spark, sf_dir):
+    """Bloom-filter bit set over ordering customers
+    (operators/sketches.bloom_bits): <= num_bits rows, OR-mergeable —
+    the fourth mergeable sketch (CMS/histogram/HLL/Bloom), and like the
+    others its md5-derived contents hash-match plain SQL exactly."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return sketches.bloom_bits(orders, "o_custkey", num_bits=_NB, k=_NK)
+
+
+@register(
+    "bloom_anti_join_customers",
+    # The bloom prune is a pure fast path: the result must EQUAL the
+    # plain anti-join — so the oracle is the plain anti-join.
+    """SELECT c.c_custkey, c.c_name
+       FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')""",
+)
+def bloom_anti_join_customers(spark, sf_dir):
+    """Customers with no URGENT orders via the bloom-pruned exact
+    anti-join (operators/sketches.bloom_pruned_anti_join): keys failing
+    any bloom probe are certainly absent (no false negatives) and skip
+    the join; only the maybe-present tail — true urgent-order customers
+    plus the small false-positive tail — reaches the exact anti-join.
+    The oracle IS the plain anti-join, proving the prune is lossless;
+    the urgent filter keeps both paths populated (~10% of customers
+    have no urgent order)."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_name")
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return sketches.bloom_pruned_anti_join(
+        c, o, "c_custkey", "o_custkey", num_bits=_NB, k=_NK
+    ).select("c_custkey", "c_name")

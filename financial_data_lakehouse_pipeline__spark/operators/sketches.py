@@ -292,3 +292,90 @@ def hll_estimate(sketch: DataFrame, p: int = 8) -> DataFrame:
         est.alias("estimate"),
         F.floor(est + F.lit(0.5)).cast("bigint").alias("est_bigint"),
     )
+
+
+# ---- Bloom filter (md5-based, oracle-reproducible) --------------------
+
+def bloom_bits(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Set-bit positions of a Bloom filter over ``key_col``: one row per
+    DISTINCT set bit (k md5-derived positions per key). OR-mergeable —
+    the union of two filters' bit sets is the filter of the union —
+    completing the sketch quartet (CMS by SUM, histogram by SUM, HLL by
+    MAX, Bloom by OR). At most ``num_bits`` rows regardless of input.
+    """
+    key = F.col(key_col)
+    return (
+        df.filter(key.isNotNull())
+        .select(
+            F.explode(
+                F.array(*[_bucket(key, i, num_bits) for i in range(k)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_maybe_contains(
+    bits: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    num_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Probe the filter: a key is maybe-present iff ALL k of its bit
+    positions are set; any unset bit proves CERTAIN absence (a Bloom
+    filter has no false negatives). The bit table (<= num_bits small
+    ints) broadcasts, so probing is map-side.
+
+    Output: probes' rows + ``maybe_present`` boolean.
+    """
+    key = F.col(key_col)
+    pb = probes.select(
+        key.alias(key_col),
+        F.explode(
+            F.array(*[_bucket(key, i, num_bits) for i in range(k)])
+        ).alias("bit"),
+    )
+    joined = pb.join(
+        F.broadcast(bits.withColumn("__set", F.lit(1))), "bit", "left"
+    )
+    return joined.groupBy(key_col).agg(
+        F.min(F.col("__set").isNotNull().cast("int")).cast("boolean")
+        .alias("maybe_present")
+    )
+
+
+def bloom_pruned_anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    num_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """EXACT anti-join (left rows with no match in right) with a Bloom
+    fast path: rows whose key fails any bloom probe are CERTAINLY absent
+    from right (no false negatives) and skip the join entirely; only the
+    maybe-present rows — true matches plus the small false-positive
+    tail — reach the exact anti-join. At 100 TB the shuffle carries that
+    tail, not the left table; the filter itself is num_bits/8 bytes of
+    broadcast state built in one pass over right.
+
+    Result is EXACTLY the plain anti-join (the oracle relies on this).
+    """
+    bits = bloom_bits(right.select(right_key), right_key, num_bits, k)
+    flags = bloom_maybe_contains(
+        bits, left.select(left_key).distinct(), left_key, num_bits, k
+    )
+    tagged = left.join(F.broadcast(flags), left_key, "left")
+    certain_absent = tagged.filter(~F.col("maybe_present")).drop("maybe_present")
+    uncertain = tagged.filter(F.col("maybe_present")).drop("maybe_present")
+    verified = uncertain.join(
+        right, uncertain[left_key] == right[right_key], "left_anti"
+    )
+    return certain_absent.unionByName(verified)

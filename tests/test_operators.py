@@ -1429,3 +1429,60 @@ def test_hll_accuracy_and_merge(spark, sf_dir):
     full, ra, rb = regs(orders), regs(a), regs(b)
     merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
     assert merged == full
+
+
+def test_bloom_no_false_negatives_and_or_merge(spark, sf_dir):
+    """Every member key probes maybe_present=True (no false negatives);
+    the false-positive rate on non-members stays near the design bound;
+    bit sets merge by OR (union of halves == filter of union)."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import sketches
+    from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    bits = sketches.bloom_bits(orders, "o_custkey", num_bits=4096, k=3)
+
+    members = orders.select("o_custkey").distinct()
+    got = sketches.bloom_maybe_contains(bits, members, "o_custkey", 4096, 3)
+    assert got.filter(~F.col("maybe_present")).count() == 0
+
+    far = spark.createDataFrame([Row(o_custkey=10_000_000 + i) for i in range(500)])
+    fp = sketches.bloom_maybe_contains(bits, far, "o_custkey", 4096, 3)
+    rate = fp.filter(F.col("maybe_present")).count() / 500
+    # m=4096, k=3, n=|distinct custkeys| (~150 at sf0.001): design FP
+    # well under 1%; allow generous slack for small-sample noise
+    assert rate < 0.10, rate
+
+    a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    ba = {r.bit for r in sketches.bloom_bits(a, "o_custkey", 4096, 3).collect()}
+    bb = {r.bit for r in sketches.bloom_bits(b, "o_custkey", 4096, 3).collect()}
+    full = {r.bit for r in bits.collect()}
+    assert (ba | bb) == full
+
+
+def test_bloom_pruned_anti_join_exercises_both_paths(spark, sf_dir):
+    """The bloom-pruned anti-join equals the plain anti-join, and on
+    the urgent-orders corpus both branches actually run: some keys are
+    certainly absent (fast path) and some are maybe-present."""
+    from financial_data_lakehouse_pipeline__spark.operators import joins, sketches
+    from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    got = {r.c_custkey for r in sketches.bloom_pruned_anti_join(
+        c, o, "c_custkey", "o_custkey", num_bits=4096, k=3).collect()}
+    want = {r.c_custkey for r in joins.anti_join(
+        c, o.select(F.col("o_custkey").alias("c_custkey")), ["c_custkey"]
+    ).collect()}
+    assert got == want and len(want) > 0
+
+    bits = sketches.bloom_bits(o, "o_custkey", 4096, 3)
+    flags = sketches.bloom_maybe_contains(
+        bits, c.select("c_custkey"), "c_custkey", 4096, 3)
+    n_absent = flags.filter(~F.col("maybe_present")).count()
+    n_maybe = flags.filter(F.col("maybe_present")).count()
+    assert n_absent > 0 and n_maybe > 0

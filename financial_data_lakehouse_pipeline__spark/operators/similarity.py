@@ -672,27 +672,93 @@ def pq_train(
     vector instead of 4·dim bytes — at 100 TB the difference between an
     embedding corpus that fits executor memory as codes (m bytes/vector
     at k=256) and one that must stream from object storage per query.
-    Training cost: m small Lloyd runs over column slices (each one scan
-    + one k×(dim/m) aggregation per iteration).
+
+    All m subspaces train TOGETHER: one init collect, then per
+    iteration a single scan that assigns every subspace (literal
+    codebooks, pure projection), explodes to (subspace, cluster, slice)
+    and aggregates grouped by (subspace, cluster) — one shuffle and one
+    O(m·k·dim/m) collect per iteration instead of m separate Lloyd
+    jobs. The per-subspace arithmetic (sequential (a-b)² folds,
+    1e-12-quantized integer means, ties to smallest cid) is identical
+    to :func:`lloyd_centroids`, so results are bit-equal to training
+    each subspace independently.
     """
     if dim % m:
         raise ValueError("dim must divide evenly into m subspaces")
     sub = dim // m
-    books: list[list[tuple[int, list[float]]]] = []
-    for s in range(m):
-        sliced = df.select(
-            F.col(id_col),
-            F.slice(
-                F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                s * sub + 1,
-                sub,
-            ).alias("__sv"),
-        )
-        books.append(
-            lloyd_centroids(
-                sliced, k=k, iters=iters, dim=sub, id_col=id_col, vec_col="__sv"
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    init = (
+        df.orderBy(F.col(id_col)).limit(k).select(F.col(id_col), v.alias("__v")).collect()
+    )
+    if not init:
+        return [[] for _ in range(m)]
+    books: list[list[tuple[int, list[float]]]] = [
+        [
+            (i, [float(x) for x in row["__v"][s * sub : (s + 1) * sub]])
+            for i, row in enumerate(init)
+        ]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        entries = []
+        for s in range(m):
+            sv = F.slice(v, s * sub + 1, sub)
+            carr = F.array(
+                *[
+                    F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                sv,
+                                F.array(*[F.lit(float(x)) for x in coords]),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ).alias("d"),
+                        F.lit(int(cid)).alias("cid"),
+                    )
+                    for cid, coords in books[s]
+                ]
             )
+            entries.append(
+                F.struct(
+                    F.lit(s).cast("int").alias("s"),
+                    F.array_min(carr)["cid"].alias("cluster"),
+                    sv.alias("sv"),
+                )
+            )
+        exploded = df.select(F.explode(F.array(*entries)).alias("e")).select(
+            F.col("e.s").alias("s"),
+            F.col("e.cluster").alias("cluster"),
+            F.col("e.sv").alias("sv"),
         )
+        sums = exploded.groupBy("s", "cluster").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(
+                    F.floor(
+                        F.element_at("sv", i + 1) * F.lit(1e12) + F.lit(0.5)
+                    ).cast("decimal(38,0)")
+                ).alias(f"__s{i}")
+                for i in range(sub)
+            ],
+        )
+        updated = sums.select(
+            "s",
+            "cluster",
+            *[
+                (F.col(f"__s{i}").cast("double") / F.lit(1e12) / F.col("__n")).alias(
+                    f"__c{i}"
+                )
+                for i in range(sub)
+            ],
+        ).collect()
+        books = [[] for _ in range(m)]
+        for r in updated:
+            books[r["s"]].append(
+                (int(r["cluster"]), [r[f"__c{i}"] for i in range(sub)])
+            )
+        books = [sorted(b) for b in books]
     return books
 
 

@@ -106,3 +106,58 @@ def test_coalescing_merge_prefers_left(spark, left, right):
     for r in merged.collect():
         if lmap.get(r.k) is not None:
             assert r.v == lmap[r.k]
+
+
+@given(
+    left=st.lists(st.integers(0, 50), min_size=1, max_size=15),
+    right=st.lists(
+        st.tuples(st.integers(0, 50), st.one_of(st.none(), finite)),
+        min_size=0,
+        max_size=15,
+        # unique right timestamps: two right rows at the SAME instant
+        # with different values are tie-ambiguous by contract (the
+        # operator documents (time, tag) as its total order; callers
+        # needing same-instant right dedup run dedup_keep_latest first)
+        unique_by=lambda t: t[0],
+    ),
+    tol=st.one_of(st.none(), st.integers(1, 40)),
+)
+@_settings
+def test_asof_join_matches_python_reference(spark, left, right, tol):
+    """asof_join (backward, optional tolerance) vs a naive Python
+    reference under random NULL right values, duplicate timestamps, and
+    arbitrary tolerance: the carried value is the latest NON-NULL right
+    value at-or-before the left time, nulled when ITS OWN timestamp
+    (not a newer null row's) exceeds the tolerance — the round-4
+    staleness-clock contract."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    ldf = spark.createDataFrame(
+        [Row(k="x", eid=i, t=ts(s)) for i, s in enumerate(left)]
+    )
+    rows = [Row(k="x", rt=ts(s), val=v) for s, v in right]
+    rdf = (
+        spark.createDataFrame(rows)
+        if rows
+        else spark.createDataFrame([], "k string, rt timestamp, val double")
+    )
+    out = joins.asof_join(
+        ldf, rdf, ["k"], "t", "rt", ["val"],
+        tolerance_seconds=float(tol) if tol is not None else None,
+    )
+    got = {r.eid: r.val_asof for r in out.collect()}
+
+    for i, s in enumerate(left):
+        best = None  # (rt_sec, val) of latest non-null at-or-before
+        for rs, v in right:
+            if v is not None and rs <= s and (best is None or rs >= best[0]):
+                best = (rs, v)
+        want = best[1] if best else None
+        if want is not None and tol is not None and s - best[0] > tol:
+            want = None
+        assert got[i] == want, (i, s, got[i], want)

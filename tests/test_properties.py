@@ -140,12 +140,8 @@ def test_asof_join_matches_python_reference(spark, left, right, tol):
     ldf = spark.createDataFrame(
         [Row(k="x", eid=i, t=ts(s)) for i, s in enumerate(left)]
     )
-    rows = [Row(k="x", rt=ts(s), val=v) for s, v in right]
-    rdf = (
-        spark.createDataFrame(rows)
-        if rows
-        else spark.createDataFrame([], "k string, rt timestamp, val double")
-    )
+    rows = [("x", ts(s), v) for s, v in right]
+    rdf = spark.createDataFrame(rows, "k string, rt timestamp, val double")
     out = joins.asof_join(
         ldf, rdf, ["k"], "t", "rt", ["val"],
         tolerance_seconds=float(tol) if tol is not None else None,

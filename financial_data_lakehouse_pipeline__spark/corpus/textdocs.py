@@ -677,6 +677,43 @@ def decontaminate_docs(spark, sf_dir):
 
 
 @register(
+    "decontaminate_bloom_docs",
+    # The bloom prefilter is a lossless fast path: the report must EQUAL
+    # the exact n-gram overlap — so this query shares decontaminate_docs'
+    # oracle verbatim.
+    f"""WITH {_SHINGLES_CTE},
+        tr AS (SELECT * FROM sh WHERE doc_id % 25 <> 0),
+        ev AS (SELECT * FROM sh WHERE doc_id % 25 = 0),
+        m AS (
+          SELECT tr.doc_id,
+                 COUNT(DISTINCT tr.shingle) AS n_shared,
+                 COUNT(DISTINCT ev.doc_id) AS n_eval
+          FROM tr JOIN ev ON tr.shingle = ev.shingle
+          GROUP BY 1
+        ),
+        sz AS (SELECT doc_id, COUNT(*) AS total FROM tr GROUP BY 1)
+        SELECT m.doc_id,
+               CAST(n_shared AS BIGINT) AS n_shared_shingles,
+               CAST(n_eval AS BIGINT) AS n_eval_docs_matched,
+               CAST(n_shared AS DOUBLE) / sz.total AS contaminated_frac
+        FROM m JOIN sz ON sz.doc_id = m.doc_id""",
+)
+def decontaminate_bloom_docs(spark, sf_dir):
+    """Decontamination with the Bloom fast path
+    (operators/dedup.contamination_report(bloom_prefilter=True)): train
+    shingles failing any probe of the eval-shingle Bloom filter are
+    certainly absent from the eval set and skip the join — the scale
+    path when the eval set is too large to broadcast raw (the filter is
+    num_bits/8 bytes no matter what). No false negatives, so the report
+    is bit-identical to the exact overlap — the oracle is
+    decontaminate_docs' oracle verbatim."""
+    d = read_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 25 != 0)
+    ev = d.filter(F.col("doc_id") % 25 == 0)
+    return dedup.contamination_report(train, ev, n=3, bloom_prefilter=True)
+
+
+@register(
     "unigram_logprob_docs",
     f"""WITH t AS (
           SELECT doc_id, unnest(regexp_split_to_array({_CANON}, ' ')) AS term

@@ -474,6 +474,9 @@ def contamination_report(
     text_col: str = "text",
     n: int = 3,
     broadcast_eval: bool = True,
+    bloom_prefilter: bool = False,
+    bloom_num_bits: int = 1 << 16,
+    bloom_k: int = 3,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing word
     n-grams with an evaluation set (the GPT-3/PaLM-style n-gram overlap
@@ -487,17 +490,34 @@ def contamination_report(
     eval shingle table is broadcast — the train side never shuffles for
     the probe; the only shuffle is the per-train-doc aggregation. Set
     ``broadcast_eval=False`` if the eval set is itself huge (falls back
-    to a shuffle equi-join on shingle).
+    to a shuffle equi-join on shingle). ``bloom_prefilter`` adds the
+    sketch fast path for that regime: a Bloom filter over the eval
+    shingles (num_bits/8 bytes however large the eval set is) drops
+    certainly-absent train shingles BEFORE the join — no false
+    negatives, so the report is bit-identical; only the maybe-present
+    tail reaches the exact equi-join.
     """
+    from financial_data_lakehouse_pipeline__spark.operators import sketches
+
     tr = word_shingles(train, id_col, text_col, n)
     ev = (
         word_shingles(eval_df, id_col, text_col, n)
         .withColumnRenamed(id_col, "__eval_id")
     )
+    tr_probe = tr
+    if bloom_prefilter:
+        bits = sketches.bloom_bits(ev, "shingle", bloom_num_bits, bloom_k)
+        maybe = sketches.bloom_maybe_contains(
+            bits, tr.select("shingle").distinct(), "shingle",
+            bloom_num_bits, bloom_k,
+        ).filter(F.col("maybe_present"))
+        tr_probe = tr.join(
+            F.broadcast(maybe.select("shingle")), "shingle", "left_semi"
+        )
     if broadcast_eval:
         ev = F.broadcast(ev)
     matched = (
-        tr.join(ev, "shingle")
+        tr_probe.join(ev, "shingle")
         .groupBy(id_col)
         .agg(
             F.countDistinct("shingle").alias("n_shared_shingles"),

@@ -50,6 +50,10 @@ HEADLINE = [
     "session_concurrency",       # sweep-line interval overlap
     "chunk_docs_sliding",        # LLM: overlapping context windows
     "pagerank_copurchase",       # iterative graph message passing
+    "cms_heavy_users",           # sketch-pruned heavy hitters (CMS + verify)
+    "hist_quantiles_order_totals",  # histogram-sketch quantiles
+    "hll_estimate_custkey",      # md5 HyperLogLog estimate
+    "bloom_anti_join_customers", # bloom-pruned exact anti-join
 ]
 
 

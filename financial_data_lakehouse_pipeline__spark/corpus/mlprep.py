@@ -195,6 +195,40 @@ def acctbal_percentiles(spark, sf_dir):
 
 
 @register(
+    "winsorize_order_totals",
+    """WITH r AS (
+          SELECT o_orderpriority AS k, o_totalprice AS v,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM orders
+        ),
+        lo AS (SELECT k, v AS lo_v FROM r WHERE rn = CEIL(5e-2 * n)),
+        hi AS (SELECT k, v AS hi_v FROM r WHERE rn = CEIL(95e-2 * n))
+        SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+               LEAST(GREATEST(o.o_totalprice, lo.lo_v), hi.hi_v)
+                   AS o_totalprice_winsorized
+        FROM orders o
+        JOIN lo ON lo.k = o.o_orderpriority
+        JOIN hi ON hi.k = o.o_orderpriority""",
+)
+def winsorize_order_totals(spark, sf_dir):
+    """Per-priority winsorization of order totals at [p05, p95]
+    (operators/aggregates.winsorize): exact discrete-percentile bounds
+    (rank logic — bit-portable, no interpolation), broadcast back and
+    clamped map-side. The heavy-tail outlier treatment every robust
+    aggregate wants upstream."""
+    o = read_table(spark, sf_dir, "orders")
+    out = aggregates.winsorize(
+        o, ["o_orderpriority"], "o_totalprice", lo_q=0.05, hi_q=0.95
+    )
+    return out.select(
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+        "o_totalprice_winsorized",
+    )
+
+
+@register(
     "customer_deciles",
     """WITH d AS (
           SELECT c_custkey,

@@ -57,6 +57,32 @@ _CENTS = "CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT)"
 
 
 @register(
+    "rolling_median_price",
+    f"""SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(median({_CENTS}) OVER w7 AS DOUBLE) / 100e0
+                   AS median_price_7
+        FROM lineitem
+        WINDOW w7 AS ({_LI_WIN} ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+)
+def rolling_median_price(spark, sf_dir):
+    """Exact rolling 7-row median price per supplier
+    (operators/windows.rolling_median) — the robust despiking filter.
+    Median runs over integer CENTS so the even-count interpolated
+    midpoint is exact in double whichever algebraic form the other
+    engine uses; one /100e0 rescale at the end (the money contract
+    applied to order statistics — no ROUND anywhere)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    out = windows.rolling_median(
+        li, ["l_suppkey"], _LI_ORDER_COLS, cents, 7, out="__med_cents"
+    )
+    return out.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        (F.col("__med_cents") / F.lit(100.0)).alias("median_price_7"),
+    )
+
+
+@register(
     "rolling_sma",
     f"""SELECT l_suppkey, l_orderkey, l_linenumber,
                (SUM({_CENTS}) OVER w7 / 100e0) / (COUNT(*) OVER w7) AS sma_7,

@@ -380,3 +380,40 @@ def merge_aggregates(
         for c in add_cols
     ]
     return j.select(*out_keys, *out_adds)
+
+
+def winsorize(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    out: str | None = None,
+) -> DataFrame:
+    """Winsorize a column per group: clamp values into the group's
+    [lo_q, hi_q] DISCRETE percentile band — the standard outlier
+    treatment before means/regressions on heavy-tailed financial data
+    (trim keeps rows, winsorize keeps rows AND bounds leverage).
+
+    Percentiles come from :func:`percentile_disc` (exact integer rank
+    logic, bit-portable), so the clamp bounds are actual data values.
+    Plan shape: one window sort for the percentiles, then the per-group
+    bound table (2 rows per group) broadcasts back onto the rows — the
+    clamp itself is a map-side projection.
+
+    Output: input rows + ``out`` (default ``{value_col}_winsorized``).
+    """
+    out = out or f"{value_col}_winsorized"
+    pcts = percentile_disc(df, keys, value_col, [lo_q, hi_q], out="__pv")
+    lo = pcts.filter(F.col("q") == lo_q).select(
+        *keys, F.col("__pv").alias("__lo")
+    )
+    hi = pcts.filter(F.col("q") == hi_q).select(
+        *keys, F.col("__pv").alias("__hi")
+    )
+    joined = df.join(F.broadcast(lo), list(keys)).join(
+        F.broadcast(hi), list(keys)
+    )
+    return joined.withColumn(
+        out, F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi"))
+    ).drop("__lo", "__hi")

@@ -48,6 +48,42 @@ def rolling_agg(
     )
 
 
+def rolling_median(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    value: Column,
+    n: int,
+    out: str = "rolling_median",
+) -> DataFrame:
+    """Exact rolling median over the trailing ``n``-row frame — the
+    robust-smoothing companion to rolling_agg's mean (outlier-immune;
+    the standard despiking filter for sensor/price feeds). No native
+    Spark windowed median exists: collect_list over the frame +
+    array_sort + the interpolated middle ((lo+hi)/2 for even counts,
+    DuckDB/Postgres median semantics). NULLs are skipped (collect_list
+    drops them), partial frames at series start use available rows.
+
+    Cost: O(n log n) per row on a frame of n values — fine for
+    indicator-sized frames (n ≤ a few hundred); a 100 TB series still
+    shuffles once on the entity key like every other window.
+
+    Cross-engine exactness: pass SCALED-INTEGER values (e.g. cents) —
+    integer midpoints make the even-count interpolation exact in double
+    regardless of which algebraic form ((a+b)/2 vs a+(b-a)/2) the other
+    engine uses; rescale after (the money_sum discipline applied to
+    order statistics).
+    """
+    w = _w(partition_by, order_by).rowsBetween(-(n - 1), 0)
+    arr = F.array_sort(F.collect_list(value.cast("double")).over(w))
+    c = F.size(arr)
+    lo = F.floor(c / 2).cast("int")
+    med = F.when(c % 2 == 1, F.element_at(arr, lo + 1)).otherwise(
+        (F.element_at(arr, lo) + F.element_at(arr, lo + 1)) / F.lit(2.0)
+    )
+    return df.withColumn(out, med)
+
+
 def rolling_range_agg(
     df: DataFrame,
     partition_by: Sequence[str],

@@ -1486,3 +1486,48 @@ def test_bloom_pruned_anti_join_exercises_both_paths(spark, sf_dir):
     n_absent = flags.filter(~F.col("maybe_present")).count()
     n_maybe = flags.filter(F.col("maybe_present")).count()
     assert n_absent > 0 and n_maybe > 0
+
+
+def test_rolling_median_hand_values(spark):
+    """Exact rolling median on a hand series: odd frames pick the middle
+    value, even (partial, at series start) frames interpolate, spikes
+    are absorbed (the despiking property the mean lacks)."""
+    from financial_data_lakehouse_pipeline__spark.operators import windows
+
+    vals = [10.0, 20.0, 30.0, 1000.0, 40.0]
+    df = spark.createDataFrame(
+        [Row(k="a", i=i, v=v) for i, v in enumerate(vals)]
+    )
+    out = windows.rolling_median(
+        df, ["k"], ["i"], F.col("v"), 3, out="med"
+    )
+    got = {r.i: r.med for r in out.collect()}
+    assert got[0] == 10.0           # frame [10]
+    assert got[1] == 15.0           # frame [10,20] -> (10+20)/2
+    assert got[2] == 20.0           # [10,20,30]
+    assert got[3] == 30.0           # [20,30,1000] — spike absorbed
+    assert got[4] == 40.0           # [30,1000,40] -> middle 40
+
+
+def test_winsorize_bounds_and_row_preservation(spark, sf_dir):
+    """Winsorize keeps every row, clamps exactly into the group's
+    [p05, p95] discrete band, and leaves interior values untouched."""
+    from financial_data_lakehouse_pipeline__spark.operators import aggregates
+    from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    out = aggregates.winsorize(
+        o, ["o_orderpriority"], "o_totalprice", 0.05, 0.95
+    )
+    assert out.count() == o.count()
+    pcts = {
+        (r.o_orderpriority, r.q): r.value
+        for r in aggregates.percentile_disc(
+            o, ["o_orderpriority"], "o_totalprice", [0.05, 0.95]
+        ).collect()
+    }
+    for r in out.collect():
+        lo, hi = pcts[(r.o_orderpriority, 0.05)], pcts[(r.o_orderpriority, 0.95)]
+        assert lo <= r.o_totalprice_winsorized <= hi
+        if lo <= r.o_totalprice <= hi:
+            assert r.o_totalprice_winsorized == r.o_totalprice

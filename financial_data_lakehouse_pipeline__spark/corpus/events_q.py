@@ -1070,6 +1070,63 @@ def asof_next_purchase(spark, sf_dir):
 
 
 @register(
+    "asof_nearest_purchase",
+    # Nearest-direction as-of: per click, whichever purchase (last or
+    # next) is closer in time, ties to backward; 1-hour tolerance on the
+    # CHOSEN side's gap — merge_asof(direction='nearest') semantics.
+    f"""WITH c AS (SELECT event_id, user_id, ts FROM {_EV}
+                   WHERE event_type = 'click'),
+        p AS (SELECT user_id, ts AS pts, value AS pv FROM {_EV}
+              WHERE event_type = 'purchase'),
+        b AS (SELECT c.event_id, c.user_id, c.ts, r.pts AS bpt, r.pv AS bv
+              FROM c ASOF LEFT JOIN p r
+                ON c.user_id = r.user_id AND c.ts >= r.pts),
+        f AS (SELECT c.event_id, r.pts AS fpt, r.pv AS fv
+              FROM c ASOF LEFT JOIN p r
+                ON c.user_id = r.user_id AND c.ts <= r.pts),
+        j AS (
+          SELECT b.event_id, b.user_id, b.ts,
+                 CASE WHEN f.fpt IS NULL OR (b.bpt IS NOT NULL AND
+                           epoch_us(b.ts) - epoch_us(b.bpt)
+                           <= epoch_us(f.fpt) - epoch_us(b.ts))
+                      THEN b.bv ELSE f.fv END AS val,
+                 CASE WHEN f.fpt IS NULL OR (b.bpt IS NOT NULL AND
+                           epoch_us(b.ts) - epoch_us(b.bpt)
+                           <= epoch_us(f.fpt) - epoch_us(b.ts))
+                      THEN epoch_us(b.ts) - epoch_us(b.bpt)
+                      ELSE epoch_us(f.fpt) - epoch_us(b.ts) END AS gap
+          FROM b JOIN f ON f.event_id = b.event_id
+        )
+        SELECT event_id, user_id, ts,
+               CASE WHEN gap <= CAST(3600 AS BIGINT) * 1000000 THEN val END
+                   AS purchase_value_nearest
+        FROM j""",
+)
+def asof_nearest_purchase(spark, sf_dir):
+    """Nearest-direction as-of join (operators/joins.asof_join,
+    direction='nearest'): each click takes whichever purchase — the
+    latest before or the earliest after — is closer in time (ties go
+    backward, the merge_asof convention), nulled when the chosen gap
+    exceeds 1 hour. Both carries share one keyed shuffle; the reverse
+    scan is a second in-partition sort, not a second exchange."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("value").alias("pv")
+    )
+    out = joins.asof_join(
+        clicks, purchases, ["user_id"], "ts", "pts", ["pv"],
+        suffix="_n", direction="nearest", tolerance_seconds=3600.0,
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("pv_n").alias("purchase_value_nearest"),
+    )
+
+
+@register(
     "asof_last_purchase_1h",
     # Tolerance-bounded as-of: the matched value is kept only while the
     # purchase is <= 1 hour older than the click.

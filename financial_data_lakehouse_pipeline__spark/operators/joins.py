@@ -184,12 +184,17 @@ def asof_join(
     the LATEST right row with right_time <= left_time within the key
     group. ``direction="forward"``: the EARLIEST right row with
     right_time >= left_time — next-event enrichment (time-to-outcome
-    labels, next-fill matching). Both are the same one-shuffle
-    union-and-carry plan; forward just scans the in-partition order
-    descending. ``tolerance_seconds`` bounds staleness (timestamp time
-    columns only): a match farther than the tolerance from the left
-    timestamp is nulled out — the market-data contract ("last quote, but
-    never older than 30s"); applied AFTER the carry, no extra shuffle.
+    labels, next-fill matching). ``direction="nearest"``: whichever of
+    the two is closer in time per value column (ties go backward — the
+    pandas merge_asof convention); both carries run over the SAME
+    keyed partitioning, so nearest still costs one shuffle (plus a
+    second in-partition sort for the reverse scan). All directions are
+    the same union-and-carry plan. ``tolerance_seconds`` bounds
+    staleness (timestamp time columns only): a match farther than the
+    tolerance from the left timestamp is nulled out — the market-data
+    contract ("last quote, but never older than 30s"); applied AFTER
+    the carry (for nearest: to the CHOSEN side's gap), no extra
+    shuffle.
 
     Spark lacks a native as-of join; a naive range join is O(n*m). This
     implementation uses the union-and-carry-forward trick — one shuffle on
@@ -223,20 +228,76 @@ def asof_join(
     ).select(*lcols, *[f"__rv_{v}" for v in right_values], "__t", "__tag")
 
     unioned = l_side.unionByName(r_side)
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
-    order = (
-        [F.col("__t"), F.col("__tag")]
-        if direction == "backward"
-        # forward: scan later times first; at time ties the right row
-        # (tag 0) still precedes the left row, keeping >= inclusive
-        else [F.col("__t").desc(), F.col("__tag")]
-    )
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
+
+    def _window(backward: bool):
+        order = (
+            [F.col("__t"), F.col("__tag")]
+            if backward
+            # forward: scan later times first; at time ties the right row
+            # (tag 0) still precedes the left row, keeping >= inclusive
+            else [F.col("__t").desc(), F.col("__tag")]
+        )
+        return (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+
+    def _carry(w, val_prefix, mt_prefix, with_mt):
+        cols = {
+            f"{val_prefix}{v}": F.last(
+                F.col(f"__rv_{v}"), ignorenulls=True
+            ).over(w)
+            for v in right_values
+        }
+        if with_mt:
+            # Per-VALUE matched timestamp with the same null-skipping
+            # rule as the value carry: a right row with a NULL value
+            # column supplies nothing, so it must not advance that
+            # column's staleness clock.
+            cols.update(
+                {
+                    f"{mt_prefix}{v}": F.last(
+                        F.when(
+                            (F.col("__tag") == 0)
+                            & F.col(f"__rv_{v}").isNotNull(),
+                            F.col("__t"),
+                        ),
+                        ignorenulls=True,
+                    ).over(w)
+                    for v in right_values
+                }
+            )
+        return cols
+
+    if direction == "nearest":
+        carried = unioned.withColumns(
+            {
+                **_carry(_window(True), "__bv_", "__bmt_", True),
+                **_carry(_window(False), "__fv_", "__fmt_", True),
+            }
+        )
+        t_us = F.unix_micros(F.col("__t"))
+        for v in right_values:
+            bgap = t_us - F.unix_micros(F.col(f"__bmt_{v}"))
+            fgap = F.unix_micros(F.col(f"__fmt_{v}")) - t_us
+            # pick the closer non-null side; ties -> backward
+            use_b = F.col(f"__fmt_{v}").isNull() | (
+                F.col(f"__bmt_{v}").isNotNull() & (bgap <= fgap)
+            )
+            val = F.when(use_b, F.col(f"__bv_{v}")).otherwise(F.col(f"__fv_{v}"))
+            gap = F.when(use_b, bgap).otherwise(fgap)
+            if tolerance_seconds is not None:
+                tol = F.lit(int(tolerance_seconds * 1_000_000))
+                val = F.when(gap <= tol, val)
+            carried = carried.withColumn(f"{v}{suffix}", val)
+        return carried.filter(F.col("__tag") == 1).select(
+            *lcols, *[f"{v}{suffix}" for v in right_values]
+        )
+
+    w = _window(direction == "backward")
     carried = unioned.withColumns(
         {
             f"{v}{suffix}": F.last(F.col(f"__rv_{v}"), ignorenulls=True).over(w)

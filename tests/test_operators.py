@@ -1531,3 +1531,38 @@ def test_winsorize_bounds_and_row_preservation(spark, sf_dir):
         assert lo <= r.o_totalprice_winsorized <= hi
         if lo <= r.o_totalprice <= hi:
             assert r.o_totalprice_winsorized == r.o_totalprice
+
+
+def test_asof_join_nearest_picks_closer_side(spark):
+    """direction='nearest': closer side wins, exact ties go backward
+    (merge_asof convention), and the tolerance applies to the CHOSEN
+    side's gap — a failing nearest match is NULL even if the other side
+    would have passed."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    left = spark.createDataFrame(
+        [Row(k="a", eid=i, t=ts(s)) for i, s in enumerate([100, 150, 190, 240])]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", rt=ts(90), val=1.0), Row(k="a", rt=ts(210), val=2.0)]
+    )
+    out = joins.asof_join(
+        left, right, ["k"], "t", "rt", ["val"], direction="nearest"
+    )
+    got = {r.eid: r.val_asof for r in out.collect()}
+    # t=100: gaps 10 vs 110 -> backward 1.0; t=150: 60 vs 60 tie -> backward
+    # t=190: 100 vs 20 -> forward 2.0; t=240: 150 vs |210-240|=30 ... forward
+    assert got == {0: 1.0, 1: 1.0, 2: 2.0, 3: 2.0}
+
+    out_tol = joins.asof_join(
+        left, right, ["k"], "t", "rt", ["val"],
+        direction="nearest", tolerance_seconds=25.0,
+    )
+    got_tol = {r.eid: r.val_asof for r in out_tol.collect()}
+    # chosen gaps: 10, 60(tie->b), 20, 30 -> only eid 0 and 2 within 25s
+    assert got_tol == {0: 1.0, 1: None, 2: 2.0, 3: None}

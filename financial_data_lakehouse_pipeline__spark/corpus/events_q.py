@@ -1361,3 +1361,60 @@ def streaming_distinct_keys(spark, sf_dir):
     return st.run_available_now(
         out, "corpus_streaming_distinct", output_mode="append"
     )
+
+
+@register(
+    "resample_hourly_users",
+    # Dense per-user hourly grid: bucket by epoch-hour (integer modulo),
+    # spine = generate_series(min, max), counts zero-filled, the hourly
+    # mean value forward-filled. All bucket arithmetic exact integers.
+    f"""WITH e AS (
+          SELECT user_id,
+                 (epoch_us(ts) // 1000000) - ((epoch_us(ts) // 1000000) % 3600) AS b,
+                 value
+          FROM {_EV}
+        ),
+        agged AS (
+          SELECT user_id, b,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 {sql_dsum('value')} / NULLIF(COUNT(value), 0) AS hour_avg
+          FROM e GROUP BY 1, 2
+        ),
+        sp AS (
+          SELECT user_id, unnest(range(lo, hi + 3600, 3600)) AS b
+          FROM (SELECT user_id, MIN(b) AS lo, MAX(b) AS hi
+                FROM e GROUP BY user_id)
+        )
+        SELECT sp.user_id,
+               to_timestamp(sp.b) AS bucket_start,
+               COALESCE(a.n_events, 0) AS n_events,
+               a.hour_avg,
+               LAST_VALUE(a.hour_avg IGNORE NULLS) OVER (
+                   PARTITION BY sp.user_id ORDER BY sp.b
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS hour_avg_filled
+        FROM sp LEFT JOIN agged a ON a.user_id = sp.user_id AND a.b = sp.b""",
+)
+def resample_hourly_users(spark, sf_dir):
+    """Irregular events resampled onto each user's dense hourly grid
+    (operators/events.regularize_time_series): empty hours materialize
+    with n_events = 0 and the last hourly mean carried forward — the
+    irregular→regular step every bar-building pipeline starts with.
+    Bucketing is exact integer epoch arithmetic; the hourly mean is an
+    exact decimal-sum quotient, so the forward-fill is bit-stable."""
+    ev = read_table(spark, sf_dir, "events")
+    out = events.regularize_time_series(
+        ev,
+        ["user_id"],
+        "ts",
+        3600,
+        {
+            "n_events": F.count(F.lit(1)).cast("bigint"),
+            "hour_avg": dmean(F.col("value")),
+        },
+        fill_cols=["hour_avg"],
+        zero_cols=["n_events"],
+    )
+    return out.select(
+        "user_id", "bucket_start", "n_events", "hour_avg", "hour_avg_filled"
+    )

@@ -6,7 +6,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from financial_data_lakehouse_pipeline__spark.corpus import register
+from financial_data_lakehouse_pipeline__spark.corpus import register, sql_money_sum
+from financial_data_lakehouse_pipeline__spark.functions import guarded_div, money_sum
 from financial_data_lakehouse_pipeline__spark.operators import cleaning, windows
 from financial_data_lakehouse_pipeline__spark.sources import read_table
 
@@ -1390,4 +1391,52 @@ def atr_wilder_supplier(spark, sf_dir):
     out = windows.atr_wilder(bars, ["l_suppkey"], ["day"], n=14)
     return out.filter(F.col("atr_w").isNotNull()).select(
         "l_suppkey", "day", (F.col("atr_w") / F.lit(100.0)).alias("atr_w")
+    )
+
+
+@register(
+    "cross_sectional_supplier_rank",
+    f"""WITH d AS (
+          SELECT l_shipdate, l_suppkey,
+                 {{MS}} AS revenue
+          FROM lineitem GROUP BY 1, 2
+        )
+        SELECT l_shipdate, l_suppkey, revenue,
+               PERCENT_RANK() OVER (PARTITION BY l_shipdate
+                                    ORDER BY revenue) AS pct_rank,
+               ROUND((revenue - AVG(revenue) OVER (PARTITION BY l_shipdate))
+                     / NULLIF(STDDEV_SAMP(revenue)
+                              OVER (PARTITION BY l_shipdate), 0), 6) AS zscore
+        FROM d""".replace("{MS}", sql_money_sum(
+        "l_extendedprice * (1 - l_discount)", 4)),
+)
+def cross_sectional_supplier_rank(spark, sf_dir):
+    """Cross-sectional factor ranking: per ship date, each supplier's
+    daily revenue gets its percentile rank and z-score ACROSS suppliers
+    (the quant factor-ranking primitive — rank within period, not
+    within entity). percent_rank is pure integer rank arithmetic (ties
+    share ranks identically in both engines — no tiebreak column wanted
+    here); the z-score carries ROUND 6 (stddev is inherently floating).
+    Revenue itself is an exact scaled-integer sum. One shuffle on the
+    date key for both the pre-aggregation and the windows."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    d = li.groupBy("l_shipdate", "l_suppkey").agg(
+        money_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).alias("revenue")
+    )
+    w = Window.partitionBy("l_shipdate").orderBy("revenue")
+    wp = Window.partitionBy("l_shipdate")
+    return d.select(
+        "l_shipdate", "l_suppkey", "revenue",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.round(
+            guarded_div(
+                F.col("revenue") - F.avg("revenue").over(wp),
+                F.stddev_samp("revenue").over(wp),
+            ),
+            6,
+        ).alias("zscore"),
     )

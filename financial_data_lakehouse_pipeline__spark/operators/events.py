@@ -290,3 +290,58 @@ def debounce(
         return pdf[pd.Series(keep, index=pdf.index)]
 
     return df.groupBy(*keys).applyInPandas(_per_group, schema=schema_out)
+
+
+def regularize_time_series(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    interval_seconds: int,
+    aggs: dict[str, Column],
+    fill_cols: Sequence[str] = (),
+    zero_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Resample an irregular event stream onto each entity's regular
+    time grid (pandas ``resample``/``asfreq`` for DataFrames): bucket
+    events into ``interval_seconds`` bins, generate the FULL dense spine
+    from each entity's first to last bucket (empty buckets included),
+    and fill — ``zero_cols`` get 0 (counts), ``fill_cols`` carry the
+    last observation forward (marks, balances). The irregular→regular
+    step every bar-building / gap-aware indicator pipeline starts with.
+
+    Plan shape: one aggregation on (keys, bucket); the spine is a
+    per-entity min/max + ``sequence`` + explode — rows ∝ grid size, no
+    cross join; the fill is one keyed window. All timestamp arithmetic
+    is exact integer epoch-seconds.
+
+    Output: keys..., bucket_start timestamp, aggregated columns (+
+    ``_filled`` variants for fill_cols).
+    """
+    step = F.lit(int(interval_seconds)).cast("bigint")
+    # floor-to-bucket via modulo — exact integer arithmetic (a bigint
+    # `/` would go through double)
+    sec = F.unix_seconds(F.col(ts_col))
+    bucket = sec - (sec % step)
+    b = df.withColumn("__b", bucket)
+    agged = b.groupBy(*keys, "__b").agg(*[e.alias(o) for o, e in aggs.items()])
+    spine = (
+        b.groupBy(*keys)
+        .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+        .select(
+            *keys,
+            F.explode(F.sequence("__lo", "__hi", step)).alias("__b"),
+        )
+    )
+    joined = spine.join(agged, [*keys, "__b"], "left")
+    filled = joined.withColumns(
+        {c: F.coalesce(F.col(c), F.lit(0).cast("bigint")) for c in zero_cols}
+    )
+    if fill_cols:
+        from financial_data_lakehouse_pipeline__spark.operators.cleaning import (
+            forward_fill,
+        )
+
+        filled = forward_fill(filled, keys, ["__b"], list(fill_cols))
+    return filled.withColumn(
+        "bucket_start", F.timestamp_seconds(F.col("__b"))
+    ).drop("__b")

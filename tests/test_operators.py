@@ -1566,3 +1566,39 @@ def test_asof_join_nearest_picks_closer_side(spark):
     got_tol = {r.eid: r.val_asof for r in out_tol.collect()}
     # chosen gaps: 10, 60(tie->b), 20, 30 -> only eid 0 and 2 within 25s
     assert got_tol == {0: 1.0, 1: None, 2: 2.0, 3: None}
+
+
+def test_regularize_time_series_dense_grid(spark):
+    """Resampling materializes EVERY bucket between an entity's first
+    and last event — empty buckets get zero counts and carry the last
+    mean forward; leading buckets before any value stay as they are."""
+    import datetime
+
+    from financial_data_lakehouse_pipeline__spark.operators import events as ev_ops
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(h, m=0):
+        return t0 + datetime.timedelta(hours=h, minutes=m)
+
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=ts(0, 10), value=10.0),
+            Row(user_id=1, ts=ts(0, 50), value=20.0),
+            # hours 1 and 2 empty
+            Row(user_id=1, ts=ts(3, 5), value=40.0),
+        ]
+    )
+    out = ev_ops.regularize_time_series(
+        df, ["user_id"], "ts", 3600,
+        {"n_events": F.count(F.lit(1)).cast("bigint"),
+         "hour_avg": F.avg("value")},
+        fill_cols=["hour_avg"], zero_cols=["n_events"],
+    )
+    rows = {r.bucket_start.hour: r for r in out.collect()}
+    assert sorted(rows) == [0, 1, 2, 3]  # dense, including empty hours
+    assert rows[0].n_events == 2 and rows[0].hour_avg == 15.0
+    assert rows[1].n_events == 0 and rows[1].hour_avg is None
+    assert rows[1].hour_avg_filled == 15.0  # carried through the gap
+    assert rows[2].hour_avg_filled == 15.0
+    assert rows[3].n_events == 1 and rows[3].hour_avg_filled == 40.0

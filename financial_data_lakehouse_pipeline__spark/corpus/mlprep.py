@@ -16,6 +16,7 @@ from financial_data_lakehouse_pipeline__spark.corpus import register, sql_money_
 from financial_data_lakehouse_pipeline__spark.operators import (
     aggregates,
     cleaning,
+    dq,
     joins,
     sampling,
     text,
@@ -814,3 +815,52 @@ def exact_k_sample_docs(spark, sf_dir):
     heaps)."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return sampling.exact_k_sample(d, "doc_id", k=100)
+
+
+@register(
+    "profile_orders",
+    """WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders)
+       SELECT 'o_totalprice' AS "column",
+              CAST(COUNT(o_totalprice) AS BIGINT) AS n,
+              t.total - COUNT(o_totalprice) AS n_null,
+              CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+              CAST(MIN(o_totalprice) AS DOUBLE) AS min_v,
+              CAST(MAX(o_totalprice) AS DOUBLE) AS max_v
+       FROM orders, t GROUP BY t.total
+       UNION ALL
+       SELECT 'o_custkey',
+              CAST(COUNT(o_custkey) AS BIGINT),
+              t.total - COUNT(o_custkey),
+              CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+              CAST(MIN(o_custkey) AS DOUBLE),
+              CAST(MAX(o_custkey) AS DOUBLE)
+       FROM orders, t GROUP BY t.total
+       UNION ALL
+       SELECT 'o_orderpriority',
+              CAST(COUNT(o_orderpriority) AS BIGINT),
+              t.total - COUNT(o_orderpriority),
+              CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+              CAST(MIN(LENGTH(o_orderpriority)) AS DOUBLE),
+              CAST(MAX(LENGTH(o_orderpriority)) AS DOUBLE)
+       FROM orders, t GROUP BY t.total
+       UNION ALL
+       SELECT 'o_orderstatus',
+              CAST(COUNT(o_orderstatus) AS BIGINT),
+              t.total - COUNT(o_orderstatus),
+              CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+              CAST(MIN(LENGTH(o_orderstatus)) AS DOUBLE),
+              CAST(MAX(LENGTH(o_orderstatus)) AS DOUBLE)
+       FROM orders, t GROUP BY t.total""",
+)
+def profile_orders(spark, sf_dir):
+    """One-pass table profile (operators/dq.profile_columns): count /
+    nulls / exact distinct / min-max (value for numerics, length for
+    strings) for four orders columns from ONE aggregation over one scan
+    — the data-card audit a landing pipeline writes per dataset
+    version."""
+    o = read_table(spark, sf_dir, "orders")
+    return dq.profile_columns(
+        o,
+        numeric_cols=["o_totalprice", "o_custkey"],
+        string_cols=["o_orderpriority", "o_orderstatus"],
+    )

@@ -175,3 +175,52 @@ def date_gaps(
     return spine.join(act, [*keys, "__day"], "left_anti").select(
         *keys, F.col("__day").alias(out)
     )
+
+
+def profile_columns(
+    df: DataFrame,
+    numeric_cols: Sequence[str] = (),
+    string_cols: Sequence[str] = (),
+) -> DataFrame:
+    """One-pass column profile — the data-card / landing-audit summary:
+    per column its row count, null count, exact distinct count, and a
+    min/max pair (the value itself for numerics, the LENGTH for strings
+    — keeping the output schema uniform and cross-engine exact; string
+    min/max values would drag collation into the contract).
+
+    ONE aggregation over one scan produces every metric for every
+    column (no per-column passes); the long form comes from exploding a
+    struct array afterwards. countDistinct is exact — swap in
+    approx_count_distinct (or sketches.hll_sketch) for 100 TB profiles
+    where ±2% beats an extra shuffle.
+
+    Output: (column, n, n_null, n_distinct, min_v double, max_v double).
+    """
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for c in numeric_cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__{c}__n"),
+            F.countDistinct(F.col(c)).alias(f"__{c}__d"),
+            F.min(F.col(c).cast("double")).alias(f"__{c}__lo"),
+            F.max(F.col(c).cast("double")).alias(f"__{c}__hi"),
+        ]
+    for c in string_cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__{c}__n"),
+            F.countDistinct(F.col(c)).alias(f"__{c}__d"),
+            F.min(F.length(F.col(c)).cast("double")).alias(f"__{c}__lo"),
+            F.max(F.length(F.col(c)).cast("double")).alias(f"__{c}__hi"),
+        ]
+    agged = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__{c}__n").cast("bigint").alias("n"),
+            (F.col("__total") - F.col(f"__{c}__n")).cast("bigint").alias("n_null"),
+            F.col(f"__{c}__d").cast("bigint").alias("n_distinct"),
+            F.col(f"__{c}__lo").alias("min_v"),
+            F.col(f"__{c}__hi").alias("max_v"),
+        )
+        for c in [*numeric_cols, *string_cols]
+    ]
+    return agged.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

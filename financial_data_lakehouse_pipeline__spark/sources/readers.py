@@ -70,14 +70,37 @@ def read_csv(
     return reader.csv(path)
 
 
-def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
+) -> DataFrame:
     """JSON scan, schema-on-read (reference data_cleaning.py:45).
 
     Pass an explicit ``schema`` in production — inference costs an extra
     pass over the files and is input-dependent (SURVEY.md §1.2).
+
+    Malformed-record contract (real feeds always contain some):
+    ``mode="PERMISSIVE"`` (default) nulls unparseable fields;
+    additionally pass ``corrupt_col`` to capture each bad line verbatim
+    in that column (quarantine-and-continue — the landing-zone pattern:
+    filter the corrupt rows to a reject sink, ingest the rest).
+    ``mode="DROPMALFORMED"`` silently drops bad lines;
+    ``mode="FAILFAST"`` raises on the first one. With ``corrupt_col``
+    an explicit ``schema`` is required (Spark's contract: the corrupt
+    column must be declared in it — this helper appends it for you).
     """
     tune_runtime(spark)
-    reader = spark.read
+    reader = spark.read.option("mode", mode)
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col requires an explicit schema")
+        schema = T.StructType(
+            [*schema.fields, T.StructField(corrupt_col, T.StringType(), True)]
+        )
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)

@@ -231,3 +231,45 @@ def test_csv_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
     assert sorted(
         map(tuple, back.collect()), key=str
     ) == sorted(map(tuple, df.collect()), key=str)
+
+
+def test_json_corrupt_record_quarantine(spark, tmp_path):
+    """Malformed JSON lines land in the corrupt column verbatim while
+    good rows parse — quarantine-and-continue; DROPMALFORMED drops
+    them; FAILFAST raises."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from financial_data_lakehouse_pipeline__spark.sources import read_json
+
+    p = str(tmp_path / "feed.json")
+    lines = [
+        '{"id": 1, "v": 10.5}',
+        'this is not json at all',
+        '{"id": 3, "v": "not-a-number"}',
+        '{"id": 4, "v": 2.0}',
+    ]
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines))
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    df = read_json(spark, p, schema=schema, corrupt_col="_bad")
+    rows = {r.id: r for r in df.collect() if r.id is not None}
+    bad = [r._bad for r in df.collect() if r._bad is not None]
+    assert rows[1].v == 10.5 and rows[4].v == 2.0
+    assert len(bad) == 2 and "not json at all" in bad[0]
+
+    # DROPMALFORMED drops only non-JSON lines; a JSON-valid row with a
+    # type mismatch survives with the bad FIELD nulled (id=3 here)
+    dropped = read_json(spark, p, schema=schema, mode="DROPMALFORMED")
+    assert dropped.count() == 3
+
+    with _pytest.raises(Exception):
+        read_json(spark, p, schema=schema, mode="FAILFAST").collect()
+
+    with _pytest.raises(ValueError):
+        read_json(spark, p, corrupt_col="_bad")

@@ -58,32 +58,6 @@ _CENTS = "CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT)"
 
 
 @register(
-    "rolling_median_price",
-    f"""SELECT l_suppkey, l_orderkey, l_linenumber,
-               CAST(median({_CENTS}) OVER w7 AS DOUBLE) / 100e0
-                   AS median_price_7
-        FROM lineitem
-        WINDOW w7 AS ({_LI_WIN} ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
-)
-def rolling_median_price(spark, sf_dir):
-    """Exact rolling 7-row median price per supplier
-    (operators/windows.rolling_median) — the robust despiking filter.
-    Median runs over integer CENTS so the even-count interpolated
-    midpoint is exact in double whichever algebraic form the other
-    engine uses; one /100e0 rescale at the end (the money contract
-    applied to order statistics — no ROUND anywhere)."""
-    li = read_table(spark, sf_dir, "lineitem")
-    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
-    out = windows.rolling_median(
-        li, ["l_suppkey"], _LI_ORDER_COLS, cents, 7, out="__med_cents"
-    )
-    return out.select(
-        "l_suppkey", "l_orderkey", "l_linenumber",
-        (F.col("__med_cents") / F.lit(100.0)).alias("median_price_7"),
-    )
-
-
-@register(
     "rolling_sma",
     f"""SELECT l_suppkey, l_orderkey, l_linenumber,
                (SUM({_CENTS}) OVER w7 / 100e0) / (COUNT(*) OVER w7) AS sma_7,
@@ -1259,34 +1233,23 @@ def seasonal_naive_mase(spark, sf_dir):
 )
 def rolling_median_price(spark, sf_dir):
     """Rolling median (robust smoother — the outlier-immune cousin of
-    the SMA): trailing-15 window, frame collected and sorted as exact
-    integer cents, continuous-quantile interpolation in the same closed
-    form as the grouped percentiles. Frame collect is O(n·w log w) per
-    partition — fine for bounded windows; for wide windows switch to a
-    sketch."""
-    from pyspark.sql import Window
-
+    the SMA): trailing-15 window via operators/windows.rolling_median,
+    frame sorted as exact integer cents. On integer inputs the
+    operator's (lo+hi)/2 even-count midpoint equals DuckDB's windowed
+    quantile_cont interpolation lo·(1−f)+hi·f at f = 0.5 exactly (0.5
+    factors are exact in binary), so the oracle stays bit-green with no
+    ROUND. Frame collect is O(n·w log w) per partition — fine for
+    bounded windows; for wide windows switch to a sketch."""
     li = read_table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
-    w = (
-        Window.partitionBy("l_suppkey")
-        .orderBy(*_LI_ORDER_COLS)
-        .rowsBetween(-14, 0)
+    out = windows.rolling_median(
+        li, ["l_suppkey"], _LI_ORDER_COLS, cents, 15, out="__med_cents"
     )
-    arr = F.sort_array(F.collect_list(cents).over(w))
-    n = F.size(arr)
-    # continuous quantile at q=0.5: h = (n-1)*q; lo=arr[floor(h)+1]
-    h = (n - 1).cast("double") * F.lit(0.5)
-    lo_i = F.floor(h).cast("int")
-    frac = h - lo_i.cast("double")
-    lo = F.element_at(arr, lo_i + 1).cast("double")
-    hi = F.element_at(arr, F.least(lo_i + 2, n)).cast("double")
-    med = lo * (F.lit(1.0) - frac) + hi * frac
-    return li.select(
+    return out.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        (med / F.lit(100.0)).alias("med_15"),
+        (F.col("__med_cents") / F.lit(100.0)).alias("med_15"),
     )
 
 

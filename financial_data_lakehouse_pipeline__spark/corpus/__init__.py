@@ -31,6 +31,10 @@ def register(name: str, oracle: str | None = None):
     the equivalent DuckDB SQL (None → driver runs a rows-only check)."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            # later registration would silently shadow the earlier one
+            # (cost a lost query in round 4) — fail at import instead
+            raise ValueError(f"duplicate corpus query name: {name}")
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLE[name] = oracle

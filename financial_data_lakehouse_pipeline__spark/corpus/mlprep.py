@@ -864,3 +864,45 @@ def profile_orders(spark, sf_dir):
         numeric_cols=["o_totalprice", "o_custkey"],
         string_cols=["o_orderpriority", "o_orderstatus"],
     )
+
+
+def _benford_sql() -> str:
+    import math
+
+    lits = ", ".join(repr(math.log10(1.0 + 1.0 / d)) + "e0" for d in range(1, 10))
+    return f"""WITH c AS (
+          SELECT CAST(FLOOR(o_totalprice * 100e0 + 5e-1) AS BIGINT) AS cents
+          FROM orders
+        ),
+        k AS (
+          SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM c WHERE cents > 0 GROUP BY 1
+        ),
+        s AS (
+          SELECT digit, cnt,
+                 CAST(cnt AS DOUBLE) / SUM(cnt) OVER () AS observed_p,
+                 [{lits}][digit] AS expected_p
+          FROM k
+        )
+        SELECT digit, cnt, observed_p, expected_p,
+               ROUND(SUM(POWER(observed_p - expected_p, 2) / expected_p)
+                     OVER (), 6) AS benford_dev
+        FROM s"""
+
+
+@register("benford_orders", _benford_sql())
+def benford_orders(spark, sf_dir):
+    """Benford first-digit screen over order totals in cents
+    (operators/dq.benford_deviation): digit from the exact decimal
+    string (no log10 boundary risk), observed vs log10(1+1/d) expected
+    shares, chi-square-style global deviation. The 9-term deviation sum
+    is the one inherently-floating aggregate → ROUND 6; everything else
+    is exact integers and single divisions."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    out = dq.benford_deviation(o, cents)
+    return out.select(
+        "digit", "cnt", "observed_p", "expected_p",
+        F.round("benford_dev", 6).alias("benford_dev"),
+    )

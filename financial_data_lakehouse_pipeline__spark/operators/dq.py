@@ -224,3 +224,55 @@ def profile_columns(
         for c in [*numeric_cols, *string_cols]
     ]
     return agged.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def benford_deviation(
+    df: DataFrame,
+    amount_cents: Column,
+) -> DataFrame:
+    """First-significant-digit (Benford's law) screen over a positive
+    integer amount column — the classic forensic test for fabricated
+    financial figures (real transaction amounts follow
+    P(d) = log10(1 + 1/d); invented ones don't).
+
+    The digit is the first character of the BIGINT's decimal string —
+    exact in every engine, no log10-near-power-of-ten boundary risk.
+    One groupBy(9 digits); output per digit: count, observed share,
+    expected share, and the chi-square-style global deviation
+    Σ (obs − exp)²/exp repeated on every row (summed in digit order —
+    9 terms, deterministic). Shares are single divisions of exact
+    integers; expected shares enter both engines as identical literals.
+    """
+    import math
+
+    digit = F.substring(amount_cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(amount_cents > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    total = F.sum("cnt").over(w)
+    obs = F.col("cnt").cast("double") / total
+    exp_map = F.element_at(
+        F.array(*[F.lit(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    scored = counts.select(
+        "digit",
+        "cnt",
+        obs.alias("observed_p"),
+        exp_map.alias("expected_p"),
+    )
+    dev = F.pow(F.col("observed_p") - F.col("expected_p"), 2) / F.col(
+        "expected_p"
+    )
+    wo = Window.partitionBy().orderBy("digit").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # NOTE: the frame makes this a full-window sum evaluated in digit
+    # order — 9 rows, deterministic addition order on both engines.
+    return scored.withColumn("benford_dev", F.sum(dev).over(wo))

@@ -614,3 +614,25 @@ def test_merge_aggregates_equals_full_recompute(spark):
         r.k: (r.n, r.s) for r in rollup(old.unionByName(delta)).collect()
     }
     assert merged == full == {"a": (3, 7), "b": (1, 10), "c": (1, 100)}
+
+
+def test_benford_uniform_digits_deviate(spark):
+    """Sanity on the Benford screen: a synthetic uniform-first-digit
+    amount set shows a LARGE deviation, while shares always sum to 1
+    and expected shares are the log10(1+1/d) law."""
+    import math
+
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import dq
+
+    rows = [Row(amt=d * 1000 + i) for d in range(1, 10) for i in range(50)]
+    df = spark.createDataFrame(rows)
+    out = dq.benford_deviation(df, F.col("amt")).collect()
+    assert len(out) == 9
+    assert abs(sum(r.observed_p for r in out) - 1.0) < 1e-12
+    for r in out:
+        assert abs(r.expected_p - math.log10(1 + 1 / r.digit)) < 1e-15
+        assert abs(r.observed_p - 1 / 9) < 1e-12  # uniform by construction
+    # uniform digits are very un-Benford
+    assert out[0].benford_dev > 0.05

@@ -312,3 +312,48 @@ def bloom_anti_join_customers(spark, sf_dir):
     return sketches.bloom_pruned_anti_join(
         c, o, "c_custkey", "o_custkey", num_bits=_NB, k=_NK
     ).select("c_custkey", "c_name")
+
+
+@register(
+    "streaming_hll_custkey",
+    f"WITH {_HLL_SK} SELECT bucket, max_rank FROM sk",
+)
+def streaming_hll_custkey(spark, sf_dir):
+    """Streaming HyperLogLog driven to completion: registers merge by
+    MAX, so the unbounded complete-mode max-aggregation equals the
+    batch sketch exactly — same oracle as hll_sketch_custkey, state
+    bounded at 2^p counters (the whole sketch-streaming story, third
+    member: CMS by SUM, histogram by SUM, HLL by MAX)."""
+    import os
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+    from financial_data_lakehouse_pipeline__spark.operators import sketches as sk
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
+    stream = st.stream_from_parquet_dir(
+        spark, sf_dir, raw_schema, glob="orders.parquet"
+    )
+    out = sk.hll_sketch(stream, "o_custkey", p=_HLL_P)
+    return st.run_available_now(out, "corpus_streaming_hll_custkey")
+
+
+@register(
+    "streaming_hist_order_totals",
+    f"""SELECT {_HBIN} AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1""",
+)
+def streaming_hist_order_totals(spark, sf_dir):
+    """Streaming equi-width histogram driven to completion: bin counts
+    merge by SUM, streamed == batch exactly — same oracle as
+    hist_order_totals, state bounded at `bins` counters."""
+    import os
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+    from financial_data_lakehouse_pipeline__spark.operators import sketches as sk
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
+    stream = st.stream_from_parquet_dir(
+        spark, sf_dir, raw_schema, glob="orders.parquet"
+    )
+    out = sk.histogram_sketch(stream, "o_totalprice", _HLO, _HHI, _HBINS)
+    return st.run_available_now(out, "corpus_streaming_hist_orders")

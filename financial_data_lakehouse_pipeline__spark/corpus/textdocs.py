@@ -929,3 +929,33 @@ def mixture_temperature_weights(spark, sf_dir):
             "weight"
         ),
     )
+
+
+@register(
+    "encoding_quality_docs",
+    r"""SELECT doc_id,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars,
+               len(regexp_extract_all(text, '�'))
+                   / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0)
+                   AS replacement_ratio,
+               len(regexp_extract_all(text,
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]'))
+                   / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0)
+                   AS control_ratio,
+               len(regexp_extract_all(text, '[ÃÂâÐÑ][^ ]'))
+                   / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0)
+                   AS mojibake_ratio,
+               (len(regexp_extract_all(text, '�'))
+                + len(regexp_extract_all(text,
+                      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]'))
+                + len(regexp_extract_all(text, '[ÃÂâÐÑ][^ ]'))) = 0
+                   AS encoding_ok
+        FROM documents""",
+)
+def encoding_quality_docs(spark, sf_dir):
+    """Encoding/mojibake screen (operators/text.encoding_quality):
+    replacement-char, control-char and UTF-8-as-Latin-1 digraph ratios
+    per document — single-pass regexp counts, exact integer lengths,
+    one guarded division each."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.encoding_quality(d)

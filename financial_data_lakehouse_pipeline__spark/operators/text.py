@@ -604,3 +604,39 @@ def vocab_coverage(
             ),
         )
     )
+
+
+def encoding_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding/mojibake screen per document — the bytes-level cousin of
+    :func:`quality_score` that catches wrongly-decoded or binary-infected
+    text BEFORE linguistic filters waste time on it:
+
+      * ``replacement_ratio`` — U+FFFD replacement chars per char (the
+        smoking gun of a wrong decode);
+      * ``control_ratio`` — C0/C1 control chars per char, excluding
+        tab/newline/carriage-return (binary contamination);
+      * ``mojibake_ratio`` — the classic UTF-8-read-as-Latin-1 digraph
+        openers (Ã, Â, â, Ð, Ñ followed by a non-space) per char;
+      * ``encoding_ok`` — True when all three are zero.
+
+    Pure single-pass regexp_count expressions (whole-stage codegen, no
+    Python) over lengths as exact integers; ratios are single divisions
+    guarded for empty docs.
+    """
+    n = F.length(F.col(text_col))
+    repl = F.regexp_count(F.col(text_col), F.lit("�"))
+    ctrl = F.regexp_count(
+        F.col(text_col), F.lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")
+    )
+    moji = F.regexp_count(
+        F.col(text_col), F.lit("[ÃÂâÐÑ][^ ]")
+    )
+    nz = F.nullif(n.cast("double"), F.lit(0.0))
+    return df.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chars"),
+        (repl.cast("double") / nz).alias("replacement_ratio"),
+        (ctrl.cast("double") / nz).alias("control_ratio"),
+        (moji.cast("double") / nz).alias("mojibake_ratio"),
+        ((repl + ctrl + moji) == 0).alias("encoding_ok"),
+    )

@@ -1602,3 +1602,24 @@ def test_regularize_time_series_dense_grid(spark):
     assert rows[1].hour_avg_filled == 15.0  # carried through the gap
     assert rows[2].hour_avg_filled == 15.0
     assert rows[3].n_events == 1 and rows[3].hour_avg_filled == 40.0
+
+
+def test_encoding_quality_flags_mojibake_and_control(spark):
+    """Clean text scores all-zero ratios; replacement chars, control
+    bytes, and UTF-8-as-Latin-1 digraphs each trip their ratio and
+    clear encoding_ok."""
+    from financial_data_lakehouse_pipeline__spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="perfectly normal text here"),
+            Row(doc_id=1, text="bad � decode � twice"),
+            Row(doc_id=2, text="binary\x00junk\x07inside"),
+            Row(doc_id=3, text="cafÃ© lattÃ©"),  # café mis-decoded
+        ]
+    )
+    got = {r.doc_id: r for r in t.encoding_quality(df).collect()}
+    assert got[0].encoding_ok
+    assert not got[1].encoding_ok and got[1].replacement_ratio > 0
+    assert not got[2].encoding_ok and got[2].control_ratio > 0
+    assert not got[3].encoding_ok and got[3].mojibake_ratio > 0

@@ -78,8 +78,14 @@ def rolling_median(
     arr = F.array_sort(F.collect_list(value.cast("double")).over(w))
     c = F.size(arr)
     lo = F.floor(c / 2).cast("int")
-    med = F.when(c % 2 == 1, F.element_at(arr, lo + 1)).otherwise(
-        (F.element_at(arr, lo) + F.element_at(arr, lo + 1)) / F.lit(2.0)
+    # c == 0 (every value in the frame NULL) must yield NULL, not an
+    # element_at error — hypothesis found the all-null-frame crash
+    med = (
+        F.when(c == 0, F.lit(None).cast("double"))
+        .when(c % 2 == 1, F.element_at(arr, lo + 1))
+        .otherwise(
+            (F.element_at(arr, lo) + F.element_at(arr, lo + 1)) / F.lit(2.0)
+        )
     )
     return df.withColumn(out, med)
 

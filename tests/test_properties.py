@@ -157,3 +157,40 @@ def test_asof_join_matches_python_reference(spark, left, right, tol):
         if want is not None and tol is not None and s - best[0] > tol:
             want = None
         assert got[i] == want, (i, s, got[i], want)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=25,
+    ),
+    n=st.integers(1, 8),
+)
+@_settings
+def test_rolling_median_matches_python_reference(spark, vals, n):
+    """rolling_median vs a naive reference over random values including
+    NULLs and partial frames: sort the trailing-n non-null window, take
+    the middle (odd) or interpolated midpoint (even); all-null frames
+    yield NULL."""
+    from financial_data_lakehouse_pipeline__spark.operators import windows
+
+    df = spark.createDataFrame(
+        [(i, float(v) if v is not None else None) for i, v in enumerate(vals)],
+        "i int, v double",
+    )
+    out = windows.rolling_median(df, [], ["i"], F.col("v"), n, out="med")
+    got = {r.i: r.med for r in out.collect()}
+    for i in range(len(vals)):
+        frame = [v for v in vals[max(0, i - n + 1): i + 1] if v is not None]
+        if not frame:
+            want = None
+        else:
+            s = sorted(frame)
+            c = len(s)
+            want = (
+                float(s[c // 2])
+                if c % 2 == 1
+                else (s[c // 2 - 1] + s[c // 2]) / 2.0
+            )
+        assert got[i] == want, (i, got[i], want)

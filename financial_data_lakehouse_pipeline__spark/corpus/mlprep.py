@@ -906,3 +906,33 @@ def benford_orders(spark, sf_dir):
         "digit", "cnt", "observed_p", "expected_p",
         F.round("benford_dev", 6).alias("benford_dev"),
     )
+
+
+@register(
+    "monotonic_event_ids",
+    """WITH s AS (
+          SELECT user_id, event_id,
+                 LAG(event_id) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+          FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(prev) AS BIGINT) AS n_steps,
+               CAST(COALESCE(SUM(CASE WHEN event_id < prev THEN 1 END), 0)
+                    AS BIGINT) AS n_violations,
+               COALESCE(SUM(CASE WHEN event_id < prev THEN 1 END), 0) = 0
+                   AS monotonic
+        FROM s GROUP BY user_id""",
+)
+def monotonic_event_ids(spark, sf_dir):
+    """Sequence-sanity audit (operators/dq.monotonic_report): per user,
+    does event_id assignment move forward with event time? One lag over
+    one keyed window, exact integer step/violation counts — the check a
+    pipeline runs before trusting id-based tiebreaks."""
+    from financial_data_lakehouse_pipeline__spark.sources import read_table as rt
+
+    ev = rt(spark, sf_dir, "events")
+    return dq.monotonic_report(
+        ev, ["user_id"], [F.col("ts"), F.col("event_id")], "event_id"
+    )

@@ -276,3 +276,40 @@ def benford_deviation(
     # NOTE: the frame makes this a full-window sum evaluated in digit
     # order — 9 rows, deterministic addition order on both engines.
     return scored.withColumn("benford_dev", F.sum(dev).over(wo))
+
+
+def monotonic_report(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    col: str,
+    strict: bool = False,
+) -> DataFrame:
+    """Per-entity monotonicity audit of ``col`` along ``order_by``:
+    counts steps where the value moves BACKWARD (strict=True also flags
+    plateaus) — the sequence-sanity check for anything that should only
+    grow (sequence ids vs event time, cumulative balances, version
+    numbers, watermark progress).
+
+    One lag over one keyed window; NULL steps (either side) are not
+    comparable and never counted. Output per key: n_rows, n_steps
+    (comparable adjacent pairs), n_violations, monotonic boolean.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    prev = F.lag(F.col(col)).over(w)
+    cmp_ok = prev.isNotNull() & F.col(col).isNotNull()
+    bad = F.col(col) <= prev if strict else F.col(col) < prev
+    stepped = df.withColumns(
+        {
+            "__step": cmp_ok.cast("int"),
+            "__bad": (cmp_ok & bad).cast("int"),
+        }
+    )
+    return stepped.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("__step").cast("bigint").alias("n_steps"),
+        F.sum("__bad").cast("bigint").alias("n_violations"),
+        (F.sum("__bad") == 0).alias("monotonic"),
+    )

@@ -636,3 +636,29 @@ def test_benford_uniform_digits_deviate(spark):
         assert abs(r.observed_p - 1 / 9) < 1e-12  # uniform by construction
     # uniform digits are very un-Benford
     assert out[0].benford_dev > 0.05
+
+
+def test_monotonic_report_hand_cases(spark):
+    """Violations counted exactly: strictly increasing passes, one
+    backward step counts once, plateaus only flag under strict=True,
+    NULL neighbors are not comparable."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import dq
+
+    rows = [
+        Row(k="up", i=1, v=1), Row(k="up", i=2, v=2), Row(k="up", i=3, v=3),
+        Row(k="dip", i=1, v=1), Row(k="dip", i=2, v=5), Row(k="dip", i=3, v=4),
+        Row(k="flat", i=1, v=7), Row(k="flat", i=2, v=7),
+        Row(k="holes", i=1, v=1), Row(k="holes", i=2, v=None), Row(k="holes", i=3, v=2),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.k: r for r in dq.monotonic_report(df, ["k"], ["i"], "v").collect()}
+    assert got["up"].monotonic and got["up"].n_steps == 2
+    assert got["dip"].n_violations == 1 and not got["dip"].monotonic
+    assert got["flat"].monotonic  # plateau ok when not strict
+    assert got["holes"].n_steps == 0 and got["holes"].monotonic
+
+    strict = {r.k: r for r in dq.monotonic_report(
+        df, ["k"], ["i"], "v", strict=True).collect()}
+    assert strict["flat"].n_violations == 1

@@ -1418,3 +1418,61 @@ def resample_hourly_users(spark, sf_dir):
     return out.select(
         "user_id", "bucket_start", "n_events", "hour_avg", "hour_avg_filled"
     )
+
+
+@register(
+    "event_chain_components",
+    # Oracle: the chain graph linking consecutive same-user events at
+    # gap <= 30 min has exactly the sessions as its connected
+    # components, so the component label (min event_id reachable) is
+    # MIN(event_id) per (user, session) — expressible with plain
+    # windows, no recursion needed.
+    f"""WITH lagged AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                          > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM {_EV}
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, event_id,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM lagged
+        )
+        SELECT event_id,
+               CAST(MIN(event_id) OVER (PARTITION BY user_id, sid)
+                    AS BIGINT) AS component_id
+        FROM sess""",
+)
+def event_chain_components(spark, sf_dir):
+    """Generic connected components (operators/graph.connected_components,
+    alternating large-star/small-star — O(log n) rounds on any graph
+    shape) exercised on a graph with LONG chains: consecutive same-user
+    events within 30 min are linked, so components are exactly the gap-
+    rule sessions and the oracle is a plain window query. Min-label
+    propagation would need O(longest session) joins here; the star
+    algorithm collapses a k-event chain in O(log k) rounds — the shape
+    that matters when the input graph is a 100 TB event stream, where
+    per-round cost must not depend on component diameter."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_id",
+        F.lag("event_id").over(w).alias("__prev"),
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        ).alias("__gap"),
+    )
+    edges = lagged.filter(
+        F.col("__prev").isNotNull()
+        & (F.col("__gap") <= 1800 * 1_000_000)
+    ).select(F.col("__prev").alias("src"), F.col("event_id").alias("dst"))
+    nodes = ev.select(F.col("event_id").alias("node"))
+    from financial_data_lakehouse_pipeline__spark.operators import graph
+
+    cc = graph.connected_components(edges, nodes)
+    return cc.select(F.col("node").alias("event_id"), "component_id")

@@ -182,6 +182,132 @@ def pagerank(
     return out
 
 
+def _canonical_pairs(edges: DataFrame) -> DataFrame:
+    """Undirected edge list in canonical (small, large) form: self-loops
+    dropped, both orientations collapsed to one row."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every node u connects its strictly-larger neighbors
+    to min(N(u) + {u}). One groupBy + one equi-join."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy(F.col("src").alias("__u")).agg(
+        F.least(F.min("dst"), F.first("src")).alias("__m")
+    )
+    return (
+        sym.join(mins, sym.src == mins.__u)
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: key every edge by its larger endpoint u; connect u and
+    all of its smaller neighbors to the minimum one."""
+    dir_ = edges.select(
+        F.greatest("src", "dst").alias("__u"), F.least("src", "dst").alias("__v")
+    ).distinct()
+    mins = dir_.groupBy("__u").agg(F.min("__v").alias("__m"))
+    joined = dir_.join(mins, "__u")
+    nbr = joined.filter(F.col("__v") != F.col("__m")).select(
+        F.col("__v").alias("src"), F.col("__m").alias("dst")
+    )
+    self_ = mins.select(F.col("__u").alias("src"), F.col("__m").alias("dst"))
+    return nbr.unionByName(self_).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components over an arbitrary edge list via the
+    alternating large-star / small-star algorithm (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") — every node gets the
+    MINIMUM node id reachable from it as ``component_id``.
+
+    Why not plain min-label propagation (the
+    :func:`~financial_data_lakehouse_pipeline__spark.operators.dedup.duplicate_clusters`
+    shape)? That converges in O(graph diameter) joins — fine for the
+    small dense clusters a near-dup graph produces, quadratic pain on
+    long chains (a 10k-event session chain = 10k rounds). Alternating
+    star halves path lengths geometrically: O(log n) rounds on ANY graph
+    shape, each round two groupBy+join passes over the current edge set,
+    nothing driver-side but a per-round convergence checksum (one tiny
+    action). At 100 TB this is the difference between a bounded number
+    of shuffles and an unbounded-by-data-shape iteration count.
+
+    Each round's edge set is ``localCheckpoint``-ed: lineage would
+    otherwise double per round (same guard as duplicate_clusters).
+    Convergence = canonical edge multiset stable across a full
+    large+small round, detected with an order-insensitive
+    (count, sum(xxhash64)) checksum; at the fixpoint the edge set is
+    exactly a union of stars rooted at each component's minimum.
+
+    ``nodes`` (optional, one ``node`` column) adds isolated nodes, which
+    come back as their own singleton component.
+
+    Output: (node, component_id) — one row per node that appears in
+    ``edges`` (plus ``nodes`` if given).
+    """
+    e = _canonical_pairs(edges).localCheckpoint(eager=True)
+
+    def _checksum(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _checksum(e)
+    converged = False
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
+
+    # Fixpoint edges are (member, root) stars; roots appear only as dst.
+    roots = e.select(F.col("dst").alias("node")).distinct()
+    labels = (
+        e.select(F.col("src").alias("node"), F.col("dst").alias("component_id"))
+        .unionByName(roots.select("node", F.col("node").alias("component_id")))
+        # a root of one star can still be a member of another pre-final
+        # round only at non-fixpoint; at fixpoint the min() is a no-op
+        # for members and keeps roots at themselves.
+        .groupBy("node")
+        .agg(F.min("component_id").alias("component_id"))
+    )
+    if nodes is not None:
+        labels = (
+            nodes.select("node")
+            .distinct()
+            .join(labels, "node", "left")
+            .select(
+                "node",
+                F.coalesce("component_id", F.col("node")).alias("component_id"),
+            )
+        )
+    return labels
+
+
 def link_prediction_jaccard(
     pairs: DataFrame, min_common: int = 1
 ) -> DataFrame:

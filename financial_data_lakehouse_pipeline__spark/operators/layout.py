@@ -40,6 +40,22 @@ def morton_code(cols: Sequence[Column], bits: int = 16) -> Column:
     return code
 
 
+def quantize_minmax(col: Column, max_col: Column, bits: int = 16) -> Column:
+    """Map a non-negative integer column onto ``[0, 2^bits)`` cells by
+    proportional integer division: ``(x * 2^bits) div (max + 1)``.
+
+    All-integer (decimal) arithmetic — no float rounding — so Spark and
+    a SQL oracle agree bit-for-bit; monotone in x, so cell ordering
+    preserves value ordering within each dimension. The usual quantizer
+    in front of :func:`morton_code` when dimensions have arbitrary
+    integer ranges.
+    """
+    scale = F.lit(1 << bits).cast("decimal(38,0)")
+    num = col.cast("decimal(38,0)") * scale
+    den = max_col.cast("decimal(38,0)") + F.lit(1).cast("decimal(38,0)")
+    return F.floor(num / den).cast("bigint")
+
+
 def zorder_by(
     df: DataFrame,
     quantized_cols: Sequence[Column],

@@ -93,3 +93,55 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **opti
     """JDBC serving-layer sink (reference declares but never implements it:
     SURVEY.md §2.1 S7; postgresql_schemas.sql targets, config.py:80-82)."""
     df.write.mode(mode).options(**options).jdbc(url, table)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    bits: int = 16,
+    target_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet sink: rows are range-partitioned and
+    sorted by a Morton (bit-interleaved) key over ``zorder_cols``, so
+    each output file covers a small hyper-rectangle of the key space and
+    its parquet footer min/max stats prune multi-column range predicates
+    — the Delta ``OPTIMIZE ZORDER BY`` layout, built from pure Spark
+    primitives (functions.zorder_key + repartitionByRange + sortWithin-
+    Partitions; no UDF, one range shuffle).
+
+    Why not just sortBy(col_a, col_b)? A lexicographic sort clusters only
+    the leading column — files span the full range of every other
+    dimension, so predicates on col_b alone prune nothing. The z-curve
+    interleaves all dimensions, so every file is narrow in ALL of them
+    (verified against real footer stats in tests/test_sources.py).
+
+    Each dimension is min-max quantized onto 2^bits cells with exact
+    integer arithmetic (layout.quantize_minmax); the per-column maxima
+    come from one tiny agg broadcast onto every row. Clustering itself
+    is layout.zorder_by (morton_code + repartitionByRange + in-partition
+    sort).
+    """
+    from pyspark.sql import functions as F
+
+    from financial_data_lakehouse_pipeline__spark.operators import layout
+
+    maxes = df.agg(
+        *[F.max(F.col(c)).alias(f"__max_{c}") for c in zorder_cols]
+    )
+    cells = [
+        layout.quantize_minmax(F.col(c), F.col(f"__max_{c}"), bits)
+        for c in zorder_cols
+    ]
+    (
+        layout.zorder_by(
+            df.crossJoin(F.broadcast(maxes)),
+            cells,
+            bits=bits,
+            num_partitions=target_files,
+        )
+        .drop("__zorder", *[f"__max_{c}" for c in zorder_cols])
+        .write.mode(mode)
+        .parquet(path)
+    )

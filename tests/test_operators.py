@@ -1623,3 +1623,73 @@ def test_encoding_quality_flags_mojibake_and_control(spark):
     assert not got[1].encoding_ok and got[1].replacement_ratio > 0
     assert not got[2].encoding_ok and got[2].control_ratio > 0
     assert not got[3].encoding_ok and got[3].mojibake_ratio > 0
+
+
+def test_connected_components_matches_union_find(spark):
+    """Alternating-star connected components agrees with a driver-side
+    union-find on a random graph, labels every node with the component
+    minimum, and keeps isolated nodes as singletons."""
+    import random
+
+    from financial_data_lakehouse_pipeline__spark.operators import graph
+
+    rng = random.Random(11)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {}
+    comps = {}
+    for x in range(n):
+        comps.setdefault(find(x), []).append(x)
+    for members in comps.values():
+        m = min(members)
+        for x in members:
+            expect[x] = m
+
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    ndf = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    got = {
+        r["node"]: r["component_id"]
+        for r in graph.connected_components(edf, ndf).collect()
+    }
+    assert got == expect
+
+
+def test_connected_components_chain_converges_in_log_rounds(spark):
+    """A 300-node chain (diameter 299) must converge well inside 15
+    rounds — the O(log n) guarantee that separates alternating-star from
+    O(diameter) min-label propagation. RuntimeError on exhaustion makes
+    this assertion real."""
+    from financial_data_lakehouse_pipeline__spark.operators import graph
+
+    edges = [(i, i + 1) for i in range(299)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    out = graph.connected_components(edf, max_iterations=15).collect()
+    assert len(out) == 300
+    assert all(r["component_id"] == 0 for r in out)
+
+
+def test_connected_components_self_loops_and_empty(spark):
+    """Self-loops are ignored; a graph of only self-loops yields
+    singleton components for the provided node universe."""
+    from financial_data_lakehouse_pipeline__spark.operators import graph
+
+    edf = spark.createDataFrame([(5, 5), (7, 7)], "src long, dst long")
+    ndf = spark.createDataFrame([(5,), (7,), (9,)], "node long")
+    got = {
+        r["node"]: r["component_id"]
+        for r in graph.connected_components(edf, ndf).collect()
+    }
+    assert got == {5: 5, 7: 7, 9: 9}

@@ -273,3 +273,123 @@ def test_json_corrupt_record_quarantine(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_json(spark, p, corrupt_col="_bad")
+
+
+def test_zordered_write_narrows_file_stats_in_all_dims(spark, sf_dir):
+    """write_zordered produces files whose parquet footer min/max ranges
+    are narrow in BOTH z-order dimensions (the data-skipping property),
+    where a lexicographic sort is narrow only in its leading column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from financial_data_lakehouse_pipeline__spark.sources.writers import (
+        write_zordered,
+    )
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    stats = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).collect()[0]
+    span_p = stats[1] - stats[0] + 1
+    span_s = stats[3] - stats[2] + 1
+
+    def mean_file_coverage(path):
+        """Mean fraction of each column's global span covered per file."""
+        cov_p, cov_s, n = 0.0, 0.0, 0
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mins = {"l_partkey": None, "l_suppkey": None}
+            maxs = {"l_partkey": None, "l_suppkey": None}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        st = col.statistics
+                        if mins[name] is None or st.min < mins[name]:
+                            mins[name] = st.min
+                        if maxs[name] is None or st.max > maxs[name]:
+                            maxs[name] = st.max
+            cov_p += (maxs["l_partkey"] - mins["l_partkey"] + 1) / span_p
+            cov_s += (maxs["l_suppkey"] - mins["l_suppkey"] + 1) / span_s
+            n += 1
+        return cov_p / n, cov_s / n, n
+
+    z_path = str(_SCRATCH) + "/zorder_li"
+    lex_path = str(_SCRATCH) + "/lex_li"
+    write_zordered(li, z_path, ["l_partkey", "l_suppkey"], target_files=16)
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey", "l_suppkey")
+        .write.mode("overwrite")
+        .parquet(lex_path)
+    )
+
+    zp, zs, zn = mean_file_coverage(z_path)
+    lp, ls, ln = mean_file_coverage(lex_path)
+    assert zn >= 8 and ln >= 8
+    # lexicographic: leading column narrow, second column ~full span —
+    # a range predicate on l_suppkey alone prunes NOTHING
+    assert lp < 0.2
+    assert ls > 0.9
+    # z-order: BOTH dimensions substantially narrower than full span
+    # (bounding boxes, so not 1/sqrt(nfiles)-tight — but narrow in every
+    # dim at once, which lexicographic cannot be)
+    assert zp < 0.7 and zs < 0.5
+
+    # The actual skipping semantics: a 10%-wide band predicate on the
+    # SECOND dimension intersects every lexicographic file but can skip
+    # a real fraction of z-ordered files on footer stats alone.
+    def files_hit(path, lo, hi):
+        hit = n = 0
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            fmin = fmax = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "l_suppkey" and col.statistics:
+                        st = col.statistics
+                        fmin = st.min if fmin is None else min(fmin, st.min)
+                        fmax = st.max if fmax is None else max(fmax, st.max)
+            n += 1
+            if not (fmax < lo or fmin > hi):
+                hit += 1
+        return hit, n
+
+    lo = stats[2] + int(0.45 * span_s)
+    hi = stats[2] + int(0.55 * span_s)
+    z_hit, z_n = files_hit(z_path, lo, hi)
+    l_hit, l_n = files_hit(lex_path, lo, hi)
+    assert l_hit == l_n  # lexicographic cannot skip on the second dim
+    assert z_hit <= z_n - 2  # z-order skips files on footer stats alone
+
+
+def test_morton_code_interleave_known_values(spark):
+    """layout.morton_code matches hand-computed Morton codes."""
+    from financial_data_lakehouse_pipeline__spark.operators.layout import (
+        morton_code,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255)], "x long, y long"
+    )
+    got = [
+        r["z"]
+        for r in df.select(
+            morton_code([F.col("x"), F.col("y")], bits=8).alias("z")
+        ).collect()
+    ]
+
+    def morton(x, y):
+        z = 0
+        for j in range(8):
+            z |= ((x >> j) & 1) << (2 * j)
+            z |= ((y >> j) & 1) << (2 * j + 1)
+        return z
+
+    assert got == [morton(x, y) for x, y in [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255)]]

@@ -1476,3 +1476,38 @@ def event_chain_components(spark, sf_dir):
 
     cc = graph.connected_components(edges, nodes)
     return cc.select(F.col("node").alias("event_id"), "component_id")
+
+
+@register(
+    "skew_summary_events",
+    f"""WITH pk AS (
+          SELECT CAST(user_id AS VARCHAR) AS k,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM {_EV} GROUP BY user_id
+        ), s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(c) AS BIGINT) AS n_rows,
+                 CAST(MAX(c) AS BIGINT) AS max_count,
+                 CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                     AS top1_share,
+                 CAST(MAX(c) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                     / CAST(SUM(c) AS DOUBLE) AS skew_ratio
+          FROM pk
+        ), h AS (
+          SELECT LIST(k ORDER BY c DESC, k) AS top_keys
+          FROM (SELECT k, c FROM pk ORDER BY c DESC, k LIMIT 5)
+        )
+        SELECT s.*, h.top_keys FROM s, h""",
+)
+def skew_summary_events(spark, sf_dir):
+    """One-row shuffle-key skew summary (operators/dq.key_skew_report)
+    on the events user_id key — the machine-checkable pre-flight gate
+    (complement of skew_report_events' per-key top-10 listing):
+    key cardinality, hottest-key share, straggler multiplier
+    (max/mean), and the top-5 hot keys. Scalar summary aggregation plus
+    a TakeOrderedAndProject top-k branch (only top_k rows move), exact
+    integers + single divisions throughout."""
+    ev = read_table(spark, sf_dir, "events")
+    from financial_data_lakehouse_pipeline__spark.operators import dq
+
+    return dq.key_skew_report(ev, ["user_id"], top_k=5)

@@ -1225,3 +1225,160 @@ def fuzzy_part_name_pairs(spark, sf_dir):
         F.element_at(F.split(F.col("p_name"), " "), -1),
         max_dist=4,
     )
+
+
+# ------------------------------------------------- basket / star analytics
+
+@register(
+    "basket_rules_orders",
+    """WITH b AS (
+          SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        ), n AS (
+          SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS nb FROM b
+        ), ic AS (
+          SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY i
+        ), p AS (
+          SELECT a.i AS item_a, c.i AS item_b,
+                 CAST(COUNT(*) AS BIGINT) AS pair_count
+          FROM b a JOIN b c ON a.g = c.g AND a.i < c.i
+          GROUP BY a.i, c.i
+          HAVING COUNT(*) >= 3
+        )
+        SELECT item_a, item_b, pair_count,
+               ca.cnt AS count_a, cb.cnt AS count_b,
+               CAST(pair_count AS DOUBLE) / CAST(nb AS DOUBLE) AS support,
+               CAST(pair_count AS DOUBLE) / CAST(ca.cnt AS DOUBLE)
+                   AS conf_a_to_b,
+               CAST(pair_count AS DOUBLE) / CAST(cb.cnt AS DOUBLE)
+                   AS conf_b_to_a,
+               (CAST(pair_count AS DOUBLE) * CAST(nb AS DOUBLE))
+                   / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE))
+                   AS lift
+        FROM p JOIN ic ca ON p.item_a = ca.i
+               JOIN ic cb ON p.item_b = cb.i, n""",
+)
+def basket_rules_orders(spark, sf_dir):
+    """Market-basket association rules (analysis.association_rules) on
+    order → part baskets: pairs of parts bought together in >= 3 orders
+    with support, directional confidence, and lift. Exact integer counts
+    + single IEEE divisions, so cross-engine bit-equal; pair expansion
+    cost follows basket size squared, bounded by the per-order line
+    count (7 max in TPC-H-shaped data)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return analysis.association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=3
+    )
+
+
+@register(
+    "regional_revenue_q5",
+    # TPC-H Q5 shape: revenue by nation for one region, restricted to
+    # "local" flows (customer and supplier in the same nation).
+    f"""SELECT n_name,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+               {sql_money_sum('l_extendedprice * (1 - l_discount)', 4)}
+                   AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name, CAST(EXTRACT(year FROM o_orderdate) AS INT)""",
+)
+def regional_revenue_q5(spark, sf_dir):
+    """TPC-H Q5-shaped star join — the canonical multiway analytic: fact
+    lineitem joined to orders, then customer/supplier/nation/region dims
+    with the 'local supplier' same-nation restriction, revenue rolled up
+    per nation-year. Spark-first shape: the three small dims broadcast
+    (supplier, nation, region — asserted in tests/test_plans.py), the
+    region filter prunes BEFORE the join chain via predicate pushdown,
+    and revenue is the exact scaled-integer money sum. At 100 TB this is
+    the plan that matters: two big-table shuffles (lineitem⋈orders on
+    orderkey, then ⋈customer on custkey), everything else map-side."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            c,
+            (o.o_custkey == c.c_custkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            n.n_regionkey == r.r_regionkey,
+        )
+    )
+    return joined.groupBy(
+        "n_name", F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        money_sum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+        ).alias("revenue"),
+    )
+
+
+@register(
+    "shipping_priority_q3",
+    # TPC-H Q3 shape: un-shipped revenue per order for one market
+    # segment, top 10 by revenue. Cutoff 1998-06-15 sits mid-range of
+    # the testdata's 1995..2001 order dates.
+    f"""SELECT l_orderkey,
+               {sql_money_sum('l_extendedprice * (1 - l_discount)', 4)}
+                   AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-15'
+          AND l_shipdate  > TIMESTAMP '1998-06-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10""",
+)
+def shipping_priority_q3(spark, sf_dir):
+    """TPC-H Q3-shaped shipping-priority query — the filter→join→agg→
+    top-k flagship: BUILDING-segment customers' orders placed before the
+    cutoff with lines still unshipped after it, revenue per order, top
+    10. Spark-first: both date filters and the segment filter push into
+    the scans (only matching row groups are read), the filtered customer
+    side broadcasts into the orders join, revenue is the exact
+    scaled-integer money sum, and the final top-10 plans
+    TakeOrderedAndProject (no global sort). Total order pinned by
+    (revenue desc, o_orderdate, l_orderkey)."""
+    cutoff = "1998-06-15"
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                4,
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )

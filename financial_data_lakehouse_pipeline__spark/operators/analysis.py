@@ -412,3 +412,71 @@ def candlestick_flags(
             "gap_down": F.coalesce(h < pl, f),
         }
     )
+
+
+def association_rules(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Market-basket association rules over (basket, item) pairs:
+    for every unordered item pair co-occurring in >= ``min_pair_count``
+    baskets, support / directional confidence / lift — the affinity
+    primitive behind recommenders and cross-sell analytics (a
+    frequency-thresholded Apriori at depth 2).
+
+    Shape: one distinct (dedupe multiple rows of an item in a basket),
+    one per-item count, one self-join on the basket key for pair counts
+    (cost follows basket-size squared — cap pathological basket sizes
+    upstream the way dedup caps posting lists), then two broadcast-able
+    joins to attach item counts and one broadcast of the scalar basket
+    total. All counts are exact integers; the three ratios are single
+    IEEE divisions of exact integers, so results are engine-exact.
+
+    Output: (item_a, item_b, pair_count, count_a, count_b, support,
+    conf_a_to_b, conf_b_to_a, lift), item_a < item_b.
+    """
+    baskets = df.select(
+        F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = baskets.select("__g").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    item_counts = baskets.groupBy(F.col("__i").alias("item")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    a = baskets.select("__g", F.col("__i").alias("item_a"))
+    b = baskets.select("__g", F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, "__g")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_pair_count)
+    )
+    ca = item_counts.select(
+        F.col("item").alias("item_a"), F.col("cnt").alias("count_a")
+    )
+    cb = item_counts.select(
+        F.col("item").alias("item_b"), F.col("cnt").alias("count_b")
+    )
+    return (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            "count_a",
+            "count_b",
+            (F.col("pair_count").cast("double") / F.col("__n").cast("double")).alias("support"),
+            (F.col("pair_count").cast("double") / F.col("count_a").cast("double")).alias("conf_a_to_b"),
+            (F.col("pair_count").cast("double") / F.col("count_b").cast("double")).alias("conf_b_to_a"),
+            (
+                (F.col("pair_count").cast("double") * F.col("__n").cast("double"))
+                / (F.col("count_a").cast("double") * F.col("count_b").cast("double"))
+            ).alias("lift"),
+        )
+    )

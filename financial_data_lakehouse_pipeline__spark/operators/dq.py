@@ -313,3 +313,64 @@ def monotonic_report(
         F.sum("__bad").cast("bigint").alias("n_violations"),
         (F.sum("__bad") == 0).alias("monotonic"),
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    keys: list[str],
+    top_k: int = 5,
+) -> DataFrame:
+    """Join/shuffle-key skew diagnostic — the pre-flight check before
+    any large keyed operation: per-key row counts reduced to one summary
+    row with the metrics that predict shuffle pathology (a hot key makes
+    one reducer the straggler no matter how many executors exist).
+
+    One groupBy over the keys (the same shuffle the diagnosed join would
+    do, but carrying only counts), then a single global aggregation:
+
+    - n_keys, n_rows — cardinality context
+    - max_count / top1_share — the hottest key's absolute and relative
+      weight (top1_share ~ 1/n_keys means uniform; >> that means salt
+      or AQE-skew-join before shuffling on this key)
+    - skew_ratio — max_count / mean_count, the straggler multiplier
+    - top_keys — the ``top_k`` hottest key values (stringified,
+      sorted by count desc then key for determinism)
+
+    All counts exact integers; ratios single IEEE divisions. The
+    summary is a scalar aggregation (never collects per-key rows into
+    one array — that would put n_keys elements on a single reducer);
+    top_keys comes from a separate TakeOrderedAndProject branch that
+    moves only ``top_k`` rows, then broadcast-joins onto the 1-row
+    summary.
+    """
+    per_key = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    key_str = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    counts = per_key.select(key_str.alias("__k"), "__c")
+    summary = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("__c").cast("bigint").alias("n_rows"),
+        F.max("__c").cast("bigint").alias("max_count"),
+        (
+            F.max("__c").cast("double") / F.sum("__c").cast("double")
+        ).alias("top1_share"),
+        (
+            F.max("__c").cast("double")
+            * F.count(F.lit(1)).cast("double")
+            / F.sum("__c").cast("double")
+        ).alias("skew_ratio"),
+    )
+    hot = (
+        counts.orderBy(F.col("__c").desc(), F.col("__k"))
+        .limit(top_k)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col("__c")).alias("nc"), F.col("__k").alias("k"))
+                )
+            ).alias("__hot")
+        )
+        .select(F.transform(F.col("__hot"), lambda s: s["k"]).alias("top_keys"))
+    )
+    return summary.crossJoin(F.broadcast(hot))

@@ -1693,3 +1693,51 @@ def test_connected_components_self_loops_and_empty(spark):
         for r in graph.connected_components(edf, ndf).collect()
     }
     assert got == {5: 5, 7: 7, 9: 9}
+
+
+def test_association_rules_hand_example(spark):
+    """support/confidence/lift match hand-computed values on a tiny
+    basket set."""
+    from financial_data_lakehouse_pipeline__spark.operators.analysis import (
+        association_rules,
+    )
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "a"),
+        (5, "b"), (5, "c"),
+        (5, "c"),  # duplicate item in one basket must not double-count
+    ]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in association_rules(df, "basket", "item", min_pair_count=1).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = got[("a", "b")]
+    assert (ab["pair_count"], ab["count_a"], ab["count_b"]) == (2, 4, 3)
+    assert ab["support"] == 2 / 5
+    assert ab["conf_a_to_b"] == 2 / 4
+    assert ab["conf_b_to_a"] == 2 / 3
+    assert ab["lift"] == (2 * 5) / (4 * 3)
+    bc = got[("b", "c")]
+    assert bc["pair_count"] == 2
+    assert bc["lift"] == (2 * 5) / (3 * 3)
+
+
+def test_key_skew_report_values_and_hot_keys(spark):
+    """One-row skew summary: exact counts, shares, and the hottest keys
+    in deterministic order."""
+    from financial_data_lakehouse_pipeline__spark.operators.dq import (
+        key_skew_report,
+    )
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("a",), ("b",), ("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_report(df, ["k"], top_k=2).collect()[0]
+    assert (r["n_keys"], r["n_rows"], r["max_count"]) == (5, 12, 6)
+    assert r["top1_share"] == 6 / 12
+    assert r["skew_ratio"] == 6 / (12 / 5)
+    assert r["top_keys"] == ["hot", "warm"]

@@ -257,3 +257,27 @@ def test_hist_quantiles_window_runs_over_sketch_not_data(spark, sf_dir):
         ids.setdefault(name, []).append(int(num))
     assert "Window" in ids and "HashAggregate" in ids
     assert min(ids["HashAggregate"]) < min(ids["Window"])
+
+
+def test_q5_star_join_broadcasts_dims_and_pushes_region_filter(spark, sf_dir):
+    """The TPC-H-Q5-shaped star join must broadcast the small dims
+    (supplier/nation/region) and push the region filter into the scan —
+    the plan where only the lineitem⋈orders⋈customer chain shuffles."""
+    df = _q("regional_revenue_q5")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("r_name" in ln for ln in pushed)
+
+
+def test_q3_top10_plans_take_ordered_with_broadcast(spark, sf_dir):
+    """Q3 shape: final top-10 must plan TakeOrderedAndProject (no global
+    sort), the filtered customer dim must broadcast, and the segment
+    filter must reach the scan."""
+    df = _q("shipping_priority_q3")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("c_mktsegment" in ln for ln in pushed)

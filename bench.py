@@ -50,6 +50,10 @@ HEADLINE = [
     "session_concurrency",       # sweep-line interval overlap
     "chunk_docs_sliding",        # LLM: overlapping context windows
     "pagerank_copurchase",       # iterative graph message passing
+    "event_chain_components",    # alternating-star connected components
+    "regional_revenue_q5",       # TPC-H Q5 star join, broadcast dims
+    "shipping_priority_q3",      # TPC-H Q3 filter->join->agg->top-k
+    "basket_rules_orders",       # market-basket self-join + rules
     "cms_heavy_users",           # sketch-pruned heavy hitters (CMS + verify)
     "hist_quantiles_order_totals",  # histogram-sketch quantiles
     "hll_estimate_custkey",      # md5 HyperLogLog estimate

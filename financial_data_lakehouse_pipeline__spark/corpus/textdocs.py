@@ -959,3 +959,56 @@ def encoding_quality_docs(spark, sf_dir):
     one guarded division each."""
     d = read_table(spark, sf_dir, "documents")
     return text.encoding_quality(d)
+
+
+@register(
+    "quality_classifier_docs",
+    # Linear BoW inference, exact: fixed-point weights accumulate as
+    # DECIMAL, one division per doc. Docs with no vocab hits (or no
+    # tokens) score exactly the bias.
+    f"""WITH w(term, weight) AS (
+          VALUES ('fast', 1.0), ('spark', 0.5), ('merge', 0.25),
+                 ('slow', -1.0), ('the', -0.25)
+        ), t AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array({_CANON}, ' ')) AS tok
+          FROM documents WHERE length(trim(text)) > 0
+        ), j AS (
+          SELECT doc_id, tok, weight FROM t LEFT JOIN w ON tok = term
+        ), s AS (
+          SELECT doc_id,
+                 CAST(COUNT(tok) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(weight) AS BIGINT) AS n_hits,
+                 SUM(CAST(weight AS DECIMAL(30,6))) AS ws
+          FROM j GROUP BY doc_id
+        ), sc AS (
+          SELECT d.doc_id,
+                 COALESCE(s.n_tokens, 0) AS n_tokens,
+                 COALESCE(s.n_hits, 0) AS n_hits,
+                 1e-1 + CASE WHEN COALESCE(s.n_tokens, 0) > 0
+                        THEN CAST(COALESCE(s.ws, 0) AS DOUBLE)
+                             / CAST(s.n_tokens AS DOUBLE)
+                        ELSE 0e0 END AS score
+          FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        )
+        SELECT doc_id, n_tokens, n_hits, score, score >= 0e0 AS label
+        FROM sc""",
+)
+def quality_classifier_docs(spark, sf_dir):
+    """Model-based quality filtering (operators/text.
+    linear_text_classifier): a linear bag-of-words scorer — the
+    fastText/logistic quality-classifier inference step of CCNet/
+    FineWeb-style pipelines — as pure Spark expressions: explode →
+    broadcast vocabulary join → one keyed aggregation, no UDF.
+    Fixed-point weights make the weighted sum DECIMAL-exact, so scores
+    are bit-identical cross-engine; empty/no-hit docs score exactly the
+    bias."""
+    d = read_table(spark, sf_dir, "documents")
+    w = spark.createDataFrame(
+        [("fast", 1.0), ("spark", 0.5), ("merge", 0.25),
+         ("slow", -1.0), ("the", -0.25)],
+        "term string, weight double",
+    )
+    return text.linear_text_classifier(
+        d, w, bias=0.1, threshold=0.0, normalize=True
+    )

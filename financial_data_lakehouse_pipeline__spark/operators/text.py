@@ -640,3 +640,70 @@ def encoding_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         (moji.cast("double") / nz).alias("mojibake_ratio"),
         ((repl + ctrl + moji) == 0).alias("encoding_ok"),
     )
+
+
+def linear_text_classifier(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bias: float = 0.0,
+    threshold: float = 0.0,
+    normalize: bool = True,
+) -> DataFrame:
+    """Linear bag-of-words classifier inference — the model-based quality
+    filter of web-corpus pipelines (fastText/logistic quality scorers a
+    la CCNet/FineWeb) reduced to its Spark-native essence: tokenize,
+    join a broadcast (term, weight) table, sum.
+
+    score = bias + Σ_t count(t)·w(t)  (divided by token count when
+    ``normalize`` — the mean-of-weights form that keeps scores
+    length-comparable), label = score >= threshold.
+
+    Scale shape: explode → broadcast equi-join on the vocabulary (model
+    vocabularies are ~1e5-1e6 terms — always broadcastable) → one keyed
+    aggregation. No UDF anywhere — inference is pure codegen arithmetic,
+    so it runs at scan speed and the oracle can reproduce it exactly.
+    Determinism: counts are exact integers; with fixed-point weights
+    (<= 6 decimals) the weighted sum accumulates as exact DECIMAL, so
+    scores are bit-identical across engines and partitionings; documents
+    with NO vocabulary hits score bias exactly.
+
+    Output: (id_col, n_tokens, n_hits, score, label).
+    """
+    from financial_data_lakehouse_pipeline__spark.functions import tokens
+    from financial_data_lakehouse_pipeline__spark.operators.dedup import (
+        canonical_text,
+    )
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(tokens(canonical_text(F.col(text_col)))).alias("tok"),
+    )
+    w = weights.select(
+        F.col("term").alias("tok"), F.col("weight").cast("double").alias("__w")
+    )
+    scored = (
+        toks.join(F.broadcast(w), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("tok").cast("bigint").alias("n_tokens"),
+            F.count("__w").cast("bigint").alias("n_hits"),
+            F.sum(F.col("__w").cast("decimal(30,6)")).alias("__s"),
+        )
+    )
+    raw = F.coalesce(F.col("__s").cast("double"), F.lit(0.0))
+    score = (
+        F.lit(bias)
+        + F.when(
+            F.lit(normalize) & (F.col("n_tokens") > 0),
+            raw / F.col("n_tokens").cast("double"),
+        ).otherwise(raw)
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "n_hits",
+        score.alias("score"),
+        (score >= F.lit(threshold)).alias("label"),
+    )

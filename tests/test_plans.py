@@ -281,3 +281,50 @@ def test_q3_top10_plans_take_ordered_with_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("c_mktsegment" in ln for ln in pushed)
+
+
+def test_aqe_skew_join_splits_hot_partition_at_runtime(spark):
+    """The scale posture trusts AQE to split skewed shuffle partitions
+    (SCALE.md §3) — prove it fires: a 95%-hot-key sort-merge join run
+    with low skew thresholds must show 'skew=true' in the executed
+    adaptive plan."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 97).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = left.join(right, "k")
+        # collect() executes THIS DataFrame's query execution (count()
+        # would build a different one whose adaptive plan never runs)
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

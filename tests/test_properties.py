@@ -194,3 +194,103 @@ def test_rolling_median_matches_python_reference(spark, vals, n):
                 else (s[c // 2 - 1] + s[c // 2]) / 2.0
             )
         assert got[i] == want, (i, got[i], want)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find_property(spark, edges):
+    """Alternating-star connected components equals union-find on
+    arbitrary hypothesis-generated graphs (self-loops, parallel edges,
+    isolated nodes included)."""
+    from financial_data_lakehouse_pipeline__spark.operators import graph
+
+    n = 41
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for x in range(n):
+        comps.setdefault(find(x), []).append(x)
+    expect = {}
+    for members in comps.values():
+        m = min(members)
+        for x in members:
+            expect[x] = m
+
+    edf = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "src long, dst long"
+    )
+    ndf = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    got = {
+        r["node"]: r["component_id"]
+        for r in graph.connected_components(edf, ndf).collect()
+    }
+    assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 8), st.sampled_from("abcdef")),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_association_rules_integer_identities(spark, rows):
+    """Pair/item counts match a Python reference exactly, and each ratio
+    equals the same IEEE division computed in Python bit-for-bit (NOT a
+    multiply-back identity — (p/n)*n != p for e.g. p=15, n=22)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from financial_data_lakehouse_pipeline__spark.operators.analysis import (
+        association_rules,
+    )
+
+    baskets = defaultdict(set)
+    for g, i in rows:
+        baskets[g].add(i)
+    n = len(baskets)
+    pair_ref = defaultdict(int)
+    for items in baskets.values():
+        for a, b in combinations(sorted(items), 2):
+            pair_ref[(a, b)] += 1
+    item_ref = defaultdict(int)
+    for items in baskets.values():
+        for i in items:
+            item_ref[i] += 1
+
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = association_rules(df, "basket", "item", min_pair_count=1).collect()
+    got_pairs = {(r["item_a"], r["item_b"]): r for r in out}
+    assert {k: v["pair_count"] for k, v in got_pairs.items()} == dict(pair_ref)
+    for (a, b), r in got_pairs.items():
+        assert (r["count_a"], r["count_b"]) == (item_ref[a], item_ref[b])
+        p = r["pair_count"]
+        assert r["support"] == p / n
+        assert r["conf_a_to_b"] == p / item_ref[a]
+        assert r["conf_b_to_a"] == p / item_ref[b]
+        assert r["lift"] == (p * n) / (item_ref[a] * item_ref[b])

@@ -328,3 +328,55 @@ def test_aqe_skew_join_splits_hot_partition_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_lake(spark, sf_dir, tmp_path):
+    """A hive-partitioned fact joined to a filtered dim must plan a
+    dynamicpruning subquery on the partition column — at 100 TB this is
+    the difference between scanning every date directory and only the
+    ones the dim join can reach."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from financial_data_lakehouse_pipeline__spark.sources import (
+        write_partitioned_parquet,
+    )
+
+    o = spark.read.parquet(_os.path.join(sf_dir, "orders.parquet")).withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned_parquet(o, path, ["order_year"])
+
+    fact = spark.read.parquet(path)
+
+    # 1) statically-known dim values constant-fold into a STATIC
+    #    PartitionFilter on the scan — no directories listed beyond 1997
+    static_dim = (
+        spark.range(1995, 2002)
+        .select(F.col("id").cast("int").alias("order_year"))
+        .filter(F.col("order_year") == 1997)
+    )
+    static_join = fact.join(static_dim, "order_year")
+    static_plan = plans.formatted_plan(static_join)
+    assert "PartitionFilters: [(order_year" in static_plan
+    assert "= 1997)" in static_plan
+
+    # 2) runtime-only dim values (an aggregate over another scan) must
+    #    plan a dynamicpruning subquery on the partition column
+    dim = (
+        spark.read.parquet(_os.path.join(sf_dir, "orders.parquet"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 0)
+        .orderBy("order_year")
+        .limit(1)
+    )
+    joined = fact.join(dim.select("order_year"), "order_year").groupBy(
+        "order_year"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    plan = plans.formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+    rows = joined.collect()
+    assert len(rows) == 1 and rows[0]["order_year"] == 1995

@@ -1382,3 +1382,47 @@ def shipping_priority_q3(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "weighted_price_quartiles",
+    # Volume-weighted price quartiles: smallest price whose cumulative
+    # QUANTITY share reaches q. ROWS framing (not RANGE) so each row has
+    # its own running weight; exact DECIMAL threshold comparison.
+    """WITH s AS (
+          SELECT l_returnflag, l_extendedprice AS v,
+                 CAST(l_quantity AS BIGINT) AS w
+          FROM lineitem
+        ), c AS (
+          SELECT l_returnflag, v, w,
+                 SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                 SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+          FROM s
+        ), q AS (SELECT unnest([25e-2, 5e-1, 75e-2]) AS q)
+        SELECT l_returnflag, q, v AS value
+        FROM c, q
+        WHERE cw >= CAST(q AS DECIMAL(10,6)) * tw
+          AND (cw - w) < CAST(q AS DECIMAL(10,6)) * tw""",
+)
+def weighted_price_quartiles(spark, sf_dir):
+    """Volume-weighted price quartiles per return flag
+    (operators/aggregates.weighted_percentile_disc): the smallest price
+    below which 25/50/75% of traded QUANTITY sits — the weighted
+    percentile exchanges and risk systems quote, as opposed to the
+    row-counted percentile. Exact decimal running weights and exact
+    decimal threshold comparisons (no float accumulation), one
+    shuffle+sort per group — bit-identical across engines and
+    partitionings."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return agg.weighted_percentile_disc(
+        li.select(
+            "l_returnflag",
+            "l_extendedprice",
+            F.col("l_quantity").cast("bigint").alias("__w"),
+        ),
+        ["l_returnflag"],
+        "l_extendedprice",
+        "__w",
+        [0.25, 0.5, 0.75],
+    )

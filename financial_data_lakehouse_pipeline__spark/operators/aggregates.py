@@ -417,3 +417,57 @@ def winsorize(
     return joined.withColumn(
         out, F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi"))
     ).drop("__lo", "__hi")
+
+
+def weighted_percentile_disc(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    qs: Sequence[float],
+    out: str = "value",
+) -> DataFrame:
+    """Exact WEIGHTED discrete percentiles per group: for each q, the
+    smallest value whose running weight share reaches q — e.g. "the
+    price below which 25% of traded VOLUME sits" (volume-weighted
+    quartiles), the form exchanges and risk systems quote.
+
+    Same bit-exact discipline as :func:`percentile_disc`: the cumulative
+    weight is an exact DECIMAL running sum over the value-sorted group
+    (ties broken by value then row identity — any permutation of equal
+    values yields the same picked value), and the q match is an exact
+    DECIMAL comparison cum_w >= q·total_w with q held at 6 decimal
+    digits — no float accumulation or comparison anywhere, so any
+    engine agrees bit-for-bit.
+
+    Weights must be non-negative integers (counts, shares, scaled
+    volumes — rescale upstream if fractional). One shuffle+sort on
+    ``keys``; output (keys..., q, value) long form.
+    """
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy(*keys).orderBy(F.col(value_col)).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy(*keys)
+    cum = F.sum(F.col(weight_col).cast("decimal(38,0)")).over(w_rank)
+    tot = F.sum(F.col(weight_col).cast("decimal(38,0)")).over(w_all)
+    prev = cum - F.col(weight_col).cast("decimal(38,0)")
+    qs_arr = F.array(*[F.lit(float(q)) for q in qs])
+    # value v is the q-percentile iff its cumulative weight reaches q*W
+    # and the previous row's didn't: cum >= q*W > prev  (weight-0 rows
+    # can never match since then cum == prev). q*W in exact DECIMAL.
+    def _thresh(q):
+        return q.cast("decimal(10,6)") * F.col("__tw")
+
+    matched = F.filter(
+        qs_arr,
+        lambda q: (F.col("__cw") >= _thresh(q)) & (F.col("__pw") < _thresh(q)),
+    )
+    return (
+        df.withColumn("__cw", cum)
+        .withColumn("__tw", tot)
+        .withColumn("__pw", prev)
+        .withColumn("q", F.explode(matched))
+        .select(*keys, "q", F.col(value_col).alias(out))
+    )

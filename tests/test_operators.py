@@ -1741,3 +1741,33 @@ def test_key_skew_report_values_and_hot_keys(spark):
     assert r["top1_share"] == 6 / 12
     assert r["skew_ratio"] == 6 / (12 / 5)
     assert r["top_keys"] == ["hot", "warm"]
+
+
+def test_weighted_percentile_disc_hand_example(spark):
+    """Weighted percentiles: crossing value correct with uneven weights,
+    zero-weight rows can never be picked, duplicate values safe."""
+    from financial_data_lakehouse_pipeline__spark.operators import aggregates
+
+    rows = [
+        ("g", 10.0, 1),
+        ("g", 20.0, 0),   # zero weight: never picked
+        ("g", 20.0, 8),
+        ("g", 30.0, 1),
+        # second group: all weight on the last value
+        ("h", 1.0, 1),
+        ("h", 2.0, 99),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, w long")
+    out = aggregates.weighted_percentile_disc(
+        df, ["k"], "v", "w", [0.05, 0.5, 0.95]
+    ).collect()
+    got = {(r["k"], r["q"]): r["value"] for r in out}
+    # g: total 10 -> thresholds 0.5, 5, 9.5; cum: 10->1, 20->9, 30->10
+    assert got[("g", 0.05)] == 10.0
+    assert got[("g", 0.5)] == 20.0
+    assert got[("g", 0.95)] == 30.0
+    # h: total 100 -> 5, 50, 95; cum: 1->1, 2->100
+    assert got[("h", 0.05)] == 2.0
+    assert got[("h", 0.5)] == 2.0
+    assert got[("h", 0.95)] == 2.0
+    assert len(out) == 6

@@ -360,3 +360,43 @@ def link_prediction_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    max_iterations: int = 100,
+) -> DataFrame:
+    """k-core decomposition membership: iteratively peel nodes of degree
+    < k until the remaining subgraph has min degree >= k — the standard
+    "dense cohesive subgraph" filter (spam/bot rings, co-purchase
+    communities, collaboration cores).
+
+    Each round: one degree aggregation, one weak-node filter, two
+    anti-joins to drop their edges; the edge set only shrinks, and each
+    round's survivor set is localCheckpoint-ed to keep lineage flat.
+    Convergence = no weak nodes (one tiny count per round — O(peeling
+    depth) driver actions). Peeling depth is data-dependent (a chain
+    peels O(n/2) rounds at k=2); ``max_iterations`` bounds it and the
+    operator raises rather than returning a non-fixpoint.
+
+    Output: (node, deg) for surviving nodes, deg = degree within the
+    core (>= k by construction).
+    """
+    e = _canonical_pairs(edges)
+    e = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        deg = e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("deg")
+        )
+        weak = deg.filter(F.col("deg") < k).select("node")
+        if weak.isEmpty():
+            return deg
+        e = (
+            e.join(weak, e.src == weak.node, "left_anti")
+            .join(weak, e.dst == weak.node, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"k_core did not converge in {max_iterations} rounds")

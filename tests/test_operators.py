@@ -1771,3 +1771,47 @@ def test_weighted_percentile_disc_hand_example(spark):
     assert got[("h", 0.5)] == 2.0
     assert got[("h", 0.95)] == 2.0
     assert len(out) == 6
+
+
+def test_k_core_matches_python_reference(spark):
+    """k-core survivors match an iterative Python peel on hand and
+    random graphs; a chain has an empty 2-core, a cycle is its own
+    2-core."""
+    import random
+
+    from financial_data_lakehouse_pipeline__spark.operators import graph
+
+    def py_k_core(edge_list, k):
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for a, b in edge_list:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj[n]:
+                        adj[m].discard(n)
+                    del adj[n]
+                    changed = True
+        return {n: len(v) for n, v in adj.items()}
+
+    cases = [
+        [(i, i + 1) for i in range(6)],                      # chain: empty 2-core
+        [(0, 1), (1, 2), (2, 0), (2, 3)],                    # triangle + tail
+        [(i, (i + 1) % 8) for i in range(8)],                # cycle: full 2-core
+    ]
+    rng = random.Random(3)
+    cases.append([(rng.randrange(30), rng.randrange(30)) for _ in range(70)])
+    for k in (2, 3):
+        for edges in cases:
+            expect = py_k_core(edges, k)
+            edf = spark.createDataFrame(edges, "src long, dst long")
+            got = {
+                r["node"]: r["deg"] for r in graph.k_core(edf, k=k).collect()
+            }
+            assert got == expect, (k, edges[:5], got, expect)

@@ -1402,8 +1402,8 @@ def shipping_priority_q3(spark, sf_dir):
         ), q AS (SELECT unnest([25e-2, 5e-1, 75e-2]) AS q)
         SELECT l_returnflag, q, v AS value
         FROM c, q
-        WHERE cw >= CAST(q AS DECIMAL(10,6)) * tw
-          AND (cw - w) < CAST(q AS DECIMAL(10,6)) * tw""",
+        WHERE cw * 1000000 >= CAST(ROUND(q * 1e6) AS BIGINT) * tw
+          AND (cw - w) * 1000000 < CAST(ROUND(q * 1e6) AS BIGINT) * tw""",
 )
 def weighted_price_quartiles(spark, sf_dir):
     """Volume-weighted price quartiles per return flag

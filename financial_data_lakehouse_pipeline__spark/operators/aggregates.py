@@ -435,10 +435,14 @@ def weighted_percentile_disc(
     Same bit-exact discipline as :func:`percentile_disc`: the cumulative
     weight is an exact DECIMAL running sum over the value-sorted group
     (ties broken by value then row identity — any permutation of equal
-    values yields the same picked value), and the q match is an exact
-    DECIMAL comparison cum_w >= q·total_w with q held at 6 decimal
-    digits — no float accumulation or comparison anywhere, so any
-    engine agrees bit-for-bit.
+    values yields the same picked value), and the q match is an integer
+    CROSS-MULTIPLICATION: cum_w·10^6 >= round(q·10^6)·total_w — exact
+    decimal arithmetic end to end, no float accumulation or comparison
+    anywhere, so any engine agrees bit-for-bit. (A naive
+    ``cum >= CAST(q AS DECIMAL(10,6)) * total`` is NOT safe: Spark's
+    decimal-product precision overflows at (10,6)x(38,0) and silently
+    reduces scale, collapsing small thresholds — caught by the
+    hypothesis property test.)
 
     Weights must be non-negative integers (counts, shares, scaled
     volumes — rescale upstream if fractional). One shuffle+sort on
@@ -456,13 +460,17 @@ def weighted_percentile_disc(
     qs_arr = F.array(*[F.lit(float(q)) for q in qs])
     # value v is the q-percentile iff its cumulative weight reaches q*W
     # and the previous row's didn't: cum >= q*W > prev  (weight-0 rows
-    # can never match since then cum == prev). q*W in exact DECIMAL.
-    def _thresh(q):
-        return q.cast("decimal(10,6)") * F.col("__tw")
+    # can never match since then cum == prev). Compared as the integer
+    # cross-product cum*10^6 vs round(q*10^6)*W — exact at any scale.
+    scale = F.lit(1_000_000).cast("decimal(38,0)")
+
+    def _qnum(q):
+        return F.round(q * F.lit(1e6)).cast("decimal(38,0)")
 
     matched = F.filter(
         qs_arr,
-        lambda q: (F.col("__cw") >= _thresh(q)) & (F.col("__pw") < _thresh(q)),
+        lambda q: (F.col("__cw") * scale >= _qnum(q) * F.col("__tw"))
+        & (F.col("__pw") * scale < _qnum(q) * F.col("__tw")),
     )
     return (
         df.withColumn("__cw", cum)

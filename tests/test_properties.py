@@ -294,3 +294,55 @@ def test_association_rules_integer_identities(spark, rows):
         assert r["conf_a_to_b"] == p / item_ref[a]
         assert r["conf_b_to_a"] == p / item_ref[b]
         assert r["lift"] == (p * n) / (item_ref[a] * item_ref[b])
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.floats(
+                allow_nan=False,
+                allow_infinity=False,
+                min_value=-100,
+                max_value=100,
+            ),
+            st.integers(0, 20),
+        ),
+        min_size=1,
+        max_size=25,
+    ).filter(lambda rs: sum(w for _, w in rs) > 0)
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_weighted_percentile_matches_python_reference(spark, rows):
+    """weighted_percentile_disc picks the smallest value whose cumulative
+    weight share reaches q — against a direct Python scan, including
+    zero-weight rows, duplicate values, and all mass on one row.
+    (This test caught the decimal-product scale collapse: Spark reduces
+    scale on (10,6)x(38,0) products, so a naive q*W threshold silently
+    rounds — the operator cross-multiplies integers instead.)"""
+    from financial_data_lakehouse_pipeline__spark.operators import aggregates
+
+    qs = [0.25, 0.5, 0.9]
+    df = spark.createDataFrame(
+        [("g", v, w) for v, w in rows], "k string, v double, w long"
+    )
+    out = aggregates.weighted_percentile_disc(df, ["k"], "v", "w", qs).collect()
+    got = {r["q"]: r["value"] for r in out}
+
+    total = sum(w for _, w in rows)
+    srt = sorted(rows)
+    for q in qs:
+        qnum = round(q * 1_000_000)  # mirror the integer cross-product
+        cum = 0
+        expect = None
+        for v, w in srt:
+            prev = cum
+            cum += w
+            if cum * 1_000_000 >= qnum * total and prev * 1_000_000 < qnum * total:
+                expect = v
+                break
+        assert got[q] == expect, (q, srt, got)
+    assert len(out) == len(qs)

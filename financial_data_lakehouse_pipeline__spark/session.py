@@ -82,6 +82,16 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
     )
+    # Heap sizing (local mode runs everything in the driver JVM): the
+    # 1g Spark default is fine at the test scale factors — measured at
+    # sf0.1/local[32], a 16g heap changes nothing (Spark's spill path
+    # degrades gracefully and the working set is small) — but a larger
+    # single-node corpus needs real heap: set SPARK_GRAFT_DRIVER_MEM
+    # (e.g. "16g"). Static conf — applies only to the first session of
+    # the process.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if driver_mem:
+        b = b.config("spark.driver.memory", driver_mem)
     for k, v in _RUNTIME_CONF.items():
         b = b.config(k, v)
     if extra_conf:

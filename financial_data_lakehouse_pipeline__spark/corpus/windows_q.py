@@ -1403,3 +1403,46 @@ def cross_sectional_supplier_rank(spark, sf_dir):
             6,
         ).alias("zscore"),
     )
+
+
+@register(
+    "ewm_vol_supplier_price",
+    # RiskMetrics EWM variance replayed as a recursive CTE with the SAME
+    # operation order as the applyInPandas loop (d uses the PREVIOUS mu;
+    # alpha written in e-notation so both engines hold the same DOUBLE).
+    # base MATERIALIZED per the EMA oracle lesson.
+    f"""WITH RECURSIVE base AS MATERIALIZED (
+          SELECT l_suppkey, l_orderkey, l_linenumber,
+                 CAST(l_extendedprice AS DOUBLE) AS v,
+                 ROW_NUMBER() OVER ({_LI_WIN}) AS rn
+          FROM lineitem
+        ), r AS (
+          SELECT l_suppkey, l_orderkey, l_linenumber, rn,
+                 v AS mu, 0e0 AS s
+          FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b.l_suppkey, b.l_orderkey, b.l_linenumber, b.rn,
+                 r.mu + (2e0 / 2e1) * (b.v - r.mu),
+                 (1e0 - (2e0 / 2e1))
+                   * (r.s + (2e0 / 2e1) * (b.v - r.mu) * (b.v - r.mu))
+          FROM base b JOIN r ON b.l_suppkey = r.l_suppkey
+                            AND b.rn = r.rn + 1
+        )
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               s AS ewm_var, sqrt(s) AS ewm_std
+        FROM r""",
+)
+def ewm_vol_supplier_price(spark, sf_dir):
+    """Exponentially-weighted variance/volatility per supplier price
+    series (operators/windows.ewm_volatility, span=19 → α=0.1) — the
+    RiskMetrics vol estimate beside the true EMA. Same recursive
+    machinery as the EMA family: applyInPandas explicit loop with fixed
+    operation order, bit-identical to the recursive-CTE oracle; sqrt is
+    correctly rounded on both engines."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", *_LI_ORDER_COLS)
+    out = windows.ewm_volatility(
+        li, ["l_suppkey"], _LI_ORDER_COLS, "l_extendedprice", span=19
+    )
+    return out.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "ewm_var", "ewm_std"
+    )

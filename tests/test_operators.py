@@ -1815,3 +1815,29 @@ def test_k_core_matches_python_reference(spark):
                 r["node"]: r["deg"] for r in graph.k_core(edf, k=k).collect()
             }
             assert got == expect, (k, edges[:5], got, expect)
+
+
+def test_ewm_volatility_matches_reference_recursion(spark):
+    """EWM variance/std vs an independent Python replay of the
+    RiskMetrics recursion; seed row has var 0, std 0."""
+    import math
+
+    from financial_data_lakehouse_pipeline__spark.operators import windows
+
+    vals = [100.0, 102.0, 99.0, 99.0, 107.5, 95.25]
+    df = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(vals)], "k string, i int, v double"
+    )
+    out = windows.ewm_volatility(df, ["k"], ["i"], "v", span=19)
+    got = {r["i"]: (r["ewm_var"], r["ewm_std"]) for r in out.collect()}
+
+    alpha = 2.0 / 20.0
+    mu, s = vals[0], 0.0
+    expect = [(0.0, 0.0)]
+    for x in vals[1:]:
+        d = x - mu
+        mu = mu + alpha * d
+        s = (1.0 - alpha) * (s + alpha * d * d)
+        expect.append((s, math.sqrt(s)))
+    for i, e in enumerate(expect):
+        assert got[i] == e, (i, got[i], e)

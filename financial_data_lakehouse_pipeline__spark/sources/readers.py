@@ -146,3 +146,28 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         df = normalize_event_ts(df)
     return df
+
+
+def with_ingest_metadata(df: DataFrame, source: str) -> DataFrame:
+    """Stamp lake-ingest audit columns — the provenance contract every
+    multi-source lake needs for debugging, replay, and per-file
+    quarantine (the reference carries the same idea as its partitioned
+    year=/month= layout plus job-level logging; here it is row-level):
+
+    - ``_source``   — logical source name (the extractor/feed id)
+    - ``_input_file`` — physical file the row came from
+      (``input_file_name()`` — populated during the scan, constant-cost)
+    - ``_ingest_ts``  — processing-time stamp (``current_timestamp()``,
+      one value per query execution, NOT per row — deterministic within
+      a run)
+
+    Pure metadata projection: no shuffle, no UDF; columns prefixed with
+    ``_`` so they sort apart from data columns and are easy to drop
+    before serving."""
+    return df.withColumns(
+        {
+            "_source": F.lit(source),
+            "_input_file": F.input_file_name(),
+            "_ingest_ts": F.current_timestamp(),
+        }
+    )

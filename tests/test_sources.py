@@ -393,3 +393,20 @@ def test_morton_code_interleave_known_values(spark):
         return z
 
     assert got == [morton(x, y) for x, y in [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255)]]
+
+
+def test_with_ingest_metadata_stamps_provenance(spark, sf_dir):
+    """Audit columns: _source literal, _input_file points at the actual
+    parquet file, _ingest_ts constant within the run; no shuffle."""
+    from financial_data_lakehouse_pipeline__spark import plans
+    from financial_data_lakehouse_pipeline__spark.sources.readers import (
+        with_ingest_metadata,
+    )
+
+    df = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    out = with_ingest_metadata(df, "tpch-region")
+    assert plans.count_exchanges(out) == 0
+    rows = out.collect()
+    assert all(r["_source"] == "tpch-region" for r in rows)
+    assert all("region.parquet" in r["_input_file"] for r in rows)
+    assert len({r["_ingest_ts"] for r in rows}) == 1

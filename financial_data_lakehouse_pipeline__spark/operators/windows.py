@@ -998,6 +998,11 @@ def ewm_volatility(
     operation order (the exact expressions above), so a recursive-CTE
     oracle replays it bit-for-bit; ``ewm_std = sqrt(s_t)`` (sqrt is
     correctly rounded — bit-identical on any engine).
+
+    Input contract (same as :func:`ema`): ``value_col`` must be
+    non-null — a recursive state poisoned by NaN/NULL propagates
+    forever and pandas-NaN vs SQL-NULL diverge; forward-fill or filter
+    upstream (operators/cleaning.forward_fill).
     """
     from pyspark.sql import types as T
 

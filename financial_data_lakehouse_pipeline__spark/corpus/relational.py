@@ -1426,3 +1426,51 @@ def weighted_price_quartiles(spark, sf_dir):
         "__w",
         [0.25, 0.5, 0.75],
     )
+
+
+@register(
+    "top_customer_by_balance",
+    # argmax/argmin aggregates with a tie-proof INTEGER composite order
+    # key (cents*10^7 + custkey): neither engine's arg_max accepts a
+    # composite, and bare arg_max over a tied value is nondeterministic.
+    """WITH c AS (
+          SELECT c_nationkey, c_name, c_custkey,
+                 CAST(FLOOR(c_acctbal * 100e0 + 5e-1) AS BIGINT) * 10000000
+                     + c_custkey AS okey,
+                 c_acctbal
+          FROM customer
+        )
+        SELECT c_nationkey,
+               arg_max(c_name, okey) AS richest_customer,
+               MAX(c_acctbal) AS max_balance,
+               arg_min(c_name, okey) AS poorest_customer,
+               MIN(c_acctbal) AS min_balance,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM c GROUP BY c_nationkey""",
+)
+def top_customer_by_balance(spark, sf_dir):
+    """Argmax/argmin aggregates (F.max_by / F.min_by — 'which row holds
+    the extreme', the one-aggregation alternative to a row_number window
+    + filter): richest and poorest customer per nation. Ties are made
+    impossible, not ignored: the order key is the exact integer
+    composite cents*10^7 + custkey, so equal balances resolve by custkey
+    identically on every engine and partitioning — bare max_by on a
+    tied column is nondeterministic by contract. One shuffle, map-side
+    partial aggregation; no window, no second pass."""
+    c = read_table(spark, sf_dir, "customer")
+    okey = (
+        F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+        * F.lit(10_000_000).cast("bigint")
+        + F.col("c_custkey")
+    )
+    return (
+        c.withColumn("__okey", okey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_name", F.col("__okey")).alias("richest_customer"),
+            F.max("c_acctbal").alias("max_balance"),
+            F.min_by("c_name", F.col("__okey")).alias("poorest_customer"),
+            F.min("c_acctbal").alias("min_balance"),
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        )
+    )

@@ -1446,3 +1446,47 @@ def ewm_vol_supplier_price(spark, sf_dir):
     return out.select(
         "l_suppkey", "l_orderkey", "l_linenumber", "ewm_var", "ewm_std"
     )
+
+
+@register(
+    "supplier_inventory_balance",
+    # Floored running sum in exact INTEGER arithmetic: every recursive
+    # step is GREATEST(0, prev + delta) — no float contract anywhere.
+    f"""WITH RECURSIVE base AS MATERIALIZED (
+          SELECT l_suppkey, l_orderkey, l_linenumber,
+                 CAST(CASE WHEN l_returnflag = 'R' THEN -l_quantity
+                           ELSE l_quantity END AS BIGINT) AS d,
+                 ROW_NUMBER() OVER ({_LI_WIN}) AS rn
+          FROM lineitem
+        ), r AS (
+          SELECT l_suppkey, l_orderkey, l_linenumber, rn,
+                 GREATEST(CAST(0 AS BIGINT), d) AS balance
+          FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b.l_suppkey, b.l_orderkey, b.l_linenumber, b.rn,
+                 GREATEST(CAST(0 AS BIGINT), r.balance + b.d)
+          FROM base b JOIN r ON b.l_suppkey = r.l_suppkey
+                            AND b.rn = r.rn + 1
+        )
+        SELECT l_suppkey, l_orderkey, l_linenumber, balance FROM r""",
+)
+def supplier_inventory_balance(spark, sf_dir):
+    """Floored running inventory balance per supplier
+    (operators/windows.floored_running_sum): shipments add quantity,
+    returns (l_returnflag = 'R') subtract it, and the balance clamps at
+    zero after EVERY step — the inventory/credit-balance/token-bucket
+    recurrence that a plain windowed cumsum cannot express (the clamp
+    forgets how much was absorbed at the floor). Exact integer
+    recursion; bit-identical to the recursive-CTE oracle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    d = F.when(
+        F.col("l_returnflag") == "R", -F.col("l_quantity")
+    ).otherwise(F.col("l_quantity")).cast("bigint")
+    out = windows.floored_running_sum(
+        li.select("l_suppkey", *_LI_ORDER_COLS, d.alias("__d")),
+        ["l_suppkey"],
+        _LI_ORDER_COLS,
+        "__d",
+        floor=0,
+    )
+    return out.select("l_suppkey", "l_orderkey", "l_linenumber", "balance")

@@ -1033,3 +1033,46 @@ def ewm_volatility(
         return pdf
 
     return df.groupBy(*partition_by).applyInPandas(_per_group, schema=schema_out)
+
+
+def floored_running_sum(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    delta_col: str,
+    floor: int = 0,
+    out: str = "balance",
+) -> DataFrame:
+    """Running sum that clamps at a floor after EVERY step —
+    ``s_t = max(floor, s_{t-1} + x_t)``, seeded ``s_0 = max(floor, x_0)``
+    — inventory that cannot go negative, credit balances, token-bucket
+    rate limits. NOT window-expressible: the clamp makes each prefix
+    depend on the clamped previous state, not on the raw prefix sum
+    (``greatest(floor, sum(...) over w)`` is a DIFFERENT function — it
+    forgets how much was absorbed at the floor).
+
+    Same per-entity recursive machinery as :func:`ema` (grouped Arrow
+    batches, explicit loop, fixed operation order), but in exact INTEGER
+    arithmetic — pass integer deltas (scale upstream) and the recursive-
+    CTE oracle reproduces every step bit-for-bit with no float contract
+    at all. Input contract: ``delta_col`` non-null.
+    """
+    from pyspark.sql import types as T
+
+    schema_out = T.StructType(
+        list(df.schema.fields) + [T.StructField(out, T.LongType())]
+    )
+    sort_cols = list(order_by)
+
+    def _per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        deltas = pdf[delta_col].astype("int64").to_numpy()
+        bal = [0] * len(deltas)
+        s = floor
+        for i, d in enumerate(deltas):
+            s = max(floor, s + int(d))
+            bal[i] = s
+        pdf[out] = bal
+        return pdf
+
+    return df.groupBy(*partition_by).applyInPandas(_per_group, schema=schema_out)

@@ -1841,3 +1841,21 @@ def test_ewm_volatility_matches_reference_recursion(spark):
         expect.append((s, math.sqrt(s)))
     for i, e in enumerate(expect):
         assert got[i] == e, (i, got[i], e)
+
+
+def test_floored_running_sum_clamp_semantics(spark):
+    """The clamp applies after every step (absorbed deficit is
+    forgotten) — distinct from greatest(floor, running_sum)."""
+    from financial_data_lakehouse_pipeline__spark.operators import windows
+
+    deltas = [5, -8, 3, -1, 10]
+    df = spark.createDataFrame(
+        [("s", i, d) for i, d in enumerate(deltas)], "k string, i int, d long"
+    )
+    out = windows.floored_running_sum(df, ["k"], ["i"], "d")
+    got = [r["balance"] for r in out.orderBy("i").collect()]
+    # step-by-step: 5 -> max(0,-3)=0 -> 3 -> 2 -> 12
+    assert got == [5, 0, 3, 2, 12]
+    # plain cumsum clamped at the end would be [5, 0, 0, max(0,-1)=0, 9]:
+    # the raw prefix sums are 5,-3,0,-1,9 — different from the 4th step on
+    assert got != [5, 0, 0, 0, 9]

@@ -1474,3 +1474,81 @@ def top_customer_by_balance(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         )
     )
+
+
+@register(
+    "supplier_revenue_corr_pairs",
+    # Cross-ENTITY correlation matrix over a FIXED top-40 basket (by
+    # total revenue cents, ties by suppkey): day-aligned self-join fans
+    # out at most 40x40 per day regardless of data size. Daily revenue
+    # in exact integer cents; corr ROUND 6 per convention.
+    f"""WITH daily AS (
+          SELECT l_suppkey AS s, CAST(l_shipdate AS DATE) AS day,
+                 SUM(CAST(FLOOR(l_extendedprice * 100e0 + 5e-1)
+                          AS BIGINT)) AS rev_c
+          FROM lineitem GROUP BY l_suppkey, CAST(l_shipdate AS DATE)
+        ), basket AS (
+          SELECT s FROM (
+            SELECT s, CAST(SUM(rev_c) AS BIGINT) AS tot FROM daily GROUP BY s
+            ORDER BY tot DESC, s LIMIT 40
+          )
+        ), d AS (
+          SELECT daily.s, day, CAST(rev_c AS DOUBLE) AS rev
+          FROM daily SEMI JOIN basket ON daily.s = basket.s
+        )
+        SELECT a.s AS supp_a, b.s AS supp_b,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               {_CORR_SQL.format(x='a.rev', y='b.rev')} AS rev_corr
+        FROM d a JOIN d b ON a.day = b.day AND a.s < b.s
+        GROUP BY a.s, b.s
+        HAVING COUNT(*) >= 200""",
+)
+def supplier_revenue_corr_pairs(spark, sf_dir):
+    """Cross-entity correlation screen (the pairs-trading / co-movement
+    matrix) over a FIXED basket: the top 40 suppliers by total revenue
+    (exact integer cents, ties by suppkey), daily revenue day-aligned by
+    self-join, Pearson correlation per pair with >= 200 shared days.
+
+    Scale shape: the basket bound is what makes this safe at 100 TB —
+    the per-day join fan-out is <= |basket|² no matter how many entities
+    or rows exist (the unrestricted all-entities variant is quadratic in
+    active entities per day and measurably dies at sf0.1 on a 1g heap);
+    the basket itself broadcasts. Exact integer-cents daily sums feed
+    corr identical doubles on both engines; corr ROUND 6 (inherently
+    floating, corpus convention); zero-variance pairs NULL."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    daily = (
+        li.groupBy(
+            F.col("l_suppkey").alias("s"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(F.sum(cents).alias("rev_c"))
+    )
+    basket = (
+        daily.groupBy("s")
+        .agg(F.sum("rev_c").cast("bigint").alias("__tot"))
+        .orderBy(F.col("__tot").desc(), "s")
+        .limit(40)
+        .select("s")
+    )
+    d = daily.join(F.broadcast(basket), "s", "left_semi").select(
+        "s", "day", F.col("rev_c").cast("double").alias("rev")
+    )
+    a = d.select(F.col("s").alias("supp_a"), "day", F.col("rev").alias("__ra"))
+    b = d.select(
+        F.col("s").alias("supp_b"),
+        F.col("day").alias("__db"),
+        F.col("rev").alias("__rb"),
+    )
+    return (
+        a.join(b, (a.day == b.__db) & (a.supp_a < b.supp_b))
+        .groupBy("supp_a", "supp_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(safe_corr(F.col("__ra"), F.col("__rb")), 6).alias("rev_corr"),
+        )
+        .filter(F.col("n_days") >= 200)
+    )

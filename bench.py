@@ -50,9 +50,14 @@ HEADLINE = [
     "session_concurrency",       # sweep-line interval overlap
     "chunk_docs_sliding",        # LLM: overlapping context windows
     "pagerank_copurchase",       # iterative graph message passing
+    "pagerank_copurchase_persist",  # same, persisted-edges (100 TB regime)
     "event_chain_components",    # alternating-star connected components
     "regional_revenue_q5",       # TPC-H Q5 star join, broadcast dims
     "shipping_priority_q3",      # TPC-H Q3 filter->join->agg->top-k
+    "returned_items_q10",        # TPC-H Q10 3-way join + top-20
+    "customer_distribution_q13", # TPC-H Q13 outer-join 2-level agg
+    "disjunctive_filter_q19",    # TPC-H Q19 OR-of-ANDs pushdown
+    "waiting_suppliers_q21",     # TPC-H Q21 semi+anti self-joins
     "basket_rules_orders",       # market-basket self-join + rules
     "cms_heavy_users",           # sketch-pruned heavy hitters (CMS + verify)
     "hist_quantiles_order_totals",  # histogram-sketch quantiles
@@ -73,9 +78,12 @@ def main() -> None:
 
     # Steady-state methodology: one untimed warmup execution per query
     # (JIT + whole-stage-codegen compilation — constant overhead that is
-    # noise at benchmark scale), then one timed execution. A query that
-    # raises degrades to a missing entry (under "errors") — one broken
-    # query must never cost the whole bench line (r2 lesson).
+    # noise at benchmark scale), then MEDIAN of 3 timed executions —
+    # single-JVM GC/compilation noise in a long shared session produced
+    # a 1.92x phantom regression in round 4; the median absorbs one bad
+    # run per query. A query that raises degrades to a missing entry
+    # (under "errors") — one broken query must never cost the whole
+    # bench line (r2 lesson).
     errors: dict[str, str] = {}
 
     def run(name: str) -> None:
@@ -88,16 +96,22 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         if name in errors:
             continue
-        t0 = time.time()
+        samples: list[float] = []
         try:
-            run(name)
+            for _ in range(3):
+                t0 = time.time()
+                run(name)
+                samples.append(time.time() - t0)
         except Exception as exc:  # pragma: no cover - resilience path
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             continue
-        timings[name] = round(time.time() - t0, 3)
+        samples.sort()
+        timings[name] = round(samples[1], 3)
+        spreads[name] = round(samples[-1] - samples[0], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -108,6 +122,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "method": "median_of_3_after_warmup",
+                "spread_max_minus_min": spreads,
                 **({"errors": errors} if errors else {}),
             }
         )

@@ -93,6 +93,7 @@ def _load() -> None:
         relational,
         sketches_q,
         textdocs,
+        tpch_q,
         vectors,
         windows_q,
     )

@@ -1386,7 +1386,7 @@ def streaming_distinct_keys(spark, sf_dir):
                 FROM e GROUP BY user_id)
         )
         SELECT sp.user_id,
-               to_timestamp(sp.b) AS bucket_start,
+               make_timestamp(sp.b * CAST(1000000 AS BIGINT)) AS bucket_start,
                COALESCE(a.n_events, 0) AS n_events,
                a.hour_avg,
                LAST_VALUE(a.hour_avg IGNORE NULLS) OVER (
@@ -1494,7 +1494,7 @@ def event_chain_components(spark, sf_dir):
                      / CAST(SUM(c) AS DOUBLE) AS skew_ratio
           FROM pk
         ), h AS (
-          SELECT LIST(k ORDER BY c DESC, k) AS top_keys
+          SELECT STRING_AGG(k, '|' ORDER BY c DESC, k) AS top_keys
           FROM (SELECT k, c FROM pk ORDER BY c DESC, k LIMIT 5)
         )
         SELECT s.*, h.top_keys FROM s, h""",
@@ -1506,8 +1506,11 @@ def skew_summary_events(spark, sf_dir):
     key cardinality, hottest-key share, straggler multiplier
     (max/mean), and the top-5 hot keys. Scalar summary aggregation plus
     a TakeOrderedAndProject top-k branch (only top_k rows move), exact
-    integers + single divisions throughout."""
+    integers + single divisions throughout. top_keys is serialized to a
+    '|'-joined string: the driver's canonicalizer cannot hash
+    array-typed cells (corpus lint rejects complex output columns)."""
     ev = read_table(spark, sf_dir, "events")
     from financial_data_lakehouse_pipeline__spark.operators import dq
 
-    return dq.key_skew_report(ev, ["user_id"], top_k=5)
+    rep = dq.key_skew_report(ev, ["user_id"], top_k=5)
+    return rep.withColumn("top_keys", F.concat_ws("|", "top_keys"))

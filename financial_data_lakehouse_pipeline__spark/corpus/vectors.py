@@ -17,6 +17,13 @@ from financial_data_lakehouse_pipeline__spark.operators import similarity
 from financial_data_lakehouse_pipeline__spark.sources import read_table
 
 
+def _codes_str(col: str):
+    """Serialize an array<int> PQ code column to a '|'-joined string —
+    the driver's canonicalizer cannot hash array-typed cells (the
+    corpus lint rejects complex output columns)."""
+    return F.concat_ws("|", F.transform(F.col(col), lambda c: c.cast("string")))
+
+
 def _dot_sql(a: str, b: str) -> str:
     """Sequential fold dot product — mirrors functions.dot exactly."""
     return (
@@ -369,7 +376,7 @@ def _pq_sql(m: int = 4, k: int = 8, iters: int = 1, dim: int = 64, topk: int = 1
         "WITH "
         + ",\n".join(parts)
         + f"""
-        SELECT v.vec_id, [{codes_list}] AS codes, {dist_sum} AS adc_dist
+        SELECT v.vec_id, array_to_string([{codes_list}], '|') AS codes, {dist_sum} AS adc_dist
         FROM v {enc_joins} {t_joins}
         ORDER BY adc_dist, v.vec_id LIMIT {topk}"""
     )
@@ -486,7 +493,7 @@ def _ivfpq_sql(
         "WITH "
         + ",\n".join(parts)
         + f"""
-        SELECT r.vec_id, r.cluster, [{codes_list}] AS codes,
+        SELECT r.vec_id, r.cluster, array_to_string([{codes_list}], '|') AS codes,
                {dist_sum} AS adc_dist
         FROM r {enc_joins} {t_joins}
         ORDER BY adc_dist, r.vec_id LIMIT {topk}"""
@@ -514,10 +521,11 @@ def ivfpq_topk_embeddings(spark, sf_dir):
     )
     if not qrow or not cents or any(not b for b in books):
         return spark.createDataFrame(
-            [], "vec_id bigint, cluster int, codes array<int>, adc_dist double"
+            [], "vec_id bigint, cluster int, codes string, adc_dist double"
         )
     query = [float(x) for x in qrow[0][0]]
-    return similarity.ivfpq_topk(index, cents, books, query, nprobe=2, topk=10)
+    out = similarity.ivfpq_topk(index, cents, books, query, nprobe=2, topk=10)
+    return out.withColumn("codes", _codes_str("codes"))
 
 
 @register("pq_adc_topk_embeddings", _pq_sql(m=4, k=8, iters=1, dim=64, topk=10))
@@ -535,11 +543,12 @@ def pq_adc_topk_embeddings(spark, sf_dir):
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").take(1)
     if not qrow or any(not b for b in books):
         return spark.createDataFrame(
-            [], "vec_id bigint, codes array<int>, adc_dist double"
+            [], "vec_id bigint, codes string, adc_dist double"
         )
     codes = similarity.pq_encode(emb, books, dim=64)
     query = [float(x) for x in qrow[0][0]]
-    return similarity.pq_adc_topk(codes, books, query, topk=10)
+    out = similarity.pq_adc_topk(codes, books, query, topk=10)
+    return out.withColumn("codes", _codes_str("codes"))
 
 
 @register(

@@ -372,9 +372,12 @@ def k_core(
     "dense cohesive subgraph" filter (spam/bot rings, co-purchase
     communities, collaboration cores).
 
-    Each round: one degree aggregation, one weak-node filter, two
-    anti-joins to drop their edges; the edge set only shrinks, and each
-    round's survivor set is localCheckpoint-ed to keep lineage flat.
+    Each round: one degree aggregation — localCheckpoint-ed so the
+    convergence check, the two anti-joins, and (on the final round) the
+    caller all reuse the materialized result instead of re-running the
+    aggregation per consumer — one weak-node filter, two anti-joins to
+    drop their edges; the edge set only shrinks, and each round's
+    survivor set is localCheckpoint-ed to keep lineage flat.
     Convergence = no weak nodes (one tiny count per round — O(peeling
     depth) driver actions). Peeling depth is data-dependent (a chain
     peels O(n/2) rounds at k=2); ``max_iterations`` bounds it and the
@@ -390,7 +393,7 @@ def k_core(
     for _ in range(max_iterations):
         deg = e.groupBy(F.col("src").alias("node")).agg(
             F.count(F.lit(1)).cast("bigint").alias("deg")
-        )
+        ).localCheckpoint(eager=True)
         weak = deg.filter(F.col("deg") < k).select("node")
         if weak.isEmpty():
             return deg

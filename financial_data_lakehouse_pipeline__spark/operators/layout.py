@@ -40,9 +40,18 @@ def morton_code(cols: Sequence[Column], bits: int = 16) -> Column:
     return code
 
 
-def quantize_minmax(col: Column, max_col: Column, bits: int = 16) -> Column:
-    """Map a non-negative integer column onto ``[0, 2^bits)`` cells by
-    proportional integer division: ``(x * 2^bits) div (max + 1)``.
+def quantize_minmax(
+    col: Column, max_col: Column, bits: int = 16, min_col: Column | None = None
+) -> Column:
+    """Map an integer column onto ``[0, 2^bits)`` cells by proportional
+    integer division: ``((x - min) * 2^bits) div (max - min + 1)``.
+
+    Subtracting the per-column minimum keeps the full cell range usable
+    for narrow high bands (values in [1e6, 1e6+100] spread over all
+    cells, not collapse into one) and makes negative inputs safe —
+    morton_code bit-interleaves garbage for negative cells. ``min_col``
+    defaults to 0 for backward compatibility with callers that already
+    guarantee non-negative zero-based inputs.
 
     All-integer (decimal) arithmetic — no float rounding — so Spark and
     a SQL oracle agree bit-for-bit; monotone in x, so cell ordering
@@ -50,9 +59,10 @@ def quantize_minmax(col: Column, max_col: Column, bits: int = 16) -> Column:
     in front of :func:`morton_code` when dimensions have arbitrary
     integer ranges.
     """
+    lo = (min_col if min_col is not None else F.lit(0)).cast("decimal(38,0)")
     scale = F.lit(1 << bits).cast("decimal(38,0)")
-    num = col.cast("decimal(38,0)") * scale
-    den = max_col.cast("decimal(38,0)") + F.lit(1).cast("decimal(38,0)")
+    num = (col.cast("decimal(38,0)") - lo) * scale
+    den = max_col.cast("decimal(38,0)") - lo + F.lit(1).cast("decimal(38,0)")
     return F.floor(num / den).cast("bigint")
 
 

@@ -1068,9 +1068,11 @@ def floored_running_sum(
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
         deltas = pdf[delta_col].astype("int64").to_numpy()
         bal = [0] * len(deltas)
-        s = floor
+        s = None
         for i, d in enumerate(deltas):
-            s = max(floor, s + int(d))
+            # seed s_0 = max(floor, x_0) per the documented recurrence —
+            # seeding from s=floor would differ for every floor != 0
+            s = max(floor, int(d) if s is None else s + int(d))
             bal[i] = s
         pdf[out] = bal
         return pdf

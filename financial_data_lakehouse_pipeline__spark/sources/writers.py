@@ -127,21 +127,25 @@ def write_zordered(
 
     from financial_data_lakehouse_pipeline__spark.operators import layout
 
-    maxes = df.agg(
-        *[F.max(F.col(c)).alias(f"__max_{c}") for c in zorder_cols]
+    bounds = df.agg(
+        *[F.max(F.col(c)).alias(f"__max_{c}") for c in zorder_cols],
+        *[F.min(F.col(c)).alias(f"__min_{c}") for c in zorder_cols],
     )
     cells = [
-        layout.quantize_minmax(F.col(c), F.col(f"__max_{c}"), bits)
+        layout.quantize_minmax(
+            F.col(c), F.col(f"__max_{c}"), bits, min_col=F.col(f"__min_{c}")
+        )
         for c in zorder_cols
     ]
+    drop = [f"__max_{c}" for c in zorder_cols] + [f"__min_{c}" for c in zorder_cols]
     (
         layout.zorder_by(
-            df.crossJoin(F.broadcast(maxes)),
+            df.crossJoin(F.broadcast(bounds)),
             cells,
             bits=bits,
             num_partitions=target_files,
         )
-        .drop("__zorder", *[f"__max_{c}" for c in zorder_cols])
+        .drop("__zorder", *drop)
         .write.mode(mode)
         .parquet(path)
     )

@@ -1859,3 +1859,18 @@ def test_floored_running_sum_clamp_semantics(spark):
     # plain cumsum clamped at the end would be [5, 0, 0, max(0,-1)=0, 9]:
     # the raw prefix sums are 5,-3,0,-1,9 — different from the 4th step on
     assert got != [5, 0, 0, 0, 9]
+
+
+def test_floored_running_sum_nonzero_floor_seed(spark):
+    """Seed is s_0 = max(floor, x_0), NOT max(floor, floor + x_0):
+    with floor=2 and x_0=5 the first balance must be 5, not 7."""
+    from financial_data_lakehouse_pipeline__spark.operators import windows
+
+    deltas = [5, -8, 3, -1, 10]
+    df = spark.createDataFrame(
+        [("s", i, d) for i, d in enumerate(deltas)], "k string, i int, d long"
+    )
+    out = windows.floored_running_sum(df, ["k"], ["i"], "d", floor=2)
+    got = [r["balance"] for r in out.orderBy("i").collect()]
+    # 5 -> max(2,-3)=2 -> 5 -> 4 -> 14
+    assert got == [5, 2, 5, 4, 14]

@@ -380,3 +380,67 @@ def test_dynamic_partition_pruning_on_partitioned_lake(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:3000]
     rows = joined.collect()
     assert len(rows) == 1 and rows[0]["order_year"] == 1995
+
+
+def test_q4_exists_plans_left_semi(spark, sf_dir):
+    """Q4's EXISTS must run as a LEFT SEMI join (no lineitem columns
+    survive, no distinct needed) with the quarter filter pushed into
+    the orders scan."""
+    df = _q("order_priority_q4")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "LeftSemi" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed)
+
+
+def test_q17_decorrelated_avg_broadcasts(spark, sf_dir):
+    """Q17's correlated AVG subquery must decorrelate into a broadcast
+    per-part aggregate — the fact table filters map-side against its
+    own statistic, no re-scan, no shuffle of lineitem for the compare."""
+    df = _q("small_qty_revenue_q17")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # part dim + per-part avg
+
+
+def test_q18_having_survivors_broadcast_take_ordered(spark, sf_dir):
+    """Q18: the post-HAVING big-order set must broadcast into orders and
+    the final top-20 must plan TakeOrderedAndProject, not a global sort."""
+    df = _q("large_volume_customers_q18")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q19_quantity_envelope_pushed_to_scan(spark, sf_dir):
+    """Q19's OR-of-ANDs: Catalyst must extract the common quantity
+    envelope as a pushable conjunct for the lineitem scan (the
+    disjunction itself evaluates post-join in codegen)."""
+    df = _q("disjunctive_filter_q19")(spark, sf_dir)
+    pushed = [
+        ln
+        for ln in plans.formatted_plan(df).splitlines()
+        if "PushedFilters" in ln
+    ]
+    assert any("l_quantity" in ln for ln in pushed), pushed
+
+
+def test_q21_semi_anti_self_joins_no_cartesian(spark, sf_dir):
+    """Q21's EXISTS/NOT EXISTS pair must plan as semi + anti joins on
+    the orderkey — never a cartesian product."""
+    df = _q("waiting_suppliers_q21")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """Q22: the NOT EXISTS must plan LEFT ANTI on custkey and the global
+    average must arrive via broadcast (1-row aggregate), with the
+    recency filter pushed into the orders scan."""
+    df = _q("global_avg_balance_q22")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert "Broadcast" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed)

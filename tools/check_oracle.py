@@ -18,6 +18,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import duckdb  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
 
 from financial_data_lakehouse_pipeline__spark import corpus  # noqa: E402
 from financial_data_lakehouse_pipeline__spark.session import build_session  # noqa: E402
@@ -96,7 +97,10 @@ def norm_duck_type(s: str) -> str:
     if s in ("DOUBLE", "FLOAT", "REAL", "FLOAT4", "FLOAT8"):
         return "float"
     if s.startswith("TIMESTAMP"):
-        return "ts"
+        # tz-aware stays distinct: DuckDB TIMESTAMPTZ arrives as arrow
+        # timestamp[..., tz=UTC] and hash-mismatches Spark's tz-naive
+        # output in the driver (the round-4 resample_hourly_users red).
+        return "tstz" if "WITH TIME ZONE" in s or s == "TIMESTAMPTZ" else "ts"
     if s == "DATE":
         return "date"
     if s in ("VARCHAR", "TEXT", "STRING", "CHAR", "BPCHAR"):
@@ -150,6 +154,21 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             s_cols = df.columns
+            complex_cols = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+            ]
+            if complex_cols:
+                # driver canonicalizer cannot hash array/map/struct cells
+                # (round-4 skew_summary_events red) — reject at the gate
+                n_fail += 1
+                failures.append(name)
+                print(
+                    f"FAIL  {name}: complex output columns {complex_cols} — "
+                    "serialize to string (concat_ws / to_json) before register"
+                )
+                continue
             s_rows = [tuple(r) for r in df.collect()]
         except Exception as e:  # noqa: BLE001
             n_fail += 1

@@ -89,6 +89,7 @@ def _load() -> None:
     from financial_data_lakehouse_pipeline__spark.corpus import (  # noqa: F401
         events_q,
         lake,
+        mlfeat_q,
         mlprep,
         relational,
         sketches_q,

@@ -1,0 +1,257 @@
+"""Corpus: feature-engineering operators (operators/mlfeat.py) —
+leave-one-out target encoding, exact equal-frequency binning, feature
+hashing, PMI co-occurrence, walk-forward CV splits — plus the
+Sharpe-ratio roll-up on exact integer-cents P&L.
+
+Determinism: group sums are exact decimal (dsum twin), bin edges are
+integer floor division (Spark `DIV` == DuckDB `//`), feature indices
+are md5-prefix integers, and the two inherently-floating outputs (PMI's
+ln, Sharpe's mean/sqrt(var)) are computed from exact-integer moment
+sums and rounded 6 dp per the corpus float convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_data_lakehouse_pipeline__spark.corpus import register, sql_dsum
+from financial_data_lakehouse_pipeline__spark.operators import mlfeat
+from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+
+@register(
+    "target_encode_segment",
+    # LOO encoding with w=10 smoothing: exact decimal group sums, the
+    # identical (gsum - y + w*gmean) / (gcnt - 1 + w) IEEE chain.
+    f"""WITH s AS (
+          SELECT c_mktsegment,
+                 {sql_dsum('c_acctbal')} AS gsum,
+                 CAST(COUNT(c_acctbal) AS BIGINT) AS gcnt
+          FROM customer GROUP BY c_mktsegment
+        ), g AS (
+          SELECT {sql_dsum('c_acctbal')} / COUNT(c_acctbal) AS gmean
+          FROM customer
+        )
+        SELECT c_custkey, c.c_mktsegment, c_acctbal,
+               CASE WHEN CAST(gcnt AS DOUBLE) - 1e0 + 10e0 > 0e0 THEN
+                 (gsum - CAST(c_acctbal AS DOUBLE) + 10e0 * gmean)
+                 / (CAST(gcnt AS DOUBLE) - 1e0 + 10e0) END AS te
+        FROM customer c JOIN s USING (c_mktsegment), g""",
+)
+def target_encode_segment(spark, sf_dir):
+    """Leave-one-out target encoding (operators/mlfeat.target_encode_loo)
+    of market segment by account balance, prior weight 10 — each row's
+    feature excludes its own target (no self-leakage) and shrinks
+    toward the global mean. Per-key stats broadcast; the fact side
+    never shuffles."""
+    c = read_table(spark, sf_dir, "customer")
+    out = mlfeat.target_encode_loo(
+        c, ["c_mktsegment"], "c_acctbal", prior_weight=10.0
+    )
+    return out.select("c_custkey", "c_mktsegment", "c_acctbal", "te")
+
+
+@register(
+    "equal_freq_bins_orders",
+    # Exact equal-frequency octiles of order totals: value-level
+    # histogram, strict-below cumulative counts, integer floor division.
+    """WITH vc AS (
+          SELECT o_totalprice AS v, COUNT(*) AS c FROM orders GROUP BY 1
+        ), t AS (SELECT COUNT(*) AS total FROM orders),
+        r AS (
+          SELECT v, COALESCE(SUM(c) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS below
+          FROM vc
+        )
+        SELECT o_orderkey, o_totalprice,
+               CAST((below * 8) // total AS INT) AS bin
+        FROM orders JOIN r ON o_totalprice = v, t""",
+)
+def equal_freq_bins_orders(spark, sf_dir):
+    """Exact equal-frequency binning (operators/mlfeat
+    .equal_frequency_bins) of order totals into 8 octiles: bin =
+    (rows strictly below) * 8 DIV total — pure integer arithmetic, no
+    interpolation, equal values always share a bin. The single-
+    partition window runs over distinct values only (documented
+    aggregate-then-scan bound)."""
+    o = read_table(spark, sf_dir, "orders")
+    out = mlfeat.equal_frequency_bins(o, "o_totalprice", 8)
+    return out.select("o_orderkey", "o_totalprice", "bin")
+
+
+#: canonical lowercase tokens with the [] blank guard (textdocs._TOKS twin)
+_CANON = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_TOKS = (
+    f"CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+    f"ELSE regexp_split_to_array({_CANON}, ' ') END"
+)
+
+
+@register(
+    "feature_hash_docs",
+    # Hashing trick: md5-prefix feature indices, exact counts.
+    f"""WITH tok AS (
+          SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+        )
+        SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5('feat:' || t), 1, 7))
+                         AS BIGINT) % 64 AS INT) AS feature,
+               CAST(COUNT(*) AS BIGINT) AS weight
+        FROM tok WHERE length(t) > 0
+        GROUP BY doc_id, feature""",
+)
+def feature_hash_docs(spark, sf_dir):
+    """Feature hashing (operators/mlfeat.feature_hash) of document
+    tokens into 64 buckets — the bounded-vocabulary featurizer (no
+    dictionary pass or broadcast vocab). Explode → codegen md5 bucket →
+    one (doc, feature) groupBy with map-side partials; indices
+    reproduce exactly on any engine via the md5-prefix idiom."""
+    d = read_table(spark, sf_dir, "documents")
+    canon = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    toks = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(canon, " "))
+    return mlfeat.feature_hash(d, "doc_id", toks, n_features=64, salt="feat")
+
+
+@register(
+    "pmi_copurchase_parts",
+    # PMI over co-purchased part pairs: exact integer counts, one
+    # division chain, ln rounded 6 (inherently-floating convention).
+    """WITH gi AS (
+          SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+        ), n AS (SELECT CAST(COUNT(DISTINCT g) AS BIGINT) AS ng FROM gi),
+        ic AS (SELECT i, COUNT(*) AS ci FROM gi GROUP BY i),
+        p AS (
+          SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS pair_count
+          FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+          GROUP BY a.i, b.i HAVING COUNT(*) >= 3
+        )
+        SELECT item_a, item_b,
+               CAST(pair_count AS BIGINT) AS pair_count,
+               ROUND(LN(CAST(pair_count AS DOUBLE) * CAST(ng AS DOUBLE)
+                        / (CAST(ca.ci AS DOUBLE) * CAST(cb.ci AS DOUBLE))),
+                     6) AS pmi
+        FROM p JOIN ic ca ON p.item_a = ca.i
+               JOIN ic cb ON p.item_b = cb.i, n""",
+)
+def pmi_copurchase_parts(spark, sf_dir):
+    """Pointwise mutual information (operators/mlfeat.pmi_pairs) over
+    part pairs co-occurring in the same order, support >= 3 — the
+    independence-null association score (complement of
+    basket_rules_orders' confidence/lift). Support-pruned pair
+    generation (distinct pairs, a < b self-join bounded by basket
+    size squared); item counts broadcast back."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return mlfeat.pmi_pairs(li, "l_orderkey", "l_partkey", min_pair_count=3)
+
+
+_FOLDS = [
+    (1, "1998-01-01", "1999-01-01"),
+    (2, "1999-01-01", "2000-01-01"),
+    (3, "2000-01-01", "2001-01-01"),
+]
+
+_FOLDS_SQL = ", ".join(
+    f"({k}, TIMESTAMP '{tr}', TIMESTAMP '{te}')" for k, tr, te in _FOLDS
+)
+
+
+@register(
+    "walk_forward_orders",
+    # Rolling-origin CV fan-out: literal fold table, range condition,
+    # role by strict timestamp compare.
+    f"""SELECT o_orderkey, fold,
+               CASE WHEN o_orderdate < train_end THEN 'train'
+                    ELSE 'test' END AS role
+        FROM orders
+        JOIN (VALUES {_FOLDS_SQL}) AS f(fold, train_end, test_end)
+          ON o_orderdate < test_end""",
+)
+def walk_forward_orders(spark, sf_dir):
+    """Walk-forward (rolling-origin) CV splits (operators/mlfeat
+    .walk_forward_splits): 3 expanding-train folds over order dates —
+    every test row strictly postdates its training data, the only
+    leak-free temporal CV. The fold spec is a broadcast literal table;
+    fan-out <= 3 per row, no shuffle."""
+    o = read_table(spark, sf_dir, "orders")
+    out = mlfeat.walk_forward_splits(o, "o_orderdate", _FOLDS)
+    return out.select("o_orderkey", "fold", "role")
+
+
+@register(
+    "sharpe_supplier_pnl",
+    # Sharpe on daily close-to-close P&L in exact integer cents:
+    # moment sums (n, s1, s2) are exact BIGINTs; mean/var/sqrt is one
+    # IEEE chain; annualized by sqrt(252); ROUND 6.
+    """WITH c AS (
+          SELECT l_suppkey, l_shipdate AS day,
+                 MAX((l_orderkey * 10 + l_linenumber) * 16777216
+                     + CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT))
+                     % 16777216 AS close
+          FROM lineitem GROUP BY l_suppkey, l_shipdate
+        ), d AS (
+          SELECT l_suppkey,
+                 close - LAG(close) OVER (PARTITION BY l_suppkey
+                                          ORDER BY day) AS pnl
+          FROM c
+        ), m AS (
+          SELECT l_suppkey,
+                 CAST(COUNT(pnl) AS BIGINT) AS n,
+                 CAST(SUM(pnl) AS BIGINT) AS s1,
+                 CAST(SUM(pnl * pnl) AS BIGINT) AS s2
+          FROM d WHERE pnl IS NOT NULL GROUP BY l_suppkey
+        )
+        SELECT l_suppkey, n AS n_days,
+               CASE WHEN n > 1 AND
+                         (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                          * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         / (CAST(n AS DOUBLE) - 1e0) > 0e0
+                    THEN ROUND(SQRT(252e0)
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         / SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                                 * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                                / (CAST(n AS DOUBLE) - 1e0)), 6) END
+                   AS sharpe
+        FROM m""",
+)
+def sharpe_supplier_pnl(spark, sf_dir):
+    """Annualized Sharpe ratio per supplier over daily close-to-close
+    P&L — mean/std of exact integer-cents differences (ratios would
+    need order-dependent float sums; cents P&L keeps every moment sum
+    an exact BIGINT until the final division/sqrt chain, the
+    autocorr/beta co-moment discipline). Daily close reuses the
+    order-encoded MAX trick (aggregates.ohlc); one aggregation, one
+    keyed window, one tiny roll-up."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    okey = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    c = li.groupBy("l_suppkey", F.col("l_shipdate").alias("day")).agg(
+        (F.max(okey * F.lit(16777216) + cents) % F.lit(16777216)).alias("close")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("day")
+    d = c.select(
+        "l_suppkey",
+        (F.col("close") - F.lag("close").over(w)).alias("pnl"),
+    ).filter(F.col("pnl").isNotNull())
+    m = d.groupBy("l_suppkey").agg(
+        F.count("pnl").cast("bigint").alias("n"),
+        F.sum("pnl").cast("bigint").alias("s1"),
+        F.sum(F.col("pnl") * F.col("pnl")).cast("bigint").alias("s2"),
+    )
+    n_d = F.col("n").cast("double")
+    s1_d = F.col("s1").cast("double")
+    s2_d = F.col("s2").cast("double")
+    var = (s2_d - s1_d * s1_d / n_d) / (n_d - F.lit(1.0))
+    sharpe = F.when(
+        (F.col("n") > 1) & (var > 0),
+        F.round(
+            F.sqrt(F.lit(252.0)) * (s1_d / n_d) / F.sqrt(var), 6
+        ),
+    )
+    return m.select(
+        "l_suppkey", F.col("n").alias("n_days"), sharpe.alias("sharpe")
+    )

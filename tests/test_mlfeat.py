@@ -1,0 +1,129 @@
+"""Unit tests for operators/mlfeat.py — hand-computed values for the
+feature-engineering family (LOO target encoding, equal-frequency bins,
+feature hashing, PMI, walk-forward splits)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from financial_data_lakehouse_pipeline__spark.operators import mlfeat
+
+
+def test_target_encode_loo_hand_values(spark):
+    """keys [a,a,b], targets [1,3,5]: at w=0 the a-rows see each other
+    ((4-1)/1=3, (4-3)/1=1) and the b singleton is NULL; at w=2 the
+    singleton shrinks to the global mean (gm=3 -> (0+2*3)/2=3)."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], "k string, y double"
+    )
+    got0 = {
+        (r["k"], r["y"]): r["te"]
+        for r in mlfeat.target_encode_loo(df, ["k"], "y").collect()
+    }
+    assert got0[("a", 1.0)] == 3.0
+    assert got0[("a", 3.0)] == 1.0
+    assert got0[("b", 5.0)] is None
+
+    got2 = {
+        (r["k"], r["y"]): r["te"]
+        for r in mlfeat.target_encode_loo(
+            df, ["k"], "y", prior_weight=2.0
+        ).collect()
+    }
+    # a-rows: (gsum - y + 2*3) / (2 - 1 + 2)
+    assert got2[("a", 1.0)] == (4.0 - 1.0 + 6.0) / 3.0
+    assert got2[("b", 5.0)] == (5.0 - 5.0 + 6.0) / 2.0
+
+
+def test_equal_frequency_bins_hand_values(spark):
+    """8 rows, 4 bins: bin = (strict-below count) * 4 DIV 8; ties (the
+    two 1s) share bin 0 and push later values up."""
+    vals = [1, 1, 2, 3, 4, 5, 6, 7]
+    df = spark.createDataFrame([(v,) for v in vals], "x int")
+    got = {
+        r["x"]: r["bin"]
+        for r in mlfeat.equal_frequency_bins(df, "x", 4).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 3}
+
+
+def test_equal_frequency_bins_population_balance(spark):
+    """Over distinct values, bin populations differ by at most 1."""
+    df = spark.createDataFrame([(i,) for i in range(103)], "x int")
+    out = mlfeat.equal_frequency_bins(df, "x", 5)
+    counts = [
+        r["n"]
+        for r in out.groupBy("bin").agg(F.count("*").alias("n")).collect()
+    ]
+    assert len(counts) == 5
+    assert max(counts) - min(counts) <= 1
+
+
+def test_feature_hash_deterministic_and_mass_preserving(spark):
+    """Same input -> identical indices across calls; total weight ==
+    total token count; indices within [0, n_features)."""
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "b b"), (3, "")], "id int, text string"
+    )
+    toks = F.split(F.trim("text"), r"\s+")
+    out1 = mlfeat.feature_hash(df, "id", toks, n_features=8).collect()
+    out2 = mlfeat.feature_hash(df, "id", toks, n_features=8).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    assert sum(r["weight"] for r in out1) == 6  # 4 + 2 + 0
+    assert all(0 <= r["feature"] < 8 for r in out1)
+    # same token always lands in the same bucket: doc1's two 'a's merged
+    doc1 = [r for r in out1 if r["id"] == 1]
+    assert sum(r["weight"] for r in doc1) == 4
+    assert len(doc1) <= 3
+
+
+def test_pmi_pairs_hand_values(spark):
+    """Groups {g1:[a,b], g2:[a,b], g3:[a,c]}: N=3, ca=3, cb=2, nab=2 ->
+    pmi(a,b) = ln(2*3/(3*2)) = 0 exactly; (a,c)/(b,c) pruned at
+    min_pair_count=2."""
+    rows = [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b"),
+            ("g3", "a"), ("g3", "c")]
+    df = spark.createDataFrame(rows, "g string, i string")
+    got = mlfeat.pmi_pairs(df, "g", "i", min_pair_count=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["item_a"], r["item_b"], r["pair_count"]) == ("a", "b", 2)
+    assert r["pmi"] == 0.0
+
+
+def test_pmi_pairs_dedups_repeat_items(spark):
+    """Duplicate (group, item) rows must not inflate counts."""
+    rows = [("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b")]
+    df = spark.createDataFrame(rows, "g string, i string")
+    r = mlfeat.pmi_pairs(df, "g", "i", min_pair_count=1).collect()[0]
+    assert r["pair_count"] == 2
+    # N=2, ca=2, cb=2 -> ln(2*2/4) = 0
+    assert r["pmi"] == 0.0
+
+
+def test_walk_forward_splits_roles_and_exclusion(spark):
+    """Each row lands in every fold whose test_end postdates it, as
+    train strictly before train_end, else test; future rows excluded."""
+    df = spark.createDataFrame(
+        [(1, "1997-06-01"), (2, "1998-06-01"), (3, "1999-06-01")],
+        "id int, ts string",
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    folds = [(1, "1998-01-01", "1999-01-01"), (2, "1999-01-01", "2000-01-01")]
+    out = mlfeat.walk_forward_splits(df, "ts", folds)
+    got = {(r["id"], r["fold"]): r["role"] for r in out.collect()}
+    assert got == {
+        (1, 1): "train", (1, 2): "train",
+        (2, 1): "test",  (2, 2): "train",
+        (3, 2): "test",
+    }
+
+
+def test_pmi_matches_manual_log(spark):
+    """Non-zero PMI value against a manual computation."""
+    rows = [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g3", "a"), ("g3", "b")]
+    df = spark.createDataFrame(rows, "g string, i string")
+    r = mlfeat.pmi_pairs(df, "g", "i", min_pair_count=1).collect()[0]
+    # N=3, nab=2, ca=3, cb=2 -> ln(2*3/6) = 0; adjust: use min_pair 1
+    assert r["pmi"] == round(math.log(2 * 3 / (3 * 2)), 6)

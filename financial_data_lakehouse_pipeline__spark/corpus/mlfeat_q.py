@@ -255,3 +255,56 @@ def sharpe_supplier_pnl(spark, sf_dir):
     return m.select(
         "l_suppkey", F.col("n").alias("n_days"), sharpe.alias("sharpe")
     )
+
+
+@register(
+    "seasonal_dow_revenue",
+    # Additive day-of-week decomposition of daily revenue: exact cents
+    # sums, decimal-exact means, two IEEE subtractions — no rounding.
+    """WITH daily AS (
+          SELECT o_orderdate AS day,
+                 CAST(isodow(o_orderdate) AS INT) AS season,
+                 SUM(CAST(FLOOR(o_totalprice * 100e0 + 5e-1) AS BIGINT))
+                     AS value
+          FROM orders GROUP BY 1, 2
+        ), sm AS (
+          SELECT season,
+                 CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                     / COUNT(value) AS smean
+          FROM daily GROUP BY season
+        ), gm AS (
+          SELECT CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                     / COUNT(value) AS gmean
+          FROM daily
+        )
+        SELECT day, season, CAST(value AS BIGINT) AS value,
+               smean - gmean AS seasonal,
+               value - (smean - gmean) AS deseasonalized,
+               value - smean AS residual
+        FROM daily JOIN sm USING (season), gm""",
+)
+def seasonal_dow_revenue(spark, sf_dir):
+    """Additive day-of-week seasonal decomposition
+    (operators/analysis.seasonal_decompose) of daily order revenue:
+    seasonal component (weekday mean minus grand mean), seasonally
+    adjusted series, and the residual anomaly signal — the calendar
+    adjustment upstream of any trend/anomaly model. Daily revenue is
+    an exact integer-cents sum; both means are decimal-exact; the
+    decomposition is two broadcast joins onto a pre-aggregated daily
+    spine (the fact table shuffles once, for the daily rollup)."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(cents).alias("v")
+    )
+    out = analysis.seasonal_decompose(
+        daily,
+        [],
+        (F.weekday("day") + F.lit(1)).cast("int"),
+        F.col("v").cast("bigint"),
+    )
+    return out.select(
+        "day", "season", "value", "seasonal", "deseasonalized", "residual"
+    )

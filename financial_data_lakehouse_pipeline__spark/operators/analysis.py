@@ -480,3 +480,51 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    keys: Sequence[str],
+    season: Column,
+    value: Column,
+) -> DataFrame:
+    """Additive seasonal decomposition by seasonal-index means: for each
+    group, seasonal_mean(s) = mean(value | season = s), grand = overall
+    mean, and per row
+
+        seasonal   = seasonal_mean - grand      (the seasonal component)
+        deseason   = value - seasonal           (seasonally adjusted)
+        residual   = value - seasonal_mean      (anomaly signal)
+
+    — the day-of-week / month-of-year adjustment every calendar-driven
+    metric needs before trend or anomaly analysis (the decomposition
+    half of the seasonal-naive forecast family).
+
+    Plan: two aggregations (per-(keys, season) and per-keys grand),
+    both tiny relative to the fact table, broadcast back — the fact
+    side never shuffles. With integer (cents) values both means are
+    exact-decimal (functions.dmean), so every output is one or two IEEE
+    subtractions on deterministic doubles — bit-identical cross-engine,
+    no rounding needed.
+    """
+    ks = list(keys)
+    sdf = df.withColumn("__s", season).withColumn("__v", value)
+    smean = sdf.groupBy(*ks, "__s").agg(dmean(F.col("__v")).alias("__smean"))
+    gmean = sdf.groupBy(*ks).agg(dmean(F.col("__v")).alias("__gmean"))
+    if ks:
+        j = sdf.join(F.broadcast(smean), ks + ["__s"]).join(
+            F.broadcast(gmean), ks
+        )
+    else:
+        j = sdf.join(F.broadcast(smean), ["__s"]).crossJoin(F.broadcast(gmean))
+    return (
+        j.withColumn("season", F.col("__s"))
+        .withColumn("value", F.col("__v"))
+        .withColumn("seasonal", F.col("__smean") - F.col("__gmean"))
+        .withColumn(
+            "deseasonalized",
+            F.col("__v") - (F.col("__smean") - F.col("__gmean")),
+        )
+        .withColumn("residual", F.col("__v") - F.col("__smean"))
+        .drop("__s", "__v", "__smean", "__gmean")
+    )

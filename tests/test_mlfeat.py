@@ -127,3 +127,32 @@ def test_pmi_matches_manual_log(spark):
     r = mlfeat.pmi_pairs(df, "g", "i", min_pair_count=1).collect()[0]
     # N=3, nab=2, ca=3, cb=2 -> ln(2*3/6) = 0; adjust: use min_pair 1
     assert r["pmi"] == round(math.log(2 * 3 / (3 * 2)), 6)
+
+
+def test_seasonal_decompose_hand_values(spark):
+    """Two seasons with means 10 and 20, grand mean 15: seasonal is
+    -5/+5, deseasonalized re-centers, residual is value - season mean."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    rows = [(1, 8.0), (1, 12.0), (2, 18.0), (2, 22.0)]
+    df = spark.createDataFrame(rows, "s int, v double")
+    out = analysis.seasonal_decompose(df, [], F.col("s"), F.col("v"))
+    got = {(r["season"], r["value"]): r for r in out.collect()}
+    r = got[(1, 8.0)]
+    assert (r["seasonal"], r["deseasonalized"], r["residual"]) == (-5.0, 13.0, -2.0)
+    r = got[(2, 22.0)]
+    assert (r["seasonal"], r["deseasonalized"], r["residual"]) == (5.0, 17.0, 2.0)
+
+
+def test_seasonal_decompose_grouped_keeps_columns(spark):
+    """Grouped decomposition keeps the input columns and decomposes
+    within each group independently."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    rows = [("a", 1, 0.0), ("a", 2, 10.0), ("b", 1, 100.0), ("b", 2, 200.0)]
+    df = spark.createDataFrame(rows, "k string, s int, v double")
+    out = analysis.seasonal_decompose(df, ["k"], F.col("s"), F.col("v"))
+    assert "k" in out.columns and "s" in out.columns
+    got = {(r["k"], r["season"]): r["seasonal"] for r in out.collect()}
+    assert got[("a", 1)] == -5.0 and got[("a", 2)] == 5.0
+    assert got[("b", 1)] == -50.0 and got[("b", 2)] == 50.0

@@ -308,3 +308,114 @@ def seasonal_dow_revenue(spark, sf_dir):
     return out.select(
         "day", "season", "value", "seasonal", "deseasonalized", "residual"
     )
+
+
+#: DECIMAL(38,0)-exact moment sum cast to double (ols2_fit twin) —
+#: squared-cents products overflow BIGINT, decimal sums cannot.
+def _msum(e: str) -> str:
+    return f"CAST(SUM(CAST({e} AS DECIMAL(38,0))) AS DOUBLE)"
+
+
+@register(
+    "ols2_quantity_price_discount",
+    # Two-regressor OLS per return flag: 9 decimal-exact moment sums,
+    # Cramer solve in one double chain, betas ROUND 6.
+    f"""WITH m AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 {_msum('CAST(FLOOR(l_extendedprice) AS BIGINT)')} AS s1,
+                 {_msum('CAST(FLOOR(l_discount * 10000e0 + 5e-1) AS BIGINT)')} AS s2,
+                 {_msum('CAST(l_quantity AS BIGINT)')} AS sy,
+                 {_msum('CAST(FLOOR(l_extendedprice) AS BIGINT) * CAST(FLOOR(l_extendedprice) AS BIGINT)')} AS s11,
+                 {_msum('CAST(FLOOR(l_discount * 10000e0 + 5e-1) AS BIGINT) * CAST(FLOOR(l_discount * 10000e0 + 5e-1) AS BIGINT)')} AS s22,
+                 {_msum('CAST(FLOOR(l_extendedprice) AS BIGINT) * CAST(FLOOR(l_discount * 10000e0 + 5e-1) AS BIGINT)')} AS s12,
+                 {_msum('CAST(FLOOR(l_extendedprice) AS BIGINT) * CAST(l_quantity AS BIGINT)')} AS s1y,
+                 {_msum('CAST(FLOOR(l_discount * 10000e0 + 5e-1) AS BIGINT) * CAST(l_quantity AS BIGINT)')} AS s2y
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_rows,
+               CASE WHEN (n * s11 - s1 * s1) * (n * s22 - s2 * s2)
+                         - (n * s12 - s1 * s2) * (n * s12 - s1 * s2) > 0e0
+                    THEN ROUND(((n * s1y - s1 * sy) * (n * s22 - s2 * s2)
+                                - (n * s2y - s2 * sy) * (n * s12 - s1 * s2))
+                               / ((n * s11 - s1 * s1) * (n * s22 - s2 * s2)
+                                  - (n * s12 - s1 * s2) * (n * s12 - s1 * s2)),
+                               6) + 0e0 END AS beta1,
+               CASE WHEN (n * s11 - s1 * s1) * (n * s22 - s2 * s2)
+                         - (n * s12 - s1 * s2) * (n * s12 - s1 * s2) > 0e0
+                    THEN ROUND(((n * s2y - s2 * sy) * (n * s11 - s1 * s1)
+                                - (n * s1y - s1 * sy) * (n * s12 - s1 * s2))
+                               / ((n * s11 - s1 * s1) * (n * s22 - s2 * s2)
+                                  - (n * s12 - s1 * s2) * (n * s12 - s1 * s2)),
+                               6) + 0e0 END AS beta2,
+               CASE WHEN (n * s11 - s1 * s1) * (n * s22 - s2 * s2)
+                         - (n * s12 - s1 * s2) * (n * s12 - s1 * s2) > 0e0
+                    THEN ROUND((sy - (((n * s1y - s1 * sy) * (n * s22 - s2 * s2)
+                                - (n * s2y - s2 * sy) * (n * s12 - s1 * s2))
+                               / ((n * s11 - s1 * s1) * (n * s22 - s2 * s2)
+                                  - (n * s12 - s1 * s2) * (n * s12 - s1 * s2)))
+                               * s1
+                               - (((n * s2y - s2 * sy) * (n * s11 - s1 * s1)
+                                - (n * s1y - s1 * sy) * (n * s12 - s1 * s2))
+                               / ((n * s11 - s1 * s1) * (n * s22 - s2 * s2)
+                                  - (n * s12 - s1 * s2) * (n * s12 - s1 * s2)))
+                               * s2) / n, 6) + 0e0 END AS intercept
+        FROM m""",
+)
+def ols2_quantity_price_discount(spark, sf_dir):
+    """Two-regressor OLS (operators/analysis.ols2_fit): quantity on
+    (whole-dollar price, discount basis points) per return flag — the
+    multivariate extension of the grouped OLS/corr family. Nine
+    decimal-exact moment sums (squared-cents products exceed BIGINT;
+    DECIMAL(38,0) cannot overflow), one Cramer-rule double chain per
+    group, ROUND 6. One shuffle, map-side partials, no join."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return analysis_ols2(li)
+
+
+def analysis_ols2(li):
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    x1 = F.floor(F.col("l_extendedprice")).cast("bigint")
+    x2 = F.floor(F.col("l_discount") * 10000.0 + F.lit(0.5)).cast("bigint")
+    y = F.col("l_quantity").cast("bigint")
+    return analysis.ols2_fit(li, ["l_returnflag"], y, x1, x2)
+
+
+@register(
+    "trimmed_mean_order_totals",
+    # 10% two-sided trim by ROW_NUMBER rank over cents, decimal-exact
+    # mean of the survivors (equal values interchangeable at the cut).
+    """WITH c AS (
+          SELECT o_orderpriority,
+                 CAST(FLOOR(o_totalprice * 100e0 + 5e-1) AS BIGINT) AS v
+          FROM orders
+        ), r AS (
+          SELECT o_orderpriority, v,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY v) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM c
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE)
+                   / NULLIF(COUNT(v), 0) AS trimmed_mean
+        FROM r
+        WHERE rn > CAST(FLOOR(n * 1e-1) AS BIGINT)
+          AND rn <= n - CAST(FLOOR(n * 1e-1) AS BIGINT)
+        GROUP BY o_orderpriority""",
+)
+def trimmed_mean_order_totals(spark, sf_dir):
+    """10% two-sided trimmed mean (operators/analysis.trimmed_mean) of
+    order totals per priority — the robust location estimate between
+    mean and median. Rank-based integer cut over exact cents (ties are
+    interchangeable: the survivor SUM is identical whichever equal
+    values survive), decimal-exact mean; one shuffle + one window on
+    the same key."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    return analysis.trimmed_mean(o, ["o_orderpriority"], cents, trim_frac=0.1)

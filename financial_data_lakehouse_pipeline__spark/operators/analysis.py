@@ -528,3 +528,110 @@ def seasonal_decompose(
         .withColumn("residual", F.col("__v") - F.col("__smean"))
         .drop("__s", "__v", "__smean", "__gmean")
     )
+
+
+def ols2_fit(
+    df: DataFrame,
+    keys: Sequence[str],
+    y: Column,
+    x1: Column,
+    x2: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group two-regressor OLS y = b0 + b1·x1 + b2·x2 by closed-form
+    normal equations (Cramer's rule on the centered 2x2 system) — the
+    multivariate step up from :func:`linear_fit` (e.g. price AND
+    discount jointly explaining quantity; two-factor return models).
+
+    ``y``/``x1``/``x2`` must be integer expressions (scale to cents /
+    basis points first): the nine moment sums (n, Σx1, Σx2, Σy, Σx1²,
+    Σx2², Σx1x2, Σx1y, Σx2y) aggregate exactly — as DECIMAL(38,0), so
+    squared-cents products cannot overflow BIGINT — and the solve is
+    one fixed double expression tree per group. Centered co-moments:
+    S11 = nΣx1² − (Σx1)², S22 = nΣx2² − (Σx2)², S12 = nΣx1x2 − Σx1Σx2,
+    S1y = nΣx1y − Σx1Σy, S2y = nΣx2y − Σx2Σy; det = S11·S22 − S12²;
+    b1 = (S1y·S22 − S2y·S12)/det, b2 = (S2y·S11 − S1y·S12)/det,
+    b0 = (Σy − b1Σx1 − b2Σx2)/n. NULL betas when det <= 0 (collinear or
+    degenerate group). Betas are ROUND(round_to) — the determinant
+    division chain is inherently floating. One shuffle; no join."""
+    dec = "decimal(38,0)"
+
+    def s(e: Column, name: str) -> Column:
+        return F.sum(e.cast(dec)).cast("double").alias(name)
+
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        s(x1, "__s1"),
+        s(x2, "__s2"),
+        s(y, "__sy"),
+        s(x1 * x1, "__s11"),
+        s(x2 * x2, "__s22"),
+        s(x1 * x2, "__s12"),
+        s(x1 * y, "__s1y"),
+        s(x2 * y, "__s2y"),
+    )
+    n = F.col("__n")
+    s1, s2, sy = F.col("__s1"), F.col("__s2"), F.col("__sy")
+    c11 = n * F.col("__s11") - s1 * s1
+    c22 = n * F.col("__s22") - s2 * s2
+    c12 = n * F.col("__s12") - s1 * s2
+    c1y = n * F.col("__s1y") - s1 * sy
+    c2y = n * F.col("__s2y") - s2 * sy
+    det = c11 * c22 - c12 * c12
+    b1 = (c1y * c22 - c2y * c12) / det
+    b2 = (c2y * c11 - c1y * c12) / det
+    ok = det > 0
+    # + 0.0 normalizes ROUND's -0.0 (a tiny negative beta rounds to
+    # negative zero, whose repr diverges cross-engine)
+    z = F.lit(0.0)
+    return g.select(
+        *keys,
+        n.cast("bigint").alias("n_rows"),
+        F.when(ok, F.round(b1, round_to) + z).alias("beta1"),
+        F.when(ok, F.round(b2, round_to) + z).alias("beta2"),
+        F.when(ok, F.round((sy - b1 * s1 - b2 * s2) / n, round_to) + z).alias(
+            "intercept"
+        ),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column,
+    trim_frac: float = 0.1,
+    out: str = "trimmed_mean",
+) -> DataFrame:
+    """Per-group trimmed mean: drop the lowest and highest
+    floor(n · trim_frac) observations, mean the rest — the robust
+    location estimate between mean (trim 0) and median (trim 0.5),
+    standard for denoising heavy-tailed metrics (latencies, order
+    sizes) without the median's information loss.
+
+    Exactness contract: trim counts are integer floor arithmetic;
+    membership is decided by a total-order rank (value, then a caller-
+    irrelevant arbitrary-but-deterministic intra-tie order — ties at
+    the boundary are cut by rank, matching SQL ROW_NUMBER semantics
+    as long as the tie-break is the same on both engines, so pass
+    integer values and trim on (value, unique_id) ordering via
+    ``order_extra``-style pre-sorted input, or accept that equal
+    values are interchangeable: the SUM over survivors is the same
+    whichever equal-valued rows survive). Mean is decimal-exact
+    (functions.dmean) over integer inputs. One shuffle + one window
+    over the same partitioning (no second exchange).
+    """
+    from pyspark.sql import Window
+
+    sdf = df.select(*keys, value.alias("__v"))
+    w = Window.partitionBy(*keys).orderBy("__v")
+    ranked = sdf.withColumn("__r", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+    k = F.floor(F.col("__n") * F.lit(float(trim_frac))).cast("bigint")
+    kept = ranked.filter(
+        (F.col("__r") > k) & (F.col("__r") <= F.col("__n") - k)
+    )
+    return kept.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        dmean(F.col("__v")).alias(out),
+    )

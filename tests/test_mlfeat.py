@@ -156,3 +156,51 @@ def test_seasonal_decompose_grouped_keeps_columns(spark):
     got = {(r["k"], r["season"]): r["seasonal"] for r in out.collect()}
     assert got[("a", 1)] == -5.0 and got[("a", 2)] == 5.0
     assert got[("b", 1)] == -50.0 and got[("b", 2)] == 50.0
+
+
+def test_ols2_fit_recovers_planted_coefficients(spark):
+    """Exact linear data y = 3 + 2*x1 - 1*x2 (integer, full rank) must
+    recover (2, -1, 3) exactly after ROUND 6."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    rows = []
+    for x1 in range(6):
+        for x2 in range(4):
+            rows.append(("g", x1, x2, 3 + 2 * x1 - x2))
+    df = spark.createDataFrame(rows, "k string, x1 long, x2 long, y long")
+    r = analysis.ols2_fit(
+        df, ["k"], F.col("y"), F.col("x1"), F.col("x2")
+    ).collect()[0]
+    assert (r["beta1"], r["beta2"], r["intercept"]) == (2.0, -1.0, 3.0)
+
+
+def test_ols2_fit_collinear_gives_null(spark):
+    """x2 = 2*x1 (rank deficient) -> det = 0 -> NULL betas."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    rows = [("g", i, 2 * i, i + 1) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, x1 long, x2 long, y long")
+    r = analysis.ols2_fit(
+        df, ["k"], F.col("y"), F.col("x1"), F.col("x2")
+    ).collect()[0]
+    assert r["beta1"] is None and r["beta2"] is None and r["intercept"] is None
+
+
+def test_trimmed_mean_hand_values(spark):
+    """Ten values 1..9 plus outlier 1000, trim 10%: drop min (1) and
+    max (1000), mean of 2..9 = 5.5."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    vals = list(range(1, 10)) + [1000]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v long")
+    r = analysis.trimmed_mean(df, ["k"], F.col("v"), trim_frac=0.1).collect()[0]
+    assert r["n_kept"] == 8
+    assert r["trimmed_mean"] == 5.5
+
+
+def test_trimmed_mean_zero_trim_is_mean(spark):
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    df = spark.createDataFrame([("g", v) for v in [1, 2, 3, 4]], "k string, v long")
+    r = analysis.trimmed_mean(df, ["k"], F.col("v"), trim_frac=0.0).collect()[0]
+    assert r["n_kept"] == 4 and r["trimmed_mean"] == 2.5

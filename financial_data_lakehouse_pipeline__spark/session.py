@@ -83,15 +83,15 @@ def build_session(
         .config("spark.driver.maxResultSize", "4g")
     )
     # Heap sizing (local mode runs everything in the driver JVM): the
-    # 1g Spark default is fine at the test scale factors — measured at
-    # sf0.1/local[32], a 16g heap changes nothing (Spark's spill path
-    # degrades gracefully and the working set is small) — but a larger
-    # single-node corpus needs real heap: set SPARK_GRAFT_DRIVER_MEM
-    # (e.g. "16g"). Static conf — applies only to the first session of
-    # the process.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
-    if driver_mem:
-        b = b.config("spark.driver.memory", driver_mem)
+    # 1g Spark default OOM-killed the full sf0.1 corpus run once the
+    # persist-heavy queries landed (32 concurrent tasks sharing 1g =
+    # ~30 MB each; java.lang.OutOfMemoryError in the sort-spill reader
+    # during pagerank_copurchase_persist, round 5) — default to 8g,
+    # comfortable on any box that runs local[32], overridable via
+    # SPARK_GRAFT_DRIVER_MEM. Static conf — applies only to the first
+    # session of the process.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    b = b.config("spark.driver.memory", driver_mem)
     for k, v in _RUNTIME_CONF.items():
         b = b.config(k, v)
     if extra_conf:

@@ -419,3 +419,93 @@ def trimmed_mean_order_totals(spark, sf_dir):
     from financial_data_lakehouse_pipeline__spark.operators import analysis
 
     return analysis.trimmed_mean(o, ["o_orderpriority"], cents, trim_frac=0.1)
+
+
+@register(
+    "hhi_nation_supplier_revenue",
+    # Supplier-revenue concentration per nation: HHI from two exact
+    # DECIMAL(38,0) sums, one division — no rounding.
+    """WITH sr AS (
+          SELECT s_nationkey,
+                 l_suppkey,
+                 SUM(CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT))
+                     AS rev_c
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY s_nationkey, l_suppkey
+        )
+        SELECT s_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_entities,
+               CASE WHEN CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS DOUBLE) > 0e0
+                    THEN CAST(SUM(CAST(rev_c * rev_c AS DECIMAL(38,0)))
+                              AS DOUBLE)
+                         / (CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS DOUBLE)
+                            * CAST(SUM(CAST(rev_c AS DECIMAL(38,0)))
+                                   AS DOUBLE)) END AS hhi
+        FROM sr GROUP BY s_nationkey""",
+)
+def hhi_nation_supplier_revenue(spark, sf_dir):
+    """Herfindahl-Hirschman supplier-revenue concentration per nation
+    (operators/analysis.hhi): Σ share² from exact integer-cents revenue
+    — the market-concentration audit (1/n = perfectly split, 1 =
+    monopoly). Two aggregations (per-supplier revenue, then per-nation
+    HHI), both shuffling only aggregate-sized data; the single division
+    of decimal-exact sums needs no rounding."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    sr = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(cents).alias("rev_c"))
+    )
+    return analysis.hhi(sr, ["s_nationkey"], F.col("rev_c"))
+
+
+@register(
+    "gini_customer_balance",
+    # Gini over positive balances per nation: value-level counts,
+    # triangular rank-block sums (all DECIMAL(38,0)-exact), one fixed
+    # double chain — deterministic, no rounding.
+    """WITH pos AS (
+          SELECT c_nationkey,
+                 CAST(FLOOR(c_acctbal * 100e0 + 5e-1) AS BIGINT) AS v
+          FROM customer WHERE c_acctbal > 0e0
+        ), vc AS (
+          SELECT c_nationkey, v, CAST(COUNT(*) AS BIGINT) AS c
+          FROM pos GROUP BY c_nationkey, v
+        ), r AS (
+          SELECT c_nationkey, v, c,
+                 COALESCE(SUM(c) OVER (PARTITION BY c_nationkey ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS b
+          FROM vc
+        ), g AS (
+          SELECT c_nationkey,
+                 CAST(SUM(CAST(v AS DECIMAL(38,0))
+                          * CAST(c * b + (c * (c + 1)) // 2
+                                 AS DECIMAL(38,0))) AS DOUBLE) AS si,
+                 CAST(SUM(CAST(v AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                      AS DOUBLE) AS t,
+                 CAST(SUM(c) AS DOUBLE) AS n
+          FROM r GROUP BY c_nationkey
+        )
+        SELECT c_nationkey, CAST(n AS BIGINT) AS n_entities,
+               CASE WHEN t > 0e0
+                    THEN 2e0 * si / (n * t) - (n + 1e0) / n END AS gini
+        FROM g""",
+)
+def gini_customer_balance(spark, sf_dir):
+    """Gini inequality coefficient of positive customer balances per
+    nation (operators/analysis.gini) — the concentration audit for any
+    value distribution. No row-level global sort: value-level counts +
+    a per-group window over distinct values turn the classic sorted-
+    rank formula into exact triangular-number arithmetic
+    (Σ i·x_(i) = Σ_v v·(c·b + c(c+1)/2)); everything is
+    DECIMAL(38,0)-exact until one final double chain."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0.0)
+    cents = F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("bigint")
+    return analysis.gini(c, ["c_nationkey"], cents)

@@ -635,3 +635,89 @@ def trimmed_mean(
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
         dmean(F.col("__v")).alias(out),
     )
+
+
+def hhi(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column,
+    out: str = "hhi",
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per group:
+    HHI = Σ share_i² = Σ v_i² / (Σ v_i)² — the antitrust/market-
+    concentration standard (1/n at perfect equality, 1.0 at monopoly).
+
+    ``value`` must be a non-negative integer expression (cents): both
+    sums aggregate exactly as DECIMAL(38,0) (squared cents overflow
+    BIGINT), and HHI is a single division of two correctly-rounded
+    decimal→double casts — bit-deterministic, no rounding needed. One
+    shuffle, map-side partials.
+    """
+    dec = "decimal(38,0)"
+    # cast BEFORE squaring: a per-entity cents total can exceed the
+    # BIGINT square bound (1e10 cents squared = 1e20 > 2^63)
+    vdec = value.cast(dec)
+    g = df.groupBy(*keys).agg(
+        F.sum(vdec).cast("double").alias("__s"),
+        F.sum(vdec * vdec).cast("double").alias("__s2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_entities"),
+    )
+    return g.select(
+        *keys,
+        "n_entities",
+        F.when(
+            F.col("__s") > 0, F.col("__s2") / (F.col("__s") * F.col("__s"))
+        ).alias(out),
+    )
+
+
+def gini(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column,
+    out: str = "gini",
+) -> DataFrame:
+    """Gini coefficient per group over non-negative integer values:
+    with x_(1) <= ... <= x_(n), G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n —
+    0 at perfect equality, →1 at total concentration (wealth/revenue
+    inequality, the lakehouse-native concentration audit).
+
+    Computed without a row-level global sort: group to value-level
+    counts, then for each distinct value v with count c and cumulative
+    count b strictly below it, Σ i over its rank block is
+    c·b + c(c+1)/2, so Σ i·x_(i) = Σ_v v·(c·b + c(c+1)/2) — a window
+    over DISTINCT VALUES within each group (the aggregate-then-scan
+    bound shared with the histogram/vocab operators). Every term is an
+    exact DECIMAL(38,0) integer; the final expression is one fixed
+    double chain — deterministic cross-engine, no rounding. Negative
+    values are the caller's contract violation (Gini is undefined);
+    filter first.
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    vc = df.groupBy(*keys, value.alias("__v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = vc.withColumn("__b", F.coalesce(F.sum("__c").over(w), F.lit(0)))
+    c, v = F.col("__c"), F.col("__v")
+    # integer DIV keeps the triangular term exact BIGINT (c(c+1) is even)
+    rank_sum = F.expr("__c * __b + (__c * (__c + 1)) DIV 2")
+    term = (v.cast(dec) * rank_sum.cast(dec)).cast(dec)
+    g = r.groupBy(*keys).agg(
+        F.sum(term).cast("double").alias("__si"),
+        F.sum((v.cast(dec) * c.cast(dec)).cast(dec)).cast("double").alias("__t"),
+        F.sum(c).cast("double").alias("__n"),
+    )
+    n, t, si = F.col("__n"), F.col("__t"), F.col("__si")
+    val = F.lit(2.0) * si / (n * t) - (n + F.lit(1.0)) / n
+    return g.select(
+        *keys,
+        n.cast("bigint").alias("n_entities"),
+        F.when(t > 0, val).alias(out),
+    )

@@ -204,3 +204,39 @@ def test_trimmed_mean_zero_trim_is_mean(spark):
     df = spark.createDataFrame([("g", v) for v in [1, 2, 3, 4]], "k string, v long")
     r = analysis.trimmed_mean(df, ["k"], F.col("v"), trim_frac=0.0).collect()[0]
     assert r["n_kept"] == 4 and r["trimmed_mean"] == 2.5
+
+
+def test_hhi_hand_values(spark):
+    """Two equal entities -> HHI 0.5; monopoly -> 1.0."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    df = spark.createDataFrame(
+        [("m1", 100), ("m1", 100), ("m2", 100), ("m2", 0)], "k string, v long"
+    )
+    got = {r["k"]: (r["hhi"], r["n_entities"])
+           for r in analysis.hhi(df, ["k"], F.col("v")).collect()}
+    assert got["m1"] == (0.5, 2)
+    assert got["m2"] == (1.0, 2)
+
+
+def test_gini_hand_values(spark):
+    """Perfect equality -> 0; [0,0,0,100] -> 2*Σi·x/(n·Σx)-(n+1)/n =
+    2*400/400 - 5/4 = 0.75; ties handled via triangular blocks."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    eq = spark.createDataFrame([("g", 5)] * 4, "k string, v long")
+    r = analysis.gini(eq, ["k"], F.col("v")).collect()[0]
+    assert r["gini"] == 0.0 and r["n_entities"] == 4
+
+    conc = spark.createDataFrame(
+        [("g", v) for v in [0, 0, 0, 100]], "k string, v long"
+    )
+    r = analysis.gini(conc, ["k"], F.col("v")).collect()[0]
+    assert r["gini"] == 0.75
+
+    # known mixed case: [1,2,3,4]: Σi*x = 1+4+9+16=30; 2*30/(4*10)-5/4=0.25
+    mix = spark.createDataFrame(
+        [("g", v) for v in [1, 2, 3, 4]], "k string, v long"
+    )
+    r = analysis.gini(mix, ["k"], F.col("v")).collect()[0]
+    assert r["gini"] == 0.25

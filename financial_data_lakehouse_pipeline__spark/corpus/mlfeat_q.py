@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from financial_data_lakehouse_pipeline__spark.corpus import register, sql_dsum
-from financial_data_lakehouse_pipeline__spark.operators import mlfeat
+from financial_data_lakehouse_pipeline__spark.operators import mlfeat, sampling
 from financial_data_lakehouse_pipeline__spark.sources import read_table
 
 
@@ -509,3 +509,64 @@ def gini_customer_balance(spark, sf_dir):
     c = read_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0.0)
     cents = F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("bigint")
     return analysis.gini(c, ["c_nationkey"], cents)
+
+
+#: deterministic A/B arm: md5 bucket parity on the customer key
+_ARM = ("(CAST(('0x' || substr(md5('ab:' || CAST(o_custkey AS VARCHAR)), 1, 7)) "
+        "AS BIGINT) % 10000) % 2 = 0")
+
+
+@register(
+    "welch_ab_order_totals",
+    # Welch two-sample t per priority between hash-assigned arms: six
+    # conditional DECIMAL(38,0)-exact sums in ONE aggregation, fixed
+    # double chain, t ROUND 6 (+0e0 kills -0.0).
+    f"""WITH c AS (
+          SELECT o_orderpriority,
+                 {_ARM} AS treat,
+                 CAST(FLOOR(o_totalprice * 100e0 + 5e-1) AS BIGINT) AS v
+          FROM orders
+        ), m AS (
+          SELECT o_orderpriority,
+                 CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS DOUBLE) AS nt,
+                 CAST(SUM(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS DOUBLE) AS nc,
+                 CAST(SUM(CASE WHEN treat THEN CAST(v AS DECIMAL(38,0))
+                               ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS st,
+                 CAST(SUM(CASE WHEN NOT treat THEN CAST(v AS DECIMAL(38,0))
+                               ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS sc,
+                 CAST(SUM(CASE WHEN treat THEN CAST(v AS DECIMAL(38,0))
+                                    * CAST(v AS DECIMAL(38,0))
+                               ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS qt,
+                 CAST(SUM(CASE WHEN NOT treat THEN CAST(v AS DECIMAL(38,0))
+                                    * CAST(v AS DECIMAL(38,0))
+                               ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS qc
+          FROM c GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority,
+               CAST(nt AS BIGINT) AS n_treat,
+               CAST(nc AS BIGINT) AS n_control,
+               st / nt AS mean_treat,
+               sc / nc AS mean_control,
+               CASE WHEN nt > 1e0 AND nc > 1e0
+                         AND (qt - st * st / nt) / (nt - 1e0) / nt
+                             + (qc - sc * sc / nc) / (nc - 1e0) / nc > 0e0
+                    THEN ROUND((st / nt - sc / nc)
+                               / SQRT((qt - st * st / nt) / (nt - 1e0) / nt
+                                      + (qc - sc * sc / nc) / (nc - 1e0) / nc),
+                               6) + 0e0 END AS t_stat
+        FROM m""",
+)
+def welch_ab_order_totals(spark, sf_dir):
+    """Welch's unequal-variance two-sample t per order priority
+    (operators/analysis.welch_t) between deterministically hash-assigned
+    A/B arms on the customer key — the experiment-readout aggregate
+    (expected ~0 here: the split is random by construction, which is
+    itself the A/A sanity check an experimentation pipeline runs). Six
+    conditional decimal-exact moment sums in one aggregation — no
+    self-join, no second pass; t ROUND 6."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    o = read_table(spark, sf_dir, "orders")
+    arm = sampling.hash_bucket(F.col("o_custkey"), salt="ab") % 2 == 0
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    return analysis.welch_t(o, ["o_orderpriority"], arm, cents)

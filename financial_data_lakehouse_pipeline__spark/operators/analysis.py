@@ -721,3 +721,59 @@ def gini(
         n.cast("bigint").alias("n_entities"),
         F.when(t > 0, val).alias(out),
     )
+
+
+def welch_t(
+    df: DataFrame,
+    keys: Sequence[str],
+    group: Column,
+    value: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Welch's two-sample t statistic per key between the two arms of
+    ``group`` (boolean: True = treatment, False = control):
+
+        t = (m_t − m_c) / sqrt(v_t/n_t + v_c/n_c)
+
+    — the unequal-variance A/B readout (never assumes pooled variance).
+
+    ``value`` must be an integer expression (cents): per-arm n, Σv, Σv²
+    aggregate exactly (DECIMAL(38,0) — squared cents can pass BIGINT),
+    conditional on the arm inside ONE aggregation (no self-join, no
+    second pass), then means/variances/t are a fixed double chain,
+    ROUND(round_to) since the sqrt chain is inherently floating. NULL t
+    when either arm has n < 2 or the variance term is 0. One shuffle.
+    """
+    dec = "decimal(38,0)"
+    vdec = value.cast(dec)
+    zero = F.lit(0).cast(dec)
+
+    def arm(flag: Column, e, name: str):
+        return F.sum(F.when(flag, e).otherwise(zero)).cast("double").alias(name)
+
+    g = df.groupBy(*keys).agg(
+        F.sum(F.when(group, 1).otherwise(0)).cast("double").alias("__nt"),
+        F.sum(F.when(~group, 1).otherwise(0)).cast("double").alias("__nc"),
+        arm(group, vdec, "__st"),
+        arm(~group, vdec, "__sc"),
+        arm(group, vdec * vdec, "__qt"),
+        arm(~group, vdec * vdec, "__qc"),
+    )
+    nt, nc = F.col("__nt"), F.col("__nc")
+    st, sc, qt, qc = F.col("__st"), F.col("__sc"), F.col("__qt"), F.col("__qc")
+    mt, mc = st / nt, sc / nc
+    vt = (qt - st * st / nt) / (nt - F.lit(1.0))
+    vc = (qc - sc * sc / nc) / (nc - F.lit(1.0))
+    se2 = vt / nt + vc / nc
+    t = F.when(
+        (nt > 1) & (nc > 1) & (se2 > 0),
+        F.round((mt - mc) / F.sqrt(se2), round_to) + F.lit(0.0),
+    )
+    return g.select(
+        *keys,
+        nt.cast("bigint").alias("n_treat"),
+        nc.cast("bigint").alias("n_control"),
+        (st / nt).alias("mean_treat"),
+        (sc / nc).alias("mean_control"),
+        t.alias("t_stat"),
+    )

@@ -240,3 +240,30 @@ def test_gini_hand_values(spark):
     )
     r = analysis.gini(mix, ["k"], F.col("v")).collect()[0]
     assert r["gini"] == 0.25
+
+
+def test_welch_t_hand_values(spark):
+    """Treat [10,20,30] vs control [10,20]: means 20/15, variances
+    100/50, se2 = 100/3 + 50/2 = 58.333..., t = 5/sqrt(se2)."""
+    import math
+
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    rows = [("g", True, 10), ("g", True, 20), ("g", True, 30),
+            ("g", False, 10), ("g", False, 20)]
+    df = spark.createDataFrame(rows, "k string, arm boolean, v long")
+    r = analysis.welch_t(df, ["k"], F.col("arm"), F.col("v")).collect()[0]
+    assert (r["n_treat"], r["n_control"]) == (3, 2)
+    assert (r["mean_treat"], r["mean_control"]) == (20.0, 15.0)
+    se2 = 100.0 / 3 + 50.0 / 2
+    assert r["t_stat"] == round(5.0 / math.sqrt(se2), 6)
+
+
+def test_welch_t_degenerate_arm_is_null(spark):
+    """A single-row arm cannot estimate variance -> NULL t."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    rows = [("g", True, 10), ("g", False, 10), ("g", False, 20)]
+    df = spark.createDataFrame(rows, "k string, arm boolean, v long")
+    r = analysis.welch_t(df, ["k"], F.col("arm"), F.col("v")).collect()[0]
+    assert r["t_stat"] is None

@@ -400,8 +400,8 @@ def analysis_ols2(li):
         )
         SELECT o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n_kept,
-               CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE)
-                   / NULLIF(COUNT(v), 0) AS trimmed_mean
+               CAST(SUM(v) AS DOUBLE)
+                   / CAST(NULLIF(COUNT(v), 0) AS DOUBLE) AS trimmed_mean
         FROM r
         WHERE rn > CAST(FLOOR(n * 1e-1) AS BIGINT)
           AND rn <= n - CAST(FLOOR(n * 1e-1) AS BIGINT)
@@ -412,8 +412,10 @@ def trimmed_mean_order_totals(spark, sf_dir):
     order totals per priority — the robust location estimate between
     mean and median. Rank-based integer cut over exact cents (ties are
     interchangeable: the survivor SUM is identical whichever equal
-    values survive), decimal-exact mean; one shuffle + one window on
-    the same key."""
+    values survive), exact-BIGINT-sum mean (single rounding on both
+    engines — see operators/analysis.trimmed_mean on why dmean's
+    decimal accumulator diverges past 2^53); one shuffle + one window
+    on the same key."""
     o = read_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
     from financial_data_lakehouse_pipeline__spark.operators import analysis

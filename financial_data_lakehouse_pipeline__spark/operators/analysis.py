@@ -616,8 +616,13 @@ def trimmed_mean(
     integer values and trim on (value, unique_id) ordering via
     ``order_extra``-style pre-sorted input, or accept that equal
     values are interchangeable: the SUM over survivors is the same
-    whichever equal-valued rows survive). Mean is decimal-exact
-    (functions.dmean) over integer inputs. One shuffle + one window
+    whichever equal-valued rows survive). The mean is an exact BIGINT
+    sum divided once — NOT functions.dmean: dmean's DECIMAL(30,6)
+    accumulator scales the integer sum by 10^6, and past 2^53 DuckDB's
+    decimal->double conversion (int128->double, then /10^6 — two
+    roundings) diverges from Spark's correctly-rounded BigDecimal cast
+    by an ulp (caught at sf0.1). A raw BIGINT sum is one rounding on
+    both engines. One shuffle + one window
     over the same partitioning (no second exchange).
     """
     from pyspark.sql import Window
@@ -633,7 +638,10 @@ def trimmed_mean(
     )
     return kept.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-        dmean(F.col("__v")).alias(out),
+        (
+            F.sum("__v").cast("double")
+            / F.count("__v").cast("double")
+        ).alias(out),
     )
 
 

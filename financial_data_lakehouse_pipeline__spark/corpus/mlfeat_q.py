@@ -572,3 +572,124 @@ def welch_ab_order_totals(spark, sf_dir):
     arm = sampling.hash_bucket(F.col("o_custkey"), salt="ab") % 2 == 0
     cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
     return analysis.welch_t(o, ["o_orderpriority"], arm, cents)
+
+
+#: daily close per supplier — order-encoded MAX trick (aggregates.ohlc)
+_CLOSE_CTE = """SELECT l_suppkey, l_shipdate AS day,
+                 MAX((l_orderkey * 10 + l_linenumber) * 16777216
+                     + CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT))
+                     % 16777216 AS close
+          FROM lineitem GROUP BY l_suppkey, l_shipdate"""
+
+
+@register(
+    "twap_supplier_price",
+    # Gap-weighted TWAP: cents x day-gaps are exact DECIMAL(38,0)
+    # sums; one division. Last observation carries no weight (no next).
+    f"""WITH c AS ({_CLOSE_CTE}),
+        g AS (
+          SELECT l_suppkey, close,
+                 date_diff('day', day,
+                           LEAD(day) OVER (PARTITION BY l_suppkey
+                                           ORDER BY day)) AS dt
+          FROM c
+        )
+        SELECT l_suppkey,
+               CAST(SUM(CAST(dt AS BIGINT)) AS BIGINT) AS span_days,
+               CAST(SUM(CAST(close * dt AS DECIMAL(38,0))) AS DOUBLE)
+                   / CAST(SUM(CAST(dt AS DECIMAL(38,0))) AS DOUBLE) / 100e0
+                   AS twap
+        FROM g WHERE dt IS NOT NULL AND dt > 0
+        GROUP BY l_suppkey""",
+)
+def twap_supplier_price(spark, sf_dir):
+    """Time-weighted average price per supplier (the TWAP execution
+    benchmark, complement of vwap_supplier_price): each daily close is
+    weighted by the number of days it 'stood' (gap to the next
+    observation — calendar holes weight their last print, the standard
+    step-function integral). Exact cents x integer day-gaps summed as
+    DECIMAL(38,0), one division — no rounding. One aggregation + one
+    keyed window + one re-aggregation."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    okey = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    c = li.groupBy("l_suppkey", F.col("l_shipdate").alias("day")).agg(
+        (F.max(okey * F.lit(16777216) + cents) % F.lit(16777216)).alias("close")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("day")
+    g = c.select(
+        "l_suppkey",
+        "close",
+        F.datediff(F.lead("day").over(w), F.col("day")).alias("dt"),
+    ).filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    dec = "decimal(38,0)"
+    return g.groupBy("l_suppkey").agg(
+        F.sum(F.col("dt").cast("bigint")).cast("bigint").alias("span_days"),
+        (
+            F.sum((F.col("close") * F.col("dt")).cast(dec)).cast("double")
+            / F.sum(F.col("dt").cast(dec)).cast("double")
+            / F.lit(100.0)
+        ).alias("twap"),
+    )
+
+
+@register(
+    "amihud_illiquidity_supplier",
+    # Amihud ILLIQ = mean(|daily price move| / daily volume): each
+    # ratio is one exact IEEE division (cents int / volume int); the
+    # mean of float ratios is the one order-dependent float sum in the
+    # corpus convention -> ROUND 6 like stddev/corr.
+    f"""WITH c AS (
+          SELECT l_suppkey, l_shipdate AS day,
+                 MAX((l_orderkey * 10 + l_linenumber) * 16777216
+                     + CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT))
+                     % 16777216 AS close,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vol
+          FROM lineitem GROUP BY l_suppkey, l_shipdate
+        ), d AS (
+          SELECT l_suppkey,
+                 ABS(close - LAG(close) OVER (PARTITION BY l_suppkey
+                                              ORDER BY day)) AS mv,
+                 vol
+          FROM c
+        )
+        SELECT l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(SUM(CAST(mv AS DOUBLE) / CAST(vol AS DOUBLE))
+                     / COUNT(*), 6) AS illiq
+        FROM d WHERE mv IS NOT NULL AND vol > 0
+        GROUP BY l_suppkey""",
+)
+def amihud_illiquidity_supplier(spark, sf_dir):
+    """Amihud illiquidity per supplier: the mean of |daily close move| /
+    daily volume — the classic price-impact-per-unit-flow measure. Each
+    day's ratio is a single exact IEEE division of integers; the final
+    mean is the corpus's one genuinely order-dependent float sum, so
+    ROUND 6 per the stddev/corr convention (error ~1e-13 relative over
+    thousands of same-scale terms). One aggregation + one keyed window
+    + one re-aggregation."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    okey = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    c = li.groupBy("l_suppkey", F.col("l_shipdate").alias("day")).agg(
+        (F.max(okey * F.lit(16777216) + cents) % F.lit(16777216)).alias("close"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("vol"),
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("day")
+    d = c.select(
+        "l_suppkey",
+        F.abs(F.col("close") - F.lag("close").over(w)).alias("mv"),
+        "vol",
+    ).filter(F.col("mv").isNotNull() & (F.col("vol") > 0))
+    return d.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(
+            F.sum(F.col("mv").cast("double") / F.col("vol").cast("double"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("illiq"),
+    )

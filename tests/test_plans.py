@@ -444,3 +444,42 @@ def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
     assert "Broadcast" in plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("o_orderdate" in ln for ln in pushed)
+
+
+def test_target_encode_stats_broadcast(spark, sf_dir):
+    """LOO encoding must broadcast the per-key stats and the 1-row
+    global mean — the fact side never shuffles."""
+    df = _q("target_encode_segment")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+
+
+def test_equal_freq_bins_joins_broadcast_edges(spark, sf_dir):
+    """Bin edges (distinct-value table) broadcast back onto the rows."""
+    df = _q("equal_freq_bins_orders")(spark, sf_dir)
+    assert plans.has_broadcast_join(df)
+
+
+def test_pmi_no_cartesian(spark, sf_dir):
+    """Pair generation is a keyed self-join; item counts broadcast."""
+    df = _q("pmi_copurchase_parts")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_welch_t_single_aggregation(spark, sf_dir):
+    """All six conditional moment sums ride ONE aggregation — exactly
+    one exchange, no self-join."""
+    df = _q("welch_ab_order_totals")(spark, sf_dir)
+    assert plans.count_exchanges(df) == 1
+    assert "Join" not in plans.formatted_plan(df)
+
+
+def test_gini_no_row_level_global_sort(spark, sf_dir):
+    """Gini must run over value-level counts (aggregate-then-window),
+    never a row-level global sort of the fact table."""
+    df = _q("gini_customer_balance")(spark, sf_dir)
+    assert plans.count_exchanges(df) <= 3

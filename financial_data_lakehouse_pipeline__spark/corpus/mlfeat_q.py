@@ -180,18 +180,41 @@ def walk_forward_orders(spark, sf_dir):
     return out.select("o_orderkey", "fold", "role")
 
 
+#: daily close per supplier — order-encoded MAX trick (aggregates.ohlc);
+#: shared by the sharpe/twap/amihud family so the 16777216 encoding has
+#: exactly one SQL and one Spark definition.
+_CLOSE_CTE = """SELECT l_suppkey, l_shipdate AS day,
+                 MAX((l_orderkey * 10 + l_linenumber) * 16777216
+                     + CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT))
+                     % 16777216 AS close
+          FROM lineitem GROUP BY l_suppkey, l_shipdate"""
+
+_CLOSE_VOL_CTE = """SELECT l_suppkey, l_shipdate AS day,
+                 MAX((l_orderkey * 10 + l_linenumber) * 16777216
+                     + CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT))
+                     % 16777216 AS close,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vol
+          FROM lineitem GROUP BY l_suppkey, l_shipdate"""
+
+
+def _daily_close(spark, sf_dir, with_volume: bool = False):
+    """Spark twin of _CLOSE_CTE / _CLOSE_VOL_CTE."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    okey = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    aggs = [(F.max(okey * F.lit(16777216) + cents) % F.lit(16777216)).alias("close")]
+    if with_volume:
+        aggs.append(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("vol"))
+    return li.groupBy("l_suppkey", F.col("l_shipdate").alias("day")).agg(*aggs)
+
+
 @register(
     "sharpe_supplier_pnl",
     # Sharpe on daily close-to-close P&L in exact integer cents:
     # moment sums (n, s1, s2) are exact BIGINTs; mean/var/sqrt is one
     # IEEE chain; annualized by sqrt(252); ROUND 6.
-    """WITH c AS (
-          SELECT l_suppkey, l_shipdate AS day,
-                 MAX((l_orderkey * 10 + l_linenumber) * 16777216
-                     + CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT))
-                     % 16777216 AS close
-          FROM lineitem GROUP BY l_suppkey, l_shipdate
-        ), d AS (
+    f"""WITH c AS ({_CLOSE_CTE}),
+        d AS (
           SELECT l_suppkey,
                  close - LAG(close) OVER (PARTITION BY l_suppkey
                                           ORDER BY day) AS pnl
@@ -226,12 +249,7 @@ def sharpe_supplier_pnl(spark, sf_dir):
     keyed window, one tiny roll-up."""
     from pyspark.sql import Window
 
-    li = read_table(spark, sf_dir, "lineitem")
-    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
-    okey = F.col("l_orderkey") * 10 + F.col("l_linenumber")
-    c = li.groupBy("l_suppkey", F.col("l_shipdate").alias("day")).agg(
-        (F.max(okey * F.lit(16777216) + cents) % F.lit(16777216)).alias("close")
-    )
+    c = _daily_close(spark, sf_dir)
     w = Window.partitionBy("l_suppkey").orderBy("day")
     d = c.select(
         "l_suppkey",
@@ -326,11 +344,11 @@ def _msum(e: str) -> str:
                  {_msum('CAST(FLOOR(l_extendedprice) AS BIGINT)')} AS s1,
                  {_msum('CAST(FLOOR(l_discount * 10000e0 + 5e-1) AS BIGINT)')} AS s2,
                  {_msum('CAST(l_quantity AS BIGINT)')} AS sy,
-                 {_msum('CAST(FLOOR(l_extendedprice) AS BIGINT) * CAST(FLOOR(l_extendedprice) AS BIGINT)')} AS s11,
-                 {_msum('CAST(FLOOR(l_discount * 10000e0 + 5e-1) AS BIGINT) * CAST(FLOOR(l_discount * 10000e0 + 5e-1) AS BIGINT)')} AS s22,
-                 {_msum('CAST(FLOOR(l_extendedprice) AS BIGINT) * CAST(FLOOR(l_discount * 10000e0 + 5e-1) AS BIGINT)')} AS s12,
-                 {_msum('CAST(FLOOR(l_extendedprice) AS BIGINT) * CAST(l_quantity AS BIGINT)')} AS s1y,
-                 {_msum('CAST(FLOOR(l_discount * 10000e0 + 5e-1) AS BIGINT) * CAST(l_quantity AS BIGINT)')} AS s2y
+                 {_msum('CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS DECIMAL(38,0)) * CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS DECIMAL(38,0))')} AS s11,
+                 {_msum('CAST(CAST(FLOOR(l_discount * 10000e0 + 5e-1) AS BIGINT) AS DECIMAL(38,0)) * CAST(CAST(FLOOR(l_discount * 10000e0 + 5e-1) AS BIGINT) AS DECIMAL(38,0))')} AS s22,
+                 {_msum('CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS DECIMAL(38,0)) * CAST(CAST(FLOOR(l_discount * 10000e0 + 5e-1) AS BIGINT) AS DECIMAL(38,0))')} AS s12,
+                 {_msum('CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS DECIMAL(38,0)) * CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))')} AS s1y,
+                 {_msum('CAST(CAST(FLOOR(l_discount * 10000e0 + 5e-1) AS BIGINT) AS DECIMAL(38,0)) * CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))')} AS s2y
           FROM lineitem GROUP BY l_returnflag
         )
         SELECT l_returnflag,
@@ -403,8 +421,8 @@ def analysis_ols2(li):
                CAST(SUM(v) AS DOUBLE)
                    / CAST(NULLIF(COUNT(v), 0) AS DOUBLE) AS trimmed_mean
         FROM r
-        WHERE rn > CAST(FLOOR(n * 1e-1) AS BIGINT)
-          AND rn <= n - CAST(FLOOR(n * 1e-1) AS BIGINT)
+        WHERE rn > (n * 1) // 10
+          AND rn <= n - (n * 1) // 10
         GROUP BY o_orderpriority""",
 )
 def trimmed_mean_order_totals(spark, sf_dir):
@@ -438,7 +456,8 @@ def trimmed_mean_order_totals(spark, sf_dir):
         SELECT s_nationkey,
                CAST(COUNT(*) AS BIGINT) AS n_entities,
                CASE WHEN CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS DOUBLE) > 0e0
-                    THEN CAST(SUM(CAST(rev_c * rev_c AS DECIMAL(38,0)))
+                    THEN CAST(SUM(CAST(rev_c AS DECIMAL(38,0))
+                                  * CAST(rev_c AS DECIMAL(38,0)))
                               AS DOUBLE)
                          / (CAST(SUM(CAST(rev_c AS DECIMAL(38,0))) AS DOUBLE)
                             * CAST(SUM(CAST(rev_c AS DECIMAL(38,0)))
@@ -574,14 +593,6 @@ def welch_ab_order_totals(spark, sf_dir):
     return analysis.welch_t(o, ["o_orderpriority"], arm, cents)
 
 
-#: daily close per supplier — order-encoded MAX trick (aggregates.ohlc)
-_CLOSE_CTE = """SELECT l_suppkey, l_shipdate AS day,
-                 MAX((l_orderkey * 10 + l_linenumber) * 16777216
-                     + CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT))
-                     % 16777216 AS close
-          FROM lineitem GROUP BY l_suppkey, l_shipdate"""
-
-
 @register(
     "twap_supplier_price",
     # Gap-weighted TWAP: cents x day-gaps are exact DECIMAL(38,0)
@@ -612,12 +623,7 @@ def twap_supplier_price(spark, sf_dir):
     keyed window + one re-aggregation."""
     from pyspark.sql import Window
 
-    li = read_table(spark, sf_dir, "lineitem")
-    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
-    okey = F.col("l_orderkey") * 10 + F.col("l_linenumber")
-    c = li.groupBy("l_suppkey", F.col("l_shipdate").alias("day")).agg(
-        (F.max(okey * F.lit(16777216) + cents) % F.lit(16777216)).alias("close")
-    )
+    c = _daily_close(spark, sf_dir)
     w = Window.partitionBy("l_suppkey").orderBy("day")
     g = c.select(
         "l_suppkey",
@@ -641,14 +647,8 @@ def twap_supplier_price(spark, sf_dir):
     # ratio is one exact IEEE division (cents int / volume int); the
     # mean of float ratios is the one order-dependent float sum in the
     # corpus convention -> ROUND 6 like stddev/corr.
-    f"""WITH c AS (
-          SELECT l_suppkey, l_shipdate AS day,
-                 MAX((l_orderkey * 10 + l_linenumber) * 16777216
-                     + CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT))
-                     % 16777216 AS close,
-                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vol
-          FROM lineitem GROUP BY l_suppkey, l_shipdate
-        ), d AS (
+    f"""WITH c AS ({_CLOSE_VOL_CTE}),
+        d AS (
           SELECT l_suppkey,
                  ABS(close - LAG(close) OVER (PARTITION BY l_suppkey
                                               ORDER BY day)) AS mv,
@@ -672,13 +672,7 @@ def amihud_illiquidity_supplier(spark, sf_dir):
     + one re-aggregation."""
     from pyspark.sql import Window
 
-    li = read_table(spark, sf_dir, "lineitem")
-    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
-    okey = F.col("l_orderkey") * 10 + F.col("l_linenumber")
-    c = li.groupBy("l_suppkey", F.col("l_shipdate").alias("day")).agg(
-        (F.max(okey * F.lit(16777216) + cents) % F.lit(16777216)).alias("close"),
-        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("vol"),
-    )
+    c = _daily_close(spark, sf_dir, with_volume=True)
     w = Window.partitionBy("l_suppkey").orderBy("day")
     d = c.select(
         "l_suppkey",

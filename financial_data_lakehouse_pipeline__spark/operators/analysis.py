@@ -555,20 +555,24 @@ def ols2_fit(
     degenerate group). Betas are ROUND(round_to) — the determinant
     division chain is inherently floating. One shuffle; no join."""
     dec = "decimal(38,0)"
+    # cast operands BEFORE multiplying: |x| past ~3e9 squares beyond
+    # BIGINT (ANSI ArithmeticException / silent wrap); decimal products
+    # cannot overflow at any realistic cents scale
+    x1d, x2d, yd = x1.cast(dec), x2.cast(dec), y.cast(dec)
 
     def s(e: Column, name: str) -> Column:
-        return F.sum(e.cast(dec)).cast("double").alias(name)
+        return F.sum(e).cast("double").alias(name)
 
     g = df.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
-        s(x1, "__s1"),
-        s(x2, "__s2"),
-        s(y, "__sy"),
-        s(x1 * x1, "__s11"),
-        s(x2 * x2, "__s22"),
-        s(x1 * x2, "__s12"),
-        s(x1 * y, "__s1y"),
-        s(x2 * y, "__s2y"),
+        s(x1d, "__s1"),
+        s(x2d, "__s2"),
+        s(yd, "__sy"),
+        s(x1d * x1d, "__s11"),
+        s(x2d * x2d, "__s22"),
+        s(x1d * x2d, "__s12"),
+        s(x1d * yd, "__s1y"),
+        s(x2d * yd, "__s2y"),
     )
     n = F.col("__n")
     s1, s2, sy = F.col("__s1"), F.col("__s2"), F.col("__sy")
@@ -625,6 +629,8 @@ def trimmed_mean(
     both engines. One shuffle + one window
     over the same partitioning (no second exchange).
     """
+    from fractions import Fraction
+
     from pyspark.sql import Window
 
     sdf = df.select(*keys, value.alias("__v"))
@@ -632,7 +638,11 @@ def trimmed_mean(
     ranked = sdf.withColumn("__r", F.row_number().over(w)).withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
     )
-    k = F.floor(F.col("__n") * F.lit(float(trim_frac))).cast("bigint")
+    # exact rational trim count: floor(n * 0.29) via doubles is
+    # 28.999... -> 28 at n=100, off by one vs the documented
+    # floor(n*frac); integer (n*num) DIV den never misrounds
+    fr = Fraction(trim_frac).limit_denominator(1_000_000)
+    k = F.expr(f"(__n * {fr.numerator}) DIV {fr.denominator}")
     kept = ranked.filter(
         (F.col("__r") > k) & (F.col("__r") <= F.col("__n") - k)
     )
@@ -781,7 +791,8 @@ def welch_t(
         *keys,
         nt.cast("bigint").alias("n_treat"),
         nc.cast("bigint").alias("n_control"),
-        (st / nt).alias("mean_treat"),
-        (sc / nc).alias("mean_control"),
+        # guarded: an empty arm would make 0/0 = NaN, not NULL
+        F.when(nt > 0, st / nt).alias("mean_treat"),
+        F.when(nc > 0, sc / nc).alias("mean_control"),
         t.alias("t_stat"),
     )

@@ -59,7 +59,9 @@ def target_encode_loo(
     )
     if broadcast_stats:
         stats = F.broadcast(stats)
-    j = df.join(stats, keys).crossJoin(F.broadcast(glob))
+    # left join: NULL-key rows pass through with te=NULL instead of
+    # silently vanishing from the training set
+    j = df.join(stats, keys, "left").crossJoin(F.broadcast(glob))
     den = F.col("__gcnt").cast("double") - F.lit(1.0) + F.lit(float(prior_weight))
     num = (
         F.col("__gsum")
@@ -94,8 +96,16 @@ def equal_frequency_bins(
     bit-identical cross-engine.
     """
     v = F.col(col)
-    vc = df.groupBy(v.alias("__v")).agg(F.count(F.lit(1)).alias("__c"))
-    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    # NULLs are excluded from the distribution (they have no rank) and
+    # come back with a NULL bin via the left join — never silently
+    # dropped, never skewing __below/__total.
+    vc = (
+        df.filter(v.isNotNull())
+        .groupBy(v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # total from the value histogram — no second scan of the fact table
+    total = vc.agg(F.sum("__c").alias("__total"))
     from pyspark.sql import Window
 
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
@@ -109,7 +119,9 @@ def equal_frequency_bins(
         "__v",
         F.expr(f"CAST((__below * {int(n_bins)}) DIV __total AS INT)").alias(out),
     )
-    return df.join(F.broadcast(binned), df[col] == F.col("__v")).drop("__v")
+    return df.join(
+        F.broadcast(binned), df[col] == F.col("__v"), "left"
+    ).drop("__v")
 
 
 def feature_hash(

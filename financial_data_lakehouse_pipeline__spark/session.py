@@ -86,11 +86,20 @@ def build_session(
     # 1g Spark default OOM-killed the full sf0.1 corpus run once the
     # persist-heavy queries landed (32 concurrent tasks sharing 1g =
     # ~30 MB each; java.lang.OutOfMemoryError in the sort-spill reader
-    # during pagerank_copurchase_persist, round 5) — default to 8g,
-    # comfortable on any box that runs local[32], overridable via
-    # SPARK_GRAFT_DRIVER_MEM. Static conf — applies only to the first
-    # session of the process.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    # during pagerank_copurchase_persist, round 5). Default host-aware:
+    # ~1/8 of physical RAM clamped to [2g, 8g], so a 128 GB box gets
+    # the full 8g while a 4 GB CI container stays inside its cgroup
+    # limit. SPARK_GRAFT_DRIVER_MEM still overrides. Static conf —
+    # applies only to the first session of the process.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if not driver_mem:
+        try:
+            total_gb = (
+                os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            ) // (1 << 30)
+        except (ValueError, OSError, AttributeError):
+            total_gb = 0
+        driver_mem = f"{max(2, min(8, total_gb // 8))}g"
     b = b.config("spark.driver.memory", driver_mem)
     for k, v in _RUNTIME_CONF.items():
         b = b.config(k, v)

@@ -120,13 +120,24 @@ def test_walk_forward_splits_roles_and_exclusion(spark):
     }
 
 
-def test_pmi_matches_manual_log(spark):
-    """Non-zero PMI value against a manual computation."""
-    rows = [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g3", "a"), ("g3", "b")]
+def test_pmi_matches_manual_log_nonzero(spark):
+    """Genuinely non-zero PMI values, positive and negative, against a
+    manual computation — a wrong scale factor in the ratio cannot hide
+    behind ln(1)=0 here."""
+    # groups: g1=[a,b], g2=[a], g3=[b] -> N=3, ca=2, cb=2, nab=1
+    rows = [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g3", "b")]
     df = spark.createDataFrame(rows, "g string, i string")
     r = mlfeat.pmi_pairs(df, "g", "i", min_pair_count=1).collect()[0]
-    # N=3, nab=2, ca=3, cb=2 -> ln(2*3/6) = 0; adjust: use min_pair 1
-    assert r["pmi"] == round(math.log(2 * 3 / (3 * 2)), 6)
+    assert r["pmi"] == round(math.log(1 * 3 / (2 * 2)), 6)  # ln(0.75) < 0
+
+    # g1=[a,b], g2=[a,b], g3=[c] -> N=3, ca=cb=2, nab=2 -> ln(6/4) > 0
+    rows2 = [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b"), ("g3", "c")]
+    df2 = spark.createDataFrame(rows2, "g string, i string")
+    got = {
+        (r["item_a"], r["item_b"]): r["pmi"]
+        for r in mlfeat.pmi_pairs(df2, "g", "i", min_pair_count=1).collect()
+    }
+    assert got[("a", "b")] == round(math.log(2 * 3 / (2 * 2)), 6)
 
 
 def test_seasonal_decompose_hand_values(spark):
@@ -267,3 +278,70 @@ def test_welch_t_degenerate_arm_is_null(spark):
     df = spark.createDataFrame(rows, "k string, arm boolean, v long")
     r = analysis.welch_t(df, ["k"], F.col("arm"), F.col("v")).collect()[0]
     assert r["t_stat"] is None
+
+
+def test_equal_frequency_bins_null_rows_pass_through(spark):
+    """NULL values are excluded from the distribution but their rows
+    survive with a NULL bin; non-null bins are unaffected by NULLs."""
+    rows = [(None,), (None,), (None,), (None,), (1,), (2,), (3,), (4,)]
+    df = spark.createDataFrame(rows, "x int")
+    out = mlfeat.equal_frequency_bins(df, "x", 2).collect()
+    assert len(out) == 8
+    got = {r["x"]: r["bin"] for r in out if r["x"] is not None}
+    # distribution over non-nulls only: below(1)=0,(2)=1,(3)=2,(4)=3
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1}
+    assert all(r["bin"] is None for r in out if r["x"] is None)
+
+
+def test_trimmed_mean_exact_fraction_boundary(spark):
+    """trim_frac=0.29, n=100: floor(100*0.29) must be 29 (double
+    multiplication gives 28.999... -> 28); 29 cut from each side."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    df = spark.createDataFrame(
+        [("g", v) for v in range(1, 101)], "k string, v long"
+    )
+    r = analysis.trimmed_mean(df, ["k"], F.col("v"), trim_frac=0.29).collect()[0]
+    assert r["n_kept"] == 100 - 2 * 29
+    # survivors are 30..71 -> mean 50.5
+    assert r["trimmed_mean"] == 50.5
+
+
+def test_target_encode_null_keys_survive(spark):
+    """NULL-key rows keep their row (te NULL) instead of vanishing."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), (None, 9.0)], "k string, y double"
+    )
+    out = mlfeat.target_encode_loo(df, ["k"], "y").collect()
+    assert len(out) == 3
+    nk = [r for r in out if r["k"] is None][0]
+    assert nk["te"] is None
+
+
+def test_welch_t_empty_arm_means_null_not_nan(spark):
+    """All-control group: mean_treat must be NULL, never NaN."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    rows = [("g", False, 10), ("g", False, 20)]
+    df = spark.createDataFrame(rows, "k string, arm boolean, v long")
+    r = analysis.welch_t(df, ["k"], F.col("arm"), F.col("v")).collect()[0]
+    assert r["mean_treat"] is None
+    assert r["mean_control"] == 15.0
+    assert r["t_stat"] is None
+
+
+def test_ols2_fit_large_values_no_overflow(spark):
+    """Values whose squares exceed BIGINT (x ~ 4e9) must not raise
+    ANSI ArithmeticException — decimal products carry them exactly."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    base = 4_000_000_000
+    rows = []
+    for x1 in range(4):
+        for x2 in range(3):
+            rows.append(("g", base + x1 * 1000, x2, 2 * (base + x1 * 1000) - x2))
+    df = spark.createDataFrame(rows, "k string, x1 long, x2 long, y long")
+    r = analysis.ols2_fit(
+        df, ["k"], F.col("y"), F.col("x1"), F.col("x2")
+    ).collect()[0]
+    assert r["beta1"] == 2.0 and r["beta2"] == -1.0

@@ -1490,3 +1490,61 @@ def supplier_inventory_balance(spark, sf_dir):
         floor=0,
     )
     return out.select("l_suppkey", "l_orderkey", "l_linenumber", "balance")
+
+
+@register(
+    "underwater_duration_supplier",
+    # Time-under-water: rows since the running peak was last touched.
+    # rn and the at-peak marker are exact integers; ties are rows
+    # identical in every referenced column (see _LI_ORDER note), whose
+    # swap permutes identical output rows.
+    f"""WITH c AS ({_CENTS_CTE}),
+        p AS (
+          SELECT l_suppkey, l_orderkey, l_linenumber, c,
+                 ROW_NUMBER() OVER ({_LI_WIN}) AS rn,
+                 MAX(c) OVER ({_LI_WIN} ROWS UNBOUNDED PRECEDING) AS peak
+          FROM c
+        )
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(rn - MAX(CASE WHEN c = peak THEN rn END)
+                    OVER (PARTITION BY l_suppkey ORDER BY rn
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS underwater
+        FROM p""",
+)
+def underwater_duration_supplier(spark, sf_dir):
+    """Time-under-water per supplier: how many observations since the
+    running price peak was last touched (the duration companion to
+    drawdown_supplier_price's depth — recovery analysis needs both).
+    Two stacked windows on the SAME (partition, order): running max +
+    row_number, then a running max over the at-peak row numbers — one
+    shuffle, two WindowExecs, all-BIGINT arithmetic (a row at the peak
+    has underwater = 0 by construction)."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    w_ord = Window.partitionBy("l_suppkey").orderBy(*_LI_ORDER_COLS)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    p = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        cents.alias("__c"),
+        F.row_number().over(w_ord).alias("__rn"),
+        F.max(cents).over(w_cum).alias("__peak"),
+    )
+    w_rn = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("__rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_peak = F.max(
+        F.when(F.col("__c") == F.col("__peak"), F.col("__rn"))
+    ).over(w_rn)
+    return p.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("__rn") - last_peak).cast("bigint").alias("underwater"),
+    )

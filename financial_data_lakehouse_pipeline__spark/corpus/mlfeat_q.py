@@ -687,3 +687,155 @@ def amihud_illiquidity_supplier(spark, sf_dir):
             6,
         ).alias("illiq"),
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    # Cumulative revenue-per-customer by cohort age: exact cents sums,
+    # integer DIV week ages, one division at the end.
+    """WITH first AS (
+          SELECT o_custkey, MIN(o_orderdate) AS cohort
+          FROM orders GROUP BY o_custkey
+        ), sizes AS (
+          SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+          FROM first GROUP BY cohort
+        ), aged AS (
+          SELECT f.cohort,
+                 date_diff('day', f.cohort, o.o_orderdate) // 7 AS age_weeks,
+                 CAST(FLOOR(o.o_totalprice * 100e0 + 5e-1) AS BIGINT) AS cents
+          FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+        ), agg AS (
+          SELECT cohort, age_weeks,
+                 CAST(SUM(cents) AS BIGINT) AS week_rev_c
+          FROM aged GROUP BY cohort, age_weeks
+        )
+        SELECT a.cohort, CAST(a.age_weeks AS BIGINT) AS age_weeks,
+               s.cohort_size,
+               CAST(SUM(a.week_rev_c) OVER (PARTITION BY a.cohort
+                    ORDER BY a.age_weeks
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   / CAST(s.cohort_size AS DOUBLE) / 100e0
+                   AS cum_ltv_per_customer
+        FROM agg a JOIN sizes s USING (cohort)""",
+)
+def cohort_ltv_curve(spark, sf_dir):
+    """Cohort lifetime-value curve: cumulative revenue per customer by
+    acquisition cohort (first-order date) and age in weeks — the
+    retention economics complement of retention_weekly_cohorts. The
+    cumulative window runs over the PRE-AGGREGATED (cohort, age) table
+    (bounded by cohorts x ages, never fact rows); revenue is exact
+    integer cents until one division by the cohort size. Two shuffles
+    (per-customer first-date, per-(cohort, age) rollup) + one bounded
+    window."""
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    aged = o.join(first, "o_custkey").select(
+        "cohort",
+        F.expr("datediff(o_orderdate, cohort) DIV 7").alias("age_weeks"),
+        cents.alias("cents"),
+    )
+    agg = aged.groupBy("cohort", "age_weeks").agg(
+        F.sum("cents").cast("bigint").alias("week_rev_c")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    j = agg.join(F.broadcast(sizes), "cohort")
+    return j.select(
+        "cohort",
+        F.col("age_weeks").cast("bigint").alias("age_weeks"),
+        "cohort_size",
+        (
+            F.sum("week_rev_c").over(w).cast("double")
+            / F.col("cohort_size").cast("double")
+            / F.lit(100.0)
+        ).alias("cum_ltv_per_customer"),
+    )
+
+
+def _rfm_bin_sql(metric: str) -> str:
+    """Per-metric equal-frequency quintile CTE pair (mlfeat
+    .equal_frequency_bins twin): strict-below counts over distinct
+    values, integer floor division."""
+    return f"""vc_{metric} AS (
+          SELECT {metric} AS v, COUNT(*) AS c FROM rfm GROUP BY 1
+        ), b_{metric} AS (
+          SELECT v,
+                 CAST((COALESCE(SUM(c) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) * 5) // (SELECT SUM(c) FROM vc_{metric}) AS INT)
+                     AS {metric}_bin
+          FROM vc_{metric}
+        )"""
+
+
+@register(
+    "rfm_segmentation",
+    # R/F/M per customer (exact ints) -> three independent
+    # equal-frequency quintiles -> composite code. All integer
+    # arithmetic; no rounding anywhere.
+    f"""WITH g AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+        rfm AS (
+          SELECT o_custkey,
+                 date_diff('day', MAX(o_orderdate), g.mx) AS r,
+                 CAST(COUNT(*) AS BIGINT) AS f,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * 100e0 + 5e-1) AS BIGINT))
+                      AS BIGINT) AS m
+          FROM orders, g GROUP BY o_custkey, g.mx
+        ),
+        {_rfm_bin_sql('r')},
+        {_rfm_bin_sql('f')},
+        {_rfm_bin_sql('m')}
+        SELECT o_custkey, CAST(r AS BIGINT) AS r, f, m,
+               r_bin, f_bin, m_bin,
+               CAST(r_bin * 100 + f_bin * 10 + m_bin AS INT) AS rfm_code
+        FROM rfm
+        JOIN b_r ON rfm.r = b_r.v
+        JOIN b_f ON rfm.f = b_f.v
+        JOIN b_m ON rfm.m = b_m.v""",
+)
+def rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: recency (days since last order vs the
+    dataset horizon), frequency (order count), monetary (exact cents
+    total), each cut into exact equal-frequency quintiles
+    (operators/mlfeat.equal_frequency_bins applied three times) and
+    composed into the classic 3-digit RFM code. Everything is integer
+    arithmetic — bins are bit-identical cross-engine; the three bin-edge
+    tables are tiny broadcasts onto the per-customer aggregate."""
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    mx = o.agg(F.max("o_orderdate").alias("__mx"))
+    rfm = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "__mx")
+        .agg(
+            F.datediff(F.max("__mx"), F.max("o_orderdate")).alias("r"),
+            F.count(F.lit(1)).cast("bigint").alias("f"),
+            F.sum(cents).cast("bigint").alias("m"),
+        )
+        .drop("__mx")
+    )
+    out = mlfeat.equal_frequency_bins(rfm, "r", 5, out="r_bin")
+    out = mlfeat.equal_frequency_bins(out, "f", 5, out="f_bin")
+    out = mlfeat.equal_frequency_bins(out, "m", 5, out="m_bin")
+    return out.select(
+        "o_custkey",
+        F.col("r").cast("bigint").alias("r"),
+        "f",
+        "m",
+        "r_bin",
+        "f_bin",
+        "m_bin",
+        (
+            F.col("r_bin") * F.lit(100) + F.col("f_bin") * F.lit(10)
+            + F.col("m_bin")
+        ).cast("int").alias("rfm_code"),
+    )

@@ -764,14 +764,14 @@ def cohort_ltv_curve(spark, sf_dir):
 def _rfm_bin_sql(metric: str) -> str:
     """Per-metric equal-frequency quintile CTE pair (mlfeat
     .equal_frequency_bins twin): strict-below counts over distinct
-    values, integer floor division."""
+    values, integer floor division against the shared `tot` CTE."""
     return f"""vc_{metric} AS (
           SELECT {metric} AS v, COUNT(*) AS c FROM rfm GROUP BY 1
         ), b_{metric} AS (
           SELECT v,
                  CAST((COALESCE(SUM(c) OVER (ORDER BY v
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                        0) * 5) // (SELECT SUM(c) FROM vc_{metric}) AS INT)
+                        0) * 5) // (SELECT total FROM tot) AS INT)
                      AS {metric}_bin
           FROM vc_{metric}
         )"""
@@ -791,12 +791,13 @@ def _rfm_bin_sql(metric: str) -> str:
                       AS BIGINT) AS m
           FROM orders, g GROUP BY o_custkey, g.mx
         ),
+        tot AS (SELECT COUNT(*) AS total FROM rfm),
         {_rfm_bin_sql('r')},
         {_rfm_bin_sql('f')},
         {_rfm_bin_sql('m')}
         SELECT o_custkey, CAST(r AS BIGINT) AS r, f, m,
-               r_bin, f_bin, m_bin,
-               CAST(r_bin * 100 + f_bin * 10 + m_bin AS INT) AS rfm_code
+               CAST(4 - r_bin AS INT) AS r_score, f_bin, m_bin,
+               CAST((4 - r_bin) * 100 + f_bin * 10 + m_bin AS INT) AS rfm_code
         FROM rfm
         JOIN b_r ON rfm.r = b_r.v
         JOIN b_f ON rfm.f = b_f.v
@@ -807,35 +808,41 @@ def rfm_segmentation(spark, sf_dir):
     dataset horizon), frequency (order count), monetary (exact cents
     total), each cut into exact equal-frequency quintiles
     (operators/mlfeat.equal_frequency_bins applied three times) and
-    composed into the classic 3-digit RFM code. Everything is integer
-    arithmetic — bins are bit-identical cross-engine; the three bin-edge
-    tables are tiny broadcasts onto the per-customer aggregate."""
+    composed into the classic 3-digit RFM code — the recency digit is
+    INVERTED from its raw bin (r_score = 4 - bin) so that, per the RFM
+    convention, higher means more recent and a high code means a
+    recently-active, frequent, high-value customer. Everything is
+    integer arithmetic — bins are bit-identical cross-engine; the
+    per-customer aggregate runs first and the global max date attaches
+    to its tiny result, so the fact table shuffles once with no
+    constant column along for the ride."""
     o = read_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
     mx = o.agg(F.max("o_orderdate").alias("__mx"))
-    rfm = (
-        o.crossJoin(F.broadcast(mx))
-        .groupBy("o_custkey", "__mx")
-        .agg(
-            F.datediff(F.max("__mx"), F.max("o_orderdate")).alias("r"),
-            F.count(F.lit(1)).cast("bigint").alias("f"),
-            F.sum(cents).cast("bigint").alias("m"),
-        )
-        .drop("__mx")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("__last"),
+        F.count(F.lit(1)).cast("bigint").alias("f"),
+        F.sum(cents).cast("bigint").alias("m"),
+    )
+    rfm = per_cust.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        F.datediff(F.col("__mx"), F.col("__last")).alias("r"),
+        "f",
+        "m",
     )
     out = mlfeat.equal_frequency_bins(rfm, "r", 5, out="r_bin")
     out = mlfeat.equal_frequency_bins(out, "f", 5, out="f_bin")
     out = mlfeat.equal_frequency_bins(out, "m", 5, out="m_bin")
+    r_score = (F.lit(4) - F.col("r_bin")).cast("int")
     return out.select(
         "o_custkey",
         F.col("r").cast("bigint").alias("r"),
         "f",
         "m",
-        "r_bin",
+        r_score.alias("r_score"),
         "f_bin",
         "m_bin",
         (
-            F.col("r_bin") * F.lit(100) + F.col("f_bin") * F.lit(10)
-            + F.col("m_bin")
+            r_score * F.lit(100) + F.col("f_bin") * F.lit(10) + F.col("m_bin")
         ).cast("int").alias("rfm_code"),
     )

@@ -483,3 +483,12 @@ def test_gini_no_row_level_global_sort(spark, sf_dir):
     never a row-level global sort of the fact table."""
     df = _q("gini_customer_balance")(spark, sf_dir)
     assert plans.count_exchanges(df) <= 3
+
+
+def test_rfm_bins_broadcast_no_extra_fact_shuffle(spark, sf_dir):
+    """RFM: the per-customer aggregate shuffles once; all three bin-edge
+    tables and the global max date broadcast onto it."""
+    df = _q("rfm_segmentation")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan

@@ -846,3 +846,79 @@ def rfm_segmentation(spark, sf_dir):
             r_score * F.lit(100) + F.col("f_bin") * F.lit(10) + F.col("m_bin")
         ).cast("int").alias("rfm_code"),
     )
+
+
+#: fixed priority domain — terms add in THIS literal order on both
+#: engines, so the chi-square sum is a fixed IEEE chain (no float-sum
+#: order dependence, no rounding).
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _chi2_term_sql(i: int) -> str:
+    return (
+        f"(CAST(c{i} AS DOUBLE) - CAST(y AS DOUBLE) * CAST(p{i} AS DOUBLE)"
+        f" / CAST(n AS DOUBLE))"
+        f" * (CAST(c{i} AS DOUBLE) - CAST(y AS DOUBLE) * CAST(p{i} AS DOUBLE)"
+        f" / CAST(n AS DOUBLE))"
+        f" / (CAST(y AS DOUBLE) * CAST(p{i} AS DOUBLE) / CAST(n AS DOUBLE))"
+    )
+
+
+@register(
+    "chi2_priority_mix_by_year",
+    # Per-year chi-square against the overall priority mix: all counts
+    # exact integers; the 5 terms pivot to fixed columns and add
+    # left-to-right in the same literal order on both engines.
+    f"""WITH c AS (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+                 {', '.join(
+                    f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' "
+                    f"THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+                    for i, p in enumerate(_PRIORITIES))},
+                 CAST(COUNT(*) AS BIGINT) AS y
+          FROM orders GROUP BY 1
+        ), g AS (
+          SELECT {', '.join(
+                    f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' "
+                    f"THEN 1 ELSE 0 END) AS BIGINT) AS p{i}"
+                    for i, p in enumerate(_PRIORITIES))},
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM orders
+        )
+        SELECT yr, y AS n_orders,
+               {' + '.join(_chi2_term_sql(i) for i in range(5))} AS chi2
+        FROM c, g""",
+)
+def chi2_priority_mix_by_year(spark, sf_dir):
+    """Chi-square mix-shift screen: does each year's order-priority
+    distribution deviate from the overall mix? (The categorical drift
+    monitor — complement of drift_doc_sources' total-variation
+    distance.) Observed and expected counts are exact integers; the
+    five (o-e)^2/e terms materialize as FIXED pivot columns and add in
+    one literal left-to-right chain, so the statistic is
+    bit-deterministic with NO rounding — a float SUM over exploded
+    rows would be partial-aggregation-order-dependent. One conditional
+    aggregation per side + a 1-row broadcast."""
+    o = read_table(spark, sf_dir, "orders")
+
+    def conds(alias_prefix):
+        return [
+            F.sum(
+                F.when(F.col("o_orderpriority") == p, 1).otherwise(0)
+            ).cast("bigint").alias(f"{alias_prefix}{i}")
+            for i, p in enumerate(_PRIORITIES)
+        ]
+
+    per_year = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(*conds("c"), F.count(F.lit(1)).cast("bigint").alias("y"))
+    glob = o.agg(*conds("p"), F.count(F.lit(1)).cast("bigint").alias("n"))
+    j = per_year.crossJoin(F.broadcast(glob))
+    nd = F.col("n").cast("double")
+    chi2 = None
+    for i in range(5):
+        e = F.col("y").cast("double") * F.col(f"p{i}").cast("double") / nd
+        d = F.col(f"c{i}").cast("double") - e
+        term = d * d / e
+        chi2 = term if chi2 is None else chi2 + term
+    return j.select("yr", F.col("y").alias("n_orders"), chi2.alias("chi2"))

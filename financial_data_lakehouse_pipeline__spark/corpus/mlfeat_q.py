@@ -566,8 +566,8 @@ _ARM = ("(CAST(('0x' || substr(md5('ab:' || CAST(o_custkey AS VARCHAR)), 1, 7)) 
         SELECT o_orderpriority,
                CAST(nt AS BIGINT) AS n_treat,
                CAST(nc AS BIGINT) AS n_control,
-               st / nt AS mean_treat,
-               sc / nc AS mean_control,
+               CASE WHEN nt > 0e0 THEN st / nt END AS mean_treat,
+               CASE WHEN nc > 0e0 THEN sc / nc END AS mean_control,
                CASE WHEN nt > 1e0 AND nc > 1e0
                          AND (qt - st * st / nt) / (nt - 1e0) / nt
                              + (qc - sc * sc / nc) / (nc - 1e0) / nc > 0e0

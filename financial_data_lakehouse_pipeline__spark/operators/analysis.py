@@ -633,7 +633,14 @@ def trimmed_mean(
 
     from pyspark.sql import Window
 
-    sdf = df.select(*keys, value.alias("__v"))
+    # NULL values must not occupy ranks: Spark orders NULLS FIRST
+    # ascending while DuckDB defaults to NULLS LAST, so an unfiltered
+    # NULL would trim a DIFFERENT real row on each engine (and skew
+    # n_kept vs the mean denominator). Same convention as
+    # equal_frequency_bins: rank only non-null observations.
+    sdf = df.select(*keys, value.alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
     w = Window.partitionBy(*keys).orderBy("__v")
     ranked = sdf.withColumn("__r", F.row_number().over(w)).withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy(*keys))

@@ -86,20 +86,36 @@ def build_session(
     # 1g Spark default OOM-killed the full sf0.1 corpus run once the
     # persist-heavy queries landed (32 concurrent tasks sharing 1g =
     # ~30 MB each; java.lang.OutOfMemoryError in the sort-spill reader
-    # during pagerank_copurchase_persist, round 5). Default host-aware:
-    # ~1/8 of physical RAM clamped to [2g, 8g], so a 128 GB box gets
-    # the full 8g while a 4 GB CI container stays inside its cgroup
-    # limit. SPARK_GRAFT_DRIVER_MEM still overrides. Static conf —
-    # applies only to the first session of the process.
+    # during pagerank_copurchase_persist, round 5). Default
+    # container-aware: ~1/8 of available RAM clamped to [2g, 8g],
+    # where "available" is min(host physical RAM, cgroup memory limit)
+    # — sysconf reports HOST RAM, so without the cgroup read a
+    # 4 GB-limited container on a 128 GB box would get the full 8g
+    # heap and risk an OOM-kill. SPARK_GRAFT_DRIVER_MEM still
+    # overrides. Static conf — applies only to the first session of
+    # the process.
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if not driver_mem:
         try:
-            total_gb = (
-                os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
-            ) // (1 << 30)
+            total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
         except (ValueError, OSError, AttributeError):
-            total_gb = 0
-        driver_mem = f"{max(2, min(8, total_gb // 8))}g"
+            total = 0
+        for path in (
+            "/sys/fs/cgroup/memory.max",  # cgroup v2
+            "/sys/fs/cgroup/memory/memory.limit_in_bytes",  # cgroup v1
+        ):
+            try:
+                with open(path) as fh:
+                    raw = fh.read().strip()
+                if raw != "max":  # v2 spells "no limit" as the literal max
+                    limit = int(raw)
+                    # v1 reports ~2^63 when unlimited; ignore absurd values
+                    if 0 < limit < 1 << 50:
+                        total = min(total, limit) if total else limit
+                break
+            except (OSError, ValueError):
+                continue
+        driver_mem = f"{max(2, min(8, (total >> 30) // 8))}g"
     b = b.config("spark.driver.memory", driver_mem)
     for k, v in _RUNTIME_CONF.items():
         b = b.config(k, v)

@@ -1,5 +1,8 @@
-"""Corpus: classic TPC-H decision-support query shapes (Q4, Q7-Q10,
-Q13-Q19, Q21, Q22) adapted to the driver testdata's simplified schema —
+"""Corpus: classic TPC-H decision-support query shapes — with this
+module the full 22 are covered: Q1/Q3/Q5 live in their original corpus
+modules as grouped_stats_q1, shipping_priority_q3, regional_revenue_q5;
+this module carries Q2, Q4, and Q6-Q22 — adapted to the driver
+testdata's simplified schema —
 the decorrelation / semi-anti-join / outer-aggregate / disjunctive-
 pushdown surface a lakehouse query layer must cover beyond the star
 joins already in the corpus (regional_revenue_q5, shipping_priority_q3).
@@ -681,3 +684,342 @@ def global_avg_balance_q22(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("numcust"),
         (F.sum("__bal_c") / F.lit(100.0)).alias("totacctbal"),
     )
+
+
+@register(
+    "min_cost_supplier_q2",
+    # Q2: minimum-cost supplier. No partsupp in the testdata, so the
+    # supply-cost proxy is the minimum observed sale price in exact
+    # cents per (part, supplier); the correlated scalar subquery
+    # (min cost per part among region suppliers) decorrelates into a
+    # per-part aggregate joined back. Total-order sort under LIMIT.
+    """WITH eligible AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        ), cost AS (
+          SELECT l_partkey, l_suppkey,
+                 MIN(CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT))
+                     AS cost_c
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_type = 'MEDIUM'
+                                AND p_size BETWEEN 10 AND 20)
+            AND l_suppkey IN (SELECT s_suppkey FROM eligible)
+          GROUP BY l_partkey, l_suppkey
+        ), best AS (
+          SELECT l_partkey, MIN(cost_c) AS best_c FROM cost GROUP BY l_partkey
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               CAST(cost.cost_c AS BIGINT) AS min_cost_cents, s_suppkey
+        FROM cost
+        JOIN best ON cost.l_partkey = best.l_partkey
+                 AND cost.cost_c = best.best_c
+        JOIN part ON cost.l_partkey = p_partkey
+        JOIN eligible ON cost.l_suppkey = s_suppkey
+        ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+        LIMIT 100""",
+)
+def min_cost_supplier_q2(spark, sf_dir):
+    """TPC-H Q2: for mid-size MEDIUM parts, which EUROPE supplier offers
+    the lowest cost (min observed sale cents — testdata has no
+    partsupp). The classic correlated MIN subquery decorrelates into a
+    window min over the per-(part, supplier) aggregate — ONE pass over
+    the fact slice, no self-join recompute: the window repartitions the
+    already-aggregated (small) pair table by partkey. Part keys and the
+    region-restricted supplier set are broadcast semi-join filters, so
+    lineitem is pruned map-side before its only shuffle (the pair
+    groupBy). Ranked output keeps a total order (acctbal DESC,
+    partkey, suppkey) under LIMIT 100 so both engines pick identical
+    rows. At 100 TB: fact shuffle is keyed by (part, supplier) pair —
+    no hot key; the dims stay broadcast-size."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "MEDIUM") & F.col("p_size").between(10, 20)
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cents = F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    cost = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(eligible.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(cents).alias("cost_c"))
+    )
+    w = Window.partitionBy("l_partkey")
+    winners = cost.withColumn("__best", F.min("cost_c").over(w)).filter(
+        F.col("cost_c") == F.col("__best")
+    )
+    out = winners.join(
+        F.broadcast(p), winners.l_partkey == p.p_partkey
+    ).join(F.broadcast(eligible), winners.l_suppkey == F.col("s_suppkey"))
+    return (
+        out.select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("cost_c").alias("min_cost_cents"),
+            "s_suppkey",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+@register(
+    "forecast_revenue_q6",
+    # Q6: revenue-change forecast — pure scan + conjunctive filter +
+    # global agg; 4-decimal exact product sum (2-dec price x 2-dec
+    # discount), one division.
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+              (SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000e0
+                              + 5e-1) AS BIGINT)) / 10000e0) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+def forecast_revenue_q6(spark, sf_dir):
+    """TPC-H Q6: revenue that would be gained by eliminating small
+    discounts on low-quantity items. The one TPC-H query that is pure
+    predicate pushdown: date + discount + quantity conjuncts all reach
+    the parquet scan (PushedFilters), the projection prunes to 4
+    columns, and the aggregate is a map-side partial + 1-row exchange —
+    the I/O-bound lower bound for the suite. The discount BETWEEN
+    compares the same parquet-stored doubles to the same literal
+    doubles on both engines; the price x discount product is floored to
+    exact 4-decimal integer units before summing."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        money_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+            "revenue"
+        ),
+    )
+
+
+@register(
+    "important_stock_q11",
+    # Q11: parts representing a significant share of one nation's
+    # shipped value. Group-agg + global-scalar threshold; the share
+    # test is exact BIGINT arithmetic (x1000), never a float fraction.
+    """WITH pv AS (
+          SELECT l_partkey,
+                 SUM(CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT))
+                     AS val_c
+          FROM lineitem
+          WHERE l_suppkey IN (
+              SELECT s_suppkey FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE')
+          GROUP BY l_partkey
+        )
+        SELECT l_partkey AS partkey, CAST(val_c AS BIGINT) AS value_cents
+        FROM pv, (SELECT SUM(val_c) AS tot_c FROM pv) t
+        WHERE val_c * CAST(1000 AS BIGINT) > t.tot_c""",
+)
+def important_stock_q11(spark, sf_dir):
+    """TPC-H Q11: parts whose shipped value for one region's suppliers
+    exceeds 0.1% of that region's total (region-scoped rather than the
+    original's single nation — the testdata's supplier count at tiny
+    scale factors leaves most single nations empty). The
+    HAVING-vs-global-scalar shape: per-part exact cent sums, then a
+    1-row re-aggregate broadcast back as a cross join. The part-level
+    aggregate is localCheckpoint-ed first (Q21 pattern) so the fact
+    table is scanned ONCE — without it the broadcast side's lineage
+    would re-scan lineitem to rebuild pv for the total. The share
+    predicate multiplies the BIGINT cent sum by 1000 instead of
+    dividing doubles (exact; overflow bound 9.2e18/1000 ≈ $9.2e13 per
+    region — documented headroom at 100 TB). Supplier restriction is a
+    broadcast semi-join so only the region's rows shuffle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    elig = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    cents = F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    pv = (
+        li.join(F.broadcast(elig), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("val_c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = pv.agg(F.sum("val_c").alias("tot_c"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("val_c") * F.lit(1000).cast("bigint") > F.col("tot_c"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("val_c").alias("value_cents"),
+        )
+    )
+
+
+@register(
+    "lateness_priority_q12",
+    # Q12: shipping-delay buckets x order-priority conditional counts.
+    # No l_shipmode in the testdata: the grouping key is the shipping
+    # lateness class derived from calendar-day lag (both engines count
+    # whole days between midnight timestamps identically).
+    """WITH j AS (
+          SELECT CASE
+                   WHEN date_diff('day', o_orderdate, l_shipdate) > 30
+                        THEN 'LATE'
+                   WHEN date_diff('day', o_orderdate, l_shipdate) > 7
+                        THEN 'SLOW'
+                   ELSE 'FAST'
+                 END AS ship_bucket,
+                 o_orderpriority
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+        )
+        SELECT ship_bucket,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_line_count
+        FROM j GROUP BY ship_bucket""",
+)
+def lateness_priority_q12(spark, sf_dir):
+    """TPC-H Q12 (shipmode → lateness class): were critical-priority
+    orders shipped promptly? Join pruned by the date filter before the
+    shuffle; the CASE bucket + conditional counts collapse to a single
+    3-row aggregate. Spark's datediff(end, start) equals DuckDB's
+    date_diff('day', start, end) on midnight timestamps — the same
+    whole-day count both sides (twap oracle precedent)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = read_table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(lag > 30, "LATE").when(lag > 7, "SLOW").otherwise("FAST")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.select(bucket.alias("ship_bucket"), high.alias("__high"))
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(F.col("__high"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("__high"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "promo_suppliers_q20",
+    # Q20: suppliers holding a dominant share of a promo part's flow.
+    # Nested-IN chain -> semi-join over a pre-aggregated pair table;
+    # the >30% share test is exact integer cross-multiplication.
+    """WITH sp AS (
+          SELECT l_suppkey, l_partkey,
+                 SUM(CAST(l_quantity AS BIGINT)) AS sq
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'red%')
+          GROUP BY l_suppkey, l_partkey
+        ), excess AS (
+          SELECT DISTINCT l_suppkey
+          FROM (SELECT l_suppkey, sq,
+                       SUM(sq) OVER (PARTITION BY l_partkey) AS tq
+                FROM sp)
+          WHERE sq * CAST(100 AS BIGINT) > tq * CAST(15 AS BIGINT)
+        )
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN excess ON s_suppkey = l_suppkey
+        WHERE r_name = 'EUROPE'
+        ORDER BY s_suppkey""",
+)
+def promo_suppliers_q20(spark, sf_dir):
+    """TPC-H Q20: suppliers who moved >15% of a promoted ('red…') part's
+    total quantity — candidates to run the promotion. The original's
+    nested IN (partsupp availqty) becomes: broadcast semi-join on the
+    promo part keys, ONE (supplier, part) aggregate, then a window sum
+    per part for the total — single pass, no pair-table self-join
+    recompute. The share test cross-multiplies exact BIGINT quantities
+    (sq·100 > tq·15), never forming a float fraction. The surviving
+    supplier set is tiny and drives a broadcast join against the
+    region-filtered supplier dim. Quantities are integral by data
+    contract (checked: no fractional l_quantity), so the BIGINT cast
+    is exact on both engines."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sp = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sq"))
+    )
+    w = Window.partitionBy("l_partkey")
+    excess = (
+        sp.withColumn("tq", F.sum("sq").over(w))
+        .filter(
+            F.col("sq") * F.lit(100).cast("bigint")
+            > F.col("tq") * F.lit(15).cast("bigint")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    out = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(excess), s.s_suppkey == F.col("l_suppkey"))
+    )
+    return out.select("s_suppkey", "s_name", "n_name").orderBy("s_suppkey")

@@ -492,3 +492,65 @@ def test_rfm_bins_broadcast_no_extra_fact_shuffle(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_q2_semi_filters_broadcast_single_fact_shuffle(spark, sf_dir):
+    """Q2: part and region-supplier restrictions must reach lineitem as
+    broadcast LEFT SEMI joins (map-side pruning before the pair
+    aggregate) and the decorrelated per-part MIN must be a window over
+    the aggregated pair table, not a self-join re-scan of the fact."""
+    df = _q("min_cost_supplier_q2")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+    # one lineitem scan only — the window min must not recompute it
+    # (table names appear on the scans' Location detail lines)
+    locs = [ln for ln in plan.splitlines() if "Location" in ln]
+    assert sum("lineitem" in ln for ln in locs) == 1, locs
+
+
+def test_q6_all_conjuncts_pushed_to_scan(spark, sf_dir):
+    """Q6 is the pure-pushdown query: shipdate, discount, and quantity
+    predicates must ALL reach the parquet scan, and the read schema
+    must prune to the 4 referenced columns."""
+    df = _q("forecast_revenue_q6")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_returnflag" not in read_schema
+
+
+def test_q11_single_fact_scan_via_checkpoint(spark, sf_dir):
+    """Q11's global-total cross join must feed off the checkpointed
+    part-level aggregate — exactly one lineitem scan in the plan."""
+    df = _q("important_stock_q11")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    locs = [ln for ln in plan.splitlines() if "Location" in ln]
+    assert sum("lineitem" in ln for ln in locs) == 0, (
+        "checkpoint should replace the lineitem lineage entirely"
+    )
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoop" in plan
+
+
+def test_q12_single_shuffle_conditional_counts(spark, sf_dir):
+    """Q12: date filter pushed into the lineitem scan; the bucket +
+    conditional counts collapse into one aggregate after the join."""
+    df = _q("lateness_priority_q12")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln for ln in pushed)
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_promo_semi_broadcast_window_total(spark, sf_dir):
+    """Q20: promo part keys prune lineitem via broadcast LEFT SEMI; the
+    per-part total is a window over the aggregated pair table (single
+    fact scan); the survivor set broadcasts into the supplier dim."""
+    df = _q("promo_suppliers_q20")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "LeftSemi" in plan
+    locs = [ln for ln in plan.splitlines() if "Location" in ln]
+    assert sum("lineitem" in ln for ln in locs) == 1, locs
+    assert "CartesianProduct" not in plan

@@ -59,6 +59,9 @@ HEADLINE = [
     "disjunctive_filter_q19",    # TPC-H Q19 OR-of-ANDs pushdown
     "waiting_suppliers_q21",     # TPC-H Q21 semi+anti self-joins
     "basket_rules_orders",       # market-basket self-join + rules
+    "min_cost_supplier_q2",      # TPC-H Q2 decorrelated min + semi pruning
+    "forecast_revenue_q6",       # TPC-H Q6 pure-pushdown scan lower bound
+    "important_stock_q11",       # TPC-H Q11 checkpointed agg + global scalar
     "cms_heavy_users",           # sketch-pruned heavy hitters (CMS + verify)
     "hist_quantiles_order_totals",  # histogram-sketch quantiles
     "hll_estimate_custkey",      # md5 HyperLogLog estimate

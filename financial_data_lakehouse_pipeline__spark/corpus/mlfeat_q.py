@@ -922,3 +922,80 @@ def chi2_priority_mix_by_year(spark, sf_dir):
         term = d * d / e
         chi2 = term if chi2 is None else chi2 + term
     return j.select("yr", F.col("y").alias("n_orders"), chi2.alias("chi2"))
+
+
+@register(
+    "theilsen_weekly_revenue",
+    # Pairwise slopes over exact integers (BIGINT cents diff / BIGINT
+    # week diff -> one double division), median by a TOTAL-order rank
+    # (slope, xa, xb) with integer-DIV middle positions — every step
+    # cross-engine exact. Week index is integer floor-division of a
+    # day diff from a fixed Monday, so both engines bucket identically.
+    """WITH w AS (
+          SELECT l_suppkey,
+                 date_diff('day', DATE '1994-01-03',
+                           CAST(date_trunc('week', l_shipdate) AS DATE))
+                   // 7 AS wx,
+                 SUM(CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT))
+                   AS rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate < TIMESTAMP '1996-01-01'
+          GROUP BY 1, 2
+        ), nw AS (
+          SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_weeks
+          FROM w GROUP BY 1
+        ), p AS (
+          SELECT a.l_suppkey, a.wx AS xa, b.wx AS xb,
+                 CAST(b.rev - a.rev AS DOUBLE)
+                   / CAST(b.wx - a.wx AS DOUBLE) AS s
+          FROM w a JOIN w b
+            ON a.l_suppkey = b.l_suppkey AND a.wx < b.wx
+        ), r AS (
+          SELECT l_suppkey, s,
+                 ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                    ORDER BY s, xa, xb) AS rn,
+                 COUNT(*) OVER (PARTITION BY l_suppkey) AS n
+          FROM p
+        ), m AS (
+          SELECT l_suppkey, n, s
+          FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        )
+        SELECT m.l_suppkey, nw.n_weeks, CAST(MAX(n) AS BIGINT) AS n_pairs,
+               CAST(SUM(s) / COUNT(*) AS DOUBLE) AS ts_slope
+        FROM m JOIN nw ON m.l_suppkey = nw.l_suppkey
+        GROUP BY m.l_suppkey, nw.n_weeks""",
+)
+def theilsen_weekly_revenue(spark, sf_dir):
+    """Theil–Sen robust trend of 1995 weekly revenue per supplier
+    (operators/analysis.theil_sen): median of pairwise slopes over
+    calendar-bucketed points — the per-group pair count is bounded by
+    the calendar (<= 52 weekly points -> <= 1326 pairs per supplier)
+    REGARDLESS of raw data scale, which is what makes the quadratic
+    pair generation safe at 100 TB. Revenue is exact integer cents;
+    the week index is an exact integer, so every slope is one double
+    division both engines compute bit-identically."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    wk = li.groupBy(
+        "l_suppkey",
+        F.expr(
+            "datediff(CAST(date_trunc('week', l_shipdate) AS DATE), "
+            "DATE'1994-01-03') DIV 7"
+        ).alias("__wx"),
+    ).agg(
+        F.sum(
+            F.expr("CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT)")
+        ).alias("__rev")
+    )
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    ts = analysis.theil_sen(wk, ["l_suppkey"], "__wx", "__rev", out="ts_slope")
+    n_weeks = wk.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_weeks")
+    )
+    return ts.join(n_weeks, "l_suppkey").select(
+        "l_suppkey", "n_weeks", "n_pairs", "ts_slope"
+    )

@@ -1577,3 +1577,103 @@ def supplier_revenue_corr_pairs(spark, sf_dir):
         )
         .filter(F.col("n_days") >= 200)
     )
+
+
+# ------------------------------------------------- multi-objective / blocking
+
+
+@register(
+    "pareto_frontier_parts",
+    # Independent formulation: the oracle decides dominance by NOT
+    # EXISTS over distinct points, while the engine runs the two-phase
+    # bucketed running-min frontier — agreement proves the
+    # frontier-of-frontiers reduction is exact. Integer dims (cents,
+    # size) make dominance comparisons exact on both engines.
+    """WITH pts AS (
+          SELECT CAST(FLOOR(p_retailprice * 100e0 + 5e-1) AS BIGINT)
+                   AS price_cents,
+                 CAST(p_size AS BIGINT) AS p_size,
+                 CAST(COUNT(*) AS BIGINT) AS n_parts
+          FROM part GROUP BY 1, 2
+        )
+        SELECT price_cents, p_size, n_parts FROM pts p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pts q
+          WHERE q.price_cents <= p.price_cents AND q.p_size <= p.p_size
+            AND (q.price_cents < p.price_cents OR q.p_size < p.p_size))""",
+)
+def pareto_frontier_parts(spark, sf_dir):
+    """2-D skyline of parts minimizing (retail price, size)
+    (operators/analysis.skyline2d_min): the Pareto-optimal
+    cheapest-and-smallest shortlist. Phase 1 computes per-$10-bucket
+    local frontiers in parallel (each bounded by the 50 distinct
+    sizes); phase 2's global pass sees only those survivors — no
+    global sort of the input ever happens, the property that holds at
+    100 TB. The oracle is an INDEPENDENT dominance formulation
+    (NOT EXISTS), so agreement checks the algorithm, not the
+    transcription."""
+    p = read_table(spark, sf_dir, "part")
+    pts = p.select(
+        F.expr("CAST(FLOOR(p_retailprice * 100e0 + 5e-1) AS BIGINT)").alias(
+            "price_cents"
+        ),
+        F.col("p_size"),
+    )
+    counts = pts.groupBy("price_cents", "p_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
+    front = analysis.skyline2d_min(
+        pts, "price_cents", "p_size", bucket_width=1000,
+        x_out="price_cents", y_out="p_size",
+    )
+    return front.join(counts, ["price_cents", "p_size"]).select(
+        "price_cents", F.col("p_size").cast("bigint").alias("p_size"), "n_parts"
+    )
+
+
+@register(
+    "phonetic_blocking_parts",
+    # The consonant-class signature is six character-class membership
+    # tests + the uppercase initial — chosen over classic soundex
+    # because adjacent-repeat collapsing needs regex backreferences
+    # RE2-based engines (DuckDB) lack; class PRESENCE is evaluated
+    # identically everywhere. Verification is exact Levenshtein.
+    """WITH names AS (
+          SELECT DISTINCT p_name AS t,
+                 lower(string_split(p_name, ' ')[-1]) AS w
+          FROM part
+        ), keyed AS (
+          SELECT t,
+                 upper(substr(w, 1, 1))
+                 || CASE WHEN regexp_matches(w, '[bfpv]') THEN '1' ELSE '' END
+                 || CASE WHEN regexp_matches(w, '[cgjkqsxz]') THEN '2' ELSE '' END
+                 || CASE WHEN regexp_matches(w, '[dt]') THEN '3' ELSE '' END
+                 || CASE WHEN regexp_matches(w, '[l]') THEN '4' ELSE '' END
+                 || CASE WHEN regexp_matches(w, '[mn]') THEN '5' ELSE '' END
+                 || CASE WHEN regexp_matches(w, '[r]') THEN '6' ELSE '' END
+                   AS b
+          FROM names
+        )
+        SELECT a.t AS text_a, b.t AS text_b,
+               CAST(levenshtein(a.t, b.t) AS INT) AS dist
+        FROM keyed a JOIN keyed b ON a.b = b.b AND a.t < b.t
+        WHERE levenshtein(a.t, b.t) <= 4""",
+)
+def phonetic_blocking_parts(spark, sf_dir):
+    """Entity-resolution candidates blocked on a PHONETIC key
+    (operators/text.consonant_signature of the last name token) instead
+    of the exact token fuzzy_part_name_pairs blocks on — catching
+    sound-alike spelling variants exact-token blocking misses, while
+    the block-then-verify cost shape (collision volume, never
+    all-pairs) is unchanged (operators/joins.fuzzy_self_join)."""
+    from financial_data_lakehouse_pipeline__spark.operators import text as text_ops
+
+    p = read_table(spark, sf_dir, "part")
+    return joins.fuzzy_self_join(
+        p,
+        "p_name",
+        text_ops.consonant_signature(
+            F.element_at(F.split(F.col("p_name"), " "), -1)
+        ),
+        max_dist=4,
+    )

@@ -306,6 +306,26 @@ def ngram_jaccard_capped_docs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, n=3, threshold=0.5, max_doc_freq=50)
 
 
+@register(
+    "prefix_jaccard_pairs_docs",
+    # Same oracle as ngram_jaccard_pairs_docs ON PURPOSE: the oracle is
+    # the UNPRUNED all-pairs Jaccard, so a green row proves the prefix
+    # filter is lossless (every qualifying pair survives pruning).
+    f"""WITH {_SHINGLES_CTE}, {_JACCARD_CTE}
+        SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5""",
+)
+def prefix_jaccard_pairs_docs(spark, sf_dir):
+    """Exact 3-gram Jaccard >= 0.5 via PREFIX FILTERING
+    (operators/dedup.prefix_filter_jaccard_pairs): candidates only from
+    each doc's rarest-first prefix shingles, then exact verification —
+    the third provably-equivalent near-dup algorithm next to the full
+    posting join (ngram_jaccard_pairs_docs) and MinHash+LSH
+    (minhash_lsh_pairs_docs). The oracle is the unpruned all-pairs
+    computation, so agreement IS the losslessness proof."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.prefix_filter_jaccard_pairs(d, n=3, threshold=0.5)
+
+
 def _minhash_ctes(
     num_hashes: int = 16,
     bands: int = 4,

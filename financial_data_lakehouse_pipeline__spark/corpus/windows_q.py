@@ -606,6 +606,54 @@ def macd_supplier_price(spark, sf_dir):
     )
 
 
+@register(
+    "holt_linear_supplier_price",
+    # Level + trend advance together in one recursive CTE with the SAME
+    # operation order as the applyInPandas loop (alpha*v + (1-alpha)*
+    # (l+b), then beta*(l'-l) + (1-beta)*b), so every step is
+    # bit-identical. The one-step forecast (fit) is the PRIOR l+b.
+    # base MATERIALIZED per the recursive-CTE convention.
+    f"""WITH RECURSIVE base AS MATERIALIZED (
+          SELECT l_suppkey, l_orderkey, l_linenumber,
+                 CAST(l_extendedprice AS DOUBLE) AS v,
+                 ROW_NUMBER() OVER ({_LI_WIN}) AS rn
+          FROM lineitem
+        ), r AS (
+          SELECT l_suppkey, l_orderkey, l_linenumber, rn,
+                 v AS lev, CAST(0.0 AS DOUBLE) AS tr, v AS fit
+          FROM base WHERE rn = 1
+          UNION ALL
+          SELECT l_suppkey, l_orderkey, l_linenumber, rn,
+                 nl, 0.2 * (nl - lev) + (1.0 - 0.2) * tr, lev + tr
+          FROM (
+            SELECT b.l_suppkey, b.l_orderkey, b.l_linenumber, b.rn,
+                   0.4 * b.v + (1.0 - 0.4) * (r.lev + r.tr) AS nl,
+                   r.lev AS lev, r.tr AS tr
+            FROM base b
+            JOIN r ON b.l_suppkey = r.l_suppkey AND b.rn = r.rn + 1
+          )
+        )
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               lev AS holt_level, tr AS holt_trend, fit AS holt_fit
+        FROM r""",
+)
+def holt_linear_supplier_price(spark, sf_dir):
+    """Holt double exponential smoothing (level + linear trend,
+    alpha=0.4 beta=0.2) per supplier price series
+    (operators/windows.holt_linear) — the forecasting recurrence one
+    step beyond the EMA family: the trend state makes the one-step
+    forecast follow ramps. Both recurrences in ONE grouped Arrow pass;
+    the recursive-CTE oracle replays the identical operation order."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", *_LI_ORDER_COLS)
+    out = windows.holt_linear(
+        li, ["l_suppkey"], _LI_ORDER_COLS, "l_extendedprice", alpha=0.4, beta=0.2
+    )
+    return out.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        "holt_level", "holt_trend", "holt_fit",
+    )
+
+
 #: Daily OHLC bars per supplier — shared oracle CTE for the bar queries.
 #: open/close via the order-encoded MIN/MAX (aggregates.ohlc): okey in
 #: the high bits, cents in the low 24.

@@ -803,3 +803,131 @@ def welch_t(
         F.when(nc > 0, sc / nc).alias("mean_control"),
         t.alias("t_stat"),
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    keys: Sequence[str],
+    x: Column | str,
+    y: Column | str,
+    out: str = "ts_slope",
+) -> DataFrame:
+    """Per-group Theil–Sen estimator: the median of all pairwise slopes
+    (y_j - y_i) / (x_j - x_i) over observations with distinct x — the
+    standard robust trend (breakdown point ~29%) where OLS (ols2_fit)
+    is wrecked by a single outlier week.
+
+    Engine extension beyond the reference's plain linear_fit
+    (sentiment_analysis.py:168-196). Pair generation is a self-join
+    WITHIN each group (x_i < x_j), so cost is sum over groups of
+    n·(n-1)/2 — callers must bound per-group cardinality upstream
+    (e.g. calendar-bucketed aggregates: ≤52 weekly points per key/year
+    → ≤1326 pairs per group regardless of raw data scale; the corpus
+    query does exactly this). The join shuffles both sides once on the
+    group key; the median ranks within the same hash partitioning (one
+    window, no extra exchange).
+
+    Exactness contract: pass integer-valued x and y (e.g. cents, week
+    index) so each slope is ONE double division of exact integers —
+    bit-identical cross-engine. The median orders by (slope, x_i, x_j)
+    — a total order — and averages the middle one/two values; rank
+    positions use integer DIV (never float floor).
+    """
+    from pyspark.sql import Window
+
+    xa, ya = (F.col(x) if isinstance(x, str) else x), (
+        F.col(y) if isinstance(y, str) else y
+    )
+    base = df.select(
+        *keys, xa.cast("bigint").alias("__x"), ya.cast("bigint").alias("__y")
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    a = base.select(*keys, F.col("__x").alias("__xa"), F.col("__y").alias("__ya"))
+    b = base.select(*keys, F.col("__x").alias("__xb"), F.col("__y").alias("__yb"))
+    pairs = a.join(b, on=list(keys), how="inner").filter(
+        F.col("__xa") < F.col("__xb")
+    )
+    slopes = pairs.select(
+        *keys,
+        "__xa",
+        "__xb",
+        (
+            (F.col("__yb") - F.col("__ya")).cast("double")
+            / (F.col("__xb") - F.col("__xa")).cast("double")
+        ).alias("__s"),
+    )
+    w = Window.partitionBy(*keys).orderBy("__s", "__xa", "__xb")
+    ranked = slopes.withColumn("__r", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+    lo = F.expr("(__n + 1) DIV 2")
+    hi = F.expr("__n DIV 2 + 1")
+    mid = ranked.filter((F.col("__r") == lo) | (F.col("__r") == hi))
+    return mid.groupBy(*keys).agg(
+        F.max("__n").cast("bigint").alias("n_pairs"),
+        (
+            F.sum("__s").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias(out),
+    )
+
+
+def skyline2d_min(
+    df: DataFrame,
+    x: Column | str,
+    y: Column | str,
+    bucket_width: int,
+    x_out: str = "x",
+    y_out: str = "y",
+) -> DataFrame:
+    """2-D skyline (Pareto frontier), minimizing both dimensions: the
+    distinct (x, y) points not dominated by any other point (q dominates
+    p iff q.x <= p.x AND q.y <= p.y with at least one strict).
+
+    Engine extension (multi-objective shortlist — e.g. cheapest-and-
+    smallest part). Two-phase frontier-of-frontiers so no global sort of
+    the full input is ever needed:
+
+      1. distinct (x, y) pairs (one shuffle), then a window PARTITIONED
+         by x-range bucket: within a bucket, sorted by (x, y), a point
+         survives iff the running min of y over all earlier rows is
+         > its own y — earlier rows are exactly its in-bucket potential
+         dominators, so each bucket emits its LOCAL frontier (size
+         bounded by the bucket's distinct y values) in parallel.
+      2. the same scan globally over the survivors — a single-partition
+         window, safe because phase 1 bounds its input to
+         n_buckets × |distinct y| points, independent of row count.
+
+    At 100 TB: phase 1 is embarrassingly parallel after one dedup
+    shuffle; phase 2's input is tiny by construction. Pass integer
+    dimensions (cents, sizes) — dominance is then exact on both engines.
+    """
+    from pyspark.sql import Window
+
+    xa = (F.col(x) if isinstance(x, str) else x).cast("bigint")
+    ya = (F.col(y) if isinstance(y, str) else y).cast("bigint")
+    pts = (
+        df.select(xa.alias("__x"), ya.alias("__y"))
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        .distinct()
+    )
+
+    def _frontier(d: DataFrame, part_cols: list[str]) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols)
+            if part_cols
+            else Window.partitionBy(F.lit(0))
+        )
+        w = w.orderBy("__x", "__y").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return (
+            d.withColumn("__m", F.min("__y").over(w))
+            .filter(F.col("__m").isNull() | (F.col("__m") > F.col("__y")))
+            .drop("__m")
+        )
+
+    local = _frontier(
+        pts.withColumn("__b", F.expr(f"__x DIV {int(bucket_width)}")), ["__b"]
+    ).drop("__b")
+    return _frontier(local, []).select(
+        F.col("__x").alias(x_out), F.col("__y").alias(y_out)
+    )

@@ -216,6 +216,82 @@ def ngram_jaccard_pairs(
     return _pairwise_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard >= threshold via
+    PREFIX FILTERING (the SSJoin/PPJoin candidate-pruning principle) —
+    same answer as :func:`ngram_jaccard_pairs`, computed from a far
+    smaller candidate join.
+
+    Under any single global total order of shingles, if
+    |A∩B| >= ceil(t·|A|) then the first |A| - ceil(t·|A|) + 1 shingles
+    of A (in that order) must intersect B's prefix (pigeonhole) — and
+    J(A,B) >= t implies |A∩B| >= t·max(|A|,|B|), so any qualifying pair
+    shares at least one PREFIX shingle. Candidates therefore come from
+    the self-join of per-doc prefixes only; verification is exact
+    Jaccard restricted to candidates (the same semi-join-bounded path
+    LSH verification uses, :func:`_pairwise_jaccard` ``restrict_to``).
+
+    The global order is (document frequency ASC, shingle ASC) — the
+    standard rare-first ordering, so prefixes hold each doc's RAREST
+    shingles and the candidate join's per-shingle fan-out is minimal.
+    The df ranking is one extra aggregation over the shingle table +
+    a broadcast-friendly join; no global window is needed because the
+    order is evaluated per-doc (window partitioned by doc id).
+    Lossless by the theorem above — the corpus proves it by pairing
+    this with the UNPRUNED all-pairs oracle. Prefix lengths use exact
+    integer arithmetic: ceil(p·sz/q) = (p·sz + q - 1) DIV q with
+    threshold = p/q (float ceil misrounds; same discipline as
+    trimmed_mean). Compose with ``max_doc_freq``
+    (:func:`drop_stop_shingles`) when boilerplate skew is possible —
+    applied BEFORE ranking, so prefixes and Jaccard share the capped
+    universe exactly like ngram_jaccard_capped.
+    """
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    fr = Fraction(threshold).limit_denominator(1_000_000)
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        sh = drop_stop_shingles(sh, max_doc_freq)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = sh.join(dfreq, "shingle").withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy("__df", "shingle")
+        ),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    pref = (
+        ranked.join(sizes, id_col)
+        .filter(
+            F.col("__rn")
+            <= F.col("__sz")
+            - F.expr(f"(__sz * {fr.numerator} + {fr.denominator} - 1) "
+                     f"DIV {fr.denominator}")
+            + F.lit(1)
+        )
+        .select(F.col(id_col), "shingle")
+    )
+    cands = (
+        pref.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(pref.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _pairwise_jaccard(sh, id_col, restrict_to=cands, sizes=sizes).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def minhash_signatures(
     shingles: DataFrame, id_col: str, num_hashes: int = 16
 ) -> DataFrame:

@@ -707,3 +707,40 @@ def linear_text_classifier(
         score.alias("score"),
         (score >= F.lit(threshold)).alias("label"),
     )
+
+
+#: Soundex consonant classes (public phonetic-coding standard):
+#: class digit -> member letters.
+_CONSONANT_CLASSES = (
+    ("1", "bfpv"),
+    ("2", "cgjkqsxz"),
+    ("3", "dt"),
+    ("4", "l"),
+    ("5", "mn"),
+    ("6", "r"),
+)
+
+
+def consonant_signature(word: Column) -> Column:
+    """Phonetic blocking key: uppercase initial + the soundex consonant
+    CLASSES present in the word, in fixed class order (e.g. 'lavender'
+    -> 'L1356').
+
+    A deliberate cross-engine-portable variant of soundex: classic
+    soundex collapses ADJACENT repeats, which needs regex backreferences
+    — unsupported by RE2-based engines (DuckDB) — while class PRESENCE
+    is six character-class tests any SQL dialect evaluates identically.
+    As a blocking function it has the property that matters: words that
+    sound alike (spelling variants, doubled letters, vowel swaps) map to
+    the same key, so it widens entity-resolution candidate generation
+    beyond exact-token blocking (joins.fuzzy_self_join) without the
+    quadratic all-pairs. Verification stays with the exact edit-distance
+    predicate downstream.
+    """
+    w = F.lower(word)
+    parts = [F.upper(F.substring(w, 1, 1))]
+    for digit, letters in _CONSONANT_CLASSES:
+        parts.append(
+            F.when(w.rlike(f"[{letters}]"), F.lit(digit)).otherwise(F.lit(""))
+        )
+    return F.concat(*parts)

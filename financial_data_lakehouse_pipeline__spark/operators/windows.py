@@ -547,6 +547,68 @@ def macd(
     return df.groupBy(*partition_by).applyInPandas(_per_group, schema=schema_out)
 
 
+def holt_linear(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    alpha: float = 0.4,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) per
+    partition key — the forecasting step the EMA family can't take:
+    where ema() tracks location only, Holt also carries a trend state
+    so the one-step-ahead forecast (``holt_fit`` = prior level + prior
+    trend) follows ramps instead of lagging them.
+
+        l[i] = alpha·v[i] + (1-alpha)·(l[i-1] + b[i-1])
+        b[i] = beta·(l[i] - l[i-1]) + (1-beta)·b[i-1]
+
+    Seeds: l[0] = v[0], b[0] = 0 (documented — no lookahead), and
+    holt_fit[0] = v[0]. Same engineering contract as ema()/macd(): both
+    recurrences advance in ONE grouped Arrow pass (single shuffle), the
+    operation order above is written out explicitly so a recursive-CTE
+    oracle replays every step bit-for-bit, and groups scale
+    horizontally with one entity's history per task.
+    """
+    from pyspark.sql import types as T
+
+    schema_out = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("holt_level", T.DoubleType()),
+            T.StructField("holt_trend", T.DoubleType()),
+            T.StructField("holt_fit", T.DoubleType()),
+        ]
+    )
+    sort_cols = list(order_by)
+    a, b = float(alpha), float(beta)
+
+    def _per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        n = len(vals)
+        lv = [0.0] * n
+        tv = [0.0] * n
+        fv = [0.0] * n
+        if n:
+            level = vals[0]
+            trend = 0.0
+            lv[0], tv[0], fv[0] = level, trend, vals[0]
+            for i in range(1, n):
+                fv[i] = level + trend
+                new_level = a * vals[i] + (1.0 - a) * (level + trend)
+                trend = b * (new_level - level) + (1.0 - b) * trend
+                level = new_level
+                lv[i], tv[i] = level, trend
+        pdf["holt_level"] = lv
+        pdf["holt_trend"] = tv
+        pdf["holt_fit"] = fv
+        return pdf
+
+    return df.groupBy(*partition_by).applyInPandas(_per_group, schema=schema_out)
+
+
 def atr(
     df: DataFrame,
     partition_by: Sequence[str],

@@ -1874,3 +1874,125 @@ def test_floored_running_sum_nonzero_floor_seed(spark):
     got = [r["balance"] for r in out.orderBy("i").collect()]
     # 5 -> max(2,-3)=2 -> 5 -> 4 -> 14
     assert got == [5, 2, 5, 4, 14]
+
+
+# ---------------------------------------------------------------- round 6
+
+
+def test_holt_linear_recurrence(spark):
+    """holt_linear == an independent numpy replay of the published
+    recurrence (level/trend/one-step fit, seeds l0=v0 b0=0)."""
+    vals = [10.0, 12.0, 15.0, 13.0, 18.0, 21.0]
+    df = spark.createDataFrame(
+        [Row(k="a", t=i, v=v) for i, v in enumerate(vals)]
+    )
+    out = (
+        windows.holt_linear(df, ["k"], ["t"], "v", alpha=0.4, beta=0.2)
+        .toPandas()
+        .sort_values("t")
+    )
+    lev, tr = vals[0], 0.0
+    exp_l, exp_t, exp_f = [lev], [tr], [vals[0]]
+    for v in vals[1:]:
+        exp_f.append(lev + tr)
+        nl = 0.4 * v + 0.6 * (lev + tr)
+        tr = 0.2 * (nl - lev) + 0.8 * tr
+        lev = nl
+        exp_l.append(lev)
+        exp_t.append(tr)
+    assert out["holt_level"].tolist() == pytest.approx(exp_l)
+    assert out["holt_trend"].tolist() == pytest.approx(exp_t)
+    assert out["holt_fit"].tolist() == pytest.approx(exp_f)
+
+
+def test_theil_sen_known_median_and_robustness(spark):
+    """Median of pairwise slopes on a hand-checked series; one wild
+    outlier must not move the estimate the way it wrecks OLS."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    # y = 2x exactly, except one corrupted point (x=4 -> 1000).
+    rows = [Row(k="a", x=x, y=2 * x) for x in range(4)] + [
+        Row(k="a", x=4, y=1000)
+    ]
+    out = analysis.theil_sen(
+        spark.createDataFrame(rows), ["k"], "x", "y"
+    ).collect()[0]
+    # 10 pairs; 6 of them (those not touching the outlier) have slope
+    # exactly 2.0 -> the median (avg of ranks 5 and 6) is 2.0.
+    assert out["n_pairs"] == 10
+    assert out["ts_slope"] == pytest.approx(2.0)
+
+
+def test_theil_sen_even_pair_count_averages_middles(spark):
+    """n=3 points -> 3 pairs (odd); n=4 -> 6 pairs, median = mean of the
+    3rd and 4th slope — check the integer-DIV middle-rank arithmetic."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    rows = [Row(k="a", x=0, y=0), Row(k="a", x=1, y=1),
+            Row(k="a", x=2, y=4), Row(k="a", x=3, y=9)]
+    out = analysis.theil_sen(
+        spark.createDataFrame(rows), ["k"], "x", "y"
+    ).collect()[0]
+    # slopes: (0,1)=1 (0,2)=2 (0,3)=3 (1,2)=3 (1,3)=4 (2,3)=5
+    # sorted: 1 2 3 3 4 5 -> median = (3+3)/2 = 3
+    assert out["n_pairs"] == 6
+    assert out["ts_slope"] == pytest.approx(3.0)
+
+
+def test_skyline2d_min_matches_bruteforce(spark):
+    """Two-phase bucketed frontier == brute-force dominance filter,
+    including axis ties and duplicate points."""
+    import itertools
+
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    pts = [(5, 5), (5, 3), (3, 5), (3, 5), (4, 4), (2, 9), (9, 2),
+           (2, 9), (6, 1), (1, 8), (7, 7), (4, 4), (8, 1)]
+    df = spark.createDataFrame([Row(x=a, y=b) for a, b in pts])
+    got = {
+        (r["x"], r["y"])
+        for r in analysis.skyline2d_min(df, "x", "y", bucket_width=3).collect()
+    }
+    uniq = set(pts)
+    expect = {
+        p for p in uniq
+        if not any(
+            q[0] <= p[0] and q[1] <= p[1] and q != p for q in uniq
+        )
+    }
+    assert got == expect and got  # frontier non-empty
+
+
+def test_prefix_filter_jaccard_equals_full_join(spark):
+    """Prefix filtering is LOSSLESS: identical pairs + jaccard values to
+    the unpruned posting-list join, at two thresholds."""
+    docs = _docs(spark)
+    for t in (0.3, 0.6):
+        full = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        pruned = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+            for r in dedup.prefix_filter_jaccard_pairs(
+                docs, threshold=t
+            ).collect()
+        }
+        assert pruned == full
+
+
+def test_consonant_signature_examples(spark):
+    """Fixed-order class presence + uppercase initial; sound-alike
+    variants (doubled letters, vowel swaps) share a key."""
+    from financial_data_lakehouse_pipeline__spark.operators.text import (
+        consonant_signature,
+    )
+
+    rows = spark.createDataFrame(
+        [Row(w=w) for w in ["lavender", "lavendar", "aeiou", "Robert", "robbert"]]
+    ).select("w", consonant_signature(F.col("w")).alias("sig")).collect()
+    sigs = {r["w"]: r["sig"] for r in rows}
+    assert sigs["lavender"] == "L13456"          # v, d, l, n, r classes
+    assert sigs["lavendar"] == sigs["lavender"]  # vowel swap -> same key
+    assert sigs["aeiou"] == "A"                  # no consonant classes
+    assert sigs["Robert"] == sigs["robbert"] == "R136"

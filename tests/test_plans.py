@@ -554,3 +554,35 @@ def test_q20_promo_semi_broadcast_window_total(spark, sf_dir):
     locs = [ln for ln in plan.splitlines() if "Location" in ln]
     assert sum("lineitem" in ln for ln in locs) == 1, locs
     assert "CartesianProduct" not in plan
+
+
+def test_pareto_two_phase_no_global_sort_of_input(spark, sf_dir):
+    """Skyline phase 1 runs frontier scans PARTITIONED by price bucket;
+    only the bounded survivor set hits the single-partition phase-2
+    window — and dominance never becomes a join (no cartesian)."""
+    df = _q("pareto_frontier_parts")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # two frontier passes -> exactly two Window nodes, the first
+    # partitioned by the price bucket, the second over survivors only
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    assert "windowspecdefinition(__b#" in plan  # phase 1 bucket-partitioned
+
+
+def test_prefix_jaccard_no_cartesian_and_semi_bounded_verify(spark, sf_dir):
+    """Candidates come from the prefix-posting equi-join; verification is
+    semi-join-restricted — all-pairs never materializes."""
+    df = _q("prefix_jaccard_pairs_docs")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_theilsen_pairs_join_on_group_key(spark, sf_dir):
+    """Pair generation is an equi-join on the supplier key (never a
+    cartesian): cost stays sum-of-group-squares, calendar-bounded."""
+    df = _q("theilsen_weekly_revenue")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

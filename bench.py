@@ -62,6 +62,8 @@ HEADLINE = [
     "min_cost_supplier_q2",      # TPC-H Q2 decorrelated min + semi pruning
     "forecast_revenue_q6",       # TPC-H Q6 pure-pushdown scan lower bound
     "important_stock_q11",       # TPC-H Q11 checkpointed agg + global scalar
+    "prefix_jaccard_pairs_docs", # LLM: prefix-filtered exact set-similarity
+    "pareto_frontier_parts",     # two-phase bucketed skyline
     "cms_heavy_users",           # sketch-pruned heavy hitters (CMS + verify)
     "hist_quantiles_order_totals",  # histogram-sketch quantiles
     "hll_estimate_custkey",      # md5 HyperLogLog estimate

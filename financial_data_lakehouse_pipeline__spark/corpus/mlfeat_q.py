@@ -999,3 +999,223 @@ def theilsen_weekly_revenue(spark, sf_dir):
     return ts.join(n_weeks, "l_suppkey").select(
         "l_suppkey", "n_weeks", "n_pairs", "ts_slope"
     )
+
+
+#: 2× the average (midrank) tie rank — exact integer; cnt_le (RANGE
+#: frame) + rank() share one window (operators/analysis._double_rank).
+def _r2(part: str, order: str) -> str:
+    return (
+        f"COUNT(*) OVER (PARTITION BY {part} ORDER BY {order} RANGE BETWEEN "
+        f"UNBOUNDED PRECEDING AND CURRENT ROW) "
+        f"+ RANK() OVER (PARTITION BY {part} ORDER BY {order})"
+    )
+
+
+@register(
+    "spearman_quantity_price_supplier",
+    # Exact-integer double-midranks, DECIMAL(38,0) moment sums, one
+    # fixed double chain, ROUND 6, -0.0 normalized (ols2 conventions).
+    f"""WITH b AS (
+          SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS q,
+                 CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT) AS c
+          FROM lineitem
+        ), r AS (
+          SELECT l_suppkey,
+                 {_r2('l_suppkey', 'q')} AS rx,
+                 {_r2('l_suppkey', 'c')} AS ry
+          FROM b
+        ), g AS (
+          SELECT l_suppkey,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 {_msum('rx')} AS sx,
+                 {_msum('ry')} AS sy,
+                 {_msum('CAST(rx AS DECIMAL(38,0)) * CAST(ry AS DECIMAL(38,0))')} AS sxy,
+                 {_msum('CAST(rx AS DECIMAL(38,0)) * CAST(rx AS DECIMAL(38,0))')} AS sxx,
+                 {_msum('CAST(ry AS DECIMAL(38,0)) * CAST(ry AS DECIMAL(38,0))')} AS syy
+          FROM r GROUP BY 1
+        )
+        SELECT l_suppkey, CAST(n AS BIGINT) AS n_rows,
+               CASE WHEN n * sxx - sx * sx > 0e0 AND n * syy - sy * sy > 0e0
+                    THEN ROUND((n * sxy - sx * sy)
+                               / sqrt((n * sxx - sx * sx)
+                                      * (n * syy - sy * sy)), 6) + 0e0
+               END AS rho
+        FROM g""",
+)
+def spearman_quantity_price_supplier(spark, sf_dir):
+    """Spearman rank correlation of (quantity, price cents) per supplier
+    (operators/analysis.spearman_rho) — the monotone-association twin of
+    grouped_corr: outlier/scale-immune because it correlates exact
+    integer double-midranks (2× avg tie rank), not values. One shuffle
+    on the supplier key, two in-partition sorts, DECIMAL(38,0)-exact
+    moments, ROUND 6."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return analysis.spearman_rho(
+        li,
+        ["l_suppkey"],
+        F.col("l_quantity").cast("bigint"),
+        F.expr("CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT)"),
+    )
+
+
+@register(
+    "mwu_order_totals_priority",
+    # All inputs exact integers from ONE ranked pass: 2×midranks, the
+    # tie term summed row-wise as t²−1, then a single fixed double
+    # chain for z (ROUND 6); U itself is exact (halves of integers).
+    f"""WITH b AS (
+          SELECT c_mktsegment,
+                 CAST(FLOOR(o_totalprice * 100e0 + 5e-1) AS BIGINT) AS v,
+                 o_orderpriority IN ('1-URGENT', '2-HIGH') AS g
+          FROM orders JOIN customer ON o_custkey = c_custkey
+        ), r AS (
+          SELECT c_mktsegment, g,
+                 {_r2('c_mktsegment', 'v')} AS r2,
+                 COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY v
+                                RANGE BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+                 - (RANK() OVER (PARTITION BY c_mktsegment ORDER BY v)
+                    - 1) AS t
+          FROM b
+        ), a AS (
+          SELECT c_mktsegment,
+                 CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n1i,
+                 {_msum("CASE WHEN g THEN CAST(r2 AS DECIMAL(38,0)) "
+                        "ELSE CAST(0 AS DECIMAL(38,0)) END")} AS r1x2,
+                 {_msum('CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) '
+                        '- CAST(1 AS DECIMAL(38,0))')} AS tcorr
+          FROM r GROUP BY 1
+        )
+        SELECT c_mktsegment, n1i AS n_treat,
+               CAST(cnt - n1i AS BIGINT) AS n_control,
+               (r1x2 - CAST(n1i AS DOUBLE) * (CAST(n1i AS DOUBLE) + 1.0))
+                 / 2.0 AS u_stat,
+               CASE WHEN n1i > 0 AND n1i < cnt
+                         AND (CAST(n1i AS DOUBLE)
+                              * (CAST(cnt AS DOUBLE) - CAST(n1i AS DOUBLE))
+                              / 12.0)
+                             * ((CAST(cnt AS DOUBLE) + 1.0)
+                                - tcorr / (CAST(cnt AS DOUBLE)
+                                           * (CAST(cnt AS DOUBLE) - 1.0)))
+                             > 0e0
+                    THEN ROUND(((r1x2 - CAST(n1i AS DOUBLE)
+                                   * (CAST(n1i AS DOUBLE) + 1.0))
+                                - CAST(n1i AS DOUBLE)
+                                  * (CAST(cnt AS DOUBLE)
+                                     - CAST(n1i AS DOUBLE)))
+                               / (2.0 * sqrt((CAST(n1i AS DOUBLE)
+                                    * (CAST(cnt AS DOUBLE)
+                                       - CAST(n1i AS DOUBLE)) / 12.0)
+                                   * ((CAST(cnt AS DOUBLE) + 1.0)
+                                      - tcorr / (CAST(cnt AS DOUBLE)
+                                          * (CAST(cnt AS DOUBLE) - 1.0))))),
+                               6) + 0e0
+               END AS z_stat
+        FROM a""",
+)
+def mwu_order_totals_priority(spark, sf_dir):
+    """Mann–Whitney U per market segment: do URGENT/HIGH-priority orders
+    have stochastically larger totals (operators/analysis.
+    mann_whitney_u)? The rank-based two-sample test beside
+    welch_ab_order_totals — whole-distribution, outlier-immune, with
+    the exact tie correction. One ranked pass, one aggregation."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return analysis.mann_whitney_u(
+        j,
+        ["c_mktsegment"],
+        F.expr("CAST(FLOOR(o_totalprice * 100e0 + 5e-1) AS BIGINT)"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+    )
+
+
+@register(
+    "km_reorder_survival",
+    # Integer durations (day gaps, censored at 60), exact at-risk
+    # counts; survival is exp of the running ln-sum of exact-integer
+    # ratios, ROUND 6 (inherently-floating chain), extinction pinned
+    # to 0 before any ln(0) can evaluate.
+    """WITH r AS (
+          SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders
+        ), g AS (
+          SELECT o_custkey,
+                 MAX(CASE WHEN rn = 1 THEN od END) AS d1,
+                 MAX(CASE WHEN rn = 2 THEN od END) AS d2
+          FROM r WHERE rn <= 2 GROUP BY 1
+        ), s AS (
+          SELECT CASE WHEN d2 IS NOT NULL
+                           AND date_diff('day', d1, d2) <= 60
+                      THEN date_diff('day', d1, d2) ELSE 60 END AS t,
+                 CASE WHEN d2 IS NOT NULL
+                           AND date_diff('day', d1, d2) <= 60
+                      THEN 1 ELSE 0 END AS e
+          FROM g
+        ), per_t AS (
+          SELECT t, CAST(COUNT(*) AS BIGINT) AS c,
+                 CAST(SUM(e) AS BIGINT) AS n_events
+          FROM s GROUP BY 1
+        ), risked AS (
+          SELECT t, n_events,
+                 CAST(SUM(c) OVER ()
+                      - COALESCE(SUM(c) OVER (ORDER BY t ROWS BETWEEN
+                            UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS n_risk
+          FROM per_t
+        ), ev AS (SELECT * FROM risked WHERE n_events > 0),
+        curve AS (
+          SELECT t, n_risk, n_events,
+                 MAX(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS ext,
+                 SUM(CASE WHEN n_events < n_risk
+                          THEN ln(CAST(n_risk - n_events AS DOUBLE)
+                                  / CAST(n_risk AS DOUBLE))
+                          ELSE 0e0 END)
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS lsum
+          FROM ev
+        )
+        SELECT t, n_risk, n_events,
+               ROUND(CASE WHEN ext = 1 THEN 0e0 ELSE exp(lsum) END, 6)
+                 + 0e0 AS survival
+        FROM curve""",
+)
+def km_reorder_survival(spark, sf_dir):
+    """Kaplan–Meier curve of customer reorder latency
+    (operators/analysis.km_survival): time from first to second order in
+    days, right-censored at a 60-day horizon (single-order customers and
+    slower reorders censor). Subjects reduce to per-duration counts
+    FIRST; the global windows then run over <= 61 distinct durations —
+    the caller-bounded cardinality the operator's scale contract
+    requires. Survival = exp(running ln-sum of exact ratios), ROUND 6."""
+    from pyspark.sql import Window
+
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("__od"),
+        F.row_number().over(w).alias("__rn"),
+    ).filter(F.col("__rn") <= 2)
+    g = r.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("__rn") == 1, F.col("__od"))).alias("__d1"),
+        F.max(F.when(F.col("__rn") == 2, F.col("__od"))).alias("__d2"),
+    )
+    gap = F.datediff(F.col("__d2"), F.col("__d1"))
+    ev = (gap.isNotNull()) & (gap <= 60)
+    subj = g.select(
+        F.when(ev, gap).otherwise(F.lit(60)).alias("__t"),
+        F.when(ev, F.lit(1)).otherwise(F.lit(0)).alias("__e"),
+    )
+    return analysis.km_survival(subj, F.col("__t"), F.col("__e"))

@@ -931,3 +931,209 @@ def skyline2d_min(
     return _frontier(local, []).select(
         F.col("__x").alias(x_out), F.col("__y").alias(y_out)
     )
+
+
+def _double_rank(keys: Sequence[str], value: str) -> Column:
+    """2× the average (midrank) tie rank of ``value`` within ``keys`` —
+    an exact INTEGER (avg tie rank is a half-integer): cnt_le + rank,
+    where cnt_le counts rows with value <= current (RANGE frame) and
+    rank() counts strictly-smaller + 1. Both ride ONE window spec
+    (same partition, same order), so one shuffle + one sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(value)
+    cnt_le = F.count(F.lit(1)).over(
+        w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cnt_le + F.rank().over(w)
+
+
+def spearman_rho(
+    df: DataFrame,
+    keys: Sequence[str],
+    x: Column,
+    y: Column,
+    round_to: int = 6,
+    out: str = "rho",
+) -> DataFrame:
+    """Per-group Spearman rank correlation — Pearson over midrank-tied
+    ranks: the monotone-association measure that is outlier- and
+    scale-immune where grouped Pearson (aggregates.grouped_corr) is not.
+
+    Ranks are 2× the average tie rank (:func:`_double_rank`) — exact
+    integers, and the doubling cancels in the correlation — so the five
+    moment sums aggregate exactly as DECIMAL(38,0) (ols2_fit
+    convention) and rho is ONE fixed double chain, ROUND(round_to),
+    -0.0-normalized. NULL when either margin is constant (zero
+    variance). Cost: one shuffle on keys, two sorts (one per variable's
+    ranking) within the same partitioning, then the grouped aggregate.
+    """
+    dec = "decimal(38,0)"
+    ranked = df.select(
+        *keys, x.alias("__xv"), y.alias("__yv")
+    ).select(
+        *keys,
+        _double_rank(keys, "__xv").alias("__rx"),
+        _double_rank(keys, "__yv").alias("__ry"),
+    )
+    rx, ry = F.col("__rx").cast(dec), F.col("__ry").cast(dec)
+    g = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(rx).cast("double").alias("__sx"),
+        F.sum(ry).cast("double").alias("__sy"),
+        F.sum(rx * ry).cast("double").alias("__sxy"),
+        F.sum(rx * rx).cast("double").alias("__sxx"),
+        F.sum(ry * ry).cast("double").alias("__syy"),
+    )
+    n = F.col("__n")
+    sx, sy = F.col("__sx"), F.col("__sy")
+    cxx = n * F.col("__sxx") - sx * sx
+    cyy = n * F.col("__syy") - sy * sy
+    cxy = n * F.col("__sxy") - sx * sy
+    ok = (cxx > 0) & (cyy > 0)
+    return g.select(
+        *keys,
+        n.cast("bigint").alias("n_rows"),
+        F.when(ok, F.round(cxy / F.sqrt(cxx * cyy), round_to) + F.lit(0.0)).alias(
+            out
+        ),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column,
+    group: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Mann–Whitney U (Wilcoxon rank-sum) with tie-corrected
+    normal approximation — the rank-based two-sample test next to
+    :func:`welch_t`: compares whole distributions, immune to outliers
+    and monotone transforms.
+
+    All statistics derive from exact integers in one ranked pass:
+    ranks are 2× midranks (:func:`_double_rank`), so 2·R1 and
+    2·U1 = 2·R1 − n1(n1+1) are exact; the tie term Σ(t³−t) is summed
+    ROW-wise as Σ(t²−1) (each tied row contributes (t³−t)/t — no
+    distinct-value pass needed), with t = cnt_le − (rank−1) from the
+    same window. z = (2U1 − n1n2) / (2·sqrt(var)), var = (n1n2/12)·
+    ((n+1) − Σ(t³−t)/(n(n−1))) — one fixed double chain, ROUND,
+    -0.0-normalized; NULL when an arm is empty or variance degenerates
+    (all values tied). U is reported exactly (halves are exact doubles).
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    base = df.select(*keys, value.alias("__v"), group.alias("__g"))
+    w = Window.partitionBy(*keys).orderBy("__v")
+    cnt_le = F.count(F.lit(1)).over(
+        w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rk = F.rank().over(w)
+    ranked = base.select(
+        *keys,
+        "__g",
+        (cnt_le + rk).alias("__r2"),
+        (cnt_le - (rk - F.lit(1))).alias("__t"),
+    )
+    t = F.col("__t").cast(dec)
+    g = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(F.when(F.col("__g"), 1).otherwise(0)).cast("bigint").alias("__n1"),
+        F.sum(F.when(F.col("__g"), F.col("__r2").cast(dec)).otherwise(F.lit(0).cast(dec)))
+        .cast("double")
+        .alias("__r1x2"),
+        F.sum(t * t - F.lit(1).cast(dec)).cast("double").alias("__tcorr"),
+    )
+    n = F.col("__n").cast("double")
+    n1 = F.col("__n1").cast("double")
+    n2 = n - n1
+    u2 = F.col("__r1x2") - n1 * (n1 + F.lit(1.0))
+    var = (n1 * n2 / F.lit(12.0)) * (
+        (n + F.lit(1.0)) - F.col("__tcorr") / (n * (n - F.lit(1.0)))
+    )
+    ok = (F.col("__n1") > 0) & (F.col("__n1") < F.col("__n")) & (var > 0)
+    return g.select(
+        *keys,
+        F.col("__n1").alias("n_treat"),
+        (F.col("__n") - F.col("__n1")).cast("bigint").alias("n_control"),
+        (u2 / F.lit(2.0)).alias("u_stat"),
+        F.when(
+            ok,
+            F.round((u2 - n1 * n2) / (F.lit(2.0) * F.sqrt(var)), round_to)
+            + F.lit(0.0),
+        ).alias("z_stat"),
+    )
+
+
+def km_survival(
+    df: DataFrame,
+    duration: Column,
+    event: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kaplan–Meier survival curve over (integer duration, 0/1 event)
+    subjects — right-censoring-aware time-to-event analysis (reorder
+    latency, churn, ticket resolution): S(t) = Π_{t_i<=t} (1 − d_i/n_i)
+    over event times t_i, with d_i events at t_i and n_i subjects still
+    at risk.
+
+    Shape: one groupBy(duration) reduces subjects to per-time counts;
+    the at-risk series and the cumulative product then run as GLOBAL
+    windows over DISTINCT DURATIONS ONLY — callers bound that
+    cardinality (cap/bucket durations, e.g. censor at a horizon H →
+    <= H+1 rows), which is what keeps the single-partition window safe
+    at any subject count. The product is exp(Σ ln((n_i−d_i)/n_i)) —
+    each step one exact-integer division then ln, survival ROUND'd as
+    an inherently-floating chain; after the at-risk set empties
+    (d = n at some step, ln 0 undefined) survival is pinned to 0 on
+    both engines via a cumulative extinct flag.
+
+    Output: duration, n_risk, n_events, survival — event times only.
+    """
+    from pyspark.sql import Window
+
+    per_t = (
+        df.select(duration.cast("bigint").alias("t"), event.cast("int").alias("__e"))
+        .filter(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__c"),
+            F.sum("__e").cast("bigint").alias("n_events"),
+        )
+    )
+    wall = Window.partitionBy(F.lit(0)).orderBy("t")
+    before = F.coalesce(
+        F.sum("__c").over(wall.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    total = F.sum("__c").over(
+        Window.partitionBy(F.lit(0)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    risked = per_t.withColumn("n_risk", (total - before).cast("bigint"))
+    ev = risked.filter(F.col("n_events") > 0)
+    wev = Window.partitionBy(F.lit(0)).orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    step = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        F.log(
+            (F.col("n_risk") - F.col("n_events")).cast("double")
+            / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    extinct = F.max(
+        F.when(F.col("n_events") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(wev)
+    surv = F.when(extinct == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(step).over(wev))
+    )
+    return ev.select(
+        "t",
+        "n_risk",
+        "n_events",
+        (F.round(surv, round_to) + F.lit(0.0)).alias("survival"),
+    )

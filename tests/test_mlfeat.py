@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from financial_data_lakehouse_pipeline__spark.operators import mlfeat
@@ -345,3 +346,87 @@ def test_ols2_fit_large_values_no_overflow(spark):
         df, ["k"], F.col("y"), F.col("x1"), F.col("x2")
     ).collect()[0]
     assert r["beta1"] == 2.0 and r["beta2"] == -1.0
+
+
+# ---------------------------------------------------------------- round 6
+
+
+def test_spearman_monotone_ties_and_constant(spark):
+    """rho=1 for any monotone map, -1 reversed, NULL for a constant
+    margin; tied values use average midranks (hand-checked)."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    rows = (
+        [Row(k="up", x=i, y=i * i) for i in range(1, 6)]
+        + [Row(k="down", x=i, y=-3 * i) for i in range(1, 6)]
+        + [Row(k="flat", x=i, y=7) for i in range(1, 6)]
+        + [Row(k="tie", x=1, y=10), Row(k="tie", x=1, y=20),
+           Row(k="tie", x=2, y=30), Row(k="tie", x=3, y=40)]
+    )
+    out = {
+        r["k"]: r["rho"]
+        for r in analysis.spearman_rho(
+            spark.createDataFrame(rows), ["k"], F.col("x"), F.col("y")
+        ).collect()
+    }
+    assert out["up"] == 1.0 and out["down"] == -1.0
+    assert out["flat"] is None
+    # ranks x: (1.5,1.5,3,4) y: (1,2,3,4) -> pearson = 0.9487 (scipy)
+    assert out["tie"] == pytest.approx(0.948683, abs=1e-6)
+
+
+def test_mann_whitney_hand_example(spark):
+    """U and tie-corrected z against a hand-worked rank-sum example."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    # treat: 1, 2, 4  control: 2, 3  (one tie across arms at 2)
+    rows = [
+        Row(k="a", v=1, g=True), Row(k="a", v=2, g=True),
+        Row(k="a", v=4, g=True), Row(k="a", v=2, g=False),
+        Row(k="a", v=3, g=False),
+    ]
+    out = analysis.mann_whitney_u(
+        spark.createDataFrame(rows), ["k"], F.col("v"), F.col("g")
+    ).collect()[0]
+    # midranks: 1->1, 2->2.5 (x2), 3->4, 4->5; R1 = 1+2.5+5 = 8.5
+    # U1 = R1 - n1(n1+1)/2 = 8.5 - 6 = 2.5
+    assert out["n_treat"] == 3 and out["n_control"] == 2
+    assert out["u_stat"] == pytest.approx(2.5)
+    # var = (6/12)*((6) - (2^3-2)/(5*4)) = 0.5*(6-0.3) = 2.85
+    # z = (2.5 - 3)/sqrt(2.85) = -0.296174
+    assert out["z_stat"] == pytest.approx(-0.296174, abs=1e-6)
+
+
+def test_km_survival_hand_curve_and_extinction(spark):
+    """Classic KM hand example + the everyone-dies tail pinning S=0
+    (no ln(0) evaluated on either engine)."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    # durations: events at t=2 (x2), t=4; censored at 3, 5
+    rows = [Row(t=2, e=1), Row(t=2, e=1), Row(t=3, e=0),
+            Row(t=4, e=1), Row(t=5, e=0)]
+    out = {
+        r["t"]: (r["n_risk"], r["n_events"], r["survival"])
+        for r in analysis.km_survival(
+            spark.createDataFrame(rows), F.col("t"), F.col("e")
+        ).collect()
+    }
+    # t=2: 5 at risk, 2 events -> S = 3/5 = 0.6
+    # t=4: 2 at risk, 1 event  -> S = 0.6 * 1/2 = 0.3
+    assert out[2] == (5, 2, 0.6)
+    assert out[4] == (2, 1, 0.3)
+    # everyone-dies case: last event consumes the risk set -> S = 0
+    rows2 = [Row(t=1, e=1), Row(t=2, e=1)]
+    out2 = {
+        r["t"]: r["survival"]
+        for r in analysis.km_survival(
+            spark.createDataFrame(rows2), F.col("t"), F.col("e")
+        ).collect()
+    }
+    assert out2[1] == 0.5 and out2[2] == 0.0

@@ -1219,3 +1219,115 @@ def km_reorder_survival(spark, sf_dir):
         F.when(ev, F.lit(1)).otherwise(F.lit(0)).alias("__e"),
     )
     return analysis.km_survival(subj, F.col("__t"), F.col("__e"))
+
+
+@register(
+    "decision_stump_quantity_returns",
+    # Exact integer class counts at every candidate split; the Gini
+    # chain is fixed-order double math (identical cross-engine), so
+    # ordering by raw gain is deterministic; ties broken by smallest
+    # threshold; gain ROUND 6 only on output.
+    """WITH per_v AS (
+          SELECT l_linestatus, CAST(l_quantity AS BIGINT) AS v,
+                 CAST(COUNT(*) AS BIGINT) AS c,
+                 CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS p
+          FROM lineitem GROUP BY 1, 2
+        ), cum AS (
+          SELECT l_linestatus, v,
+                 SUM(c) OVER (PARTITION BY l_linestatus ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS nl,
+                 SUM(p) OVER (PARTITION BY l_linestatus ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS pl,
+                 SUM(c) OVER (PARTITION BY l_linestatus) AS n,
+                 SUM(p) OVER (PARTITION BY l_linestatus) AS pt
+          FROM per_v
+        ), d AS (
+          SELECT l_linestatus, v, nl, pl,
+                 CAST(n - nl AS BIGINT) AS nri, CAST(pt - pl AS BIGINT) AS pri,
+                 CAST(nl AS DOUBLE) AS nld, CAST(pl AS DOUBLE) AS pld,
+                 CAST(n AS DOUBLE) AS nd, CAST(pt AS DOUBLE) AS pd
+          FROM cum WHERE n > nl
+        ), gset AS (
+          SELECT l_linestatus, v, nl, pl, nri, pri, nld, pld, nd, pd,
+                 nd - nld AS nrd, pd - pld AS prd
+          FROM d
+        ), scored AS (
+          SELECT l_linestatus, v, nl, pl, nri, pri,
+                 (1e0 - (pd / nd) * (pd / nd)
+                      - ((nd - pd) / nd) * ((nd - pd) / nd))
+                 - (nld * (1e0 - (pld / nld) * (pld / nld)
+                               - ((nld - pld) / nld) * ((nld - pld) / nld))
+                    + nrd * (1e0 - (prd / nrd) * (prd / nrd)
+                                 - ((nrd - prd) / nrd) * ((nrd - prd) / nrd)))
+                   / nd AS gain
+          FROM gset
+        )
+        SELECT l_linestatus, v AS threshold,
+               CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+               nri AS n_right, pri AS pos_right,
+               ROUND(gain, 6) + 0e0 AS gain
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_linestatus
+                                           ORDER BY gain DESC, v) AS rn
+              FROM scored)
+        WHERE rn = 1""",
+)
+def decision_stump_quantity_returns(spark, sf_dir):
+    """Exact best-split decision stump per line status: the quantity
+    threshold best separating returned lineitems
+    (operators/analysis.decision_stump) — the per-feature split search
+    at the heart of distributed tree learners, evaluated over
+    per-distinct-value class counts (<= 50 candidates per group however
+    large the fact). Deterministic: integer counts, fixed-order Gini
+    chain, smallest-threshold tie-break."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return analysis.decision_stump(
+        li,
+        ["l_linestatus"],
+        F.col("l_quantity"),
+        F.col("l_returnflag") == "R",
+    )
+
+
+@register(
+    "mi_segment_priority",
+    # Exact contingency counts; both margins are window sums over the
+    # joint table (the fact is scanned once); the ln-term sum is the
+    # one inherently-floating step -> ROUND 6.
+    """WITH joint AS (
+          SELECT c_mktsegment AS x, o_orderpriority AS y,
+                 CAST(COUNT(*) AS BIGINT) AS nxy
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2
+        ), m AS (
+          SELECT nxy,
+                 SUM(nxy) OVER (PARTITION BY x) AS nx,
+                 SUM(nxy) OVER (PARTITION BY y) AS ny,
+                 SUM(nxy) OVER () AS n
+          FROM joint
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               ROUND(SUM((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+                         * ln((CAST(n AS DOUBLE) * CAST(nxy AS DOUBLE))
+                              / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))),
+                     6) + 0e0 AS mi_nats
+        FROM m""",
+)
+def mi_segment_priority(spark, sf_dir):
+    """Mutual information (nats) between customer market segment and
+    order priority (operators/analysis.mutual_information) — the
+    symmetric dependence readout beside chi2_priority_mix_by_year.
+    Joint contingency in one shuffle; margins via window sums over the
+    25-cell table; ln-sum ROUND 6."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return analysis.mutual_information(
+        j, F.col("c_mktsegment"), F.col("o_orderpriority")
+    )

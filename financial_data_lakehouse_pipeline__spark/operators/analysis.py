@@ -1137,3 +1137,146 @@ def km_survival(
         "n_events",
         (F.round(surv, round_to) + F.lit(0.0)).alias("survival"),
     )
+
+
+def decision_stump(
+    df: DataFrame,
+    keys: Sequence[str],
+    feature: Column,
+    label: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group exact best-split search for a single-feature decision
+    stump on a binary label: the threshold v minimizing weighted Gini
+    impurity of the (feature <= v | feature > v) split — the building
+    block distributed tree learners evaluate per feature per node.
+
+    Scale shape: the fact reduces FIRST to per-distinct-value class
+    counts (one shuffle); prefix sums + impurity then run over
+    CANDIDATE SPLITS ONLY (window partitioned by keys, ordered by
+    value) — for integer/binned features that's tens of rows per group
+    however large the input, exactly the histogram-split strategy
+    scalable GBDT implementations use. All counts are exact integers;
+    the impurity chain is fixed-order double math, identical on both
+    engines, so the argmin row (ties broken by smallest threshold) is
+    deterministic. Trivial splits (empty right side) are excluded;
+    single-valued groups yield no row.
+
+    Output: keys, threshold, n_left, pos_left, n_right, pos_right,
+    gain (parent Gini − weighted child Gini, ROUND'd).
+    """
+    from pyspark.sql import Window
+
+    per_v = (
+        df.select(
+            *keys,
+            feature.cast("bigint").alias("__v"),
+            F.when(label, 1).otherwise(0).alias("__y"),
+        )
+        .filter(F.col("__v").isNotNull())
+        .groupBy(*keys, "__v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__c"),
+            F.sum("__y").cast("bigint").alias("__p"),
+        )
+    )
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*keys)
+    cur = per_v.select(
+        *keys,
+        "__v",
+        F.sum("__c").over(wcum).alias("__nl"),
+        F.sum("__p").over(wcum).alias("__pl"),
+        F.sum("__c").over(wall).alias("__n"),
+        F.sum("__p").over(wall).alias("__p_tot"),
+    ).filter(F.col("__n") > F.col("__nl"))
+    nl = F.col("__nl").cast("double")
+    pl = F.col("__pl").cast("double")
+    n = F.col("__n").cast("double")
+    p = F.col("__p_tot").cast("double")
+    nr = n - nl
+    pr = p - pl
+    gl = F.lit(1.0) - (pl / nl) * (pl / nl) - ((nl - pl) / nl) * ((nl - pl) / nl)
+    gr = (
+        F.lit(1.0) - (pr / nr) * (pr / nr) - ((nr - pr) / nr) * ((nr - pr) / nr)
+    )
+    gp = F.lit(1.0) - (p / n) * (p / n) - ((n - p) / n) * ((n - p) / n)
+    wg = (nl * gl + nr * gr) / n
+    scored = cur.select(
+        *keys,
+        "__v",
+        "__nl",
+        "__pl",
+        (F.col("__n") - F.col("__nl")).cast("bigint").alias("__nr"),
+        (F.col("__p_tot") - F.col("__pl")).cast("bigint").alias("__pr"),
+        (gp - wg).alias("__gain"),
+    )
+    wbest = Window.partitionBy(*keys).orderBy(
+        F.col("__gain").desc(), F.col("__v")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(wbest))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *keys,
+            F.col("__v").alias("threshold"),
+            F.col("__nl").alias("n_left"),
+            F.col("__pl").alias("pos_left"),
+            F.col("__nr").alias("n_right"),
+            F.col("__pr").alias("pos_right"),
+            (F.round(F.col("__gain"), round_to) + F.lit(0.0)).alias("gain"),
+        )
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns —
+    the symmetric dependence measure beside the chi-square mix-shift
+    screen: MI = Σ_xy (n_xy/n)·ln(n·n_xy / (n_x·n_y)).
+
+    One shuffle to the joint contingency table; both margins come from
+    WINDOW sums over that table (partitioned by x / by y) — the fact is
+    never rescanned, and every count is an exact integer. The ln-term
+    sum is an inherently-floating aggregate → ROUND'd per the corpus
+    float convention. Output: one row (n, mi_nats).
+    """
+    from pyspark.sql import Window
+
+    joint = df.select(x.alias("__x"), y.alias("__y")).groupBy(
+        "__x", "__y"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("__nxy"))
+    nx = F.sum("__nxy").over(Window.partitionBy("__x"))
+    ny = F.sum("__nxy").over(Window.partitionBy("__y"))
+    n = F.sum("__nxy").over(
+        Window.partitionBy(F.lit(0)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    terms = joint.select(
+        F.col("__nxy"),
+        nx.alias("__nx"),
+        ny.alias("__ny"),
+        n.alias("__n"),
+    ).select(
+        F.col("__n"),
+        (
+            (F.col("__nxy").cast("double") / F.col("__n").cast("double"))
+            * F.log(
+                (F.col("__n").cast("double") * F.col("__nxy").cast("double"))
+                / (F.col("__nx").cast("double") * F.col("__ny").cast("double"))
+            )
+        ).alias("__term"),
+    )
+    return terms.groupBy().agg(
+        F.max("__n").cast("bigint").alias("n"),
+        (F.round(F.sum("__term"), round_to) + F.lit(0.0)).alias("mi_nats"),
+    )

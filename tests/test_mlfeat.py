@@ -430,3 +430,56 @@ def test_km_survival_hand_curve_and_extinction(spark):
         ).collect()
     }
     assert out2[1] == 0.5 and out2[2] == 0.0
+
+
+def test_decision_stump_recovers_planted_threshold(spark):
+    """A label that flips exactly at v<=3 must be found with gain equal
+    to the parent impurity (pure children), smallest-v tie-break."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    rows = [Row(k="a", v=v, y=(v <= 3)) for v in [1, 2, 3, 4, 5, 6]]
+    out = analysis.decision_stump(
+        spark.createDataFrame(rows), ["k"], F.col("v"), F.col("y")
+    ).collect()[0]
+    assert out["threshold"] == 3
+    assert (out["n_left"], out["pos_left"]) == (3, 3)
+    assert (out["n_right"], out["pos_right"]) == (3, 0)
+    assert out["gain"] == pytest.approx(0.5)  # parent gini 0.5 -> 0
+
+
+def test_decision_stump_single_value_group_absent(spark):
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    rows = [Row(k="solo", v=7, y=True), Row(k="solo", v=7, y=False)]
+    assert (
+        analysis.decision_stump(
+            spark.createDataFrame(rows), ["k"], F.col("v"), F.col("y")
+        ).count()
+        == 0
+    )
+
+
+def test_mutual_information_independent_and_determined(spark):
+    """MI = 0 for an independent product table; MI = ln(2) when y is a
+    function of x with two equiprobable classes."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    indep = [
+        Row(x=x, y=y) for x in ["a", "b"] for y in ["u", "v"] for _ in range(5)
+    ]
+    mi0 = analysis.mutual_information(
+        spark.createDataFrame(indep), F.col("x"), F.col("y")
+    ).collect()[0]
+    assert mi0["n"] == 20 and mi0["mi_nats"] == pytest.approx(0.0)
+
+    det = [Row(x="a", y="u")] * 6 + [Row(x="b", y="v")] * 6
+    mi1 = analysis.mutual_information(
+        spark.createDataFrame(det), F.col("x"), F.col("y")
+    ).collect()[0]
+    assert mi1["mi_nats"] == pytest.approx(math.log(2.0), abs=1e-6)

@@ -346,3 +346,65 @@ def test_weighted_percentile_matches_python_reference(spark, rows):
                 break
         assert got[q] == expect, (q, srt, got)
     assert len(out) == len(qs)
+
+
+# ---------------------------------------------------------------- round 6
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=40,
+    ),
+    width=st.sampled_from([1, 3, 7, 100]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_skyline_equals_bruteforce_any_bucket_width(spark, pts, width):
+    """The two-phase frontier must equal brute-force dominance for ANY
+    bucket width (width=100 puts everything in one bucket; width=1
+    makes every x its own bucket) — the reduction is width-invariant."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    df = spark.createDataFrame([Row(x=a, y=b) for a, b in pts])
+    got = {
+        (r["x"], r["y"])
+        for r in analysis.skyline2d_min(df, "x", "y", bucket_width=width).collect()
+    }
+    uniq = set(pts)
+    expect = {
+        p
+        for p in uniq
+        if not any(q[0] <= p[0] and q[1] <= p[1] and q != p for q in uniq)
+    }
+    assert got == expect
+
+
+@given(
+    ys=st.lists(st.integers(-1000, 1000), min_size=2, max_size=12, unique=False)
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_theil_sen_matches_python_median(spark, ys):
+    """ts_slope == the Python median of all pairwise slopes (identical
+    double arithmetic), for arbitrary integer series on x = 0..n-1."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    rows = [Row(k="g", x=i, y=y) for i, y in enumerate(ys)]
+    out = analysis.theil_sen(spark.createDataFrame(rows), ["k"], "x", "y").collect()
+    slopes = sorted(
+        (float(ys[j]) - float(ys[i])) / float(j - i)
+        for i in range(len(ys))
+        for j in range(i + 1, len(ys))
+    )
+    m = len(slopes)
+    expect = (slopes[(m - 1) // 2] + slopes[m // 2]) / 2.0
+    assert out[0]["n_pairs"] == m
+    assert out[0]["ts_slope"] == expect

@@ -129,3 +129,40 @@ def tokens(col: Column) -> Column:
     return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )
+
+
+def register_chunk_spans_udtf(spark, name: str = "chunk_spans"):
+    """Register a Python UDTF (Spark 3.5+ table function): explode a
+    text into fixed-size overlapping token-span rows
+    (chunk_id, start_token, n_tokens, chunk) — usable from SQL as
+    ``SELECT t.id, c.* FROM docs t, LATERAL chunk_spans(t.text, 5, 2) c``.
+
+    This completes the UDF-surface inventory (pandas_udf /
+    applyInPandas / mapInPandas / SQL-registered scalar / table
+    function). Engineering note pinned by tests: UDTFs run row-at-a-
+    time in Python — the HOT-path chunker stays the JVM-side
+    sequence/slice pipeline (operators/text.chunk_tokens, bit-identical
+    output, tests/test_mlprep.py asserts equivalence); reach for a UDTF
+    only when the per-row expansion logic genuinely needs Python.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, start_token int, n_tokens int, chunk string")
+    class ChunkSpans:
+        def eval(self, text: str, size: int, overlap: int):
+            if text is None or size is None or size <= 0:
+                return
+            step = max(size - (overlap or 0), 1)
+            toks = text.split()
+            if not toks:
+                return
+            cid = 0
+            for start in range(0, len(toks), step):
+                window = toks[start : start + size]
+                yield cid, start, len(window), " ".join(window)
+                cid += 1
+                if start + size >= len(toks):
+                    break
+
+    spark.udtf.register(name, ChunkSpans)
+    return ChunkSpans

@@ -374,3 +374,30 @@ def key_skew_report(
         .select(F.transform(F.col("__hot"), lambda s: s["k"]).alias("top_keys"))
     )
     return summary.crossJoin(F.broadcast(hot))
+
+
+def observed(
+    df: DataFrame,
+    name: str,
+    metrics: dict[str, Column],
+):
+    """Attach zero-cost pipeline counters via Spark's Observation API:
+    the metrics (counts, conditional counts, sums) are accumulated BY
+    THE SAME ACTION that materializes the DataFrame — no second scan,
+    which at 100 TB is the difference between free observability and
+    doubling the job (check_summary runs its own aggregation; this
+    piggybacks on work already happening, the right tool when the
+    output itself is being written anyway).
+
+    Returns (observed_df, observation). After ANY action on
+    observed_df (write, count, foreachBatch), ``observation.get``
+    yields the metric dict. Metrics must be aggregate expressions.
+    On a STREAMING DataFrame use ``DataFrame.observe(name, ...)``
+    directly and read ``progress.observedMetrics[name]`` per
+    micro-batch (pinned in tests/test_streaming.py).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    return out, obs

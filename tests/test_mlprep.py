@@ -662,3 +662,65 @@ def test_monotonic_report_hand_cases(spark):
     strict = {r.k: r for r in dq.monotonic_report(
         df, ["k"], ["i"], "v", strict=True).collect()}
     assert strict["flat"].n_violations == 1
+
+
+def test_observed_metrics_single_action(spark):
+    """dq.observed piggybacks counters on the materializing action —
+    one pass yields rows, null count, and a conditional sum."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import dq
+
+    df = spark.createDataFrame(
+        [Row(v=1, s=None), Row(v=-2, s="x"), Row(v=3, s="y")]
+    )
+    out, obs = dq.observed(
+        df,
+        "ingest",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_s": F.sum(F.when(F.col("s").isNull(), 1).otherwise(0)),
+            "n_negative": F.sum(F.when(F.col("v") < 0, 1).otherwise(0)),
+        },
+    )
+    assert out.count() == 3  # the ONLY action
+    got = obs.get
+    assert got["n_rows"] == 3
+    assert got["n_null_s"] == 1 and got["n_negative"] == 1
+
+
+def test_chunk_spans_udtf_matches_jvm_chunker(spark):
+    """The Python UDTF (SQL LATERAL table function) produces exactly the
+    JVM-side chunk_tokens output — pinning both the UDTF surface and
+    the 'hot path stays JVM-side' equivalence claim."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.functions import (
+        register_chunk_spans_udtf,
+    )
+    from financial_data_lakehouse_pipeline__spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f g h i"),
+            Row(doc_id=2, text="one two three"),
+            Row(doc_id=3, text="   "),
+            Row(doc_id=4, text="x"),
+        ]
+    )
+    register_chunk_spans_udtf(spark, "chunk_spans_t")
+    docs.createOrReplaceTempView("t_udtf_docs")
+    got = {
+        (r["doc_id"], r["chunk_id"], r["start_token"], r["n_tokens"], r["chunk"])
+        for r in spark.sql(
+            "SELECT t.doc_id, c.* FROM t_udtf_docs t, "
+            "LATERAL chunk_spans_t(t.text, 4, 2) c"
+        ).collect()
+    }
+    expect = {
+        (r["doc_id"], r["chunk_id"], r["start_tok"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in text_ops.chunk_tokens(
+            docs, size=4, stride=2
+        ).collect()
+    }
+    assert got == expect and got

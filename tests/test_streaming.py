@@ -343,3 +343,39 @@ def test_streaming_cms_multi_batch_equals_batch(spark, tmp_path):
     got_df = st.run_available_now(sk, "t_streaming_cms")
     got = {(r.d, r.w): r.cnt for r in got_df.collect()}
     assert got == want
+
+
+def test_streaming_observed_metrics_in_progress(spark, sf_dir):
+    """DataFrame.observe on a stream surfaces per-micro-batch counters
+    in query progress (observedMetrics) — free operational DQ on the
+    serving path."""
+    import os
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+    from financial_data_lakehouse_pipeline__spark.sources import normalize_event_ts
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = st.stream_from_parquet_dir(
+        spark, sf_dir, raw_schema, glob="events.parquet"
+    )
+    stream = normalize_event_ts(stream).observe(
+        "dq",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null_value"),
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_observed_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    seen = {}
+    for p in q.recentProgress:
+        om = p["observedMetrics"] if isinstance(p, dict) else p.observedMetrics
+        if om and "dq" in om:
+            row = om["dq"]
+            seen["n_rows"] = seen.get("n_rows", 0) + row["n_rows"]
+    n_input = spark.table("t_observed_stream").count()
+    assert seen.get("n_rows", 0) == n_input and n_input > 0

@@ -1677,3 +1677,51 @@ def phonetic_blocking_parts(spark, sf_dir):
         ),
         max_dist=4,
     )
+
+
+def _lpa_sql(iters: int = 2) -> str:
+    """Unrolled synchronous-LPA oracle (graph.label_propagation twin):
+    all-integer (labels are part keys, scores are counts), so every
+    iteration is exact — no float anywhere."""
+    parts = [
+        """pairs AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey < b.l_partkey
+        )""",
+        "edges AS (SELECT src, dst FROM pairs "
+        "UNION ALL SELECT dst, src FROM pairs)",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"n{t} AS (SELECT e.src AS node, l.label, "
+            f"CAST(COUNT(*) AS BIGINT) AS c "
+            f"FROM edges e JOIN l{t} l ON e.dst = l.node GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{t + 1} AS (SELECT node, label FROM ("
+            f"SELECT node, label, ROW_NUMBER() OVER ("
+            f"PARTITION BY node ORDER BY c DESC, label) AS rn FROM n{t}"
+            f") WHERE rn = 1)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, label AS community FROM l{iters}"
+    )
+
+
+@register("label_propagation_copurchase", _lpa_sql(iters=2))
+def label_propagation_copurchase(spark, sf_dir):
+    """Community detection on the part co-purchase graph via
+    synchronous label propagation (operators/graph.label_propagation):
+    2 iterations of adopt-the-modal-neighbor-label with min-label
+    tie-break — deterministic by construction, so the unrolled
+    all-integer oracle replays it exactly. Same Pregel cost shape as
+    pagerank_copurchase (keyed join + aggregation per iteration)."""
+    from financial_data_lakehouse_pipeline__spark.operators import graph
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.label_propagation(edges, iters=2)

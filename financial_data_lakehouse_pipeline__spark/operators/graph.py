@@ -403,3 +403,50 @@ def k_core(
             .localCheckpoint(eager=True)
         )
     raise RuntimeError(f"k_core did not converge in {max_iterations} rounds")
+
+
+def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """Synchronous label-propagation community detection over symmetrized
+    (src, dst) edges: every node starts as its own label; each iteration
+    every node adopts the most frequent label among its neighbors, ties
+    broken by SMALLEST label — the deterministic variant (classic async
+    LPA is order-dependent; synchronous + min-tiebreak makes the result
+    a pure function of the graph, so a plain unrolled SQL oracle can
+    replay it exactly — all-integer arithmetic, no floats anywhere).
+
+    Each iteration is one keyed join (neighbor-label lookup) + one
+    count aggregation + one argmax window over the SAME node
+    partitioning — the Pregel shape, nothing on the driver. Fixed
+    ``iters`` (2 in the corpus, matching the PageRank convention):
+    enough to merge tight co-purchase clusters while keeping the
+    oracle's unroll bounded; at scale run more iterations with the
+    same per-iteration cost profile and localCheckpoint the label
+    lineage every few rounds (the connected_components pattern).
+    Isolated nodes never appear in a symmetrized edge list and are out
+    of scope by construction.
+
+    Output: (node, community) — community = converged-so-far label.
+    """
+    from pyspark.sql import Window
+
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+    )
+    for _ in range(iters):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("__c").desc(), F.col("label").asc()
+        )
+        labels = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -1996,3 +1996,23 @@ def test_consonant_signature_examples(spark):
     assert sigs["lavendar"] == sigs["lavender"]  # vowel swap -> same key
     assert sigs["aeiou"] == "A"                  # no consonant classes
     assert sigs["Robert"] == sigs["robbert"] == "R136"
+
+
+def test_label_propagation_hand_graph(spark):
+    """Two triangles bridged by one edge, 2 synchronous iterations with
+    min-label tie-break — labels hand-traced (pins the deterministic
+    semantics the unrolled oracle replays)."""
+    from financial_data_lakehouse_pipeline__spark.operators import graph
+
+    pairs = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in pairs]
+        + [Row(src=b, dst=a) for a, b in pairs]
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in graph.label_propagation(edges, iters=2).collect()
+    }
+    # iter1: {1:2, 2:1, 3:1, 10:3, 11:10, 12:10}
+    # iter2: {1:1, 2:1, 3:1, 10:10, 11:3, 12:3}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 3, 12: 3}

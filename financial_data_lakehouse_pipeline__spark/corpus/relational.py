@@ -1725,3 +1725,37 @@ def label_propagation_copurchase(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
     edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return graph.label_propagation(edges, iters=2)
+
+
+@register(
+    "exact_median_selection_prices",
+    # The oracle takes the k-th row of a full sort; the engine finds the
+    # same value by iterative histogram selection — agreement checks the
+    # selection algorithm against the sort-based ground truth.
+    """WITH c AS (
+          SELECT CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT) AS v
+          FROM lineitem
+        ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+        r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM c)
+        SELECT nn.n, (nn.n + 1) // 2 AS k, r.v AS kth_cents
+        FROM r, nn WHERE rn = (nn.n + 1) // 2""",
+)
+def exact_median_selection_prices(spark, sf_dir):
+    """EXACT global median of price cents by iterative histogram
+    selection (operators/aggregates.exact_kth_element) — no global
+    sort: log_B(range) pushdown-friendly range-filtered passes with
+    O(B) driver bytes per round. The exact counterpart to the KLL
+    sketch for the 100 TB regime where sort-based percentiles
+    (percentile_cont_prices) stop being viable; the oracle IS the
+    sort-based ground truth, so a green row certifies the selection."""
+    from financial_data_lakehouse_pipeline__spark.operators import aggregates as agg_ops
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.expr("CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT)")
+    vals = li.select(cents.alias("__v"))
+    n = vals.count()
+    k = (n + 1) // 2
+    kth = agg_ops.exact_kth_element(vals, F.col("__v"), k)
+    return spark.createDataFrame(
+        [(n, k, kth)], "n bigint, k bigint, kth_cents bigint"
+    )

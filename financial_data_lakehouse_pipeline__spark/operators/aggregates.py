@@ -479,3 +479,67 @@ def weighted_percentile_disc(
         .withColumn("q", F.explode(matched))
         .select(*keys, "q", F.col(value_col).alias(out))
     )
+
+
+def exact_kth_element(
+    df: DataFrame,
+    value: Column,
+    k: int,
+    num_buckets: int = 1024,
+    exact_cutoff: int = 100_000,
+) -> int:
+    """Exact k-th smallest (1-indexed) of an integer column WITHOUT a
+    global sort: iterative histogram refinement — bucket the candidate
+    range, count per bucket (one aggregation pass, ≤ num_buckets rows
+    to the driver), descend into the bucket containing rank k, repeat.
+    log_B(range) passes over a range-filtered scan (the filter is
+    pushdown-friendly), O(B) driver bytes per round — at 100 TB this is
+    the exact-median answer where a global sort is unrunnable and the
+    KLL sketch (approx_percentile) only bounds the rank error. Once the
+    candidate set fits ``exact_cutoff`` it finishes with one small
+    sort. Returns the value as a Python int (the driver-side scalar the
+    search maintains); callers wanting a DataFrame wrap it.
+    """
+    vals = df.select(value.cast("bigint").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    row = vals.agg(
+        F.min("__v").alias("lo"),
+        F.max("__v").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    lo, hi, n = row["lo"], row["hi"], row["n"]
+    if n == 0 or not (1 <= k <= n):
+        raise ValueError(f"k={k} out of range for n={n}")
+    remaining_k = k
+    cur = vals
+    cur_count = n
+    while hi > lo:
+        if cur_count <= exact_cutoff:
+            return (
+                cur.orderBy("__v")
+                .limit(remaining_k)
+                .agg(F.max("__v").alias("v"))
+                .collect()[0]["v"]
+            )
+        width = (hi - lo + num_buckets) // num_buckets
+        hist = (
+            # integer DIV, not float division: exact at any magnitude
+            # (a double quotient degrades past 2^53)
+            cur.groupBy(F.expr(f"(__v - {lo}) DIV {width}").alias("__b"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()
+        )
+        counts = {r["__b"]: r["__c"] for r in hist}
+        cum = 0
+        for b in sorted(counts):
+            if cum + counts[b] >= remaining_k:
+                remaining_k -= cum
+                lo_new = lo + b * width
+                hi = min(hi, lo_new + width - 1)
+                lo = lo_new
+                break
+            cum += counts[b]
+        cur = cur.filter((F.col("__v") >= lo) & (F.col("__v") <= hi))
+        cur_count = counts[b]
+    return lo

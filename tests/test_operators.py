@@ -2016,3 +2016,37 @@ def test_label_propagation_hand_graph(spark):
     # iter1: {1:2, 2:1, 3:1, 10:3, 11:10, 12:10}
     # iter2: {1:1, 2:1, 3:1, 10:10, 11:3, 12:3}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 3, 12: 3}
+
+
+def test_exact_kth_element_all_paths(spark):
+    """Histogram-descent path (tiny cutoff/buckets forces real rounds)
+    and the small-sort path agree with Python sorted() for k = 1, n,
+    median — including duplicates and negatives."""
+    import random
+
+    from financial_data_lakehouse_pipeline__spark.operators import (
+        aggregates as agg_ops,
+    )
+
+    rng = random.Random(7)
+    vals = [rng.randint(-500, 500) for _ in range(400)] + [0] * 20
+    df = spark.createDataFrame([Row(v=v) for v in vals])
+    ref = sorted(vals)
+    for k in [1, len(vals), (len(vals) + 1) // 2, 17]:
+        got_hist = agg_ops.exact_kth_element(
+            df, F.col("v"), k, num_buckets=8, exact_cutoff=10
+        )
+        got_sort = agg_ops.exact_kth_element(
+            df, F.col("v"), k, num_buckets=8, exact_cutoff=10_000
+        )
+        assert got_hist == got_sort == ref[k - 1], k
+
+
+def test_exact_kth_element_rejects_bad_k(spark):
+    from financial_data_lakehouse_pipeline__spark.operators import (
+        aggregates as agg_ops,
+    )
+
+    df = spark.createDataFrame([Row(v=1), Row(v=2)])
+    with pytest.raises(ValueError):
+        agg_ops.exact_kth_element(df, F.col("v"), 3)

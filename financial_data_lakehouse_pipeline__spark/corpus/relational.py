@@ -1759,3 +1759,42 @@ def exact_median_selection_prices(spark, sf_dir):
     return spark.createDataFrame(
         [(n, k, kth)], "n bigint, k bigint, kth_cents bigint"
     )
+
+
+@register(
+    "k_anonymity_customers",
+    # All-integer aggregation: exact group sizes and exact distinct
+    # counts, no floats anywhere.
+    """WITH g AS (
+          SELECT c_mktsegment, c_nationkey,
+                 CAST(FLOOR(c_acctbal / 1000e0) AS BIGINT) AS bal_band,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT c_custkey % 7) AS BIGINT) AS l
+          FROM customer GROUP BY 1, 2, 3
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               MIN(n) AS k_anonymity,
+               CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS groups_below_k,
+               CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                 AS rows_below_k,
+               MIN(l) AS l_diversity_min,
+               CAST(SUM(CASE WHEN l <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS groups_single_sensitive
+        FROM g""",
+)
+def k_anonymity_customers(spark, sf_dir):
+    """k-anonymity / l-diversity screen (operators/dq.
+    k_anonymity_report) on customers: quasi-identifiers = (market
+    segment, nation, $1000 balance band), sensitive attribute = a
+    7-class synthetic label (custkey mod 7 — the testdata carries no
+    real sensitive column; the grouping logic is what's under test).
+    Single QI-keyed aggregation; every output an exact integer."""
+    from financial_data_lakehouse_pipeline__spark.operators import dq as dq_ops
+
+    c = read_table(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.expr("CAST(FLOOR(c_acctbal / 1000e0) AS BIGINT)")
+    ).withColumn("sens", F.expr("c_custkey % 7"))
+    return dq_ops.k_anonymity_report(
+        c, ["c_mktsegment", "c_nationkey", "bal_band"], "sens", k=5
+    )

@@ -401,3 +401,42 @@ def observed(
     obs = Observation(name)
     out = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
     return out, obs
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    sensitive: str,
+    k: int = 5,
+) -> DataFrame:
+    """Data-governance screen before a dataset leaves the lake:
+    k-anonymity (every quasi-identifier combination must describe >= k
+    rows) and l-diversity (each combination must carry more than one —
+    ideally >= l — distinct sensitive values, or the 'anonymous' group
+    still leaks the attribute).
+
+    One aggregation over the QI key: per-combination row count and
+    exact distinct-sensitive count, rolled into a single summary row —
+    anonymity level (the minimum group size), number of violating
+    combinations/rows under ``k``, and the minimum sensitive diversity.
+    Cost: one shuffle on the QI columns; the distinct count rides the
+    same aggregation (count_distinct partial-aggregates map-side).
+    """
+    g = df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.count_distinct(F.col(sensitive)).cast("bigint").alias("__l"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("__n").alias("k_anonymity"),
+        F.sum(F.when(F.col("__n") < k, 1).otherwise(0))
+        .cast("bigint")
+        .alias("groups_below_k"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("rows_below_k"),
+        F.min("__l").alias("l_diversity_min"),
+        F.sum(F.when(F.col("__l") <= 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("groups_single_sensitive"),
+    )

@@ -724,3 +724,23 @@ def test_chunk_spans_udtf_matches_jvm_chunker(spark):
         ).collect()
     }
     assert got == expect and got
+
+
+def test_k_anonymity_report_hand_values(spark):
+    """Hand-built groups: sizes 3 and 6 under k=5 -> k_anonymity=3, one
+    violating group of 3 rows; one group has a single sensitive value."""
+    rows = (
+        [Row(seg="A", nat=1, s="x")] * 3
+        + [Row(seg="B", nat=1, s="x")] * 3
+        + [Row(seg="B", nat=1, s="y")] * 3
+    )
+    from financial_data_lakehouse_pipeline__spark.operators import dq
+
+    out = dq.k_anonymity_report(
+        spark.createDataFrame(rows), ["seg", "nat"], "s", k=5
+    ).collect()[0]
+    assert out["n_groups"] == 2
+    assert out["k_anonymity"] == 3
+    assert out["groups_below_k"] == 1 and out["rows_below_k"] == 3
+    assert out["l_diversity_min"] == 1
+    assert out["groups_single_sensitive"] == 1

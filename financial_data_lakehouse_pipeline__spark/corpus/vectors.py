@@ -703,3 +703,104 @@ def knn_label_eval(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 10 == 0)
     return similarity.knn_classify(q, emb, k=5)
+
+
+@register(
+    "ann_recall_signlsh",
+    # Both retrieval pipelines are deterministic (identical cosine
+    # doubles, neighbor_id tie-break), so the per-query recall table is
+    # exact — the oracle rebuilds BOTH and intersects, no sampling.
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+              FROM embeddings),
+        ex_scored AS (
+          SELECT query_id, neighbor_id, {_cosine_sql('qv', 'cv')} AS cosine
+          FROM c, q WHERE query_id <> neighbor_id
+        ),
+        ex AS (SELECT query_id, neighbor_id FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS rn
+                 FROM ex_scored) WHERE rn <= 5),
+        qb AS (SELECT vec_id AS query_id, embedding AS qv,
+                      {_bucket_proj_sql('embedding', _HYPERPLANES_TOPK)} AS b
+               FROM embeddings WHERE vec_id < 20),
+        cb AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                      {_bucket_proj_sql('embedding', _HYPERPLANES_TOPK)} AS b
+               FROM embeddings),
+        ap_scored AS (
+          SELECT query_id, neighbor_id, {_cosine_sql('qv', 'cv')} AS cosine
+          FROM cb JOIN qb USING (b) WHERE query_id <> neighbor_id
+        ),
+        ap AS (SELECT query_id, neighbor_id FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS rn
+                 FROM ap_scored) WHERE rn <= 5),
+        en AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+               FROM ex GROUP BY 1),
+        an AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx
+               FROM ap GROUP BY 1),
+        ov AS (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+               FROM ex e JOIN ap a
+                 ON e.query_id = a.query_id
+                AND e.neighbor_id = a.neighbor_id
+               GROUP BY 1)
+        SELECT en.query_id, en.n_exact,
+               COALESCE(an.n_approx, 0) AS n_approx,
+               COALESCE(ov.n_overlap, 0) AS n_overlap,
+               CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE)
+                 / CAST(en.n_exact AS DOUBLE) AS recall
+        FROM en
+        LEFT JOIN an ON en.query_id = an.query_id
+        LEFT JOIN ov ON en.query_id = ov.query_id""",
+)
+def ann_recall_signlsh(spark, sf_dir):
+    """Recall@5 evaluation of the sign-LSH ANN path against exact
+    brute-force retrieval for the same 20 queries — the eval harness
+    every production ANN deployment runs before trusting the index.
+    Both pipelines are deterministic here (seeded hyperplanes, md5-free
+    pure float math, neighbor-id tie-break), so recall is an exact
+    per-query table the oracle reproduces bit-for-bit, not a sampled
+    estimate. At 100 TB: run the exact arm on a fixed query panel only
+    (brute force over the corpus is one broadcast-join scan per
+    panel)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(q, emb, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.signlsh_topk(
+        q, emb, k=5, hyperplanes=_HYPERPLANES_TOPK
+    ).select("query_id", "neighbor_id")
+    en = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    an = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_approx")
+    )
+    ov = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    out = (
+        en.join(an, "query_id", "left")
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_approx"), F.lit(0).cast("bigint")).alias(
+                "n_approx"
+            ),
+            F.coalesce(F.col("n_overlap"), F.lit(0).cast("bigint")).alias(
+                "n_overlap"
+            ),
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0).cast("bigint")).cast(
+                    "double"
+                )
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
+    return out

@@ -969,8 +969,13 @@ def spearman_rho(
     ranking) within the same partitioning, then the grouped aggregate.
     """
     dec = "decimal(38,0)"
+    # NULLs must not occupy ranks: Spark orders NULLS FIRST ascending,
+    # DuckDB NULLS LAST, so an unfiltered NULL would shift every real
+    # row's rank differently per engine (trimmed_mean convention).
     ranked = df.select(
         *keys, x.alias("__xv"), y.alias("__yv")
+    ).filter(
+        F.col("__xv").isNotNull() & F.col("__yv").isNotNull()
     ).select(
         *keys,
         _double_rank(keys, "__xv").alias("__rx"),
@@ -1025,7 +1030,10 @@ def mann_whitney_u(
     from pyspark.sql import Window
 
     dec = "decimal(38,0)"
-    base = df.select(*keys, value.alias("__v"), group.alias("__g"))
+    # same NULL-rank discipline as spearman_rho / trimmed_mean
+    base = df.select(*keys, value.alias("__v"), group.alias("__g")).filter(
+        F.col("__v").isNotNull()
+    )
     w = Window.partitionBy(*keys).orderBy("__v")
     cnt_le = F.count(F.lit(1)).over(
         w.rangeBetween(Window.unboundedPreceding, Window.currentRow)

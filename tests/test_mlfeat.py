@@ -483,3 +483,38 @@ def test_mutual_information_independent_and_determined(spark):
         spark.createDataFrame(det), F.col("x"), F.col("y")
     ).collect()[0]
     assert mi1["mi_nats"] == pytest.approx(math.log(2.0), abs=1e-6)
+
+
+def test_rank_stats_ignore_null_values(spark):
+    """NULL observations must not occupy ranks (Spark NULLS FIRST vs
+    DuckDB NULLS LAST would shift every real rank cross-engine):
+    results equal the null-free computation."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    clean = [Row(k="a", x=i, y=i, g=(i % 2 == 0)) for i in range(1, 7)]
+    dirty = clean + [
+        Row(k="a", x=None, y=3, g=True),
+        Row(k="a", x=2, y=None, g=False),
+        Row(k="a", x=None, y=None, g=True),
+    ]
+    rho_c = analysis.spearman_rho(
+        spark.createDataFrame(clean), ["k"], F.col("x"), F.col("y")
+    ).collect()[0]
+    rho_d = analysis.spearman_rho(
+        spark.createDataFrame(dirty), ["k"], F.col("x"), F.col("y")
+    ).collect()[0]
+    assert (rho_c["n_rows"], rho_c["rho"]) == (rho_d["n_rows"], rho_d["rho"])
+
+    dirty_v = [Row(k="a", v=v, g=(i % 2 == 0)) for i, v in enumerate([1, 2, 3, 4])]
+    mwu_c = analysis.mann_whitney_u(
+        spark.createDataFrame(dirty_v), ["k"], F.col("v"), F.col("g")
+    ).collect()[0]
+    mwu_d = analysis.mann_whitney_u(
+        spark.createDataFrame(dirty_v + [Row(k="a", v=None, g=True)]),
+        ["k"], F.col("v"), F.col("g"),
+    ).collect()[0]
+    assert (mwu_c["n_treat"], mwu_c["u_stat"], mwu_c["z_stat"]) == (
+        mwu_d["n_treat"], mwu_d["u_stat"], mwu_d["z_stat"]
+    )

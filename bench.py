@@ -64,6 +64,9 @@ HEADLINE = [
     "important_stock_q11",       # TPC-H Q11 checkpointed agg + global scalar
     "prefix_jaccard_pairs_docs", # LLM: prefix-filtered exact set-similarity
     "pareto_frontier_parts",     # two-phase bucketed skyline
+    "label_propagation_copurchase",  # iterative modal-label communities
+    "spearman_quantity_price_supplier",  # double-midrank windows + moments
+    "exact_median_selection_prices",  # iterative histogram selection
     "cms_heavy_users",           # sketch-pruned heavy hitters (CMS + verify)
     "hist_quantiles_order_totals",  # histogram-sketch quantiles
     "hll_estimate_custkey",      # md5 HyperLogLog estimate

@@ -357,3 +357,99 @@ def streaming_hist_order_totals(spark, sf_dir):
     )
     out = sk.histogram_sketch(stream, "o_totalprice", _HLO, _HHI, _HBINS)
     return st.run_available_now(out, "corpus_streaming_hist_orders")
+
+
+@register(
+    "hll_merge_rollup_regions",
+    # Nation-level registers MAX-merge into region registers; the
+    # estimate chain is the hll_estimate twin GROUPed by region; the
+    # exact distinct rides alongside so the sketch error is visible in
+    # the result itself. All register math is md5-exact; only ln is
+    # floating (ROUND 6).
+    f"""WITH j AS (
+          SELECT r_name, n_nationkey AS nk, o_custkey
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE o_custkey IS NOT NULL
+        ),
+        hsh AS (
+          SELECT r_name, nk,
+                 CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13))
+                      AS BIGINT) AS h
+          FROM j
+        ),
+        br AS (
+          SELECT r_name, nk, CAST(h % {_HLL_M} AS INT) AS bucket,
+                 CAST(FLOOR(h / {_HLL_M}e0) AS BIGINT) AS rest
+          FROM hsh
+        ),
+        rk AS (
+          SELECT r_name, nk, bucket,
+                 CASE WHEN rest = 0 THEN {_HLL_NBITS + 1}
+                      ELSE CAST(FLOOR(log2(CAST((rest & -rest) AS DOUBLE)))
+                                AS INT) + 1
+                 END AS rank
+          FROM br
+        ),
+        skn AS (SELECT r_name, nk, bucket, MAX(rank) AS max_rank
+                FROM rk GROUP BY 1, 2, 3),
+        skr AS (SELECT r_name, bucket, CAST(MAX(max_rank) AS INT) AS max_rank
+                FROM skn GROUP BY 1, 2),
+        agg AS (
+          SELECT r_name, CAST(COUNT(*) AS BIGINT) AS v,
+                 SUM(POWER(2e0, -max_rank)) AS s
+          FROM skr GROUP BY 1
+        ),
+        e AS (
+          SELECT r_name, v,
+                 {_HLL_ALPHA * _HLL_M * _HLL_M!r}e0
+                   / (s + CAST({_HLL_M} - v AS DOUBLE)) AS raw,
+                 {_HLL_M} - v AS zeros
+          FROM agg
+        ),
+        x AS (SELECT r_name, CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                       AS exact_distinct
+              FROM j GROUP BY 1)
+        SELECT e.r_name, v AS n_buckets_used,
+               ROUND(CASE WHEN raw <= {2.5 * _HLL_M!r}e0 AND zeros > 0
+                          THEN {float(_HLL_M)!r}e0
+                               * LN({float(_HLL_M)!r}e0
+                                    / CAST(zeros AS DOUBLE))
+                          ELSE raw END, 6) AS estimate,
+               x.exact_distinct
+        FROM e JOIN x ON e.r_name = x.r_name""",
+)
+def hll_merge_rollup_regions(spark, sf_dir):
+    """THE mergeability demo: per-nation HLL registers of ordering
+    customers MAX-merge into per-region registers
+    (operators/sketches.hll_sketch_grouped -> hll_merge ->
+    hll_estimate_grouped) — the region estimates come from 2^p-int
+    sketch states, never re-touching raw rows: the property that makes
+    100 TB distinct-count rollup cubes storable and re-aggregable.
+    The exact per-region distinct rides in the same result so the
+    sketch error is auditable; register math is md5-exact on both
+    engines, estimate ROUND 6 (ln only)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select("r_name", F.col("n_nationkey").alias("nk"), "o_custkey")
+    )
+    skn = sketches.hll_sketch_grouped(j, ["r_name", "nk"], "o_custkey", p=_HLL_P)
+    skr = sketches.hll_merge(skn, ["r_name"])
+    est = sketches.hll_estimate_grouped(skr, ["r_name"], p=_HLL_P)
+    exact = j.groupBy("r_name").agg(
+        F.count_distinct(F.col("o_custkey")).cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "r_name").select(
+        "r_name",
+        "n_buckets_used",
+        F.round("estimate", 6).alias("estimate"),
+        "exact_distinct",
+    )

@@ -379,3 +379,75 @@ def bloom_pruned_anti_join(
         right, uncertain[left_key] == right[right_key], "left_anti"
     )
     return certain_absent.unionByName(verified)
+
+
+def _hll_bucket_rank(key: Column, p: int) -> tuple[Column, Column]:
+    """(bucket, rank) columns for one key — the md5 hash layout of
+    :func:`hll_sketch`, factored for the grouped/merge variants."""
+    nbits = 52 - p
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 13), 16, 10).cast(
+        "bigint"
+    )
+    bucket = (h % F.lit(2**p)).cast("int")
+    rest = F.floor(h / F.lit(float(2**p))).cast("bigint")
+    low = rest.bitwiseAND(-rest)
+    rank = F.when(rest == 0, F.lit(nbits + 1)).otherwise(
+        F.floor(F.log2(low.cast("double"))).cast("int") + F.lit(1)
+    )
+    return bucket, rank
+
+
+def hll_sketch_grouped(
+    df: DataFrame, keys: Sequence[str], key_col: str, p: int = 8
+) -> DataFrame:
+    """Per-group HLL registers: (keys..., bucket, max_rank) — the
+    pre-aggregated sketch layer of a rollup cube. 2^p tiny rows per
+    group, one shuffle; see :func:`hll_merge` for why this layer is
+    the thing a 100 TB pipeline stores."""
+    key = F.col(key_col)
+    bucket, rank = _hll_bucket_rank(key, p)
+    return (
+        df.filter(key.isNotNull())
+        .select(*keys, bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rank").cast("int").alias("max_rank"))
+    )
+
+
+def hll_merge(sketch: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Merge HLL register sets by MAX onto coarser keys — the sketch
+    property that makes 100 TB rollups free: day/nation-level sketches
+    (2^p ints each) combine into month/region estimates WITHOUT
+    touching a single raw row again, and MAX is associative/commutative
+    so partial aggregation and re-partitioning cannot change the
+    result. Input: (finer keys..., bucket, max_rank); ``keys`` = the
+    coarser grouping to keep."""
+    return sketch.groupBy(*keys, "bucket").agg(
+        F.max("max_rank").cast("int").alias("max_rank")
+    )
+
+
+def hll_estimate_grouped(
+    sketch: DataFrame, keys: Sequence[str], p: int = 8
+) -> DataFrame:
+    """Per-group cardinality estimates from register sets — the same
+    harmonic-mean + linear-counting chain as :func:`hll_estimate`,
+    grouped. Output: keys..., n_buckets_used, estimate."""
+    m = 2**p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = sketch.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__v"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("__s"),
+    )
+    harm = F.col("__s") + (F.lit(m) - F.col("__v")).cast("double")
+    raw = F.lit(alpha * m * m) / harm
+    zeros = F.lit(m) - F.col("__v")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *keys,
+        F.col("__v").alias("n_buckets_used"),
+        est.alias("estimate"),
+    )

@@ -2050,3 +2050,23 @@ def test_exact_kth_element_rejects_bad_k(spark):
     df = spark.createDataFrame([Row(v=1), Row(v=2)])
     with pytest.raises(ValueError):
         agg_ops.exact_kth_element(df, F.col("v"), 3)
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    """MAX-merging finer-grained register sets must yield EXACTLY the
+    registers of a sketch built directly at the coarser grain — the
+    associativity that makes sketch rollup cubes sound."""
+    from financial_data_lakehouse_pipeline__spark.operators import sketches
+
+    rows = [
+        Row(g="r1", sub=s, k=f"k{i % 37}")
+        for s in ("a", "b", "c")
+        for i in range(200)
+    ] + [Row(g="r2", sub="z", k=f"q{i}") for i in range(50)]
+    df = spark.createDataFrame(rows)
+    fine = sketches.hll_sketch_grouped(df, ["g", "sub"], "k", p=6)
+    merged = sketches.hll_merge(fine, ["g"])
+    direct = sketches.hll_sketch_grouped(df, ["g"], "k", p=6)
+    m = {(r["g"], r["bucket"]): r["max_rank"] for r in merged.collect()}
+    d = {(r["g"], r["bucket"]): r["max_rank"] for r in direct.collect()}
+    assert m == d and m

@@ -1754,11 +1754,12 @@ def exact_median_selection_prices(spark, sf_dir):
     cents = F.expr("CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT)")
     vals = li.select(cents.alias("__v"))
     n = vals.count()
+    schema = "n bigint, k bigint, kth_cents bigint"
+    if n == 0:  # empty lake partition — no median to select
+        return spark.createDataFrame([], schema)
     k = (n + 1) // 2
     kth = agg_ops.exact_kth_element(vals, F.col("__v"), k)
-    return spark.createDataFrame(
-        [(n, k, kth)], "n bigint, k bigint, kth_cents bigint"
-    )
+    return spark.createDataFrame([(n, k, kth)], schema)
 
 
 @register(

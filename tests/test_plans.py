@@ -586,3 +586,10 @@ def test_theilsen_pairs_join_on_group_key(spark, sf_dir):
     df = _q("theilsen_weekly_revenue")(spark, sf_dir)
     plan = plans.formatted_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_spearman_single_exchange(spark, sf_dir):
+    """Both rank passes and the moment aggregation share ONE hash
+    partitioning on the supplier key — exactly one shuffle."""
+    df = _q("spearman_quantity_price_supplier")(spark, sf_dir)
+    assert plans.count_exchanges(df) == 1

@@ -146,20 +146,34 @@ def main() -> None:
         }
     )
     # Hard guard on the tail-window budget (with slack for the driver's
-    # own framing). 2-decimal fallback first; truncating the per-query
-    # dict would hide data, so fail loudly if even that can't fit.
-    if len(line) > 1800:
-        line = json.dumps(
+    # own framing). Degrade in steps that keep the line PARSEABLE —
+    # never abort before printing (with >=2 long error entries the old
+    # assert killed the whole line, the exact failure it existed to
+    # prevent): (1) full detail, (2) 2-decimal timings, (3) error
+    # messages truncated to names + first 40 chars, (4) last resort:
+    # drop per-query detail, keep total + error names.
+    def _line(ts, errs):
+        return json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in timings.items()},
+                "queries": ts,
                 "sf": sf,
-                **({"errors": errors} if errors else {}),
+                **({"errors": errs} if errs else {}),
             }
         )
-    assert len(line) <= 1800, f"bench result line too long: {len(line)}"
+
+    line = _line(timings, errors)
+    if len(line) > 1800:
+        line = _line({k: round(v, 2) for k, v in timings.items()}, errors)
+    if len(line) > 1800:
+        line = _line(
+            {k: round(v, 2) for k, v in timings.items()},
+            {k: v[:40] for k, v in errors.items()},
+        )
+    if len(line) > 1800:
+        line = _line({}, {k: "" for k in errors})
     print(line)
     spark.stop()
 

@@ -1753,12 +1753,15 @@ def exact_median_selection_prices(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
     cents = F.expr("CAST(FLOOR(l_extendedprice * 100e0 + 5e-1) AS BIGINT)")
     vals = li.select(cents.alias("__v"))
-    n = vals.count()
     schema = "n bigint, k bigint, kth_cents bigint"
-    if n == 0:  # empty lake partition — no median to select
+    try:
+        # callable k: n comes from the operator's own min/max/count
+        # aggregation — no separate count() pass over the fact
+        n, k, kth = agg_ops.exact_kth_element(
+            vals, F.col("__v"), lambda n: (n + 1) // 2, with_stats=True
+        )
+    except ValueError:  # empty lake partition — no median to select
         return spark.createDataFrame([], schema)
-    k = (n + 1) // 2
-    kth = agg_ops.exact_kth_element(vals, F.col("__v"), k)
     return spark.createDataFrame([(n, k, kth)], schema)
 
 

@@ -484,10 +484,11 @@ def weighted_percentile_disc(
 def exact_kth_element(
     df: DataFrame,
     value: Column,
-    k: int,
+    k,
     num_buckets: int = 1024,
     exact_cutoff: int = 100_000,
-) -> int:
+    with_stats: bool = False,
+):
     """Exact k-th smallest (1-indexed) of an integer column WITHOUT a
     global sort: iterative histogram refinement — bucket the candidate
     range, count per bucket (one aggregation pass, ≤ num_buckets rows
@@ -498,7 +499,10 @@ def exact_kth_element(
     KLL sketch (approx_percentile) only bounds the rank error. Once the
     candidate set fits ``exact_cutoff`` it finishes with one small
     sort. Returns the value as a Python int (the driver-side scalar the
-    search maintains); callers wanting a DataFrame wrap it.
+    search maintains); callers wanting a DataFrame wrap it. ``k`` may be
+    a callable n -> rank (e.g. the median ``lambda n: (n + 1) // 2``) so
+    callers need no separate count() pass — n rides the operator's own
+    min/max/count aggregation; ``with_stats=True`` returns (n, k, value).
     """
     vals = df.select(value.cast("bigint").alias("__v")).filter(
         F.col("__v").isNotNull()
@@ -509,19 +513,29 @@ def exact_kth_element(
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     lo, hi, n = row["lo"], row["hi"], row["n"]
+    if callable(k):
+        k = k(n) if n else 0
     if n == 0 or not (1 <= k <= n):
         raise ValueError(f"k={k} out of range for n={n}")
+    # loud guard: (__v - lo) in the bucket expression is BIGINT Spark-side
+    # and would wrap silently if the value range spanned >= 2^63 (Python
+    # arithmetic here is arbitrary-precision, so check explicitly)
+    if hi - lo >= 2**62:
+        raise ValueError(
+            f"value range [{lo}, {hi}] too wide for BIGINT bucket arithmetic"
+        )
     remaining_k = k
     cur = vals
     cur_count = n
     while hi > lo:
         if cur_count <= exact_cutoff:
-            return (
+            got = (
                 cur.orderBy("__v")
                 .limit(remaining_k)
                 .agg(F.max("__v").alias("v"))
                 .collect()[0]["v"]
             )
+            return (n, k, got) if with_stats else got
         width = (hi - lo + num_buckets) // num_buckets
         hist = (
             # integer DIV, not float division: exact at any magnitude
@@ -542,4 +556,4 @@ def exact_kth_element(
             cum += counts[b]
         cur = cur.filter((F.col("__v") >= lo) & (F.col("__v") <= hi))
         cur_count = counts[b]
-    return lo
+    return (n, k, lo) if with_stats else lo

@@ -1030,9 +1030,12 @@ def mann_whitney_u(
     from pyspark.sql import Window
 
     dec = "decimal(38,0)"
-    # same NULL-rank discipline as spearman_rho / trimmed_mean
+    # NULL-rank discipline (spearman_rho / trimmed_mean), and rows whose
+    # GROUP membership is unknown (NULL) are excluded rather than
+    # silently lumped into the control arm — they'd occupy ranks and
+    # bias U/z against a scipy run on the two actual arms.
     base = df.select(*keys, value.alias("__v"), group.alias("__g")).filter(
-        F.col("__v").isNotNull()
+        F.col("__v").isNotNull() & F.col("__g").isNotNull()
     )
     w = Window.partitionBy(*keys).orderBy("__v")
     cnt_le = F.count(F.lit(1)).over(

@@ -239,22 +239,14 @@ def hll_sketch(
     the CMS cells (by SUM) and histogram bins (by SUM). State: 2^p tiny
     ints regardless of cardinality.
     """
-    nbits = 52 - p
     key = F.col(key_col)
-    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 13), 16, 10).cast(
-        "bigint"
-    )
-    bucket = h % F.lit(2**p)
-    rest = F.floor(h / F.lit(float(2**p))).cast("bigint")
-    # lowest set bit index (0-based) of rest = floor(log2(rest & -rest));
-    # rank is 1-based, and all-zero rest saturates at nbits+1
-    low = rest.bitwiseAND(-rest)
-    rank = F.when(
-        rest == 0, F.lit(nbits + 1)
-    ).otherwise(F.floor(F.log2(low.cast("double"))).cast("int") + F.lit(1))
+    # hash layout shared with the grouped/merge family — ONE
+    # implementation (_hll_bucket_rank), so the merged==direct register
+    # invariant can't silently desynchronize
+    bucket, rank = _hll_bucket_rank(key, p)
     return (
         df.filter(key.isNotNull())
-        .select(bucket.cast("int").alias("bucket"), rank.alias("rank"))
+        .select(bucket.alias("bucket"), rank.alias("rank"))
         .groupBy("bucket")
         .agg(F.max("rank").cast("int").alias("max_rank"))
     )

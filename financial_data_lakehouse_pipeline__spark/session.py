@@ -100,10 +100,32 @@ def build_session(
             total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
         except (ValueError, OSError, AttributeError):
             total = 0
-        for path in (
-            "/sys/fs/cgroup/memory.max",  # cgroup v2
-            "/sys/fs/cgroup/memory/memory.limit_in_bytes",  # cgroup v1
-        ):
+        # Resolve the process's OWN cgroup path first: a container
+        # limited in a CHILD cgroup (K8s/systemd without a private
+        # cgroup namespace) has no limit at the root files, so reading
+        # only those would still size the heap off host RAM.
+        own_paths: list[str] = []
+        try:
+            with open("/proc/self/cgroup") as fh:
+                for ln in fh:
+                    parts = ln.strip().split(":", 2)
+                    if len(parts) == 3:
+                        hier, ctrl, cpath = parts
+                        if hier == "0":  # cgroup v2 unified
+                            own_paths.append(
+                                f"/sys/fs/cgroup{cpath}/memory.max"
+                            )
+                        elif "memory" in ctrl.split(","):
+                            own_paths.append(
+                                f"/sys/fs/cgroup/memory{cpath}"
+                                "/memory.limit_in_bytes"
+                            )
+        except OSError:
+            pass
+        for path in own_paths + [
+            "/sys/fs/cgroup/memory.max",  # cgroup v2 root
+            "/sys/fs/cgroup/memory/memory.limit_in_bytes",  # cgroup v1 root
+        ]:
             try:
                 with open(path) as fh:
                     raw = fh.read().strip()

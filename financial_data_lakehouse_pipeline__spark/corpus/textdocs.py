@@ -355,6 +355,38 @@ def prefix_jaccard_skewed_docs(spark, sf_dir):
     return dedup.prefix_filter_jaccard_pairs(d, n=3, threshold=0.5)
 
 
+@register(
+    "containment_pairs_docs",
+    # Same shingle/common/sizes CTEs as the Jaccard family; only the
+    # denominator changes (min size instead of union) — row-wise double
+    # division, no rounding needed.
+    f"""WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(c AS DOUBLE) / LEAST(sa.sz, sb.sz) AS containment
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / LEAST(sa.sz, sb.sz) >= 0.9""",
+)
+def containment_pairs_docs(spark, sf_dir):
+    """Asymmetric near-dup pairs by shingle containment >= 0.9
+    (operators/dedup.containment_pairs): |A∩B| / min(|A|,|B|) — the
+    overlap coefficient that catches a short document embedded verbatim
+    in a longer one (quotes, excerpts, boilerplate inclusion), where
+    Jaccard stays low because the union is large. Same posting-list
+    equi-join cost shape as ngram_jaccard_pairs_docs; the
+    subset-duplicate semantics are pinned by a planted-excerpt unit
+    test (tests/test_operators.py)."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, n=3, threshold=0.9)
+
+
 def _minhash_ctes(
     num_hashes: int = 16,
     bands: int = 4,

@@ -634,3 +634,54 @@ def dedup_keep_canonical(
     clusters = duplicate_clusters(df, pairs, id_col, max_iterations)
     keep = clusters.filter(F.col("is_representative")).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by shingle CONTAINMENT (overlap
+    coefficient): |A∩B| / min(|A|, |B|) >= threshold — the asymmetric
+    complement to Jaccard: a short document embedded verbatim in a much
+    longer one has low Jaccard (the union is huge) but containment ~1,
+    which is exactly the quote/excerpt/boilerplate-inclusion duplicate
+    class LLM-corpus dedup needs to catch. Same inverted-index join
+    cost shape as :func:`ngram_jaccard_pairs` (posting-list equi-join,
+    optional df cap for skew); the only change is the denominator.
+    Output: (id_a, id_b, containment), id_a < id_b.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        sh = drop_stop_shingles(sh, max_doc_freq)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sz_b")),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            guarded_div(
+                F.col("__common").cast("double"),
+                F.least(F.col("__sz_a"), F.col("__sz_b")).cast("double"),
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

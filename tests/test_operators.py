@@ -2070,3 +2070,27 @@ def test_hll_merge_equals_direct_sketch(spark):
     m = {(r["g"], r["bucket"]): r["max_rank"] for r in merged.collect()}
     d = {(r["g"], r["bucket"]): r["max_rank"] for r in direct.collect()}
     assert m == d and m
+
+
+def test_containment_catches_embedded_subset_jaccard_misses(spark):
+    """A short doc embedded verbatim in a much longer one: containment
+    ~1.0 while Jaccard is far below any near-dup threshold — the
+    asymmetric duplicate class the overlap coefficient exists for."""
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    rows = [
+        Row(doc_id=1, text=short),
+        Row(doc_id=2, text=filler + " " + short + " " + filler[::-1].lower()),
+        Row(doc_id=3, text="unrelated content entirely different words here"),
+    ]
+    df = spark.createDataFrame(rows)
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(df, threshold=0.9).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.9
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.2  # Jaccard would never flag this pair

@@ -1302,6 +1302,8 @@ def decision_stump_quantity_returns(spark, sf_dir):
           SELECT c_mktsegment AS x, o_orderpriority AS y,
                  CAST(COUNT(*) AS BIGINT) AS nxy
           FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment IS NOT NULL
+            AND o_orderpriority IS NOT NULL
           GROUP BY 1, 2
         ), m AS (
           SELECT nxy,

@@ -954,7 +954,7 @@ def lateness_priority_q12(spark, sf_dir):
     "promo_suppliers_q20",
     # Q20: suppliers holding a dominant share of a promo part's flow.
     # Nested-IN chain -> semi-join over a pre-aggregated pair table;
-    # the >30% share test is exact integer cross-multiplication.
+    # the >15% share test is exact integer cross-multiplication.
     """WITH sp AS (
           SELECT l_suppkey, l_partkey,
                  SUM(CAST(l_quantity AS BIGINT)) AS sq

@@ -902,6 +902,12 @@ def skyline2d_min(
     """
     from pyspark.sql import Window
 
+    if int(bucket_width) <= 0:
+        raise ValueError(
+            f"bucket_width must be a positive integer, got {bucket_width}: "
+            "`__x DIV 0` silently yields NULL buckets (one giant "
+            "partition) under non-ANSI Spark"
+        )
     xa = (F.col(x) if isinstance(x, str) else x).cast("bigint")
     ya = (F.col(y) if isinstance(y, str) else y).cast("bigint")
     pts = (
@@ -1259,12 +1265,19 @@ def mutual_information(
     never rescanned, and every count is an exact integer. The ln-term
     sum is an inherently-floating aggregate → ROUND'd per the corpus
     float convention. Output: one row (n, mi_nats).
+
+    NULL discipline: rows where either column is NULL are excluded
+    (same convention as spearman_rho / mann_whitney_u / trimmed_mean) —
+    a missing observation is not a category of its own.
     """
     from pyspark.sql import Window
 
-    joint = df.select(x.alias("__x"), y.alias("__y")).groupBy(
-        "__x", "__y"
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("__nxy"))
+    joint = (
+        df.select(x.alias("__x"), y.alias("__y"))
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        .groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__nxy"))
+    )
     nx = F.sum("__nxy").over(Window.partitionBy("__x"))
     ny = F.sum("__nxy").over(Window.partitionBy("__y"))
     n = F.sum("__nxy").over(

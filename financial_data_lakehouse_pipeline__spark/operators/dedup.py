@@ -20,6 +20,7 @@ the hash: every operator below reduces to shingle-explode → hash-groupBy →
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -262,7 +263,18 @@ def prefix_filter_jaccard_pairs(
 
     from pyspark.sql import Window
 
-    fr = Fraction(threshold).limit_denominator(1_000_000)
+    # The fraction must sit on the SAFE side of the float threshold:
+    # limit_denominator returns the CLOSEST bounded-denominator
+    # fraction, which can round UP (e.g. float 0.2999... -> 3/10),
+    # shortening prefixes and in principle dropping pairs whose Jaccard
+    # falls in the [float(t), fr) gap. A fraction <= the float value
+    # can only LENGTHEN prefixes (more candidates, never fewer), so
+    # losslessness holds for every float threshold; the final
+    # `jaccard >= threshold` filter restores the exact cut.
+    exact = Fraction(threshold)  # exact binary value of the float
+    fr = exact.limit_denominator(1_000_000)
+    if fr > exact:
+        fr = Fraction(math.floor(exact * 1_000_000), 1_000_000)
     sh = word_shingles(df, id_col, text_col, n)
     if max_doc_freq is not None:
         sh = drop_stop_shingles(sh, max_doc_freq)

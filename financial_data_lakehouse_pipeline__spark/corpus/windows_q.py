@@ -845,6 +845,10 @@ def pair_spread_z(spark, sf_dir):
     j = a.join(b, "day").withColumn(
         "spread", F.col("close_a") - F.col("close_b")
     )
+    # WindowExec single-partition WARN fires here BY DESIGN: the input
+    # is the joined daily-bar curve — ONE row per calendar day after the
+    # equi-join (calendar-bounded, ~2.5k rows/decade), never raw
+    # lineitem rows. SCALE.md §5 documents the bound.
     w = Window.orderBy("day").rowsBetween(-29, 0)
     sp = F.col("spread")
     n = F.count(F.lit(1)).over(w).cast("double")

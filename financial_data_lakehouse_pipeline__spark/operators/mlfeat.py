@@ -77,6 +77,7 @@ def equal_frequency_bins(
     col: str,
     n_bins: int,
     out: str = "bin",
+    max_distinct: int | None = 1_000_000,
 ) -> DataFrame:
     """Exact equal-frequency (quantile) binning: bin_i = floor(rows
     strictly below this value * n_bins / total rows). Equal values
@@ -94,6 +95,16 @@ def equal_frequency_bins(
     sketch-based hist_quantiles path instead. All arithmetic is exact
     integers — no interpolation, no float edges — so bins are
     bit-identical cross-engine.
+
+    The cardinality bound is ENFORCED, not just documented:
+    ``max_distinct`` (default 1e6) injects a lazy runtime guard — the
+    distinct-value count rides a broadcast and every histogram row
+    checks it BEFORE the single-partition exchange, so a caller binning
+    raw continuous doubles gets a loud error instead of silently
+    serializing ~row-cardinality rows into one task. Costs one extra
+    aggregation over the value histogram (a second scan of ``df``);
+    pass ``max_distinct=None`` to skip it when cardinality is known
+    small (e.g. an integer-cents column).
     """
     v = F.col(col)
     # NULLs are excluded from the distribution (they have no rank) and
@@ -104,10 +115,42 @@ def equal_frequency_bins(
         .groupBy(v.alias("__v"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+    if max_distinct is not None:
+        nv = vc.agg(F.count(F.lit(1)).cast("bigint").alias("__nv"))
+        guard = F.when(
+            F.col("__nv") > int(max_distinct),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"equal_frequency_bins({col!r}): distinct value "
+                        "count "
+                    ),
+                    F.col("__nv").cast("string"),
+                    F.lit(
+                        f" exceeds max_distinct={int(max_distinct)}; "
+                        "pre-quantize the column (e.g. integer cents) or "
+                        "use sketches.hist_quantiles, or raise/disable "
+                        "max_distinct explicitly"
+                    ),
+                )
+            ),
+        ).otherwise(F.lit(1))
+        # filter sits UPSTREAM of the window exchange, so the guard
+        # fires in the parallel map stage — the single-partition sort
+        # never materializes on an over-cardinality column.
+        vc = (
+            vc.crossJoin(F.broadcast(nv))
+            .withColumn("__g", guard)
+            .filter(F.col("__g") == 1)
+            .drop("__nv", "__g")
+        )
     # total from the value histogram — no second scan of the fact table
     total = vc.agg(F.sum("__c").alias("__total"))
     from pyspark.sql import Window
 
+    # WindowExec single-partition WARN fires here BY DESIGN: the input
+    # is the distinct-value histogram, bounded by max_distinct above
+    # (SCALE.md §5 — aggregate-then-scan bound), never the raw rows.
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
     ranked = vc.select(
         "__v", F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__below")

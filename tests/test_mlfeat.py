@@ -294,6 +294,33 @@ def test_equal_frequency_bins_null_rows_pass_through(spark):
     assert all(r["bin"] is None for r in out if r["x"] is None)
 
 
+def test_equal_frequency_bins_max_distinct_guard_raises(spark):
+    """The lazy cardinality guard blows up at execution time when the
+    distinct-value count exceeds max_distinct — the 100 TB posture is
+    enforced, not just documented."""
+    df = spark.createDataFrame([(i,) for i in range(10)], "x int")
+    out = mlfeat.equal_frequency_bins(df, "x", 2, max_distinct=5)
+    with pytest.raises(Exception, match="max_distinct"):
+        out.collect()
+
+
+def test_equal_frequency_bins_max_distinct_guard_passes(spark):
+    """At or under the bound the guard is transparent: identical bins
+    with the guard enabled, at the exact boundary, and disabled."""
+    df = spark.createDataFrame([(i,) for i in range(10)], "x int")
+
+    def bins(**kw):
+        return {
+            r["x"]: r["bin"]
+            for r in mlfeat.equal_frequency_bins(df, "x", 2, **kw).collect()
+        }
+
+    expect = {i: (0 if i < 5 else 1) for i in range(10)}
+    assert bins(max_distinct=10) == expect  # exact boundary: allowed
+    assert bins(max_distinct=None) == expect  # guard disabled
+    assert bins() == expect  # default bound
+
+
 def test_trimmed_mean_exact_fraction_boundary(spark):
     """trim_frac=0.29, n=100: floor(100*0.29) must be 29 (double
     multiplication gives 28.999... -> 28); 29 cut from each side."""

@@ -472,6 +472,52 @@ def sql_vectorized_udf(spark, sf_dir):
 
 
 @register(
+    "grouped_udaf_geomean",
+    # The UDAF kernel has a deliberate closed form, so the oracle is the
+    # same weighted log-mean in plain SQL. log_wgm (~10.5 magnitude,
+    # float-sum error ~1e-12) rounds at 6; the exp()-amplified geomean
+    # (~4e4 magnitude, ~1e-9 abs error) rounds at 4 — both comfortably
+    # inside their rounding-tie margins.
+    """SELECT l_returnflag, l_linestatus,
+              ROUND(SUM(l_quantity * ln(l_extendedprice))
+                    / SUM(l_quantity), 6) + 0e0 AS log_wgm,
+              ROUND(exp(SUM(l_quantity * ln(l_extendedprice))
+                        / SUM(l_quantity)), 4) + 0e0 AS wgm
+       FROM lineitem
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def grouped_udaf_geomean(spark, sf_dir):
+    """Quantity-weighted geometric mean price per (returnflag,
+    linestatus) via a GROUPED_AGG pandas UDAF
+    (functions/udafs.weighted_log_mean) — completing the §2.10 UDF
+    triple (scalar pandas_udf + UDTF + grouped-aggregate UDAF). The
+    kernel sees each group's columns as Arrow-batched pandas Series and
+    returns one scalar; the plan is a single AggregateInPandas over one
+    hash-partition exchange (asserted in tests/test_plans.py). Spark
+    rejects mixing a GROUPED_AGG UDAF with non-pandas aggregates in one
+    agg() (INVALID_PANDAS_UDF_PLACEMENT), so the UDAF is the sole
+    aggregate here. The closed form exists on purpose — it is the
+    exact SQL twin."""
+    from financial_data_lakehouse_pipeline__spark.functions.udafs import (
+        weighted_log_mean,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        weighted_log_mean(
+            F.col("l_extendedprice").cast("double"),
+            F.col("l_quantity").cast("double"),
+        ).alias("__lm"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.round(F.col("__lm"), 6) + F.lit(0.0)).alias("log_wgm"),
+        (F.round(F.exp("__lm"), 4) + F.lit(0.0)).alias("wgm"),
+    )
+
+
+@register(
     "lake_file_stats",
     # Footer-only parity: DuckDB's parquet_file_metadata /
     # parquet_metadata read the same footers pyarrow does.

@@ -545,3 +545,31 @@ def test_rank_stats_ignore_null_values(spark):
     assert (mwu_c["n_treat"], mwu_c["u_stat"], mwu_c["z_stat"]) == (
         mwu_d["n_treat"], mwu_d["u_stat"], mwu_d["z_stat"]
     )
+
+
+def test_weighted_log_mean_udaf_null_semantics(spark):
+    """GROUPED_AGG UDAF kernel: NaN/None pairs drop (SQL aggregate NULL
+    semantics), an all-null group yields NULL, values match the closed
+    form."""
+    import math
+
+    from financial_data_lakehouse_pipeline__spark.functions.udafs import (
+        weighted_log_mean,
+    )
+
+    rows = [
+        ("a", 2.0, 1.0),
+        ("a", 8.0, 3.0),
+        ("a", None, 5.0),  # dropped pair
+        ("b", None, 1.0),  # all-null group -> NULL
+    ]
+    df = spark.createDataFrame(rows, "k string, x double, w double")
+    got = {
+        r["k"]: r["lm"]
+        for r in df.groupBy("k")
+        .agg(weighted_log_mean("x", "w").alias("lm"))
+        .collect()
+    }
+    expect_a = (1.0 * math.log(2.0) + 3.0 * math.log(8.0)) / 4.0
+    assert abs(got["a"] - expect_a) < 1e-12
+    assert got["b"] is None

@@ -595,3 +595,17 @@ def test_spearman_single_exchange(spark, sf_dir):
     partitioning on the supplier key — exactly one shuffle."""
     df = _q("spearman_quantity_price_supplier")(spark, sf_dir)
     assert plans.count_exchanges(df) == 1
+
+
+def test_grouped_udaf_single_aggregate_exchange(spark, sf_dir):
+    """The GROUPED_AGG pandas UDAF plans as AggregateInPandas over
+    exactly one hash-partition exchange — the same shuffle shape as a
+    built-in aggregate, no extra round-trips."""
+    df = _q("grouped_udaf_geomean")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    # Spark 4.1 names the node ArrowAggregatePython (AggregateInPandas
+    # in 3.x) — accept either.
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
+    assert plans.count_exchanges(df) == 1
+    # column pruning reached the scan: only the 4 needed columns
+    assert "l_shipdate" not in plan.split("ReadSchema")[1].splitlines()[0]

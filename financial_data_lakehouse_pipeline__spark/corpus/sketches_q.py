@@ -453,3 +453,107 @@ def hll_merge_rollup_regions(spark, sf_dir):
         F.round("estimate", 6).alias("estimate"),
         "exact_distinct",
     )
+
+
+@register(
+    "kmv_quantile_prices",
+    # Register-exact twin: the same bottom-512 md5(salt|orderkey) sample
+    # and the same integer ceil-rank selection. The estimate is a RAW
+    # o_totalprice value — no float math anywhere, so no ROUND at all.
+    """WITH s AS (
+          SELECT md5('kmvq|' || CAST(o_orderkey AS VARCHAR)) AS h,
+                 o_totalprice AS v
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+          ORDER BY h LIMIT 512
+        ), r AS (
+          SELECT v, ROW_NUMBER() OVER (ORDER BY v, h) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM s
+        )
+        SELECT CAST(q AS DOUBLE) AS q, CAST(n AS BIGINT) AS n, v AS est
+        FROM r
+        JOIN (VALUES (0.25, 1, 4), (0.5, 1, 2), (0.75, 3, 4),
+                     (0.9, 9, 10), (0.99, 99, 100)) AS qs(q, p, d)
+          ON rn = GREATEST(1, (p * n + d - 1) // d)""",
+)
+def kmv_quantile_prices(spark, sf_dir):
+    """Order-price quantiles from a bottom-k (KMV) quantile sketch
+    (operators/sketches.kmv_quantile_sketch -> kmv_quantiles, k=512):
+    the mergeable rank sketch beside the equi-width histogram — rank
+    error O(1/sqrt(k)) at ANY quantile with no range assumption, state
+    = 512 (hash, value) pairs. Registers are md5-deterministic, so the
+    oracle reproduces them bit-for-bit (register-exact, not rows-only).
+    The global bottom-k plans as TakeOrderedAndProject (heap), never a
+    global sort — asserted in tests/test_plans.py."""
+    o = read_table(spark, sf_dir, "orders")
+    sk = sketches.kmv_quantile_sketch(
+        o, F.col("o_totalprice"), F.col("o_orderkey"), k=512
+    )
+    return sketches.kmv_quantiles(
+        sk, [], [(1, 4), (1, 2), (3, 4), (9, 10), (99, 100)]
+    ).select("q", "n", "est")
+
+
+@register(
+    "kmv_merge_rollup_balances",
+    # Two-level register-exact twin: per-nation bottom-128, UNION, then
+    # per-region bottom-128 — identical to sketching each region's rows
+    # directly (exact mergeability), which is what the engine's
+    # kmv_merge computes. Median estimate is a raw c_acctbal value.
+    """WITH h AS (
+          SELECT n_regionkey AS rk, c_nationkey AS nk,
+                 md5('kmvq|' || CAST(c_custkey AS VARCHAR)) AS h,
+                 c_acctbal AS v
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          WHERE c_acctbal IS NOT NULL AND c_custkey IS NOT NULL
+        ), nat AS (
+          SELECT rk, h, v FROM (
+            SELECT rk, h, v,
+                   ROW_NUMBER() OVER (PARTITION BY nk ORDER BY h) AS rn
+            FROM h) WHERE rn <= 128
+        ), reg AS (
+          SELECT rk, h, v FROM (
+            SELECT rk, h, v,
+                   ROW_NUMBER() OVER (PARTITION BY rk ORDER BY h) AS rn
+            FROM nat) WHERE rn <= 128
+        ), r AS (
+          SELECT rk, v,
+                 ROW_NUMBER() OVER (PARTITION BY rk ORDER BY v, h) AS rn,
+                 COUNT(*) OVER (PARTITION BY rk) AS n
+          FROM reg
+        )
+        SELECT CAST(rk AS BIGINT) AS region_key, CAST(n AS BIGINT) AS n,
+               v AS median_est
+        FROM r WHERE rn = GREATEST(1, (1 * n + 1) // 2)""",
+)
+def kmv_merge_rollup_balances(spark, sf_dir):
+    """KMV mergeability demo (the quantile twin of
+    hll_merge_rollup_regions): per-nation bottom-128 account-balance
+    sketches merge into per-region registers
+    (operators/sketches.kmv_quantile_sketch -> kmv_merge ->
+    kmv_quantiles) — and because KMV merge is EXACT, the rolled-up
+    registers equal what sketching each region's raw rows directly
+    would give, which is precisely what the oracle computes. Region
+    medians from 128-pair register sets, raw values, no ROUND."""
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    j = c.join(n, c["c_nationkey"] == n["n_nationkey"]).select(
+        F.col("n_regionkey").alias("region_key"),
+        F.col("c_nationkey").alias("nk"),
+        "c_custkey",
+        "c_acctbal",
+    )
+    skn = sketches.kmv_quantile_sketch(
+        j,
+        F.col("c_acctbal"),
+        F.col("c_custkey"),
+        k=128,
+        keys=["region_key", "nk"],
+    )
+    skr = sketches.kmv_merge(skn, ["region_key"], k=128)
+    return sketches.kmv_quantiles(skr, ["region_key"], [(1, 2)]).select(
+        F.col("region_key").cast("bigint").alias("region_key"),
+        "n",
+        F.col("est").alias("median_est"),
+    )

@@ -443,3 +443,137 @@ def hll_estimate_grouped(
         F.col("__v").alias("n_buckets_used"),
         est.alias("estimate"),
     )
+
+
+def kmv_quantile_sketch(
+    df: DataFrame,
+    value: Column,
+    row_id: Column,
+    k: int = 1024,
+    keys: Sequence[str] | None = None,
+    salt: str = "kmvq",
+) -> DataFrame:
+    """Bottom-k (KMV-style) quantile sketch: the registers are the k
+    rows whose md5(salt|row_id) hashes are smallest — a deterministic
+    uniform sample of the value distribution, so the sketch's empirical
+    CDF tracks the true CDF with rank error O(1/sqrt(k)) (DKW bound)
+    at ANY quantile, and k values is the whole state.
+
+    Why bottom-k and not t-digest/KLL: those compactions are
+    arrival-order-dependent, so their registers cannot be reproduced by
+    a declarative cross-engine oracle. Bottom-k is a pure function of
+    the data multiset — the same md5-determinism discipline as the HLL/
+    CMS registers (this module's header) — and its merge is EXACT:
+    bottom-k of a union == bottom-k of the union of per-shard bottom-k
+    register sets (every global winner survives its own shard's cut),
+    so shard ⊕ shard == whole holds register-for-register
+    (tests/test_operators.py pins it). The price is O(1/sqrt(k)) rank
+    error where KLL gives O(1/k) at equal state — documented trade for
+    differential testability; scale k to taste (registers are k
+    (hash, value) pairs, broadcastable at any reasonable k).
+
+    ``row_id`` must be row-unique (an order key, a composite cast to
+    string) — duplicate ids would collapse to one hash and bias the
+    sample. NULL values/ids are excluded.
+
+    Plan shape: global (keys=None) uses orderBy(h).limit(k) —
+    TakeOrderedAndProject, a per-partition heap + k-row driver merge,
+    never a global sort (asserted in tests/test_plans.py); grouped uses
+    a row_number window partitioned by the group keys.
+
+    Output: (keys..., h, v) register rows, ≤ k per group.
+    """
+    ks = list(keys or [])
+    h = F.md5(F.concat_ws("|", F.lit(salt), row_id.cast("string")))
+    base = df.filter(value.isNotNull() & row_id.isNotNull()).select(
+        *ks, h.alias("h"), value.alias("v")
+    )
+    if ks:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*ks).orderBy("h")
+        return (
+            base.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= int(k))
+            .drop("__rn")
+        )
+    return base.orderBy("h").limit(int(k))
+
+
+def kmv_merge(
+    sketch: DataFrame, keys: Sequence[str], k: int = 1024
+) -> DataFrame:
+    """Merge KMV register sets onto coarser keys: union the shards'
+    registers and re-take the k smallest hashes per coarse group —
+    EXACTLY the sketch of the combined data (see
+    :func:`kmv_quantile_sketch`), provided every input shard was built
+    with at least this k. Like :func:`hll_merge`, this touches only
+    register rows — a 100 TB rollup cube re-aggregates without
+    rescanning raw data."""
+    from pyspark.sql import Window
+
+    ks = list(keys)
+    w = Window.partitionBy(*ks).orderBy("h")
+    return (
+        sketch.select(*ks, "h", "v")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .drop("__rn")
+    )
+
+
+def kmv_quantiles(
+    sketch: DataFrame,
+    keys: Sequence[str],
+    qs: Sequence[tuple[int, int]],
+    out: str = "est",
+) -> DataFrame:
+    """Quantile estimates from KMV registers: the q-quantile estimate
+    is the ceil(q·n)-th smallest register value (n = register count —
+    when a group has fewer than k rows the sample IS the group and the
+    estimate is exact). ``qs`` are exact rationals (num, den) so the
+    rank ceil((num·n)/den) = (num·n + den - 1) DIV den is pure integer
+    arithmetic — never a float ceil (trimmed_mean discipline). The
+    estimate itself is a RAW data value (no float math), so no ROUND
+    is needed anywhere.
+
+    Output: (keys..., q, n, est) — one row per group per quantile.
+    The finalizer windows run over register rows only (≤ k per group).
+    """
+    from pyspark.sql import Window
+
+    ks = list(keys)
+    w = (
+        Window.partitionBy(*ks) if ks else Window.partitionBy(F.lit(0))
+    )
+    ranked = sketch.select(*ks, "h", "v").withColumn(
+        "__rn", F.row_number().over(w.orderBy("v", "h"))
+    ).withColumn(
+        "__n",
+        F.count(F.lit(1)).over(
+            w.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(num / den).alias("q"),
+                F.lit(int(num)).alias("p"),
+                F.lit(int(den)).alias("d"),
+            )
+            for num, den in qs
+        ]
+    )
+    x = ranked.select(*ks, "v", "__rn", "__n", F.explode(qarr).alias("__q"))
+    want = F.greatest(
+        F.lit(1),
+        F.expr("(__q.p * __n + __q.d - 1) DIV __q.d"),
+    )
+    return x.filter(F.col("__rn") == want).select(
+        *ks,
+        F.col("__q.q").alias("q"),
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("v").alias(out),
+    )

@@ -2094,3 +2094,61 @@ def test_containment_catches_embedded_subset_jaccard_misses(spark):
         for r in dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
     }
     assert jac[(1, 2)] < 0.2  # Jaccard would never flag this pair
+
+
+def test_kmv_merge_equals_direct_sketch(spark):
+    """KMV mergeability is EXACT: union of per-shard bottom-k register
+    sets re-cut to k equals the bottom-k of the whole data,
+    register-for-register."""
+    from financial_data_lakehouse_pipeline__spark.operators import sketches
+
+    rows = [(i, float((i * 37) % 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id int, v double").withColumn(
+        "shard", F.col("id") % 3
+    )
+    whole = sketches.kmv_quantile_sketch(
+        df, F.col("v"), F.col("id"), k=64
+    )
+    sharded = sketches.kmv_quantile_sketch(
+        df, F.col("v"), F.col("id"), k=64, keys=["shard"]
+    )
+    merged = sketches.kmv_merge(
+        sharded.withColumn("all", F.lit(0)), ["all"], k=64
+    ).drop("all")
+    a = sorted((r["h"], r["v"]) for r in whole.collect())
+    b = sorted((r["h"], r["v"]) for r in merged.collect())
+    assert a == b and len(a) == 64
+
+
+def test_kmv_quantiles_accuracy_band_and_exact_small_group(spark):
+    """Estimated quantile ranks stay within the O(1/sqrt(k)) band of
+    the true ranks on 10k uniform values (k=512 -> band 0.05 used,
+    ~1.1/sqrt(k)); a group smaller than k is sampled whole, so its
+    median is EXACT."""
+    from financial_data_lakehouse_pipeline__spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10_000)], "id int, v double"
+    )
+    sk = sketches.kmv_quantile_sketch(df, F.col("v"), F.col("id"), k=512)
+    est = {
+        r["q"]: r["est"]
+        for r in sketches.kmv_quantiles(
+            sk, [], [(1, 4), (1, 2), (3, 4), (9, 10)]
+        ).collect()
+    }
+    for q in (0.25, 0.5, 0.75, 0.9):
+        true_rank = q * 10_000
+        got_rank = est[q] + 1  # value i has true rank i+1
+        assert abs(got_rank - true_rank) <= 0.05 * 10_000, (q, est[q])
+
+    small = spark.createDataFrame(
+        [(i, float(i)) for i in range(101)], "id int, v double"
+    )
+    ssk = sketches.kmv_quantile_sketch(
+        small, F.col("v"), F.col("id"), k=512
+    )
+    med = sketches.kmv_quantiles(ssk, [], [(1, 2)]).collect()[0]
+    assert med["n"] == 101
+    # exact median of 0..100: ceil(101/2) = 51st smallest = 50.0
+    assert med["est"] == 50.0

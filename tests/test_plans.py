@@ -609,3 +609,11 @@ def test_grouped_udaf_single_aggregate_exchange(spark, sf_dir):
     assert plans.count_exchanges(df) == 1
     # column pruning reached the scan: only the 4 needed columns
     assert "l_shipdate" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_kmv_global_bottom_k_is_heap_not_sort(spark, sf_dir):
+    """The global KMV register cut plans TakeOrderedAndProject (per-
+    partition heap + k-row merge) — never a global sort of the data."""
+    df = _q("kmv_quantile_prices")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan

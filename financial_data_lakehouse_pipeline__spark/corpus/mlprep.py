@@ -818,6 +818,33 @@ def exact_k_sample_docs(spark, sf_dir):
 
 
 @register(
+    "exact_k_per_group_docs",
+    # Hash-ranked row_number twin: same salted md5 order, same per-
+    # stratum cut. ORDER inside the window is the md5 hex string —
+    # identical lexicographic ranking on both engines.
+    """SELECT doc_id, source, lang FROM (
+         SELECT doc_id, source, lang,
+                ROW_NUMBER() OVER (
+                  PARTITION BY source, lang
+                  ORDER BY md5('exkg:' || CAST(doc_id AS VARCHAR))
+                ) AS rn
+         FROM documents
+       ) WHERE rn <= 40""",
+)
+def exact_k_per_group_docs(spark, sf_dir):
+    """Per-stratum exact-k uniform sample (operators/sampling
+    .exact_k_per_group): exactly 40 docs per (source, lang) — the
+    distributed per-key reservoir for mixture curation: every stratum
+    capped in ONE pass, rare strata kept whole. The rank filter plans
+    as WindowGroupLimit (per-partition pre-prune to local top-k before
+    the shuffle), never a global sort."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    return sampling.exact_k_per_group(d, ["source", "lang"], "doc_id", k=40)
+
+
+@register(
     "profile_orders",
     """WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders)
        SELECT 'o_totalprice' AS "column",

@@ -269,3 +269,38 @@ def exact_k_sample(
         .limit(k)
         .drop("__k")
     )
+
+
+def exact_k_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    k: int,
+    salt: str = "exkg",
+) -> DataFrame:
+    """Deterministic uniform sample of EXACTLY k rows PER GROUP (the
+    distributed stand-in for per-key reservoir sampling): rank each
+    group's rows by salted md5 of the row id and keep the k smallest —
+    k docs per source/language is the mixture-curation primitive that
+    caps every stratum without a second pass. Groups smaller than k
+    survive whole. Same reproducibility contract as
+    :func:`exact_k_sample`: the hash is identical on every run/engine/
+    cluster.
+
+    Plan shape: the rank filter is pushed into WindowGroupLimit
+    (Partial before the exchange, Final after) — each input partition
+    is pre-pruned to its local per-group top-k BEFORE shuffling, so
+    shuffle volume is bounded by k·groups·partitions, never the raw
+    row count, and there is no global sort (asserted in
+    tests/test_plans.py).
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*keys).orderBy(F.col("__k"))
+    return (
+        df.withColumn("__k", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .drop("__k", "__rn")
+    )

@@ -2152,3 +2152,23 @@ def test_kmv_quantiles_accuracy_band_and_exact_small_group(spark):
     assert med["n"] == 101
     # exact median of 0..100: ceil(101/2) = 51st smallest = 50.0
     assert med["est"] == 50.0
+
+
+def test_exact_k_per_group_sizes_and_determinism(spark):
+    """Each group yields exactly k rows (whole group if smaller), the
+    selection is stable across runs, and matches the global bottom-k
+    ranking restricted to the group."""
+    from financial_data_lakehouse_pipeline__spark.operators import sampling
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(100)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "id int, g string")
+    out = sampling.exact_k_per_group(df, ["g"], "id", k=10)
+    got = out.groupBy("g").count().collect()
+    sizes = {r["g"]: r["count"] for r in got}
+    assert sizes == {"g0": 10, "g1": 10, "g2": 10, "tiny": 1}
+    a = sorted((r["g"], r["id"]) for r in out.collect())
+    b = sorted(
+        (r["g"], r["id"])
+        for r in sampling.exact_k_per_group(df, ["g"], "id", k=10).collect()
+    )
+    assert a == b

@@ -617,3 +617,13 @@ def test_kmv_global_bottom_k_is_heap_not_sort(spark, sf_dir):
     df = _q("kmv_quantile_prices")(spark, sf_dir)
     plan = plans.formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_exact_k_per_group_window_group_limit(spark, sf_dir):
+    """Per-group exact-k sampling pre-prunes each partition to its local
+    top-k via WindowGroupLimit before the shuffle — shuffle volume is
+    k-bounded and no global sort exists."""
+    df = _q("exact_k_per_group_docs")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert plans.count_exchanges(df) == 1

@@ -1093,3 +1093,70 @@ def quality_classifier_docs(spark, sf_dir):
     return text.linear_text_classifier(
         d, w, bias=0.1, threshold=0.0, normalize=True
     )
+
+
+@register(
+    "bpe_merges_docs",
+    # Unrolled 2-merge twin of the engine's driver loop: same [a-z]+
+    # word counts, same double-pipe symbol strings, same builtin
+    # replace() merge (leftmost non-overlapping == greedy BPE pass),
+    # same (cnt DESC, a, b) tie-break. All counts are exact integers.
+    r"""WITH words AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS w
+                FROM documents)
+          GROUP BY 1
+        ),
+        s0 AS (
+          SELECT regexp_replace(w, '(.)', '|\1|', 'g') AS s, freq
+          FROM words
+        ),
+        pc1 AS (
+          SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM (
+            SELECT freq, unnest(list_zip(l, l[2:])) AS pr
+            FROM (SELECT freq,
+                         list_filter(regexp_split_to_array(s, '\|+'),
+                                     x -> x <> '') AS l
+                  FROM s0)
+          ) WHERE pr[2] IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        m1 AS (SELECT a, b, cnt FROM pc1 ORDER BY cnt DESC, a, b LIMIT 1),
+        s1 AS (
+          SELECT replace(s,
+                         '|' || (SELECT a FROM m1) || '||'
+                             || (SELECT b FROM m1) || '|',
+                         '|' || (SELECT a FROM m1)
+                             || (SELECT b FROM m1) || '|') AS s,
+                 freq
+          FROM s0
+        ),
+        pc2 AS (
+          SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM (
+            SELECT freq, unnest(list_zip(l, l[2:])) AS pr
+            FROM (SELECT freq,
+                         list_filter(regexp_split_to_array(s, '\|+'),
+                                     x -> x <> '') AS l
+                  FROM s1)
+          ) WHERE pr[2] IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        m2 AS (SELECT a, b, cnt FROM pc2 ORDER BY cnt DESC, a, b LIMIT 1)
+        SELECT 1 AS rank, a AS left_sym, b AS right_sym,
+               cnt AS pair_count FROM m1
+        UNION ALL
+        SELECT 2, a, b, cnt FROM m2""",
+)
+def bpe_merges_docs(spark, sf_dir):
+    """First two learned BPE merges over the documents corpus
+    (operators/text.bpe_learn_merges, n_merges=2) — the
+    tokenizer-training loop: word-frequency table once, then per merge
+    one exact pair-count aggregation + a deterministic top-1
+    ((cnt DESC, a, b)) and a builtin-replace merge pass. The oracle
+    unrolls the same two iterations in SQL; deeper runs are pinned
+    against a sequential Python reference in tests/test_operators.py."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.bpe_learn_merges(d, "text", n_merges=2)

@@ -744,3 +744,97 @@ def consonant_signature(word: Column) -> Column:
             F.when(w.rlike(f"[{letters}]"), F.lit(digit)).otherwise(F.lit(""))
         )
     return F.concat(*parts)
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """BPE vocabulary learning: the canonical LLM-tokenizer-training
+    loop — repeatedly find the corpus-wide most frequent adjacent
+    symbol pair and merge it. Output: the learned merge table
+    (rank, left_sym, right_sym, pair_count), rank 1 = first merge.
+
+    Spark-first shape (the kmeans/pagerank driver-loop discipline):
+
+    - The iterated state is the WORD-frequency table, not raw rows —
+      one up-front tokenize + count shuffle reduces any corpus to its
+      vocabulary (Heaps'-law bounded: sublinear in corpus size), and
+      every later pass touches only (word-state, freq) pairs.
+    - Symbol sequences live in ONE string column, each symbol wrapped
+      in its own pipes ('abc' -> '|a||b||c|'). That makes the merge
+      step a single builtin `replace(s, '|a||b|', '|ab|')`: leftmost
+      non-overlapping scan == the greedy BPE merge pass, with the
+      double-pipe boundaries guaranteeing a pair can never match
+      inside a longer symbol ('|ab||c|' never matches '|b||c|') and
+      chained repeats merge exactly like the sequential fold
+      ('|a||a||a||a|' -> '|aa||aa|'). Pure JVM string ops, no UDF.
+    - Per iteration: one pair-count aggregation + a 1-row top-1
+      collect (cnt DESC, then lexicographic — deterministic under
+      ties) — the only driver-side state is the k merge tuples,
+      kmeans-centroid-legitimate. localCheckpoint every
+      ``checkpoint_every`` merges truncates the replace-chain lineage.
+
+    Tokens are [a-z]+ runs of the lowercased text (so '|' can never
+    appear inside a symbol). Pair counts weight each word by its
+    corpus frequency and count ALL adjacent slots (overlapping repeats
+    included), matching the reference Python implementation pinned in
+    tests/test_operators.py.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0)
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    st = words.select(
+        F.regexp_replace("w", r"(.)", r"|$1|").alias("s"), "freq"
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(int(n_merges)):
+        pz = (
+            st.select(
+                "freq",
+                F.expr(r"filter(split(s, '\\|+'), x -> x != '')").alias(
+                    "l"
+                ),
+            )
+            .select(
+                "freq",
+                "l",
+                F.expr("slice(l, 2, size(l))").alias("l2"),
+            )
+            .select("freq", F.explode(F.arrays_zip("l", "l2")).alias("p"))
+        )
+        cnt = (
+            pz.filter(F.col("p")["l2"].isNotNull())
+            .groupBy(
+                F.col("p")["l"].alias("a"), F.col("p")["l2"].alias("b")
+            )
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        top = cnt.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merges.append((r + 1, a, b, int(c)))
+        st = st.select(
+            F.replace(
+                F.col("s"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
+            ).alias("s"),
+            "freq",
+        )
+        if checkpoint_every and (r + 1) % checkpoint_every == 0:
+            st = st.localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "rank int, left_sym string, right_sym string, pair_count bigint",
+    )

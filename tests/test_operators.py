@@ -2172,3 +2172,68 @@ def test_exact_k_per_group_sizes_and_determinism(spark):
         for r in sampling.exact_k_per_group(df, ["g"], "id", k=10).collect()
     )
     assert a == b
+
+
+def _ref_bpe(texts, k):
+    """Sequential reference BPE with the same contract as
+    text.bpe_learn_merges: [a-z]+ word counts, all-adjacent-slot pair
+    counts weighted by word freq, (cnt DESC, a, b) tie-break, greedy
+    leftmost non-overlapping merge (str.replace on the double-pipe
+    representation — identical scan semantics)."""
+    import collections
+    import re
+
+    wc = collections.Counter(
+        w for t in texts for w in re.findall("[a-z]+", t.lower())
+    )
+    state = {w: "".join(f"|{c}|" for c in w) for w in wc}
+    merges = []
+    for r in range(k):
+        pc = collections.Counter()
+        for w, f in wc.items():
+            syms = [x for x in re.split(r"\|+", state[w]) if x]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r + 1, a, b, c))
+        for w in wc:
+            state[w] = state[w].replace(f"|{a}||{b}|", f"|{a}{b}|")
+    return merges
+
+
+def test_bpe_learn_merges_matches_python_reference(spark):
+    """6 merges on a corpus engineered with ties, repeated-char runs
+    ('aaaa' -> chained merges), and multi-char symbol growth — engine
+    == sequential reference, merge for merge."""
+    from financial_data_lakehouse_pipeline__spark.operators import text as T
+
+    texts = [
+        "the cat sat on the mat aaaa",
+        "the cat ate the rat aaaa aa",
+        "banana bandana aaaa",
+        "low lower lowest newest newest",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in T.bpe_learn_merges(df, "text", n_merges=6)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _ref_bpe(texts, 6)
+
+
+def test_bpe_learn_merges_stops_when_no_pairs(spark):
+    """Single-char vocabulary exhausts after the only merge — the loop
+    must stop early, not error."""
+    from financial_data_lakehouse_pipeline__spark.operators import text as T
+
+    df = spark.createDataFrame([("a b ab",)], "text string")
+    out = T.bpe_learn_merges(df, "text", n_merges=5).orderBy("rank").collect()
+    # 'ab' is the only multi-char word; merge 1 = (a, b); afterwards no
+    # adjacent pairs remain anywhere.
+    assert [(r["rank"], r["left_sym"], r["right_sym"]) for r in out] == [
+        (1, "a", "b")
+    ]

@@ -552,3 +552,54 @@ def lake_file_stats(spark, sf_dir):
         if os.path.exists(p)
     ]
     return inspect.file_stats(spark, paths)
+
+
+@register(
+    "compaction_plan_lake",
+    # Footer-only twin over the same FIXED sf0.01 files (lake_file_stats
+    # pattern): identical name-ordered exclusive running sum and integer
+    # DIV grouping — deterministic, no floats anywhere.
+    """WITH f AS (
+          SELECT f.file_name, CAST(c.compressed_bytes AS BIGINT) AS b
+          FROM parquet_file_metadata('/root/testdata/sf0.01/*.parquet') f
+          JOIN (SELECT file_name,
+                       SUM(total_compressed_size) AS compressed_bytes
+                FROM parquet_metadata('/root/testdata/sf0.01/*.parquet')
+                GROUP BY file_name) c USING (file_name)
+        ), g AS (
+          SELECT file_name, b,
+                 CAST(COALESCE(SUM(b) OVER (ORDER BY file_name
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) // 524288 AS BIGINT)
+                   AS compaction_group
+          FROM f
+        )
+        SELECT compaction_group, CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(b) AS BIGINT) AS group_bytes,
+               MIN(file_name) AS first_file, MAX(file_name) AS last_file
+        FROM g GROUP BY 1""",
+)
+def compaction_plan_lake(spark, sf_dir):
+    """Small-file compaction plan for the fixed sf0.01 lake directory
+    (sources/inspect.compaction_plan, 512 KiB target): name-ordered
+    greedy grouping by exclusive running byte total DIV target — the
+    maintenance pass that re-packs a fragmented table into target-sized
+    files without reading a data page. Footer reads fan out via
+    mapInPandas; the planning window is file-count bounded
+    (metadata-sized). Both engines inspect the same fixed directory
+    (lake_file_stats pattern), so the plan is sf_dir-independent."""
+    import os as _os
+
+    from financial_data_lakehouse_pipeline__spark.sources import (
+        TABLES,
+        inspect,
+    )
+
+    fixed = "/root/testdata/sf0.01"
+    paths = [
+        p
+        for p in inspect.table_paths(fixed, list(TABLES))
+        if _os.path.exists(p)
+    ]
+    st = inspect.file_stats(spark, paths)
+    return inspect.compaction_plan(st, target_bytes=512 * 1024)

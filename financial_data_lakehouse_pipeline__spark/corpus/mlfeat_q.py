@@ -1333,3 +1333,91 @@ def mi_segment_priority(spark, sf_dir):
     return analysis.mutual_information(
         j, F.col("c_mktsegment"), F.col("o_orderpriority")
     )
+
+
+@register(
+    "lift_curve_orders",
+    # Bin twin = the equal_freq_bins integer arithmetic; counts exact;
+    # pos_rate and lift are each ONE IEEE division of exact (<2^53)
+    # integer products — bit-identical, no ROUND.
+    """WITH lab AS (
+          SELECT o_orderkey, o_totalprice,
+                 CASE WHEN EXISTS (SELECT 1 FROM lineitem l
+                                   WHERE l.l_orderkey = o_orderkey
+                                     AND l.l_returnflag = 'R')
+                      THEN 1 ELSE 0 END AS y
+          FROM orders
+        ), vc AS (
+          SELECT o_totalprice AS v, COUNT(*) AS c FROM lab GROUP BY 1
+        ), rk AS (
+          SELECT v,
+                 COALESCE(SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS below,
+                 SUM(c) OVER () AS total
+          FROM vc
+        ), bins AS (
+          SELECT v, CAST((below * 10) // total AS INT) AS decile FROM rk
+        ), d AS (
+          SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS positives
+          FROM lab JOIN bins ON lab.o_totalprice = bins.v
+          GROUP BY 1
+        ), g AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                 CAST(SUM(positives) AS BIGINT) AS pp
+          FROM d
+        )
+        SELECT decile, n, positives,
+               CAST(positives AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate,
+               (CAST(positives AS DOUBLE) * CAST(nn AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(pp AS DOUBLE)) AS lift
+        FROM d, g""",
+)
+def lift_curve_orders(spark, sf_dir):
+    """Decile lift curve for 'order value predicts returns': orders
+    bucketed into value deciles by the guarded
+    operators/mlfeat.equal_frequency_bins (distinct-value histogram —
+    never a global row sort, unlike NTILE), label = order contains a
+    returned lineitem; per decile the positive rate and lift vs the
+    base rate — the calibration readout every ranking/quality model
+    ships with. Counts exact; rate and lift are single IEEE divisions
+    of exact integer products."""
+    from financial_data_lakehouse_pipeline__spark.operators import mlfeat
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    r = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+        .withColumn("__r", F.lit(1))
+    )
+    lab = o.join(r, "o_orderkey", "left").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.coalesce(F.col("__r"), F.lit(0)).alias("y"),
+    )
+    b = mlfeat.equal_frequency_bins(lab, "o_totalprice", 10, out="decile")
+    d = b.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("positives"),
+    )
+    g = d.agg(
+        F.sum("n").cast("bigint").alias("__nn"),
+        F.sum("positives").cast("bigint").alias("__pp"),
+    )
+    return d.crossJoin(F.broadcast(g)).select(
+        "decile",
+        "n",
+        "positives",
+        (F.col("positives").cast("double") / F.col("n").cast("double")).alias(
+            "pos_rate"
+        ),
+        (
+            (F.col("positives").cast("double") * F.col("__nn").cast("double"))
+            / (F.col("n").cast("double") * F.col("__pp").cast("double"))
+        ).alias("lift"),
+    )

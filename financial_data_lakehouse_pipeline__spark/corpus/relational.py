@@ -1802,3 +1802,55 @@ def k_anonymity_customers(spark, sf_dir):
     return dq_ops.k_anonymity_report(
         c, ["c_mktsegment", "c_nationkey", "bal_band"], "sens", k=5
     )
+
+
+@register(
+    "fk_orphan_audit_star",
+    # NOT EXISTS twin per edge (NULL-safe, unlike NOT IN): exact row
+    # counts, orphans = child rows whose key matches no parent key.
+    """SELECT 'lineitem->orders' AS edge,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS total_rows,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+                AS orphan_rows
+       UNION ALL
+       SELECT 'orders->customer',
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey))
+       UNION ALL
+       SELECT 'lineitem->supplier',
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                 WHERE s.s_suppkey = l.l_suppkey))
+       UNION ALL
+       SELECT 'customer->nation',
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                 WHERE n.n_nationkey = c.c_nationkey))""",
+)
+def fk_orphan_audit_star(spark, sf_dir):
+    """Referential-integrity audit of the star schema's four FK edges
+    (operators/dq.fk_orphan_audit): per edge, total child rows and
+    orphan rows referencing a missing parent — anti-join counts, the
+    pre-publish DQ gate. All counts exact integers; the intact TPC-H
+    fixtures make every orphan_rows 0, which is itself the assertion."""
+    from financial_data_lakehouse_pipeline__spark.operators import dq
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    return dq.fk_orphan_audit(
+        [
+            ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+            ("orders->customer", o, "o_custkey", c, "c_custkey"),
+            ("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"),
+            ("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+        ]
+    )

@@ -1160,3 +1160,37 @@ def bpe_merges_docs(spark, sf_dir):
     against a sequential Python reference in tests/test_operators.py."""
     d = read_table(spark, sf_dir, "documents")
     return text.bpe_learn_merges(d, "text", n_merges=2)
+
+
+@register(
+    "bpe_encode_docs",
+    # Same fixed merge chain unrolled as nested replace() calls; token
+    # count = surviving symbols per word, summed per doc. All integers.
+    r"""WITH w AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-z]+') AS ws
+          FROM documents
+        )
+        SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+               CAST(COALESCE(list_aggregate(list_transform(ws, w ->
+                 len(list_filter(regexp_split_to_array(
+                   replace(replace(replace(replace(
+                     regexp_replace(w, '(.)', '|\1|', 'g'),
+                     '|t||h|', '|th|'),
+                     '|th||e|', '|the|'),
+                     '|a||n|', '|an|'),
+                     '|i||n|', '|in|'),
+                   '\|+'), x -> x <> ''))), 'sum'), 0) AS INT)
+                 AS n_bpe_tokens
+        FROM w""",
+)
+def bpe_encode_docs(spark, sf_dir):
+    """BPE tokenization with a fixed 4-merge table
+    (operators/text.bpe_apply_merges, merges th/the/an/in) — per-doc
+    word and BPE-token counts. The merge chain is one nested builtin
+    replace() expression: scan -> project, zero shuffles, no UDF —
+    the tokenizer-application half of the bpe_merges_docs learner."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.bpe_apply_merges(
+        d, [("t", "h"), ("th", "e"), ("a", "n"), ("i", "n")]
+    )

@@ -804,3 +804,67 @@ def ann_recall_signlsh(spark, sf_dir):
         )
     )
     return out
+
+
+def _l2_sql(a: str, b: str) -> str:
+    """Sequential-fold Euclidean distance — mirrors the zip_with +
+    aggregate order of similarity.brute_force_topk_l2 exactly."""
+    return (
+        f"sqrt(list_reduce(list_transform(list_zip({a}, {b}), "
+        f"x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+        f"* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), "
+        f"(acc, v) -> acc + v))"
+    )
+
+
+@register(
+    "rrf_fusion_topk_embeddings",
+    # Both rankings rebuilt in SQL with the identical fold order, then
+    # the same full-outer RRF combination: each term is one IEEE
+    # division, summed a-then-b — bit-identical, no ROUND anywhere.
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                   FROM embeddings),
+             cosr AS (
+               SELECT query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY {_cosine_sql('qv', 'cv')} DESC,
+                                 neighbor_id) AS r
+               FROM c, q WHERE query_id <> neighbor_id
+             ),
+             l2r AS (
+               SELECT query_id, neighbor_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY {_l2_sql('qv', 'cv')} ASC,
+                                 neighbor_id) AS r
+               FROM c, q WHERE query_id <> neighbor_id
+             ),
+             f AS (
+               SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+                      COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+                      COALESCE(1e0 / (60 + a.r), 0e0)
+                        + COALESCE(1e0 / (60 + b.r), 0e0) AS rrf_score
+               FROM (SELECT * FROM cosr WHERE r <= 20) a
+               FULL OUTER JOIN (SELECT * FROM l2r WHERE r <= 20) b
+                 ON a.query_id = b.query_id
+                AND a.neighbor_id = b.neighbor_id
+             )
+        SELECT query_id, neighbor_id, rrf_score, CAST(rn AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY rrf_score DESC, neighbor_id) AS rn
+              FROM f)
+        WHERE rn <= 10""",
+)
+def rrf_fusion_topk_embeddings(spark, sf_dir):
+    """Hybrid-retrieval fusion: exact cosine top-20 and exact L2 top-20
+    for the same query set, combined by reciprocal-rank fusion
+    (operators/similarity.rrf_fuse, c=60) into a final top-10 — the
+    score-free combiner for rankings on incomparable scales. The
+    full-outer fusion join runs over k-bounded rank tables, never the
+    corpus; per-query top-k is a WindowGroupLimit window."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    cos = similarity.brute_force_topk(q, emb, k=20)
+    l2 = similarity.brute_force_topk_l2(q, emb, k=20)
+    return similarity.rrf_fuse(cos, l2, k=10)

@@ -440,3 +440,40 @@ def k_anonymity_report(
         .cast("bigint")
         .alias("groups_single_sensitive"),
     )
+
+
+def fk_orphan_audit(
+    edges: Sequence[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit over a list of foreign-key edges
+    ``(edge_name, child_df, child_key, parent_df, parent_key)`` — for
+    each edge, the child row count and how many child rows reference a
+    missing parent (orphans). The DQ gate every star-schema load runs
+    before publishing.
+
+    Per edge: one exact child count and one LEFT ANTI equi-join count
+    (semi-join-shaped — the parent side only ships its key column, and
+    a broadcast is planned when the parent is small). NULL child keys
+    count as orphans (they reference nothing); rows, not distinct keys,
+    so the count is actionable row-repair volume.
+
+    Output: (edge, total_rows, orphan_rows), one row per edge, unioned.
+    """
+    parts = []
+    for name, child, ckey, parent, pkey in edges:
+        ck = child.select(F.col(ckey).alias("__ck"))
+        pk = parent.select(F.col(pkey).alias("__pk")).distinct()
+        total = ck.agg(F.count(F.lit(1)).cast("bigint").alias("total_rows"))
+        orphans = (
+            ck.join(pk, F.col("__ck") == F.col("__pk"), "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_rows"))
+        )
+        parts.append(
+            total.crossJoin(orphans).select(
+                F.lit(name).alias("edge"), "total_rows", "orphan_rows"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -967,3 +967,98 @@ def ivfpq_topk(
     )
     scored = probed.select(id_col, "cluster", "codes", dist.alias("adc_dist"))
     return scored.orderBy(F.col("adc_dist"), F.col(id_col)).limit(topk)
+
+
+def brute_force_topk_l2(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact Euclidean top-k — the L2 twin of :func:`brute_force_topk`
+    (same broadcast-queries shape), ranked by distance ASC with
+    neighbor-id tie-break. The distance fold is zip_with + sequential
+    aggregate, matching the oracle's list_reduce addition order so
+    distances are bit-identical cross-engine.
+
+    Output: (query_id, neighbor_id, l2_dist, rank), rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("__qv"),
+                F.col("__cv"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = c.join(F.broadcast(q)).withColumn("l2_dist", dist)
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "l2_dist", "rank")
+    )
+
+
+def rrf_fuse(
+    ranking_a: DataFrame,
+    ranking_b: DataFrame,
+    k: int,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings — the standard
+    score-free hybrid-search combiner: rrf(d) = Σ_r 1/(c + rank_r(d)),
+    robust to incomparable score scales (cosine vs L2 vs BM25). Inputs
+    are (query_id, neighbor_id, rank) tables; a document missing from
+    one ranking contributes 0 for it.
+
+    Exactness: each term is ONE IEEE division of exact integers and the
+    two terms add in a fixed order (a then b), so scores are
+    bit-identical cross-engine — no ROUND. Ties break by neighbor_id.
+
+    Plan shape: one full-outer equi-join on (query_id, neighbor_id) —
+    both sides are already k-bounded per query, so the join input is
+    rank-table-sized, never corpus-sized — then a per-query top-k
+    window (WindowGroupLimit).
+
+    Output: (query_id, neighbor_id, rrf_score, rank), rank 1..k.
+    """
+    from pyspark.sql import Window
+
+    a = ranking_a.select(
+        "query_id", "neighbor_id", F.col("rank").alias("__ra")
+    )
+    b = ranking_b.select(
+        "query_id", "neighbor_id", F.col("rank").alias("__rb")
+    )
+    j = a.join(b, ["query_id", "neighbor_id"], "full_outer")
+    term = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(int(c)) + r).cast("double"), F.lit(0.0)
+    )
+    scored = j.withColumn("rrf_score", term(F.col("__ra")) + term(F.col("__rb")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", "rrf_score", "rank")
+    )

@@ -838,3 +838,48 @@ def bpe_learn_merges(
         merges,
         "rank int, left_sym string, right_sym string, pair_count bigint",
     )
+
+
+def bpe_apply_merges(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a LEARNED/GIVEN BPE merge table — the application
+    half of :func:`bpe_learn_merges`: per document, [a-z]+ words become
+    double-pipe symbol strings, the merge list is applied IN ORDER as a
+    chain of builtin replace() passes (identical greedy leftmost
+    non-overlapping semantics — see bpe_learn_merges for why the
+    boundary encoding makes that exact), and the BPE token count is the
+    surviving symbol count summed over the document's words.
+
+    The merge chain compiles into ONE nested column expression — k
+    replaces per word, pure JVM string ops inside whole-stage codegen,
+    no UDF, no shuffle at all (scan → project). Output:
+    (id, n_words, n_bpe_tokens).
+    """
+
+    def _tok_count(w: Column) -> Column:
+        s = F.regexp_replace(w, r"(.)", r"|$1|")
+        for a, b in merges:
+            s = F.replace(s, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+        return F.size(F.filter(F.split(s, r"\|+"), lambda x: x != F.lit("")))
+
+    ws = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0)
+        ).alias("__ws"),
+    )
+    return ws.select(
+        F.col(id_col),
+        F.size("__ws").cast("int").alias("n_words"),
+        F.aggregate(
+            F.transform(F.col("__ws"), _tok_count),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        .cast("int")
+        .alias("n_bpe_tokens"),
+    )

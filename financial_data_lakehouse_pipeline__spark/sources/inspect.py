@@ -16,6 +16,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: Output schema of file_stats.
 FILE_STATS_SCHEMA = (
@@ -105,3 +106,49 @@ def column_stats(spark: SparkSession, paths: list[str]) -> DataFrame:
 def table_paths(sf_dir: str, tables: list[str]) -> list[str]:
     """Resolve the driver-testdata single-file-per-table layout."""
     return [os.path.join(sf_dir, f"{t}.parquet") for t in tables]
+
+
+def compaction_plan(
+    stats: DataFrame, target_bytes: int
+) -> DataFrame:
+    """Small-file compaction planning over a :func:`file_stats` table —
+    the lake-maintenance pass that turns a fragmented 100 TB table back
+    into target-sized files: walk files in name order, open a new
+    output group whenever the running byte total crosses
+    ``target_bytes``. group = (exclusive running sum of
+    compressed_bytes) DIV target — pure integer arithmetic, so the
+    plan is deterministic and cross-engine exact.
+
+    The single-partition window is bounded by FILE COUNT (a metadata
+    table, not data — the same aggregate-then-scan bound as the
+    distinct-value histograms, SCALE.md §5); a billion-file lake would
+    first shard this by table/partition prefix.
+
+    Output: (compaction_group, n_files, group_bytes, first_file,
+    last_file), one row per planned output file.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("file_name").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    g = stats.select(
+        "file_name",
+        F.col("compressed_bytes").cast("bigint").alias("__b"),
+    ).withColumn(
+        "compaction_group",
+        F.expr(
+            f"CAST(coalesce(sum(__b) OVER (ORDER BY file_name "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            f"DIV {int(target_bytes)} AS BIGINT)"
+        ),
+    )
+    return (
+        g.groupBy("compaction_group")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("__b").cast("bigint").alias("group_bytes"),
+            F.min("file_name").alias("first_file"),
+            F.max("file_name").alias("last_file"),
+        )
+    )

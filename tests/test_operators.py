@@ -2237,3 +2237,88 @@ def test_bpe_learn_merges_stops_when_no_pairs(spark):
     assert [(r["rank"], r["left_sym"], r["right_sym"]) for r in out] == [
         (1, "a", "b")
     ]
+
+
+def test_rrf_fuse_hand_values(spark):
+    """Two 2-item rankings with one shared doc: shared doc's score is
+    the sum of both terms; singletons get one term; order by score."""
+    from financial_data_lakehouse_pipeline__spark.operators import similarity
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id int, neighbor_id int, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 10, 2), (1, 12, 1)], "query_id int, neighbor_id int, rank int"
+    )
+    got = {
+        r["neighbor_id"]: (r["rrf_score"], r["rank"])
+        for r in similarity.rrf_fuse(a, b, k=3).collect()
+    }
+    assert got[10] == (1 / 61 + 1 / 62, 1)
+    assert got[12] == (1 / 61, 2)
+    assert got[11] == (1 / 62, 3)
+
+
+def test_fk_orphan_audit_finds_planted_orphans(spark):
+    """Child rows with missing or NULL parent keys count as orphans."""
+    from financial_data_lakehouse_pipeline__spark.operators import dq
+
+    child = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 999), (4, None)], "id int, fk int"
+    )
+    parent = spark.createDataFrame([(100,), (200,)], "pk int")
+    r = dq.fk_orphan_audit([("c->p", child, "fk", parent, "pk")]).collect()[0]
+    assert (r["edge"], r["total_rows"], r["orphan_rows"]) == ("c->p", 4, 2)
+
+
+def test_compaction_plan_hand_values(spark):
+    """Files a(3),b(3),c(5),d(1) at target 6: exclusive cumsum 0,3,6,11
+    -> groups 0,0,1,1."""
+    from financial_data_lakehouse_pipeline__spark.sources import inspect
+
+    st = spark.createDataFrame(
+        [("a", 3), ("b", 3), ("c", 5), ("d", 1)],
+        "file_name string, compressed_bytes long",
+    )
+    got = {
+        r["compaction_group"]: (r["n_files"], r["group_bytes"],
+                                r["first_file"], r["last_file"])
+        for r in inspect.compaction_plan(st, target_bytes=6).collect()
+    }
+    assert got == {0: (2, 6, "a", "b"), 1: (2, 6, "c", "d")}
+
+
+def test_bpe_apply_consistent_with_learn(spark):
+    """Applying the merges bpe_learn_merges learned reproduces the
+    token counts implied by the learner's final state (computed by the
+    sequential reference)."""
+    import collections
+    import re
+
+    from financial_data_lakehouse_pipeline__spark.operators import text as T
+
+    texts = ["the cat sat on the mat", "the cat ate the rat"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in T.bpe_learn_merges(df, "text", n_merges=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in T.bpe_apply_merges(df, merges).collect()
+    }
+    # reference: apply same merges sequentially per word
+    def count(t):
+        tot = 0
+        for w in re.findall("[a-z]+", t.lower()):
+            s = "".join(f"|{c}|" for c in w)
+            for a, b in merges:
+                s = s.replace(f"|{a}||{b}|", f"|{a}{b}|")
+            tot += len([x for x in re.split(r"\|+", s) if x])
+        return tot
+
+    assert got == {i: count(t) for i, t in enumerate(texts)}

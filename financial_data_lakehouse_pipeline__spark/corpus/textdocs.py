@@ -1194,3 +1194,39 @@ def bpe_encode_docs(spark, sf_dir):
     return text.bpe_apply_merges(
         d, [("t", "h"), ("th", "e"), ("a", "n"), ("i", "n")]
     )
+
+
+@register(
+    "repeated_spans_docs",
+    # 6-gram twin of the _SHINGLES_CTE pattern (same canonicalization,
+    # same range/slice arithmetic), bounded per-span state (count +
+    # min/max example ids), deterministic (n_docs DESC, span) top-20.
+    f"""WITH docs AS (
+          SELECT doc_id, regexp_split_to_array({_CANON}, ' ') AS toks
+          FROM documents
+          WHERE length(trim(text)) > 0
+        ),
+        idx AS (
+          SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks) - 6, 0) + 1)) AS i
+          FROM docs
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(toks[i+1:i+6], ' ') AS span
+          FROM idx
+          WHERE length(array_to_string(toks[i+1:i+6], ' ')) > 0
+        )
+        SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM sh GROUP BY span HAVING COUNT(*) >= 2
+        ORDER BY n_docs DESC, span LIMIT 20""",
+)
+def repeated_spans_docs(spark, sf_dir):
+    """Top cross-document repeated 6-gram spans
+    (operators/dedup.repeated_spans) — the substring-level diagnostic
+    that surfaces boilerplate/license/template passages document-level
+    near-dup misses. Span-keyed groupBy with bounded state (count +
+    min/max example doc), TakeOrderedAndProject top-20."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.repeated_spans(d, "doc_id", "text", n=6, min_docs=2, k=20)

@@ -868,3 +868,31 @@ def rrf_fusion_topk_embeddings(spark, sf_dir):
     cos = similarity.brute_force_topk(q, emb, k=20)
     l2 = similarity.brute_force_topk_l2(q, emb, k=20)
     return similarity.rrf_fuse(cos, l2, k=10)
+
+
+@register(
+    "gram_matrix_embeddings",
+    # Double-unnest index twin: SUM over rows of v[i]*v[j] for i <= j.
+    # Cross-batch float-sum order differs (BLAS partials vs sequential),
+    # so both sides ROUND 6 (entry magnitude ~1e2, error ~1e-12).
+    """SELECT i, j,
+              ROUND(SUM(CAST(v[i] AS DOUBLE) * CAST(v[j] AS DOUBLE)), 6)
+                + 0e0 AS gram
+       FROM (SELECT embedding AS v FROM embeddings
+             WHERE embedding IS NOT NULL),
+            (SELECT unnest(range(1, 65)) AS i),
+            (SELECT unnest(range(1, 65)) AS j)
+       WHERE i <= j
+       GROUP BY i, j""",
+)
+def gram_matrix_embeddings(spark, sf_dir):
+    """Upper-triangle Gram matrix X^T X of the 64-dim embedding table
+    (operators/similarity.gram_matrix): per-Arrow-batch BLAS partials
+    via mapInPandas, then a d²-bounded keyed sum — the one-pass
+    reduction feeding PCA/whitening (power iteration pinned in
+    tests/test_similarity.py). 2080 cells regardless of row count."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    g = similarity.gram_matrix(emb, "embedding", upper_only=True)
+    return g.select(
+        "i", "j", (F.round(F.col("gram"), 6) + F.lit(0.0)).alias("gram")
+    )

@@ -697,3 +697,39 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 6,
+    min_docs: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Cross-document repeated n-gram spans — the substring-level dedup
+    diagnostic (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): word n-grams occurring in at least ``min_docs``
+    DISTINCT documents, top-k by document count. Surfaces boilerplate,
+    licenses, templates and mirrored passages that document-level
+    near-dup misses because the containing docs differ.
+
+    Plan shape: :func:`word_shingles` (distinct per doc) → one
+    span-keyed groupBy whose state is three bounded values per span
+    (count + min/max example ids — never a per-span doc list, which a
+    hot license span would grow unboundedly) → TakeOrderedAndProject
+    heap for the top-k. Ties break (n_docs DESC, span ASC).
+
+    Output: (span, n_docs, min_doc, max_doc).
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    agg = (
+        sh.groupBy(F.col("shingle").alias("span"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min(id_col).alias("min_doc"),
+            F.max(id_col).alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= int(min_docs))
+    )
+    return agg.orderBy(F.col("n_docs").desc(), F.col("span")).limit(int(k))

@@ -1062,3 +1062,81 @@ def rrf_fuse(
         .filter(F.col("rank") <= int(k))
         .select("query_id", "neighbor_id", "rrf_score", "rank")
     )
+
+
+def gram_matrix(
+    df: DataFrame, vec_col: str = "embedding", upper_only: bool = True
+) -> DataFrame:
+    """Distributed Gram (uncentered second-moment) matrix X^T X of an
+    embedding column — the d×d reduction behind PCA/whitening/linear
+    probes: each Arrow batch computes its local partial X^T X with one
+    BLAS gemm (mapInPandas — the legitimate vectorized-Python path for
+    a true matrix kernel), and a (i, j)-keyed groupBy sums partials.
+    Shuffle volume is d²·batches — independent of row count, the
+    pattern that makes a 100 TB fit reduce to a broadcastable d²
+    table. Indices are 1-based (oracle list-index parity);
+    ``upper_only`` keeps i <= j (the matrix is symmetric).
+
+    Output: (i, j, gram) — float sums are order-dependent across
+    batches, so corpus consumers ROUND per the float convention.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _part(it):
+        for pdf in it:
+            vs = pdf[vec_col].dropna()
+            if not len(vs):
+                continue
+            X = np.stack(vs.to_numpy()).astype(np.float64)
+            G = X.T @ X
+            d = G.shape[0]
+            ii, jj = (
+                np.triu_indices(d) if upper_only else np.indices((d, d)).reshape(2, -1)
+            )
+            yield pd.DataFrame(
+                {
+                    "i": (ii + 1).astype("int32"),
+                    "j": (jj + 1).astype("int32"),
+                    "partial": G[ii, jj],
+                }
+            )
+
+    out = df.select(vec_col).mapInPandas(_part, "i int, j int, partial double")
+    return out.groupBy("i", "j").agg(F.sum("partial").alias("gram"))
+
+
+def pca_top_component(
+    df: DataFrame, vec_col: str = "embedding", iters: int = 50
+) -> tuple[float, list[float]]:
+    """Top principal direction of the uncentered second-moment matrix
+    via power iteration on the :func:`gram_matrix` result — ONE
+    distributed pass over the data; the iteration itself runs on the
+    collected d×d matrix (d² driver-side values — kmeans-centroid-
+    legitimate model state, independent of row count). Deterministic:
+    fixed all-ones init, fixed iteration count, sign fixed so the
+    largest-|coordinate| entry is positive. Center the vectors first
+    for classical PCA (embeddings are typically ~zero-mean/normalized).
+
+    Returns (eigenvalue, eigenvector) — pinned against numpy.linalg.eigh
+    in tests/test_similarity.py.
+    """
+    import numpy as np
+
+    rows = gram_matrix(df, vec_col, upper_only=True).collect()
+    d = max(r["j"] for r in rows)
+    G = np.zeros((d, d))
+    for r in rows:
+        G[r["i"] - 1, r["j"] - 1] = r["gram"]
+        G[r["j"] - 1, r["i"] - 1] = r["gram"]
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(int(iters)):
+        w = G @ v
+        n = np.linalg.norm(w)
+        if n == 0.0:
+            return 0.0, [0.0] * d
+        v = w / n
+    lam = float(v @ G @ v)
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    return lam, [float(x) for x in v]

@@ -428,3 +428,49 @@ def test_ivfpq_residual_index_and_probe(spark, sf_dir):
     assert got[0].vec_id == 0  # self is the best-quantized match
     dists = [r.adc_dist for r in got]
     assert dists == sorted(dists)
+
+
+def test_gram_matrix_matches_numpy(spark):
+    """Distributed per-batch partial Gram == numpy X^T X."""
+    import numpy as np
+
+    from financial_data_lakehouse_pipeline__spark.operators import similarity
+
+    rng = [[float((i * 7 + j * 3) % 5 - 2) for j in range(4)] for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id int, embedding array<float>"
+    )
+    got = {
+        (r["i"], r["j"]): r["gram"]
+        for r in similarity.gram_matrix(df, "embedding").collect()
+    }
+    X = np.array(rng)
+    G = X.T @ X
+    for (i, j), v in got.items():
+        assert abs(v - G[i - 1, j - 1]) < 1e-9
+    assert len(got) == 10  # upper triangle of 4x4
+
+
+def test_pca_top_component_matches_numpy_eigh(spark):
+    """Power iteration on the distributed Gram recovers numpy's top
+    eigenpair (planted dominant direction)."""
+    import numpy as np
+
+    from financial_data_lakehouse_pipeline__spark.operators import similarity
+
+    rs = np.random.RandomState(11)
+    base = rs.randn(200, 6) * 0.1
+    direction = np.array([3.0, 1.0, 0.0, -2.0, 0.5, 1.5])
+    data = base + rs.randn(200, 1) @ direction.reshape(1, -1)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id int, embedding array<float>",
+    )
+    lam, vec = similarity.pca_top_component(df, "embedding", iters=100)
+    X = np.stack([np.array(r, dtype=np.float64) for r in
+                  [[np.float32(x) for x in row] for row in data]])
+    w, V = np.linalg.eigh(X.T @ X)
+    top_val, top_vec = w[-1], V[:, -1]
+    assert abs(lam - top_val) / top_val < 1e-6
+    cos = abs(float(np.dot(vec, top_vec)))
+    assert cos > 0.9999

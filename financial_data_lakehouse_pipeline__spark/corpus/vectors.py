@@ -896,3 +896,72 @@ def gram_matrix_embeddings(spark, sf_dir):
     return g.select(
         "i", "j", (F.round(F.col("gram"), 6) + F.lit(0.0)).alias("gram")
     )
+
+
+@register(
+    "ndcg_label_relevance",
+    # Ranking + relevance + both k-bounded DCG sums rebuilt in SQL; the
+    # log2 discounts are the one floating step -> ROUND 6 on all three.
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+                   FROM embeddings WHERE vec_id < 5),
+             c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                          label AS cl
+                   FROM embeddings),
+             rk AS (
+               SELECT query_id, neighbor_id,
+                      CASE WHEN cl = ql THEN 1e0 ELSE 0e0 END AS rel,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY {_cosine_sql('qv', 'cv')} DESC,
+                                 neighbor_id) AS rank
+               FROM c, q WHERE query_id <> neighbor_id
+             ),
+             top AS (SELECT * FROM rk WHERE rank <= 10),
+             t AS (
+               SELECT query_id,
+                      rel / log2(CAST(rank AS DOUBLE) + 1e0) AS d,
+                      rel / log2(CAST(ROW_NUMBER() OVER (
+                        PARTITION BY query_id
+                        ORDER BY rel DESC, neighbor_id) AS DOUBLE) + 1e0)
+                        AS i
+               FROM top
+             ),
+             a AS (SELECT query_id, SUM(d) AS dcg, SUM(i) AS idcg
+                   FROM t GROUP BY 1)
+        SELECT query_id, ROUND(dcg, 6) + 0e0 AS dcg,
+               ROUND(idcg, 6) + 0e0 AS idcg,
+               ROUND(CASE WHEN idcg > 0 THEN dcg / idcg END, 6) + 0e0
+                 AS ndcg
+        FROM a""",
+)
+def ndcg_label_relevance(spark, sf_dir):
+    """nDCG@10 of the exact cosine ranking against label relevance
+    (operators/similarity.ndcg_at_k; rel = 1 when the neighbor shares
+    the query's label) — the position-discounted retrieval metric
+    beside the ann_recall harness. All sums are k-bounded per query;
+    log2 discounts ROUND 6."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    ranking = similarity.brute_force_topk(q, emb, k=10)
+    rel = (
+        q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("__ql"))
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("__cl"),
+            )
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(F.col("__cl") == F.col("__ql"), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("rel"),
+        )
+    )
+    out = similarity.ndcg_at_k(ranking, rel, k=10)
+    return out.select(
+        "query_id",
+        (F.round("dcg", 6) + F.lit(0.0)).alias("dcg"),
+        (F.round("idcg", 6) + F.lit(0.0)).alias("idcg"),
+        (F.round("ndcg", 6) + F.lit(0.0)).alias("ndcg"),
+    )

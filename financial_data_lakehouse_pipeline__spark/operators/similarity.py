@@ -1140,3 +1140,54 @@ def pca_top_component(
     if v[int(np.argmax(np.abs(v)))] < 0:
         v = -v
     return lam, [float(x) for x in v]
+
+
+def ndcg_at_k(
+    ranking: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """nDCG@k of a retrieval ranking against graded relevance — the
+    position-discounted quality metric beside recall@k (the recall
+    harness treats all hits equally; nDCG rewards putting the most
+    relevant neighbors FIRST). Inputs: ranking (query_id, neighbor_id,
+    rank) and relevance (query_id, neighbor_id, rel).
+
+    DCG = Σ_{i<=k} rel_i / log2(i + 1) over the ranking's order;
+    IDCG re-sorts the SAME k retrieved items by (rel DESC,
+    neighbor_id) — the normalization that makes scores comparable
+    across queries. Missing relevance rows count 0. Both sums are
+    k-bounded per query (tiny windows over rank tables, never the
+    corpus); the ln-based discounts are the one floating step — corpus
+    consumers ROUND per the float convention.
+
+    Output: (query_id, dcg, idcg, ndcg).
+    """
+    from pyspark.sql import Window
+
+    r = (
+        ranking.filter(F.col("rank") <= int(k))
+        .join(relevance, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.coalesce(F.col("rel"), F.lit(0.0)).cast("double").alias("__rel"),
+        )
+    )
+    disc = F.col("__rel") / F.log2(F.col("rank").cast("double") + F.lit(1.0))
+    wi = Window.partitionBy("query_id").orderBy(
+        F.col("__rel").desc(), F.col("neighbor_id")
+    )
+    ideal = F.col("__rel") / F.log2(
+        F.row_number().over(wi).cast("double") + F.lit(1.0)
+    )
+    agg = r.select("query_id", disc.alias("__d"), ideal.alias("__i")).groupBy(
+        "query_id"
+    ).agg(F.sum("__d").alias("dcg"), F.sum("__i").alias("idcg"))
+    return agg.select(
+        "query_id",
+        "dcg",
+        "idcg",
+        F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).alias("ndcg"),
+    )

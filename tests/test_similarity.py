@@ -474,3 +474,31 @@ def test_pca_top_component_matches_numpy_eigh(spark):
     assert abs(lam - top_val) / top_val < 1e-6
     cos = abs(float(np.dot(vec, top_vec)))
     assert cos > 0.9999
+
+
+def test_ndcg_at_k_hand_values(spark):
+    """Perfect ranking -> ndcg 1; reversed relevance -> hand-computed
+    dcg/idcg; all-zero relevance -> NULL ndcg."""
+    from financial_data_lakehouse_pipeline__spark.operators import similarity
+
+    ranking = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2),
+         (3, 30, 1), (3, 31, 2)],
+        "query_id int, neighbor_id int, rank int",
+    )
+    rel = spark.createDataFrame(
+        [(1, 10, 3.0), (1, 11, 2.0), (1, 12, 1.0),
+         (2, 21, 1.0)],  # q2: best item ranked second; q3: no relevance
+        "query_id int, neighbor_id int, rel double",
+    )
+    import math
+
+    got = {r["query_id"]: r for r in
+           similarity.ndcg_at_k(ranking, rel, k=10).collect()}
+    assert abs(got[1]["ndcg"] - 1.0) < 1e-12  # already ideal order
+    dcg2 = 1.0 / math.log2(3.0)
+    idcg2 = 1.0 / math.log2(2.0)
+    assert abs(got[2]["dcg"] - dcg2) < 1e-12
+    assert abs(got[2]["ndcg"] - dcg2 / idcg2) < 1e-12
+    assert got[3]["ndcg"] is None and got[3]["idcg"] == 0.0

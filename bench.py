@@ -71,6 +71,10 @@ HEADLINE = [
     "hist_quantiles_order_totals",  # histogram-sketch quantiles
     "hll_estimate_custkey",      # md5 HyperLogLog estimate
     "bloom_anti_join_customers", # bloom-pruned exact anti-join
+    "kmv_quantile_prices",       # bottom-k quantile sketch (heap cut)
+    "bpe_merges_docs",           # iterative driver-loop tokenizer training
+    "gram_matrix_embeddings",    # mapInPandas BLAS partial reduction
+    "repeated_spans_docs",       # substring-dedup span diagnostic
 ]
 
 

@@ -1421,3 +1421,56 @@ def lift_curve_orders(spark, sf_dir):
             / (F.col("n").cast("double") * F.col("__pp").cast("double"))
         ).alias("lift"),
     )
+
+
+@register(
+    "auc_returns_by_priority",
+    # Rank-based AUC twin: 2xmidranks from the shared _r2 window pair,
+    # S and class counts exact integers, ONE IEEE division at the end.
+    f"""WITH lab AS (
+          SELECT o_orderpriority AS pri,
+                 CAST(FLOOR(o_totalprice * 100e0 + 5e-1) AS BIGINT) AS v,
+                 EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_orderkey = o_orderkey
+                           AND l.l_returnflag = 'R') AS y
+          FROM orders
+        ), r AS (
+          SELECT pri, y, {_r2('pri', 'v')} AS dr FROM lab
+        ), g AS (
+          SELECT pri,
+                 CAST(SUM(CASE WHEN y THEN dr ELSE 0 END) AS BIGINT) AS s,
+                 CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                 CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+          FROM r GROUP BY pri
+        )
+        SELECT pri, n_pos, n_neg,
+               CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                 CAST(s - n_pos * (n_pos + 1) AS DOUBLE)
+                   / (2e0 * CAST(n_pos * n_neg AS DOUBLE))
+               END AS auc
+        FROM g""",
+)
+def auc_returns_by_priority(spark, sf_dir):
+    """Per-priority ROC AUC of 'order value predicts a return'
+    (operators/analysis.roc_auc) — the rank-based Mann-Whitney AUC:
+    no threshold sweep, one ranked pass per group, exact integers up
+    to a single final division. Cents-integer scores (the corpus
+    money discipline) keep the ranking itself exact."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    r = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+        .withColumn("__r", F.lit(True))
+    )
+    lab = o.join(r, "o_orderkey", "left").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.coalesce(F.col("__r"), F.lit(False)).alias("y"),
+    )
+    return analysis.roc_auc(lab, ["pri"], F.col("cents"), F.col("y"))

@@ -1304,3 +1304,53 @@ def mutual_information(
         F.max("__n").cast("bigint").alias("n"),
         (F.round(F.sum("__term"), round_to) + F.lit(0.0)).alias("mi_nats"),
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    keys: Sequence[str],
+    score: Column,
+    label: Column,
+    out: str = "auc",
+) -> DataFrame:
+    """Per-group ROC AUC of a numeric score against a binary label —
+    the rank-based (Mann-Whitney) identity, so no threshold sweep and
+    no curve materialization: AUC = P(score_pos > score_neg) +
+    ½·P(tie) = (S − n₁(n₁+1)) / (2·n₁·n₀), where S is the sum over
+    positives of 2×midrank (:func:`_double_rank` — an exact INTEGER).
+
+    Everything up to the final quotient is exact integer arithmetic
+    from ONE ranked pass (the spearman/MWU window discipline: one
+    shuffle on the group key); the quotient is a single IEEE division,
+    bit-identical cross-engine. NULL score/label rows are excluded;
+    single-class groups yield NULL AUC. Output: (keys..., n_pos,
+    n_neg, auc).
+    """
+    sdf = df.select(
+        *keys, score.alias("__v"), label.cast("boolean").alias("__y")
+    ).filter(F.col("__v").isNotNull() & F.col("__y").isNotNull())
+    ranked = sdf.select(
+        *keys, "__y", _double_rank(keys, "__v").alias("__dr")
+    )
+    g = ranked.groupBy(*keys).agg(
+        F.sum(F.when(F.col("__y"), F.col("__dr")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("__s"),
+        F.sum(F.when(F.col("__y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__n1"),
+        F.sum(F.when(~F.col("__y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__n0"),
+    )
+    auc = F.when(
+        (F.col("__n1") > 0) & (F.col("__n0") > 0),
+        (F.col("__s") - F.col("__n1") * (F.col("__n1") + 1)).cast("double")
+        / (F.lit(2.0) * (F.col("__n1") * F.col("__n0")).cast("double")),
+    )
+    return g.select(
+        *keys,
+        F.col("__n1").alias("n_pos"),
+        F.col("__n0").alias("n_neg"),
+        auc.alias(out),
+    )

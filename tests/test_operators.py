@@ -2322,3 +2322,45 @@ def test_bpe_apply_consistent_with_learn(spark):
         return tot
 
     assert got == {i: count(t) for i, t in enumerate(texts)}
+
+
+def test_roc_auc_hand_values(spark):
+    """Perfect separation -> 1.0; anti-separation -> 0.0; all-tied
+    scores -> 0.5; single-class group -> NULL."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    rows = (
+        [("sep", v, v >= 3) for v in [1, 2, 3, 4]]
+        + [("anti", v, v < 3) for v in [1, 2, 3, 4]]
+        + [("tied", 7, y) for y in [True, False, True, False]]
+        + [("mono", v, True) for v in [1, 2]]
+    )
+    df = spark.createDataFrame(rows, "k string, v long, y boolean")
+    got = {
+        r["k"]: r["auc"]
+        for r in analysis.roc_auc(df, ["k"], F.col("v"), F.col("y")).collect()
+    }
+    assert got["sep"] == 1.0
+    assert got["anti"] == 0.0
+    assert got["tied"] == 0.5
+    assert got["mono"] is None
+
+
+def test_roc_auc_matches_sklearn_style_reference(spark):
+    """Midrank AUC equals the trapezoid/probabilistic definition on data
+    with ties (computed by a direct O(n^2) pair count)."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    vals = [(v, y) for v, y in [
+        (1, False), (2, False), (2, True), (3, False),
+        (3, True), (3, True), (5, False), (7, True),
+    ]]
+    df = spark.createDataFrame([("g", v, y) for v, y in vals],
+                               "k string, v long, y boolean")
+    pos = [v for v, y in vals if y]
+    neg = [v for v, y in vals if not y]
+    pairs = sum(1.0 if p > n else 0.5 if p == n else 0.0
+                for p in pos for n in neg)
+    expect = pairs / (len(pos) * len(neg))
+    got = analysis.roc_auc(df, ["k"], F.col("v"), F.col("y")).collect()[0]
+    assert abs(got["auc"] - expect) < 1e-15

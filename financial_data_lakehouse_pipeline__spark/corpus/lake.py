@@ -603,3 +603,44 @@ def compaction_plan_lake(spark, sf_dir):
     ]
     st = inspect.file_stats(spark, paths)
     return inspect.compaction_plan(st, target_bytes=512 * 1024)
+
+
+@register(
+    "python_datasource_scan",
+    # The source's rows are a pure function of the row id, so the twin
+    # is range() arithmetic: bucket = id % 8, v = (id * 37) % 997.
+    # Per-bucket sums stay exact BIGINTs; avg is one IEEE division.
+    """WITH r AS (
+          SELECT i AS id, CAST(i % 8 AS INT) AS bucket,
+                 (i * 37) % 997 AS v
+          FROM (SELECT unnest(range(0, 1000)) AS i)
+        )
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS v_sum,
+               CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS v_avg
+        FROM r GROUP BY bucket""",
+)
+def python_datasource_scan(spark, sf_dir):
+    """Custom Python DataSource scan (Spark 4 DataSource API,
+    sources/pyds.SyntheticRowsDataSource): a pure-Python pluggable
+    source scheduled one-task-per-InputPartition like any native scan —
+    the source-side §2.10 surface beside the UDF/UDTF/UDAF trio. 1000
+    deterministic rows over 4 partitions, aggregated per bucket; the
+    oracle reproduces the scan from range() arithmetic because rows are
+    a pure function of the row id."""
+    from financial_data_lakehouse_pipeline__spark.sources import pyds
+
+    pyds.register(spark)
+    df = (
+        spark.read.format("synthetic_rows")
+        .option("rows", 1000)
+        .option("partitions", 4)
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("v_sum"),
+        (
+            F.sum("v").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("v_avg"),
+    )

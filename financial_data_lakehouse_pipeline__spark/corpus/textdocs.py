@@ -1230,3 +1230,36 @@ def repeated_spans_docs(spark, sf_dir):
     min/max example doc), TakeOrderedAndProject top-20."""
     d = read_table(spark, sf_dir, "documents")
     return dedup.repeated_spans(d, "doc_id", "text", n=6, min_docs=2, k=20)
+
+
+@register(
+    "phrase_search_docs",
+    # Positional-posting twin: same canonical tokens with ordinality,
+    # same shifted equi-joins on (doc, pos). Counts exact.
+    f"""WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array({_CANON}, ' ')) AS term,
+                 generate_subscripts(
+                   regexp_split_to_array({_CANON}, ' '), 1) - 1 AS pos
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        idx AS (SELECT term, doc_id, pos FROM toks
+                WHERE length(term) > 0),
+        t0 AS (SELECT doc_id, pos FROM idx WHERE term = 'big'),
+        t1 AS (SELECT doc_id, pos - 1 AS pos FROM idx
+               WHERE term = 'order'),
+        t2 AS (SELECT doc_id, pos - 2 AS pos FROM idx WHERE term = 'scan')
+        SELECT t0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+        FROM t0
+        JOIN t1 ON t0.doc_id = t1.doc_id AND t0.pos = t1.pos
+        JOIN t2 ON t0.doc_id = t2.doc_id AND t0.pos = t2.pos
+        GROUP BY t0.doc_id""",
+)
+def phrase_search_docs(spark, sf_dir):
+    """Exact phrase search for 'big order scan' via a positional
+    inverted index (operators/text.positional_index + phrase_search):
+    per-term posting lists shift-joined on (doc, pos) — term filters
+    push into the index scan, join inputs are posting-list-sized. The
+    IR-index counterpart of the shingle-based dedup family."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.phrase_search(d, "big order scan")

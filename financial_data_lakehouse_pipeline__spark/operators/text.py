@@ -883,3 +883,55 @@ def bpe_apply_merges(
         .cast("int")
         .alias("n_bpe_tokens"),
     )
+
+
+def positional_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted index: (term, doc_id, pos) postings over the
+    canonicalized token stream (0-based positions) — the search-engine
+    layout phrase/proximity queries join against. One tokenize +
+    posexplode; write it partitioned/bucketed by term for a reusable
+    index at scale."""
+    from financial_data_lakehouse_pipeline__spark.operators.dedup import (
+        canonical_text,
+    )
+
+    toked = df.select(
+        F.col(id_col), tokens(canonical_text(F.col(text_col))).alias("__toks")
+    )
+    return toked.select(
+        F.col(id_col), F.posexplode("__toks").alias("pos", "term")
+    ).filter(F.length("term") > 0).select("term", id_col, "pos")
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase matching via positional-posting joins: documents
+    containing the token sequence of ``phrase``, with occurrence
+    counts. The classic k-term plan: the i-th term's postings shifted
+    by -i equi-join the first term's on (doc, pos) — each term's
+    equality filter pushes into the index scan, so join inputs are
+    per-term posting lists, never the corpus; a stop-word first term
+    is the only skew hazard (reorder rare-first in a production
+    planner, the prefix-filter df-ranking trick).
+
+    Output: (doc_id, n_matches), one row per matching document.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    idx = positional_index(df, id_col, text_col)
+    base = idx.filter(F.col("term") == terms[0]).select(id_col, "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = idx.filter(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - F.lit(i)).alias("pos")
+        )
+        base = base.join(nxt, [id_col, "pos"])
+    return base.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches")
+    )

@@ -410,3 +410,38 @@ def test_with_ingest_metadata_stamps_provenance(spark, sf_dir):
     assert all(r["_source"] == "tpch-region" for r in rows)
     assert all("region.parquet" in r["_input_file"] for r in rows)
     assert len({r["_ingest_ts"] for r in rows}) == 1
+
+
+def test_python_datasource_partitions_and_content(spark):
+    """The custom Python DataSource honors the partitions option (one
+    task per InputPartition) and produces the exact deterministic rows
+    of the shared pure row function, including the ragged last chunk."""
+    from financial_data_lakehouse_pipeline__spark.sources import pyds
+
+    pyds.register(spark)
+    df = (
+        spark.read.format("synthetic_rows")
+        .option("rows", 103)
+        .option("partitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    got = sorted((r["id"], r["bucket"], r["v"]) for r in df.collect())
+    assert got == [pyds.row_for_id(i) for i in range(103)]
+
+
+def test_python_datasource_empty_and_reregister(spark):
+    """rows=0 yields an empty frame with the declared schema; a second
+    register() call is idempotent."""
+    from financial_data_lakehouse_pipeline__spark.sources import pyds
+
+    pyds.register(spark)
+    pyds.register(spark)
+    df = (
+        spark.read.format("synthetic_rows")
+        .option("rows", 0)
+        .option("partitions", 3)
+        .load()
+    )
+    assert df.columns == ["id", "bucket", "v"]
+    assert df.count() == 0

@@ -1854,3 +1854,121 @@ def fk_orphan_audit_star(spark, sf_dir):
             ("customer->nation", c, "c_nationkey", n, "n_nationkey"),
         ]
     )
+
+
+#: Fellegi–Sunter (m, u) parameters for the part-linkage demo — shared
+#: constants so the SQL twin embeds the repr() of the SAME log-odds.
+_FS_FIELDS = {
+    "name": (0.9, 0.1),
+    "type": (0.7, 0.05),
+    "price": (0.5, 0.02),
+}
+
+
+def _fs_w(field: str) -> tuple[str, str]:
+    import math
+
+    m, u = _FS_FIELDS[field]
+    # DOUBLE-typed SQL literals (bare decimals parse as DECIMAL in
+    # DuckDB, which breaks the float-type parity of the score column)
+    return (
+        f"CAST({math.log(m / u)!r} AS DOUBLE)",
+        f"CAST({math.log((1 - m) / (1 - u))!r} AS DOUBLE)",
+    )
+
+
+@register(
+    "linkage_scores_parts",
+    # Same blocking key, same agreement predicates (exact ints), and
+    # the SAME log-odds literals (repr of the Python constants) summed
+    # left-to-right — a fixed double tree, bit-identical, no ROUND.
+    f"""WITH p AS (
+          SELECT p_partkey, p_name, p_brand, p_type,
+                 CAST(FLOOR(p_retailprice * 100e0 + 5e-1) AS BIGINT)
+                   AS cents,
+                 string_split(p_name, ' ')[-1] || '|' || p_brand
+                   || '|' || CAST(p_size AS VARCHAR) AS blk
+          FROM part
+        )
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               CAST(levenshtein(a.p_name, b.p_name) <= 4 AS INT)
+                 AS agree_name,
+               CAST(a.p_type = b.p_type AS INT) AS agree_type,
+               CAST(abs(a.cents - b.cents) <= 100 AS INT) AS agree_price,
+               (CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+                     THEN {_fs_w('name')[0]} ELSE {_fs_w('name')[1]} END
+                + CASE WHEN a.p_type = b.p_type
+                       THEN {_fs_w('type')[0]} ELSE {_fs_w('type')[1]} END
+                + CASE WHEN abs(a.cents - b.cents) <= 100
+                       THEN {_fs_w('price')[0]}
+                       ELSE {_fs_w('price')[1]} END) AS linkage_score
+        FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        WHERE (CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+                    THEN {_fs_w('name')[0]} ELSE {_fs_w('name')[1]} END
+               + CASE WHEN a.p_type = b.p_type
+                      THEN {_fs_w('type')[0]} ELSE {_fs_w('type')[1]} END
+               + CASE WHEN abs(a.cents - b.cents) <= 100
+                      THEN {_fs_w('price')[0]}
+                      ELSE {_fs_w('price')[1]} END) > 0""",
+)
+def linkage_scores_parts(spark, sf_dir):
+    """Fellegi–Sunter record linkage over blocked part pairs
+    (operators/dedup.linkage_scores): block on (name noun, brand,
+    size) — block sizes stay O(1) as the table grows, so the pair
+    volume is linear, not quadratic — then score name-Levenshtein,
+    type, and cents-price-band agreements with log-odds weights and
+    keep positive-evidence pairs. All predicates are exact integers;
+    the score is a fixed literal sum (no ROUND)."""
+    from financial_data_lakehouse_pipeline__spark.operators import dedup
+
+    p = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        F.floor(F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.concat_ws(
+            "|",
+            F.element_at(F.split(F.col("p_name"), " "), -1),
+            F.col("p_brand"),
+            F.col("p_size").cast("string"),
+        ).alias("blk"),
+    )
+    a = p.select(*[F.col(c).alias(f"{c}_a") for c in p.columns])
+    b = p.select(*[F.col(c).alias(f"{c}_b") for c in p.columns])
+    pairs = a.join(
+        b,
+        (F.col("blk_a") == F.col("blk_b"))
+        & (F.col("p_partkey_a") < F.col("p_partkey_b")),
+    )
+    m_name, u_name = _FS_FIELDS["name"]
+    m_type, u_type = _FS_FIELDS["type"]
+    m_price, u_price = _FS_FIELDS["price"]
+    scored = dedup.linkage_scores(
+        pairs,
+        [
+            (
+                "name",
+                F.levenshtein(F.col("p_name_a"), F.col("p_name_b")) <= 4,
+                m_name,
+                u_name,
+            ),
+            ("type", F.col("p_type_a") == F.col("p_type_b"), m_type, u_type),
+            (
+                "price",
+                F.abs(F.col("cents_a") - F.col("cents_b")) <= 100,
+                m_price,
+                u_price,
+            ),
+        ],
+    )
+    return scored.filter(F.col("linkage_score") > 0).select(
+        F.col("p_partkey_a").alias("id_a"),
+        F.col("p_partkey_b").alias("id_b"),
+        F.col("agree_name").cast("int").alias("agree_name"),
+        F.col("agree_type").cast("int").alias("agree_type"),
+        F.col("agree_price").cast("int").alias("agree_price"),
+        "linkage_score",
+    )

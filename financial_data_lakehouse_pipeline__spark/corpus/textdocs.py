@@ -1263,3 +1263,45 @@ def phrase_search_docs(spark, sf_dir):
     IR-index counterpart of the shingle-based dedup family."""
     d = read_table(spark, sf_dir, "documents")
     return text.phrase_search(d, "big order scan")
+
+
+@register(
+    "bigram_logprob_docs",
+    # Same bigram extraction (list_zip postings), same self-trained
+    # model with exact counts; the ln-sum is the one float aggregate
+    # -> ROUND 6 on both sides.
+    f"""WITH toked AS (
+          SELECT doc_id, regexp_split_to_array({_CANON}, ' ') AS l
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        pairs AS (
+          SELECT doc_id, pr[1] AS w1, pr[2] AS w2
+          FROM (SELECT doc_id, unnest(list_zip(l, l[2:])) AS pr
+                FROM toked)
+          WHERE pr[2] IS NOT NULL
+            AND length(pr[1]) > 0 AND length(pr[2]) > 0
+        ),
+        tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf
+               FROM pairs GROUP BY 1, 2, 3),
+        model AS (SELECT w1, w2, SUM(tf) AS c12 FROM tf GROUP BY 1, 2),
+        marg AS (SELECT w1, SUM(c12) AS c1 FROM model GROUP BY 1)
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+               ROUND(SUM(CAST(tf AS DOUBLE)
+                         * (ln(CAST(c12 AS DOUBLE))
+                            - ln(CAST(c1 AS DOUBLE))))
+                     / CAST(SUM(tf) AS DOUBLE), 6) + 0e0 AS avg_logprob
+        FROM tf JOIN model USING (w1, w2) JOIN marg USING (w1)
+        GROUP BY doc_id""",
+)
+def bigram_logprob_docs(spark, sf_dir):
+    """Per-document mean bigram log-probability under the corpus's own
+    bigram LM (operators/text.bigram_logprob) — the word-order-aware
+    quality surrogate beside unigram_logprob_docs (CCNet-style LM
+    filtering). Exact integer counts; ln-sum ROUND 6."""
+    d = read_table(spark, sf_dir, "documents")
+    out = text.bigram_logprob(d)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        (F.round("avg_logprob", 6) + F.lit(0.0)).alias("avg_logprob"),
+    )

@@ -733,3 +733,42 @@ def repeated_spans(
         .filter(F.col("n_docs") >= int(min_docs))
     )
     return agg.orderBy(F.col("n_docs").desc(), F.col("span")).limit(int(k))
+
+
+def linkage_scores(
+    pairs: DataFrame,
+    fields: Sequence[tuple[str, Column, float, float]],
+    out: str = "linkage_score",
+) -> DataFrame:
+    """Fellegi–Sunter record-linkage scoring over candidate pairs —
+    the probabilistic ER layer above blocking: each comparison field
+    contributes ln(m/u) when its agreement predicate holds and
+    ln((1−m)/(1−u)) when it does not (m = P(agree | match), u =
+    P(agree | non-match)); the pair's score is the sum, and a
+    threshold on it is the match decision.
+
+    ``fields`` is a list of (name, agreement_predicate, m, u). The
+    per-field log-odds are Python-computed constants embedded as
+    literals, and the score is a FIXED left-to-right sum of a
+    when-chain — bit-identical cross-engine (the oracle embeds the
+    repr() of the same constants), so no rounding is needed. A
+    NULL-valued predicate counts as disagreement (when/otherwise).
+
+    Scale: pure projection over the (already blocked) candidate-pair
+    table — the quadratic risk lives in the caller's blocking, not
+    here. Also emits one boolean agreement column per field for audit.
+
+    Output: pairs + (agree_<name>... , linkage_score).
+    """
+    import math
+
+    score: Column | None = None
+    withcols: dict[str, Column] = {}
+    for name, pred, m, u in fields:
+        agree_w = math.log(m / u)
+        disagree_w = math.log((1.0 - m) / (1.0 - u))
+        withcols[f"agree_{name}"] = F.coalesce(pred, F.lit(False))
+        term = F.when(pred, F.lit(agree_w)).otherwise(F.lit(disagree_w))
+        score = term if score is None else score + term
+    assert score is not None, "need at least one comparison field"
+    return pairs.withColumns({**withcols, out: score})

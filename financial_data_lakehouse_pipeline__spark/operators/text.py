@@ -935,3 +935,71 @@ def phrase_search(
     return base.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matches")
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str = "avg_logprob",
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    bigram LM — the next-order KenLM-style quality surrogate beside
+    :func:`unigram_logprob` (bigrams catch shuffled/garbled word order
+    that unigram frequencies cannot): avg over a doc's bigram slots of
+    ln P(w₂|w₁) = ln c(w₁w₂) − ln c(w₁·), with c(w₁·) the count of w₁
+    as a bigram LEFT (so probabilities normalize exactly and, because
+    the model is trained on the scored corpus itself, every scored
+    bigram exists — no smoothing branch, mirroring unigram_logprob).
+
+    Shape at scale: one (doc, bigram) aggregation, one bigram-model
+    aggregation and one left-marginal aggregation, then keyed joins
+    back — the bigram model is vocabulary²-bounded, so unlike the
+    unigram model it is NOT broadcast; both joins shuffle on the bigram
+    /unigram key. The ln-sum is a float aggregate — corpus consumers
+    ROUND it. Docs with < 2 tokens are omitted (no bigram slots).
+
+    Output: (id, n_bigrams bigint, avg_logprob double).
+    """
+    from financial_data_lakehouse_pipeline__spark.operators.dedup import (
+        canonical_text,
+    )
+
+    toked = df.select(
+        F.col(id_col), tokens(canonical_text(F.col(text_col))).alias("__toks")
+    )
+    pairs = (
+        toked.select(
+            F.col(id_col),
+            F.col("__toks").alias("l"),
+            F.expr("slice(__toks, 2, size(__toks))").alias("l2"),
+        )
+        .select(F.col(id_col), F.explode(F.arrays_zip("l", "l2")).alias("p"))
+        .filter(F.col("p")["l2"].isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("p")["l"].alias("w1"),
+            F.col("p")["l2"].alias("w2"),
+        )
+        .filter((F.length("w1") > 0) & (F.length("w2") > 0))
+    )
+    tf = pairs.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    model = tf.groupBy("w1", "w2").agg(F.sum("__tf").alias("__c12"))
+    marg = model.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
+    scored = tf.join(model, ["w1", "w2"]).join(marg, "w1")
+    n = F.sum("__tf")
+    return scored.groupBy(id_col).agg(
+        n.cast("bigint").alias("n_bigrams"),
+        (
+            F.sum(
+                F.col("__tf").cast("double")
+                * (
+                    F.log(F.col("__c12").cast("double"))
+                    - F.log(F.col("__c1").cast("double"))
+                )
+            )
+            / n.cast("double")
+        ).alias(out),
+    )

@@ -2364,3 +2364,31 @@ def test_roc_auc_matches_sklearn_style_reference(spark):
     expect = pairs / (len(pos) * len(neg))
     got = analysis.roc_auc(df, ["k"], F.col("v"), F.col("y")).collect()[0]
     assert abs(got["auc"] - expect) < 1e-15
+
+
+def test_linkage_scores_hand_values(spark):
+    """Two fields with known (m, u): all-agree pair sums both agree
+    log-odds; NULL predicate counts as disagreement."""
+    import math
+
+    from financial_data_lakehouse_pipeline__spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2, "x", "x", 5, 5), (3, 4, "x", "y", 5, None)],
+        "id_a int, id_b int, na string, nb string, sa int, sb int",
+    )
+    out = dedup.linkage_scores(
+        pairs,
+        [
+            ("name", F.col("na") == F.col("nb"), 0.9, 0.1),
+            ("size", F.col("sa") == F.col("sb"), 0.8, 0.2),
+        ],
+    ).collect()
+    got = {r["id_a"]: r for r in out}
+    w_name = (math.log(9.0), math.log((0.1) / (0.9)))
+    w_size = (math.log(4.0), math.log(0.2 / 0.8))
+    assert abs(got[1]["linkage_score"] - (w_name[0] + w_size[0])) < 1e-12
+    assert got[1]["agree_name"] and got[1]["agree_size"]
+    # pair 3: name disagrees, size predicate NULL -> disagreement weight
+    assert abs(got[3]["linkage_score"] - (w_name[1] + w_size[1])) < 1e-12
+    assert not got[3]["agree_size"]

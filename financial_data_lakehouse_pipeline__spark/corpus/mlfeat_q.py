@@ -1474,3 +1474,57 @@ def auc_returns_by_priority(spark, sf_dir):
         F.coalesce(F.col("__r"), F.lit(False)).alias("y"),
     )
     return analysis.roc_auc(lab, ["pri"], F.col("cents"), F.col("y"))
+
+
+@register(
+    "hbos_outlier_orders",
+    # Same integer bin arithmetic per feature (exact cross-engine
+    # membership), exact bin counts, ln-sum ROUND 6.
+    """WITH f AS (
+          SELECT o_orderkey,
+                 CAST(FLOOR(o_totalprice * 100e0 + 5e-1) AS BIGINT)
+                   AS cents,
+                 CAST(datediff('day', DATE '1992-01-01',
+                               CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+          FROM orders
+        ),
+        s1 AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM f),
+        s2 AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM f),
+        b AS (
+          SELECT o_orderkey,
+                 (cents - s1.mn) * 10 // (s1.mx - s1.mn + 1) AS b1,
+                 (day - s2.mn) * 10 // (s2.mx - s2.mn + 1) AS b2
+          FROM f, s1, s2
+        ),
+        h1 AS (SELECT b1, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY b1),
+        h2 AS (SELECT b2, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY b2),
+        m1 AS (SELECT MAX(c) AS cm FROM h1),
+        m2 AS (SELECT MAX(c) AS cm FROM h2)
+        SELECT b.o_orderkey,
+               ROUND(ln(CAST(m1.cm AS DOUBLE) / CAST(h1.c AS DOUBLE))
+                     + ln(CAST(m2.cm AS DOUBLE) / CAST(h2.c AS DOUBLE)), 6)
+                 + 0e0 AS hbos
+        FROM b JOIN h1 USING (b1) JOIN h2 USING (b2), m1, m2""",
+)
+def hbos_outlier_orders(spark, sf_dir):
+    """HBOS anomaly scores over orders (operators/analysis.hbos_scores,
+    10 bins, features = price cents + order-day number): per row the
+    sum over features of ln(max_bin/bin) — rows in sparse bins on both
+    axes score high. Linear-time, no distance computations; bins are
+    exact integer arithmetic, ln-sum ROUND 6. The fact table never
+    shuffles (1-row stats + <=10-row histograms broadcast back)."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("bigint")
+        .alias("day"),
+    )
+    out = analysis.hbos_scores(o, ["cents", "day"], n_bins=10)
+    return out.select(
+        "o_orderkey", (F.round("hbos", 6) + F.lit(0.0)).alias("hbos")
+    )

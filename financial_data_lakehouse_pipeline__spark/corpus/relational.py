@@ -1972,3 +1972,33 @@ def linkage_scores_parts(spark, sf_dir):
         F.col("agree_price").cast("int").alias("agree_price"),
         "linkage_score",
     )
+
+
+@register(
+    "percent_rank_balance",
+    # percent_rank = (rank-1)/(n-1), cume_dist = cnt_le/n: tie-aware
+    # (identical for tied values, so no tie-break needed) and each a
+    # single IEEE division of exact integers — no ROUND.
+    """SELECT c_custkey, c_nationkey,
+              PERCENT_RANK() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal) AS pr,
+              CUME_DIST() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal) AS cd
+       FROM customer""",
+)
+def percent_rank_balance(spark, sf_dir):
+    """Per-nation account-balance percentile standing via
+    percent_rank + cume_dist — the tie-aware relative-rank windows
+    (W-family extension): both are rank-derived, so tied balances get
+    identical values and the result is deterministic without a
+    tie-break; each is one exact-integer division."""
+    from pyspark.sql import Window
+
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )

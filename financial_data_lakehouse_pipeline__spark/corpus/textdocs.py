@@ -1305,3 +1305,53 @@ def bigram_logprob_docs(spark, sf_dir):
         "n_bigrams",
         (F.round("avg_logprob", 6) + F.lit(0.0)).alias("avg_logprob"),
     )
+
+
+@register(
+    "zipf_fit_docs",
+    # Same deterministic (freq DESC, term) ranking; ln/OLS are the
+    # floating steps -> ROUND 6 on slope/intercept.
+    f"""WITH toks AS (
+          SELECT unnest(regexp_split_to_array({_CANON}, ' ')) AS term
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        vocab AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+          WHERE length(term) > 0 GROUP BY term
+        ),
+        ranked AS (
+          SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS r
+          FROM vocab
+        ),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+                 CAST(SUM(c) AS BIGINT) AS total_tokens,
+                 SUM(ln(CAST(r AS DOUBLE))) AS sx,
+                 SUM(ln(CAST(c AS DOUBLE))) AS sy,
+                 SUM(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS sxy,
+                 SUM(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx
+          FROM ranked
+        )
+        SELECT n_terms, total_tokens,
+               ROUND((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) + 0e0
+                 AS slope,
+               ROUND((sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                            / (CAST(n_terms AS DOUBLE) * sxx - sx * sx))
+                           * sx) / CAST(n_terms AS DOUBLE), 6) + 0e0
+                 AS intercept
+        FROM m""",
+)
+def zipf_fit_docs(spark, sf_dir):
+    """Zipf rank-frequency fit of the documents vocabulary
+    (operators/text.zipf_fit): OLS of ln(freq) on ln(rank) — the
+    corpus-level naturalness screen (natural text ~ slope -1). The
+    rank window runs over the vocabulary only; ROUND 6 on the fit."""
+    d = read_table(spark, sf_dir, "documents")
+    out = text.zipf_fit(d)
+    return out.select(
+        "n_terms",
+        "total_tokens",
+        (F.round("slope", 6) + F.lit(0.0)).alias("slope"),
+        (F.round("intercept", 6) + F.lit(0.0)).alias("intercept"),
+    )

@@ -1354,3 +1354,72 @@ def roc_auc(
         F.col("__n0").alias("n_neg"),
         auc.alias(out),
     )
+
+
+def hbos_scores(
+    df: DataFrame,
+    features: Sequence[str],
+    n_bins: int = 10,
+    out: str = "hbos",
+) -> DataFrame:
+    """HBOS (histogram-based outlier score): per row, Σ over features
+    of ln(max_bin_count_f / bin_count_f(row)) — the linear-time,
+    feature-independent anomaly score (Goldstein & Dengel 2012): rows
+    falling in sparse histogram bins on several features score high.
+    The robust complement to zscore_flags/mad_outliers when the shape
+    is multimodal.
+
+    ``features`` must be INTEGER-valued columns (cents, day numbers):
+    each feature's equi-width bin is ((v − min)·n_bins) DIV
+    (max − min + 1) — pure integer arithmetic, so bin membership is
+    exact cross-engine; only the final ln-sum floats (consumers
+    ROUND). Empty-range features (min == max) contribute 0.
+
+    Plan: per feature one global min/max (1-row broadcast), one
+    bin-count aggregation (≤ n_bins rows, broadcast back), then a
+    fixed-order scoring projection — the fact table never shuffles.
+    NULL feature values score like an empty bin is avoided by
+    excluding the row from that feature's term (contributes 0).
+    """
+    scored = df
+    for f in features:
+        v = F.col(f).cast("bigint")
+        stats = df.agg(
+            F.min(v).alias(f"__mn_{f}"), F.max(v).alias(f"__mx_{f}")
+        )
+        scored = scored.crossJoin(F.broadcast(stats))
+        # integer floor division: both engines' DIV on non-negatives
+        scored = scored.withColumn(
+            f"__bin_{f}",
+            F.expr(
+                f"CASE WHEN {f} IS NOT NULL AND __mx_{f} > __mn_{f} "
+                f"THEN (CAST({f} AS BIGINT) - __mn_{f}) * {int(n_bins)} "
+                f"DIV (__mx_{f} - __mn_{f} + 1) END"
+            ),
+        ).drop(f"__mn_{f}", f"__mx_{f}")
+        hist = (
+            scored.filter(F.col(f"__bin_{f}").isNotNull())
+            .groupBy(f"__bin_{f}")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(f"__c_{f}"))
+        )
+        hmax = hist.agg(F.max(f"__c_{f}").alias(f"__cmax_{f}"))
+        term = F.when(
+            F.col(f"__c_{f}").isNotNull(),
+            F.log(
+                F.col(f"__cmax_{f}").cast("double")
+                / F.col(f"__c_{f}").cast("double")
+            ),
+        ).otherwise(F.lit(0.0))
+        scored = (
+            scored.join(F.broadcast(hist), f"__bin_{f}", "left")
+            .crossJoin(F.broadcast(hmax))
+            .withColumn(f"__t_{f}", term)
+            .drop(f"__bin_{f}", f"__c_{f}", f"__cmax_{f}")
+        )
+    assert features, "need at least one feature"
+    score: Column = F.col(f"__t_{features[0]}")
+    for f in features[1:]:
+        score = score + F.col(f"__t_{f}")
+    return scored.withColumn(out, score).drop(
+        *[f"__t_{f}" for f in features]
+    )

@@ -1003,3 +1003,59 @@ def bigram_logprob(
             / n.cast("double")
         ).alias(out),
     )
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Zipf rank-frequency fit of the corpus vocabulary: OLS slope of
+    ln(freq) on ln(rank) (rank 1 = most frequent; ties broken by term
+    so the ranking is deterministic) — natural text tracks slope ≈ −1,
+    and large deviations flag template/machine-generated corpora, so
+    this is a corpus-level quality screen beside the per-doc LM scores.
+
+    One tokenize + vocabulary aggregation; the rank window runs over
+    DISTINCT TERMS ONLY (vocabulary-bounded single partition — the
+    aggregate-then-scan bound, SCALE.md §5), and the five OLS moments
+    reduce it to one row. ln/OLS are floating — consumers ROUND.
+
+    Output: one row (n_terms, total_tokens, slope, intercept).
+    """
+    from pyspark.sql import Window
+
+    from financial_data_lakehouse_pipeline__spark.operators.dedup import (
+        canonical_text,
+    )
+
+    toks = df.select(
+        F.explode(tokens(canonical_text(F.col(text_col)))).alias("term")
+    ).filter(F.length("term") > 0)
+    vocab = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    # WindowExec single-partition WARN fires here BY DESIGN: input is
+    # the vocabulary table, never raw tokens.
+    w = Window.orderBy(F.col("__c").desc(), F.col("term"))
+    ranked = vocab.withColumn("__r", F.row_number().over(w))
+    x = F.log(F.col("__r").cast("double"))
+    y = F.log(F.col("__c").cast("double"))
+    g = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("__c").cast("bigint").alias("total_tokens"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    varx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.when(
+        varx > 0,
+        (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / varx,
+    )
+    return g.select(
+        "n_terms",
+        "total_tokens",
+        slope.alias("slope"),
+        ((F.col("__sy") - slope * F.col("__sx")) / n).alias("intercept"),
+    )

@@ -2392,3 +2392,22 @@ def test_linkage_scores_hand_values(spark):
     # pair 3: name disagrees, size predicate NULL -> disagreement weight
     assert abs(got[3]["linkage_score"] - (w_name[1] + w_size[1])) < 1e-12
     assert not got[3]["agree_size"]
+
+
+def test_hbos_scores_hand_values(spark):
+    """One feature, two bins with 3-vs-1 occupancy: dense-bin rows get
+    ln(3/3)=0, the sparse-bin row gets ln(3/1); a constant second
+    feature contributes 0."""
+    import math
+
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    rows = [(1, 0, 7), (2, 1, 7), (3, 2, 7), (4, 9, 7)]
+    df = spark.createDataFrame(rows, "id int, x long, k long")
+    got = {
+        r["id"]: r["hbos"]
+        for r in analysis.hbos_scores(df, ["x", "k"], n_bins=2).collect()
+    }
+    # x range [0,9], width 10, 2 bins: 0,1,2 -> bin 0; 9 -> bin 1
+    assert got[1] == 0.0 and got[2] == 0.0 and got[3] == 0.0
+    assert abs(got[4] - math.log(3.0)) < 1e-12

@@ -1865,15 +1865,22 @@ _FS_FIELDS = {
 }
 
 
+def _dlit(v: float) -> str:
+    """DOUBLE-typed SQL literal that round-trips the exact bits: bare
+    decimals parse as DECIMAL in DuckDB and CAST(decimal AS DOUBLE)
+    can lose the last ulp (caught at sf0.1 by 77 off-by-one-ulp score
+    rows), but scientific notation parses directly as DOUBLE."""
+    r = repr(v)
+    return r if "e" in r or "E" in r else f"{r}e0"
+
+
 def _fs_w(field: str) -> tuple[str, str]:
     import math
 
     m, u = _FS_FIELDS[field]
-    # DOUBLE-typed SQL literals (bare decimals parse as DECIMAL in
-    # DuckDB, which breaks the float-type parity of the score column)
     return (
-        f"CAST({math.log(m / u)!r} AS DOUBLE)",
-        f"CAST({math.log((1 - m) / (1 - u))!r} AS DOUBLE)",
+        _dlit(math.log(m / u)),
+        _dlit(math.log((1 - m) / (1 - u))),
     )
 
 

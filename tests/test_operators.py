@@ -2411,3 +2411,23 @@ def test_hbos_scores_hand_values(spark):
     # x range [0,9], width 10, 2 bins: 0,1,2 -> bin 0; 9 -> bin 1
     assert got[1] == 0.0 and got[2] == 0.0 and got[3] == 0.0
     assert abs(got[4] - math.log(3.0)) < 1e-12
+
+
+def test_prefix_filter_safe_fraction_thresholds(spark):
+    """Thresholds whose closest bounded-denominator fraction rounds UP
+    (0.7, 1/3 — limit_denominator returns 7/10 resp. 1/3, both above
+    the float) must take the safe-side floor fallback and stay
+    lossless vs the unpruned join."""
+    docs = _docs(spark)
+    for t in (0.7, 1.0 / 3.0):
+        full = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        pruned = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+            for r in dedup.prefix_filter_jaccard_pairs(
+                docs, threshold=t
+            ).collect()
+        }
+        assert pruned == full

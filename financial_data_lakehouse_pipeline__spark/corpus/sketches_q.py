@@ -557,3 +557,66 @@ def kmv_merge_rollup_balances(spark, sf_dir):
         "n",
         F.col("est").alias("median_est"),
     )
+
+
+@register(
+    "streaming_kmv_quantiles",
+    # The streamed-and-merged register state equals the batch sketch
+    # (EXACT KMV merge), so the oracle is the kmv_quantile_prices twin.
+    """WITH s AS (
+          SELECT md5('kmvq|' || CAST(o_orderkey AS VARCHAR)) AS h,
+                 o_totalprice AS v
+          FROM orders
+          WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+          ORDER BY h LIMIT 512
+        ), r AS (
+          SELECT v, ROW_NUMBER() OVER (ORDER BY v, h) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM s
+        )
+        SELECT CAST(q AS DOUBLE) AS q, CAST(n AS BIGINT) AS n, v AS est
+        FROM r
+        JOIN (VALUES (0.25, 1, 4), (0.5, 1, 2), (0.75, 3, 4),
+                     (0.9, 9, 10), (0.99, 99, 100)) AS qs(q, p, d)
+          ON rn = GREATEST(1, (p * n + d - 1) // d)""",
+)
+def streaming_kmv_quantiles(spark, sf_dir):
+    """Streaming KMV quantile sketch driven to completion
+    (streaming.kmv_sink): micro-batch register candidates merge into a
+    versioned copy-on-write state by re-taking the k smallest hashes —
+    EXACT mergeability means the final committed registers equal the
+    batch sketch regardless of micro-batch boundaries, so the oracle
+    is literally kmv_quantile_prices' twin. Completes the streaming
+    sketch family: CMS by SUM, histogram by SUM, HLL by MAX, KMV by
+    bottom-k re-cut."""
+    import os
+    import shutil
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+
+    scratch = os.path.join(
+        os.path.dirname(__file__), "..", "..", ".scratch", "kmv_state"
+    )
+    scratch = os.path.abspath(scratch)
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "orders.parquet")
+    ).schema
+    stream = st.stream_from_parquet_dir(
+        spark, sf_dir, raw_schema, glob="orders.parquet"
+    )
+    proj = stream.filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderkey").isNotNull()
+    ).select(
+        F.md5(
+            F.concat_ws("|", F.lit("kmvq"), F.col("o_orderkey").cast("string"))
+        ).alias("h"),
+        F.col("o_totalprice").alias("v"),
+    )
+    q = st.kmv_sink(proj, scratch, k=512, query_name="corpus_streaming_kmv")
+    q.awaitTermination()
+    regs = st.read_upsert_state(spark, scratch)
+    return sketches.kmv_quantiles(
+        regs, [], [(1, 4), (1, 2), (3, 4), (9, 10), (99, 100)]
+    ).select("q", "n", "est")

@@ -965,3 +965,61 @@ def ndcg_label_relevance(spark, sf_dir):
         (F.round("idcg", 6) + F.lit(0.0)).alias("idcg"),
         (F.round("ndcg", 6) + F.lit(0.0)).alias("ndcg"),
     )
+
+
+def _probe_buckets_sql(b0: str, nbits: int) -> str:
+    """The probe list [b0, flip(0), ..., flip(nbits-1)] — mirrors
+    similarity.signlsh_multiprobe_topk's Hamming-1 expansion."""
+    flips = [
+        f"substr({b0}, 1, {i}) || (CASE WHEN substr({b0}, {i + 1}, 1) = '1' "
+        f"THEN '0' ELSE '1' END) || substr({b0}, {i + 2}, {nbits - i - 1})"
+        for i in range(nbits)
+    ]
+    return "[" + ", ".join([b0] + flips) + "]"
+
+
+@register(
+    "signlsh_multiprobe_topk",
+    # Identical projection literals, identical Hamming-1 probe list on
+    # the query side, exact cosine verify — cosines are fold-order
+    # bit-identical, so no ROUND anywhere.
+    f"""WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qv,
+                 {_bucket_proj_sql('embedding', _HYPERPLANES_TOPK)} AS b0
+          FROM embeddings WHERE vec_id < 5
+        ),
+        qx AS (
+          SELECT query_id, qv,
+                 unnest({_probe_buckets_sql('b0', 4)}) AS b
+          FROM q
+        ),
+        c AS (
+          SELECT vec_id AS neighbor_id, embedding AS cv,
+                 {_bucket_proj_sql('embedding', _HYPERPLANES_TOPK)} AS b
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 {_cosine_sql('qv', 'cv')} AS cosine
+          FROM c JOIN qx USING (b)
+          WHERE query_id <> neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rn
+              FROM scored)
+        WHERE rn <= 10""",
+)
+def signlsh_multiprobe_topk(spark, sf_dir):
+    """Multi-probe sign-LSH approximate top-10
+    (operators/similarity.signlsh_multiprobe_topk): each query probes
+    its own bucket plus all Hamming-1 neighbor buckets — the recall
+    lever that expands the (broadcast) query side by planes+1 keys
+    instead of growing the index; the corpus still carries ONE bucket
+    per row and the candidate set is one equi-join. Recall >= the
+    single-probe signlsh_topk on the same planes (pinned in tests)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.signlsh_multiprobe_topk(
+        q, emb, k=10, hyperplanes=_HYPERPLANES_TOPK
+    )

@@ -1191,3 +1191,69 @@ def ndcg_at_k(
         "idcg",
         F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).alias("ndcg"),
     )
+
+
+def signlsh_multiprobe_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    hyperplanes: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k: each query probes its own bucket AND
+    every Hamming-distance-1 neighbor bucket (flip one sketch bit) —
+    the standard recall lever that avoids the alternative of doubling
+    the table count: a true near neighbor that disagrees on exactly
+    one plane is recovered at the cost of planes+1 probe keys per
+    query instead of a bigger index (Lv et al., multi-probe LSH).
+
+    Plan shape: the probe expansion explodes the (small, broadcast)
+    QUERY side only — the corpus keeps one bucket per row, and the
+    candidate set is still one equi-join on the bucket key; probe
+    buckets are pairwise distinct, so no candidate dedup is needed.
+    Verification is exact cosine; ties break by neighbor id.
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k.
+    Recall >= single-probe on the same planes (pinned in
+    tests/test_similarity.py).
+    """
+    from pyspark.sql import Window
+
+    nbits = len(hyperplanes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        sign_lsh_bucket_projected(F.col(vec_col), hyperplanes).alias("__b0"),
+    )
+
+    def _flip(i: int) -> Column:
+        ch = F.substring(F.col("__b0"), i + 1, 1)
+        return F.concat(
+            F.substring(F.col("__b0"), 1, i),
+            F.when(ch == "1", F.lit("0")).otherwise(F.lit("1")),
+            F.substring(F.col("__b0"), i + 2, nbits - i - 1),
+        )
+
+    probes = F.array(F.col("__b0"), *[_flip(i) for i in range(nbits)])
+    qx = q.select(
+        "query_id", "__qv", F.explode(probes).alias("__b")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        sign_lsh_bucket_projected(F.col(vec_col), hyperplanes).alias("__b"),
+    )
+    scored = (
+        c.join(F.broadcast(qx), "__b")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _sim(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -509,13 +509,19 @@ def kmv_merge(
     :func:`kmv_quantile_sketch`), provided every input shard was built
     with at least this k. Like :func:`hll_merge`, this touches only
     register rows — a 100 TB rollup cube re-aggregates without
-    rescanning raw data."""
+    rescanning raw data.
+
+    Registers are a SET: the distinct() makes the merge idempotent
+    under overlapping inputs (retried shards, replayed micro-batches —
+    bottom-k of a multiset would double-count every shared register,
+    caught by the streaming kmv_sink re-run test)."""
     from pyspark.sql import Window
 
     ks = list(keys)
     w = Window.partitionBy(*ks).orderBy("h")
     return (
         sketch.select(*ks, "h", "v")
+        .distinct()
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= int(k))
         .drop("__rn")

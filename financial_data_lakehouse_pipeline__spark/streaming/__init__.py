@@ -301,3 +301,61 @@ def read_upsert_state(
         with open(os.path.join(path, "_LATEST")) as fh:
             version = int(fh.read().strip())
     return spark.read.parquet(os.path.join(path, f"v{version}"))
+
+
+def kmv_sink(
+    stream: DataFrame,
+    path: str,
+    k: int,
+    query_name: str = "kmv_sink",
+):
+    """Streaming KMV quantile-sketch sink via foreachBatch: each
+    micro-batch's (h, v) register candidates merge with the committed
+    register state by re-taking the k smallest hashes — and because
+    KMV merge is EXACT (operators/sketches.kmv_merge), the final
+    committed state equals the batch sketch of all data seen,
+    regardless of micro-batch boundaries. State is k rows, versioned
+    copy-on-write like :func:`upsert_sink` (v0, v1, ... + _LATEST).
+
+    The input stream must already carry (h, v) columns — apply the
+    kmv_quantile_sketch hash projection upstream; the bottom-k CUT
+    happens here per batch (limit/window are not streamable, which is
+    exactly why the sink owns the cut).
+
+    Returns the StreamingQuery; read registers with
+    :func:`read_upsert_state` and finalize with
+    operators/sketches.kmv_quantiles.
+    """
+    import os
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cand = batch_df.select("h", "v").orderBy("h").limit(int(k))
+        marker = os.path.join(path, "_LATEST")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                cur = int(fh.read().strip())
+            prior = spark.read.parquet(os.path.join(path, f"v{cur}"))
+            # distinct: registers are a SET — a replayed micro-batch
+            # re-delivers identical (h, v) rows, and a bottom-k over
+            # the multiset would double-count them (idempotence)
+            merged = (
+                prior.unionByName(cand)
+                .distinct()
+                .orderBy("h")
+                .limit(int(k))
+            )
+            nxt = cur + 1
+        else:
+            merged, nxt = cand, 0
+        merged.write.mode("overwrite").parquet(os.path.join(path, f"v{nxt}"))
+        with open(marker + ".tmp", "w") as fh:
+            fh.write(str(nxt))
+        os.replace(marker + ".tmp", marker)  # atomic commit
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

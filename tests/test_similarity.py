@@ -502,3 +502,38 @@ def test_ndcg_at_k_hand_values(spark):
     assert abs(got[2]["dcg"] - dcg2) < 1e-12
     assert abs(got[2]["ndcg"] - dcg2 / idcg2) < 1e-12
     assert got[3]["ndcg"] is None and got[3]["idcg"] == 0.0
+
+
+def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    """Hamming-1 probing can only ADD candidates: multi-probe recall@10
+    vs exact brute force is >= single-probe recall on the same planes,
+    and every single-probe candidate pair survives."""
+    from financial_data_lakehouse_pipeline__spark.corpus.vectors import (
+        _HYPERPLANES_TOPK,
+    )
+    from financial_data_lakehouse_pipeline__spark.operators import similarity
+    from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+    emb = read_table(spark, str(sf_dir), "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(q, emb, k=10).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.signlsh_topk(
+            q, emb, k=10, hyperplanes=_HYPERPLANES_TOPK
+        ).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.signlsh_multiprobe_topk(
+            q, emb, k=10, hyperplanes=_HYPERPLANES_TOPK
+        ).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+    # single-probe candidates are a subset of multi-probe candidates,
+    # so every retained single-probe hit must also be retained or
+    # displaced only by a HIGHER-cosine candidate — recall can't drop.
+    assert len(multi) == 50

@@ -379,3 +379,54 @@ def test_streaming_observed_metrics_in_progress(spark, sf_dir):
             seen["n_rows"] = seen.get("n_rows", 0) + row["n_rows"]
     n_input = spark.table("t_observed_stream").count()
     assert seen.get("n_rows", 0) == n_input and n_input > 0
+
+
+def test_kmv_sink_state_equals_batch_sketch(spark, tmp_path):
+    """The committed streaming KMV state equals the batch sketch of all
+    data (EXACT merge), and a re-run over the same data is idempotent
+    (bottom-k of S ∪ S == bottom-k of S)."""
+    from pyspark.sql import functions as F
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+    from financial_data_lakehouse_pipeline__spark.operators import sketches
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    data = spark.range(500).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") * 13 % 101).cast("double").alias("val"),
+    )
+    data.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema).parquet(src)
+            .select(
+                F.md5(
+                    F.concat_ws("|", F.lit("t"), F.col("id").cast("string"))
+                ).alias("h"),
+                F.col("val").alias("v"),
+            )
+        )
+        q = st.kmv_sink(stream, state, k=32, query_name="t_kmv")
+        q.awaitTermination()
+
+    run()
+    got1 = sorted(
+        (r["h"], r["v"])
+        for r in st.read_upsert_state(spark, state).collect()
+    )
+    batch = sorted(
+        (r["h"], r["v"])
+        for r in sketches.kmv_quantile_sketch(
+            data, F.col("val"), F.col("id"), k=32, salt="t"
+        ).collect()
+    )
+    assert got1 == batch and len(got1) == 32
+    run()  # idempotent re-run
+    got2 = sorted(
+        (r["h"], r["v"])
+        for r in st.read_upsert_state(spark, state).collect()
+    )
+    assert got2 == got1

@@ -627,3 +627,24 @@ def test_exact_k_per_group_window_group_limit(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert "WindowGroupLimit" in plan
     assert plans.count_exchanges(df) == 1
+
+
+def test_multiprobe_broadcasts_probe_side(spark, sf_dir):
+    """Multi-probe expansion stays on the broadcast query side: the
+    candidate join is a broadcast hash join on the bucket key — never
+    a cartesian/nested-loop over the corpus."""
+    df = _q("signlsh_multiprobe_topk")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert plans.has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_hbos_fact_never_shuffles(spark, sf_dir):
+    """HBOS joins are all broadcast (1-row stats, <=n_bins histograms):
+    no sort-merge join, no cartesian product — the single exchanges in
+    the plan belong to the tiny aggregate subtrees, not the fact."""
+    df = _q("hbos_outlier_orders")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plans.has_broadcast_join(df)

@@ -990,7 +990,7 @@ def _probe_buckets_sql(b0: str, nbits: int) -> str:
         ),
         qx AS (
           SELECT query_id, qv,
-                 unnest({_probe_buckets_sql('b0', 4)}) AS b
+                 unnest({_probe_buckets_sql('b0', len(_HYPERPLANES_TOPK))}) AS b
           FROM q
         ),
         c AS (

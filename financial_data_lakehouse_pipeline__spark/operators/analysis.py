@@ -1381,24 +1381,32 @@ def hbos_scores(
     NULL feature values score like an empty bin is avoided by
     excluding the row from that feature's term (contributes 0).
     """
+    if not features:
+        raise ValueError("hbos_scores needs at least one feature column")
     scored = df
+
+    def _bin_expr(f: str) -> Column:
+        # integer floor division: both engines' DIV on non-negatives
+        return F.expr(
+            f"CASE WHEN {f} IS NOT NULL AND __mx_{f} > __mn_{f} "
+            f"THEN (CAST({f} AS BIGINT) - __mn_{f}) * {int(n_bins)} "
+            f"DIV (__mx_{f} - __mn_{f} + 1) END"
+        )
+
     for f in features:
         v = F.col(f).cast("bigint")
         stats = df.agg(
             F.min(v).alias(f"__mn_{f}"), F.max(v).alias(f"__mx_{f}")
         )
-        scored = scored.crossJoin(F.broadcast(stats))
-        # integer floor division: both engines' DIV on non-negatives
-        scored = scored.withColumn(
-            f"__bin_{f}",
-            F.expr(
-                f"CASE WHEN {f} IS NOT NULL AND __mx_{f} > __mn_{f} "
-                f"THEN (CAST({f} AS BIGINT) - __mn_{f}) * {int(n_bins)} "
-                f"DIV (__mx_{f} - __mn_{f} + 1) END"
-            ),
-        ).drop(f"__mn_{f}", f"__mx_{f}")
+        # each feature's histogram derives from the ORIGINAL df (plus
+        # its own stats broadcast), never from the accumulated `scored`
+        # plan — otherwise each histogram subtree would embed every
+        # prior feature's join pipeline and the unresolved plan would
+        # grow O(3^F) with feature count
         hist = (
-            scored.filter(F.col(f"__bin_{f}").isNotNull())
+            df.crossJoin(F.broadcast(stats))
+            .select(_bin_expr(f).alias(f"__bin_{f}"))
+            .filter(F.col(f"__bin_{f}").isNotNull())
             .groupBy(f"__bin_{f}")
             .agg(F.count(F.lit(1)).cast("bigint").alias(f"__c_{f}"))
         )
@@ -1411,12 +1419,14 @@ def hbos_scores(
             ),
         ).otherwise(F.lit(0.0))
         scored = (
-            scored.join(F.broadcast(hist), f"__bin_{f}", "left")
+            scored.crossJoin(F.broadcast(stats))
+            .withColumn(f"__bin_{f}", _bin_expr(f))
+            .drop(f"__mn_{f}", f"__mx_{f}")
+            .join(F.broadcast(hist), f"__bin_{f}", "left")
             .crossJoin(F.broadcast(hmax))
             .withColumn(f"__t_{f}", term)
             .drop(f"__bin_{f}", f"__c_{f}", f"__cmax_{f}")
         )
-    assert features, "need at least one feature"
     score: Column = F.col(f"__t_{features[0]}")
     for f in features[1:]:
         score = score + F.col(f"__t_{f}")

@@ -760,8 +760,8 @@ def linkage_scores(
 
     Output: pairs + (agree_<name>... , linkage_score).
     """
-    import math
-
+    if not fields:
+        raise ValueError("linkage_scores needs at least one comparison field")
     score: Column | None = None
     withcols: dict[str, Column] = {}
     for name, pred, m, u in fields:
@@ -770,5 +770,4 @@ def linkage_scores(
         withcols[f"agree_{name}"] = F.coalesce(pred, F.lit(False))
         term = F.when(pred, F.lit(agree_w)).otherwise(F.lit(disagree_w))
         score = term if score is None else score + term
-    assert score is not None, "need at least one comparison field"
     return pairs.withColumns({**withcols, out: score})

@@ -459,6 +459,8 @@ def fk_orphan_audit(
 
     Output: (edge, total_rows, orphan_rows), one row per edge, unioned.
     """
+    if not edges:
+        raise ValueError("fk_orphan_audit needs at least one FK edge")
     parts = []
     for name, child, ckey, parent, pkey in edges:
         ck = child.select(F.col(ckey).alias("__ck"))

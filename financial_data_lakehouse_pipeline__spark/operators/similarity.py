@@ -1124,6 +1124,8 @@ def pca_top_component(
     import numpy as np
 
     rows = gram_matrix(df, vec_col, upper_only=True).collect()
+    if not rows:  # empty input / all-null vector column
+        return 0.0, []
     d = max(r["j"] for r in rows)
     G = np.zeros((d, d))
     for r in rows:

@@ -129,6 +129,11 @@ def compaction_plan(
     """
     from pyspark.sql import Window
 
+    if int(target_bytes) <= 0:
+        raise ValueError(
+            f"target_bytes must be a positive integer, got {target_bytes}: "
+            "`DIV 0` silently yields one NULL compaction group"
+        )
     w = Window.orderBy("file_name").rowsBetween(
         Window.unboundedPreceding, -1
     )

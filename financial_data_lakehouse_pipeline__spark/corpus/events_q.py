@@ -1514,3 +1514,41 @@ def skew_summary_events(spark, sf_dir):
 
     rep = dq.key_skew_report(ev, ["user_id"], top_k=5)
     return rep.withColumn("top_keys", F.concat_ws("|", "top_keys"))
+
+
+@register(
+    "variant_props_rollup",
+    # DuckDB's JSON extraction is the semantic twin of variant_get on
+    # this single-key payload; all outputs exact integers.
+    """SELECT event_type,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT)
+                AS k_sum,
+              CAST(MIN(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT)
+                AS k_min,
+              CAST(MAX(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT)
+                AS k_max
+       FROM events
+       WHERE props IS NOT NULL
+       GROUP BY event_type""",
+)
+def variant_props_rollup(spark, sf_dir):
+    """Semi-structured rollup through the Spark 4 VARIANT type:
+    parse_json() ingests the raw props payload ONCE into the binary
+    variant encoding and variant_get() extracts typed paths at
+    query time — the open-schema alternative to from_json's
+    rigid StructType (json_scalar_props is the closed-schema twin):
+    new keys land without migrations and extraction stays
+    predicate-pushdown-friendly. Typed '$.k' extraction aggregated
+    per event type; all integers, no rounding."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("props").isNotNull()).select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+        F.min("k").cast("bigint").alias("k_min"),
+        F.max("k").cast("bigint").alias("k_max"),
+    )

@@ -445,3 +445,26 @@ def test_python_datasource_empty_and_reregister(spark):
     )
     assert df.columns == ["id", "bucket", "v"]
     assert df.count() == 0
+
+
+def test_variant_roundtrip_and_nested_paths(spark):
+    """VARIANT ingests heterogeneous JSON without a schema: nested
+    object/array paths extract typed values, missing paths yield NULL,
+    and to_json round-trips the payload."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ('{"a": 1, "b": {"c": [10, 20]}}',),
+        ('{"a": 2}',),  # no b -> NULL path
+    ]
+    df = spark.createDataFrame(rows, "j string").select(
+        F.parse_json("j").alias("v"), "j"
+    )
+    got = df.select(
+        F.variant_get("v", "$.a", "int").alias("a"),
+        F.variant_get("v", "$.b.c[1]", "int").alias("c1"),
+        F.to_json("v").alias("back"),
+    ).collect()
+    by_a = {r["a"]: r for r in got}
+    assert by_a[1]["c1"] == 20 and by_a[2]["c1"] is None
+    assert '"a":1' in by_a[1]["back"].replace(" ", "")

@@ -648,3 +648,31 @@ def test_hbos_fact_never_shuffles(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plans.has_broadcast_join(df)
+
+
+def test_bucketed_groupby_is_shuffle_free(spark, sf_dir, tmp_path_factory):
+    """Aggregating on the bucket key of a bucketed table needs NO
+    exchange: the scan already satisfies the clustered distribution —
+    the pre-shuffled-layout payoff for repeated group-bys, same as the
+    co-located join."""
+    from pyspark.sql import functions as F
+
+    from financial_data_lakehouse_pipeline__spark.sources import read_table
+    from financial_data_lakehouse_pipeline__spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    base = str(tmp_path_factory.mktemp("bucketed_gb"))
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    write_bucketed_table(o, "t_bgb", ["o_custkey"], 8, path=base + "/o")
+    try:
+        g = spark.table("t_bgb").groupBy("o_custkey").agg(
+            F.sum("o_totalprice").alias("s")
+        )
+        assert plans.count_exchanges(g) == 0
+        # sanity: the same aggregate over the plain read shuffles
+        assert plans.count_exchanges(
+            o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+        ) == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bgb")

@@ -1528,3 +1528,80 @@ def hbos_outlier_orders(spark, sf_dir):
     return out.select(
         "o_orderkey", (F.round("hbos", 6) + F.lit(0.0)).alias("hbos")
     )
+
+
+@register(
+    "did_asia_pricing",
+    # One conditional-aggregation pass; cents sums exact BIGINT; each
+    # mean one IEEE division; DiD a fixed subtraction chain — no ROUND.
+    """WITH b AS (
+          SELECT (r_name = 'ASIA') AS t,
+                 (CAST(o_orderdate AS DATE) >= DATE '1995-01-01') AS p,
+                 CAST(FLOOR(o_totalprice * 100e0 + 5e-1) AS BIGINT) AS v
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        ), g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN NOT t AND NOT p THEN v ELSE 0 END)
+                      AS BIGINT) AS s_pre_c,
+                 CAST(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_pre_c,
+                 CAST(SUM(CASE WHEN NOT t AND p THEN v ELSE 0 END)
+                      AS BIGINT) AS s_post_c,
+                 CAST(SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_post_c,
+                 CAST(SUM(CASE WHEN t AND NOT p THEN v ELSE 0 END)
+                      AS BIGINT) AS s_pre_t,
+                 CAST(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_pre_t,
+                 CAST(SUM(CASE WHEN t AND p THEN v ELSE 0 END)
+                      AS BIGINT) AS s_post_t,
+                 CAST(SUM(CASE WHEN t AND p THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_post_t
+          FROM b
+        )
+        SELECT n,
+               CASE WHEN n_pre_c > 0 THEN CAST(s_pre_c AS DOUBLE)
+                    / CAST(n_pre_c AS DOUBLE) END AS pre_c_mean,
+               CASE WHEN n_post_c > 0 THEN CAST(s_post_c AS DOUBLE)
+                    / CAST(n_post_c AS DOUBLE) END AS post_c_mean,
+               CASE WHEN n_pre_t > 0 THEN CAST(s_pre_t AS DOUBLE)
+                    / CAST(n_pre_t AS DOUBLE) END AS pre_t_mean,
+               CASE WHEN n_post_t > 0 THEN CAST(s_post_t AS DOUBLE)
+                    / CAST(n_post_t AS DOUBLE) END AS post_t_mean,
+               ((CASE WHEN n_post_t > 0 THEN CAST(s_post_t AS DOUBLE)
+                      / CAST(n_post_t AS DOUBLE) END)
+                - (CASE WHEN n_pre_t > 0 THEN CAST(s_pre_t AS DOUBLE)
+                        / CAST(n_pre_t AS DOUBLE) END))
+               - ((CASE WHEN n_post_c > 0 THEN CAST(s_post_c AS DOUBLE)
+                        / CAST(n_post_c AS DOUBLE) END)
+                  - (CASE WHEN n_pre_c > 0 THEN CAST(s_pre_c AS DOUBLE)
+                          / CAST(n_pre_c AS DOUBLE) END)) AS did
+        FROM g""",
+)
+def did_asia_pricing(spark, sf_dir):
+    """Difference-in-differences on order value (cents): ASIA customers
+    (treated) vs the rest, pre/post 1995-01-01
+    (operators/analysis.diff_in_diff) — the parallel-trends causal
+    readout beside event_study. One conditional-aggregation pass over
+    the enriched fact; exact integer cells, single-division means,
+    fixed subtraction chain (no ROUND)."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+    )
+    return analysis.diff_in_diff(
+        j,
+        F.col("r_name") == "ASIA",
+        F.col("o_orderdate").cast("date") >= F.lit("1995-01-01").cast("date"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)),
+    )

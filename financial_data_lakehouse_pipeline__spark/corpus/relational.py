@@ -2009,3 +2009,30 @@ def percent_rank_balance(spark, sf_dir):
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@register(
+    "ntile_balance_quartiles",
+    # NTILE semantics are identical (earlier tiles absorb remainders);
+    # the ORDER includes the unique custkey so tie order — and thus
+    # tile membership — is deterministic cross-engine.
+    """SELECT c_custkey, c_nationkey,
+              CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+                   ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+       FROM customer""",
+)
+def ntile_balance_quartiles(spark, sf_dir):
+    """Per-nation balance quartile assignment via NTILE(4) — the
+    fixed-count bucketing window (vs equal_frequency_bins' value-
+    deterministic bins: NTILE splits ties, so the order key must be
+    made unique — here by appending the primary key — or membership
+    is nondeterministic). One window exchange on the nation key."""
+    from pyspark.sql import Window
+
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )

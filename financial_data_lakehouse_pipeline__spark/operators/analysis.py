@@ -1433,3 +1433,72 @@ def hbos_scores(
     return scored.withColumn(out, score).drop(
         *[f"__t_{f}" for f in features]
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treated: Column,
+    post: Column,
+    outcome: Column,
+) -> DataFrame:
+    """Difference-in-differences estimator on a 2×2 design: the causal
+    readout beside event_study — DiD = (post_T − pre_T) − (post_C −
+    pre_C), the treatment effect under the parallel-trends assumption.
+
+    ``outcome`` must be an integer expression (cents): the four cell
+    sums/counts aggregate exactly in ONE pass (conditional aggregation,
+    no joins), each mean is a single IEEE division, and the DiD is a
+    fixed subtraction chain — bit-identical cross-engine. Rows with
+    NULL treated/post/outcome are excluded. Cells with no rows yield
+    NULL means and a NULL estimate.
+
+    Output: one row (n, pre_c_mean, post_c_mean, pre_t_mean,
+    post_t_mean, did).
+    """
+    t = treated.cast("boolean")
+    p = post.cast("boolean")
+    v = outcome.cast("bigint")
+    base = df.select(
+        t.alias("__t"), p.alias("__p"), v.alias("__v")
+    ).filter(
+        F.col("__t").isNotNull()
+        & F.col("__p").isNotNull()
+        & F.col("__v").isNotNull()
+    )
+
+    def cell(tt: bool, pp: bool, name: str) -> list[Column]:
+        cond = (F.col("__t") == tt) & (F.col("__p") == pp)
+        return [
+            F.sum(F.when(cond, F.col("__v")).otherwise(0))
+            .cast("bigint")
+            .alias(f"__s_{name}"),
+            F.sum(F.when(cond, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__n_{name}"),
+        ]
+
+    g = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *cell(False, False, "pre_c"),
+        *cell(False, True, "post_c"),
+        *cell(True, False, "pre_t"),
+        *cell(True, True, "post_t"),
+    )
+
+    def mean(name: str) -> Column:
+        return F.when(
+            F.col(f"__n_{name}") > 0,
+            F.col(f"__s_{name}").cast("double")
+            / F.col(f"__n_{name}").cast("double"),
+        )
+
+    m = {k: mean(k) for k in ("pre_c", "post_c", "pre_t", "post_t")}
+    did = (m["post_t"] - m["pre_t"]) - (m["post_c"] - m["pre_c"])
+    return g.select(
+        "n",
+        m["pre_c"].alias("pre_c_mean"),
+        m["post_c"].alias("post_c_mean"),
+        m["pre_t"].alias("pre_t_mean"),
+        m["post_t"].alias("post_t_mean"),
+        did.alias("did"),
+    )

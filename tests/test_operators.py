@@ -2431,3 +2431,27 @@ def test_prefix_filter_safe_fraction_thresholds(spark):
             ).collect()
         }
         assert pruned == full
+
+
+def test_diff_in_diff_hand_values(spark):
+    """Planted effect: control goes 10 -> 12 (+2), treated goes
+    20 -> 27 (+7): DiD = 5. An empty cell yields NULL did."""
+    from financial_data_lakehouse_pipeline__spark.operators import analysis
+
+    rows = [
+        (False, False, 10), (False, True, 12),
+        (True, False, 20), (True, True, 27),
+    ]
+    df = spark.createDataFrame(rows, "t boolean, p boolean, v long")
+    r = analysis.diff_in_diff(
+        df, F.col("t"), F.col("p"), F.col("v")
+    ).collect()[0]
+    assert (r["pre_c_mean"], r["post_c_mean"]) == (10.0, 12.0)
+    assert (r["pre_t_mean"], r["post_t_mean"]) == (20.0, 27.0)
+    assert r["did"] == 5.0
+
+    partial = spark.createDataFrame(rows[:3], "t boolean, p boolean, v long")
+    r2 = analysis.diff_in_diff(
+        partial, F.col("t"), F.col("p"), F.col("v")
+    ).collect()[0]
+    assert r2["post_t_mean"] is None and r2["did"] is None

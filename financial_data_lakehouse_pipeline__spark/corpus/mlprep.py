@@ -963,3 +963,44 @@ def monotonic_event_ids(spark, sf_dir):
     return dq.monotonic_report(
         ev, ["user_id"], [F.col("ts"), F.col("event_id")], "event_id"
     )
+
+
+@register(
+    "srm_check_events",
+    # Same md5 bucket assignment, distinct-unit counts, fixed double
+    # chain for expected/chi2 — exact until the two final divisions.
+    f"""WITH a AS (
+          SELECT DISTINCT user_id,
+                 CASE WHEN {_bucket_sql('user_id', 'ab')} < 5000
+                      THEN 'control'
+                      WHEN {_bucket_sql('user_id', 'ab')} < 10000
+                      THEN 'treatment' END AS arm
+          FROM events WHERE user_id IS NOT NULL
+        ),
+        c AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n
+              FROM a WHERE arm IS NOT NULL GROUP BY arm),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+        SELECT arm, n,
+               CAST(tot AS DOUBLE) * CAST(CASE arm WHEN 'control' THEN 5000
+                    ELSE 5000 END AS DOUBLE) / 10000e0 AS expected,
+               (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE)
+                  * CAST(CASE arm WHEN 'control' THEN 5000
+                         ELSE 5000 END AS DOUBLE) / 10000e0)
+               * (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE)
+                  * CAST(CASE arm WHEN 'control' THEN 5000
+                         ELSE 5000 END AS DOUBLE) / 10000e0)
+               / (CAST(tot AS DOUBLE) * CAST(CASE arm WHEN 'control'
+                      THEN 5000 ELSE 5000 END AS DOUBLE) / 10000e0)
+                 AS chi2_term
+        FROM c, t""",
+)
+def srm_check_events(spark, sf_dir):
+    """Sample-ratio-mismatch gate for a 50/50 hash-assigned experiment
+    over event users (operators/sampling.srm_check): deterministic md5
+    arm assignment, distinct-unit counts, per-arm chi-square terms —
+    the assignment-integrity check every A/B readout runs first.
+    Exact counts; expected/chi2 are fixed double chains."""
+    ev = read_table(spark, sf_dir, "events")
+    return sampling.srm_check(
+        ev, "user_id", [("control", 5000), ("treatment", 5000)], salt="ab"
+    )

@@ -304,3 +304,72 @@ def exact_k_per_group(
         .filter(F.col("__rn") <= int(k))
         .drop("__k", "__rn")
     )
+
+
+def srm_check(
+    df: DataFrame,
+    id_col: str,
+    arms: Sequence[tuple[str, int]],
+    salt: str = "ab",
+) -> DataFrame:
+    """Sample-ratio-mismatch check for a hash-based experiment
+    assignment — the first gate every A/B readout must pass: assign
+    each unit to an arm by its deterministic md5 bucket (same
+    reproducibility contract as :func:`hash_split`), then compare
+    observed arm counts to the design ratios with a chi-square
+    statistic. A large chi2 means the assignment or logging pipeline
+    is dropping units non-randomly and the experiment is invalid.
+
+    ``arms`` is [(name, bucket_width), ...] over the BUCKETS space
+    (widths sum to <= BUCKETS; remaining buckets are excluded, which
+    the design ratios account for). Counts are exact integers; each
+    expected value and chi2 term is a fixed double chain —
+    bit-identical cross-engine.
+
+    Output: one row per arm (arm, n, expected, chi2_term) — sum the
+    terms for the statistic (df = arms-1); distinct unit ids are
+    counted, so duplicate exposure rows don't skew the ratio.
+    """
+    total_width = sum(w for _, w in arms)
+    b = hash_bucket(F.col(id_col), salt)
+    edges: list[tuple[str, int, int]] = []
+    lo = 0
+    for name, w in arms:
+        edges.append((name, lo, lo + w))
+        lo += w
+    arm = None
+    for name, a, z in edges:
+        cond = (b >= a) & (b < z)
+        arm = F.when(cond, name) if arm is None else arm.when(cond, name)
+    assigned = (
+        df.select(F.col(id_col).alias("__id"), arm.alias("arm"))
+        .filter(F.col("arm").isNotNull())
+        .distinct()
+    )
+    counts = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("__N"))
+    widths = {name: w for name, w in arms}
+    wcol = None
+    for name, w in arms:
+        wcol = (
+            F.when(F.col("arm") == name, F.lit(w))
+            if wcol is None
+            else wcol.when(F.col("arm") == name, F.lit(w))
+        )
+    j = counts.crossJoin(F.broadcast(tot)).withColumn("__w", wcol)
+    expected = (
+        F.col("__N").cast("double")
+        * F.col("__w").cast("double")
+        / F.lit(float(total_width))
+    )
+    term = F.when(
+        expected > 0,
+        (F.col("n").cast("double") - expected)
+        * (F.col("n").cast("double") - expected)
+        / expected,
+    )
+    return j.select(
+        "arm", "n", expected.alias("expected"), term.alias("chi2_term")
+    )

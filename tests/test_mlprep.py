@@ -744,3 +744,33 @@ def test_k_anonymity_report_hand_values(spark):
     assert out["groups_below_k"] == 1 and out["rows_below_k"] == 3
     assert out["l_diversity_min"] == 1
     assert out["groups_single_sensitive"] == 1
+
+
+def test_srm_check_hand_values(spark):
+    """Planted 3:1 imbalance on a 50/50 design: chi2 terms match the
+    hand formula; duplicate exposure rows don't inflate counts."""
+    from pyspark.sql import functions as F
+
+    from financial_data_lakehouse_pipeline__spark.operators import sampling
+
+    # find ids landing in each arm under the real hash, then build an
+    # intentionally imbalanced population (30 control, 10 treatment)
+    probe = spark.createDataFrame(
+        [(i,) for i in range(2000)], "id int"
+    ).select(
+        "id", sampling.hash_bucket(F.col("id"), "ab").alias("b")
+    ).collect()
+    control = [r["id"] for r in probe if r["b"] < 5000][:30]
+    treat = [r["id"] for r in probe if r["b"] >= 5000][:10]
+    rows = [(i,) for i in control + treat] + [(control[0],)] * 5  # dups
+    df = spark.createDataFrame(rows, "id int")
+    got = {
+        r["arm"]: r
+        for r in sampling.srm_check(
+            df, "id", [("control", 5000), ("treatment", 5000)], salt="ab"
+        ).collect()
+    }
+    assert got["control"]["n"] == 30 and got["treatment"]["n"] == 10
+    assert got["control"]["expected"] == 20.0
+    assert got["control"]["chi2_term"] == (30 - 20) ** 2 / 20.0
+    assert got["treatment"]["chi2_term"] == (10 - 20) ** 2 / 20.0

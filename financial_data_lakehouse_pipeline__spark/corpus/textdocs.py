@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from financial_data_lakehouse_pipeline__spark.corpus import register
-from financial_data_lakehouse_pipeline__spark.operators import dedup, multimodal, text
+from financial_data_lakehouse_pipeline__spark.operators import (
+    dedup,
+    multimodal,
+    sampling,
+    text,
+)
 from financial_data_lakehouse_pipeline__spark.sources import read_table
 
 # ---- shared SQL fragments mirroring functions.tokens / dedup.canonical_text
@@ -1355,3 +1360,63 @@ def zipf_fit_docs(spark, sf_dir):
         (F.round("slope", 6) + F.lit(0.0)).alias("slope"),
         (F.round("intercept", 6) + F.lit(0.0)).alias("intercept"),
     )
+
+
+@register(
+    "tfidf_cosine_pairs_docs",
+    # Same deterministic 200-doc sample, same exact per-(doc,term)
+    # rational-idf weights; dot/norm are float sums -> the cosine is
+    # ROUNDed to 6 BEFORE the threshold filter on BOTH engines, so
+    # boundary pairs cannot flip on sum-order ulps.
+    r"""WITH sample AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   md5('exk:' || CAST(doc_id AS VARCHAR)) AS k
+            FROM documents ORDER BY k LIMIT 200)
+        ),
+        terms AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                   ' ')) AS term
+          FROM sample WHERE length(trim(text)) > 0
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+               WHERE length(term) >= 3 GROUP BY 1, 2),
+        dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nn
+              FROM sample),
+        w AS (
+          SELECT doc_id, term,
+                 CAST(tf AS DOUBLE) * (CAST(nn + 1 AS DOUBLE)
+                                       / CAST(df + 1 AS DOUBLE)) AS w
+          FROM tf JOIN dfq USING (term) CROSS JOIN n
+        ),
+        nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm
+                FROM w GROUP BY doc_id),
+        dots AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 SUM(a.w * b.w) AS dot
+          FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(dot / (na.nrm * nb.nrm), 6) + 0e0 AS cosine
+        FROM dots
+        JOIN nrm na ON na.doc_id = id_a
+        JOIN nrm nb ON nb.doc_id = id_b
+        WHERE ROUND(dot / (na.nrm * nb.nrm), 6) + 0e0 >= 0.9""",
+)
+def tfidf_cosine_pairs_docs(spark, sf_dir):
+    """Sparse tf-idf cosine similarity join over a deterministic
+    200-doc sample (operators/sampling.exact_k_sample →
+    operators/text.tfidf_cosine_pairs, threshold 0.9): bag-of-words
+    cosine from posting lists — the text-side sibling of the dense
+    embedding cosine, catching word-REUSE similarity that shingle
+    Jaccard misses. The sample bounds the posting join at every scale
+    factor (this corpus's 30-term vocabulary makes full-corpus sparse
+    cosine degenerate all-pairs — the operator's max_df cap is the
+    production lever; the fixed sample is the corpus-sized one)."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sample = sampling.exact_k_sample(d, "doc_id", k=200)
+    return text.tfidf_cosine_pairs(sample, threshold=0.9)

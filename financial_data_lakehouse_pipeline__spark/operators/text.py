@@ -1059,3 +1059,98 @@ def zipf_fit(
         slope.alias("slope"),
         ((F.col("__sy") - slope * F.col("__sx")) / n).alias("intercept"),
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_term_len: int = 3,
+    max_df: int | None = None,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Sparse tf-idf cosine similarity join — the TEXT-side sibling of
+    the dense embedding cosine: document pairs whose bag-of-words
+    tf-idf vectors have cosine >= threshold, computed entirely from
+    posting lists (no vectors materialized). Catches topical/templated
+    similarity that shingle Jaccard misses (word REUSE, not word-order
+    overlap).
+
+    Weights are tf x rational idf (N+1)/(df+1) — per-(doc, term) each
+    weight is an exact tf times ONE IEEE division (tfidf_top_terms'
+    portability trick), so weights are bit-identical cross-engine; the
+    pair dot product and the norms are float SUMS (engine-defined
+    order), so the cosine must be ROUNDed by corpus consumers.
+
+    Shape at scale: the pair volume is the posting-list join —
+    quadratic per term's df, like ngram_jaccard — so compose with
+    ``max_df`` to drop corpus-wide stop terms before the self-join
+    (the drop_stop_shingles discipline; also removes their near-zero
+    idf contributions). Norms come from one per-doc aggregate over the
+    SAME capped weights, broadcast back.
+
+    Output: (id_a, id_b, cosine), id_a < id_b.
+    """
+    from financial_data_lakehouse_pipeline__spark.functions import (
+        tokens as _tokens,
+    )
+
+    canon = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    terms = df.select(
+        F.col(id_col), F.explode(_tokens(canon)).alias("term")
+    ).filter(F.length("term") >= min_term_len)
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= int(max_df))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__n"))
+    w = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                F.col("tf").cast("double")
+                * (
+                    (F.col("__n") + F.lit(1)).cast("double")
+                    / (F.col("df") + F.lit(1)).cast("double")
+                )
+            ).alias("__w"),
+        )
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nrm")
+    )
+    a = w.select(F.col(id_col).alias("id_a"), "term", F.col("__w").alias("__wa"))
+    b = w.select(F.col(id_col).alias("id_b"), "term", F.col("__w").alias("__wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    return (
+        dots.join(
+            F.broadcast(norms.select(F.col(id_col).alias("id_a"), F.col("__nrm").alias("__na"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(norms.select(F.col(id_col).alias("id_b"), F.col("__nrm").alias("__nb"))),
+            "id_b",
+        )
+        .withColumn(
+            "cosine",
+            # the float-sum cosine is rounded BEFORE the threshold
+            # filter so boundary pairs cannot flip between engines on
+            # last-ulp sum-order differences (both engines compare the
+            # identical 6-decimal value)
+            F.round(
+                guarded_div(F.col("__dot"), F.col("__na") * F.col("__nb")),
+                6,
+            )
+            + F.lit(0.0),
+        )
+        .filter(F.col("cosine") >= float(threshold))
+        .select("id_a", "id_b", "cosine")
+    )

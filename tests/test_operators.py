@@ -2455,3 +2455,32 @@ def test_diff_in_diff_hand_values(spark):
         partial, F.col("t"), F.col("p"), F.col("v")
     ).collect()[0]
     assert r2["post_t_mean"] is None and r2["did"] is None
+
+
+def test_tfidf_cosine_pairs_hand_values(spark):
+    """Two identical docs have cosine 1; a disjoint-vocabulary doc
+    never pairs above threshold; max_df drops a universal term from
+    both weights and norms."""
+    rows = [
+        (1, "apple banana apple"),
+        (2, "apple banana apple"),
+        (3, "cherry durian cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    from financial_data_lakehouse_pipeline__spark.operators import text as T
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in T.tfidf_cosine_pairs(df, threshold=0.5).collect()
+    }
+    assert got == {(1, 2): 1.0}
+
+    # universal term: 'apple' in all three docs; max_df=2 drops it,
+    # leaving doc3 sharing nothing -> still only the (1,2) pair
+    rows2 = rows[:2] + [(3, "apple cherry durian")]
+    df2 = spark.createDataFrame(rows2, "doc_id int, text string")
+    got2 = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in T.tfidf_cosine_pairs(df2, threshold=0.5, max_df=2).collect()
+    }
+    assert got2 == {(1, 2): 1.0}

@@ -133,7 +133,9 @@ def main() -> None:
                 "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
             )
             prime()
-        if not restart_every or i % restart_every == 0:
+        # one loadavg snapshot per session (re)start — with
+        # RESTART_EVERY=0 that is exactly one, not one per query
+        if i == 0 or (restart_every and i % restart_every == 0):
             try:
                 loadavg_per_group.append(
                     [round(x, 2) for x in os.getloadavg()]

@@ -979,20 +979,23 @@ def monotonic_event_ids(spark, sf_dir):
         ),
         c AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n
               FROM a WHERE arm IS NOT NULL GROUP BY arm),
-        t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+        s AS (SELECT * FROM (VALUES ('control', 5000),
+                                    ('treatment', 5000)) AS v(arm, w)),
+        f AS (SELECT s.arm, COALESCE(c.n, CAST(0 AS BIGINT)) AS n, s.w
+              FROM s LEFT JOIN c ON s.arm = c.arm),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM f)
         SELECT arm, n,
-               CAST(tot AS DOUBLE) * CAST(CASE arm WHEN 'control' THEN 5000
-                    ELSE 5000 END AS DOUBLE) / 10000e0 AS expected,
-               (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE)
-                  * CAST(CASE arm WHEN 'control' THEN 5000
-                         ELSE 5000 END AS DOUBLE) / 10000e0)
-               * (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE)
-                  * CAST(CASE arm WHEN 'control' THEN 5000
-                         ELSE 5000 END AS DOUBLE) / 10000e0)
-               / (CAST(tot AS DOUBLE) * CAST(CASE arm WHEN 'control'
-                      THEN 5000 ELSE 5000 END AS DOUBLE) / 10000e0)
-                 AS chi2_term
-        FROM c, t""",
+               CAST(tot AS DOUBLE) * CAST(w AS DOUBLE) / 10000e0
+                 AS expected,
+               CASE WHEN CAST(tot AS DOUBLE) * CAST(w AS DOUBLE)
+                         / 10000e0 > 0 THEN
+                 (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE)
+                    * CAST(w AS DOUBLE) / 10000e0)
+                 * (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE)
+                    * CAST(w AS DOUBLE) / 10000e0)
+                 / (CAST(tot AS DOUBLE) * CAST(w AS DOUBLE) / 10000e0)
+               END AS chi2_term
+        FROM f, t""",
 )
 def srm_check_events(spark, sf_dir):
     """Sample-ratio-mismatch gate for a 50/50 hash-assigned experiment

@@ -285,7 +285,10 @@ def exact_k_per_group(
     caps every stratum without a second pass. Groups smaller than k
     survive whole. Same reproducibility contract as
     :func:`exact_k_sample`: the hash is identical on every run/engine/
-    cluster.
+    cluster. PRECONDITION: ``id_col`` must be row-unique within each
+    group (same contract kmv_quantile_sketch documents) — duplicate
+    ids hash identically, making row_number order among those ties
+    nondeterministic across runs/engines.
 
     Plan shape: the rank filter is pushed into WindowGroupLimit
     (Partial before the exchange, Final after) — each input partition
@@ -326,9 +329,13 @@ def srm_check(
     expected value and chi2 term is a fixed double chain —
     bit-identical cross-engine.
 
-    Output: one row per arm (arm, n, expected, chi2_term) — sum the
-    terms for the statistic (df = arms-1); distinct unit ids are
-    counted, so duplicate exposure rows don't skew the ratio.
+    Output: one row per DESIGNED arm (arm, n, expected, chi2_term) —
+    the arm spec is left-joined against observed counts, so an arm
+    with ZERO observed units still emits a row with n=0 and its full
+    chi2 term (the most extreme mismatch case must not vanish from
+    the statistic). Sum the terms for the statistic (df = arms-1);
+    distinct unit ids are counted, so duplicate exposure rows don't
+    skew the ratio.
     """
     total_width = sum(w for _, w in arms)
     b = hash_bucket(F.col(id_col), salt)
@@ -349,16 +356,17 @@ def srm_check(
     counts = assigned.groupBy("arm").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    tot = counts.agg(F.sum("n").cast("bigint").alias("__N"))
-    widths = {name: w for name, w in arms}
-    wcol = None
-    for name, w in arms:
-        wcol = (
-            F.when(F.col("arm") == name, F.lit(w))
-            if wcol is None
-            else wcol.when(F.col("arm") == name, F.lit(w))
-        )
-    j = counts.crossJoin(F.broadcast(tot)).withColumn("__w", wcol)
+    # Left-join the DESIGNED arm spec against observed counts so an
+    # arm with zero observed units still contributes its full chi2
+    # term (n=0) instead of silently disappearing from the statistic.
+    spec = df.sparkSession.createDataFrame(
+        [(name, int(w)) for name, w in arms], "arm string, __w int"
+    )
+    full = spec.join(F.broadcast(counts), "arm", "left").withColumn(
+        "n", F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
+    )
+    tot = full.agg(F.sum("n").cast("bigint").alias("__N"))
+    j = full.crossJoin(F.broadcast(tot))
     expected = (
         F.col("__N").cast("double")
         * F.col("__w").cast("double")

@@ -1153,7 +1153,10 @@ def ndcg_at_k(
     position-discounted quality metric beside recall@k (the recall
     harness treats all hits equally; nDCG rewards putting the most
     relevant neighbors FIRST). Inputs: ranking (query_id, neighbor_id,
-    rank) and relevance (query_id, neighbor_id, rel).
+    rank) and relevance (query_id, neighbor_id, rel). The relevance
+    table is max-aggregated per (query_id, neighbor_id) before the
+    join, so duplicate relevance rows cannot fan out ranking rows and
+    inflate DCG/IDCG — callers need not pre-deduplicate.
 
     DCG = Σ_{i<=k} rel_i / log2(i + 1) over the ranking's order;
     IDCG re-sorts the SAME k retrieved items by (rel DESC,
@@ -1167,9 +1170,12 @@ def ndcg_at_k(
     """
     from pyspark.sql import Window
 
+    rel = relevance.groupBy("query_id", "neighbor_id").agg(
+        F.max("rel").alias("rel")
+    )
     r = (
         ranking.filter(F.col("rank") <= int(k))
-        .join(relevance, ["query_id", "neighbor_id"], "left")
+        .join(rel, ["query_id", "neighbor_id"], "left")
         .select(
             "query_id",
             "neighbor_id",

@@ -14,8 +14,10 @@ from financial_data_lakehouse_pipeline__spark.sources.writers import (
     write_partitioned_parquet,
 )
 from financial_data_lakehouse_pipeline__spark.sources.catalog import register_views
+from financial_data_lakehouse_pipeline__spark.sources import acid
 
 __all__ = [
+    "acid",
     "TABLES",
     "normalize_event_ts",
     "read_csv",

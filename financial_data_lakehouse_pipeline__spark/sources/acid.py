@@ -1,0 +1,468 @@
+"""Parquet-native ACID table format ("mini-Delta") — the lakehouse
+transaction layer the reference's managed warehouse tables imply
+(reference sql/hive_schemas.sql:78-106: managed tables rebuilt by full
+overwrite each daily run) re-expressed as an incremental, versioned,
+optimistically-concurrent log over plain parquet, because delta-spark is
+not installed in this container (sources/delta_io.py stays import-gated
+and activates unchanged when it is).
+
+Layout (all under the table root):
+
+    <root>/_txn_log/00000000.json      one JSON doc per committed version
+    <root>/data/v<N>-<token>/part-*.parquet   data written by commit N
+
+Each log entry is a self-contained action record::
+
+    {"version": N, "op": "overwrite|append|merge|delete",
+     "adds": [relative parquet paths...],
+     "removes": [relative parquet paths...],
+     "schema": "<json schema of the table after this commit>",
+     "commit_ts": <float unix seconds>, "app_txn_id": "..."|null,
+     "op_params": {...}}
+
+Snapshot at version V = replay entries 0..V: live files = union(adds)
+minus union(removes). This is Delta's add/remove-action model (Armbrust
+et al., "Delta Lake: High-Performance ACID Table Storage over Cloud
+Object Stores", VLDB 2020) without checkpoints — at 100 TB you add a
+parquet checkpoint of the live-file set every K commits so snapshot
+resolution reads O(1) files instead of O(versions); the log itself is
+metadata-scale (file lists, not data) either way.
+
+ACID properties and how each is provided:
+
+- **Atomicity**: data files are fully written BEFORE the log entry; the
+  log entry is created with ``O_CREAT | O_EXCL`` (atomic on POSIX — on
+  S3-class object stores this maps to a putIfAbsent/conditional-put).
+  A crash between data write and log write leaves orphan files that
+  ``vacuum`` removes; readers never see them because only logged files
+  are scanned.
+- **Consistency**: every commit records the post-commit schema;
+  ``append``/``merge`` reject schema drift (unionByName would silently
+  widen otherwise).
+- **Isolation**: readers resolve a snapshot from immutable log entries —
+  a concurrent writer can only ADD a new version file, never mutate one,
+  so a reader's file list is stable for the lifetime of its query
+  (snapshot isolation).
+- **Durability/concurrency**: read-modify-write ops (merge, delete)
+  carry the version they READ; commit fails with
+  :class:`ConcurrentCommitError` if any version landed since
+  (optimistic concurrency, write-write conflict detection at table
+  granularity — Delta does file-granularity re-validation; table
+  granularity is the honest conservative cut here).
+- **Idempotent replay**: a commit may carry ``app_txn_id``; committing
+  an id already present anywhere in the log is a silent no-op — the
+  exactly-once contract foreachBatch sinks need on retry (same
+  mechanism as streaming/__init__.py's versioned MERGE sink, unified
+  here).
+
+Scale shape: MERGE is file-pruned copy-on-write — the update batch's
+keys are semi-joined against the snapshot WITH file attribution
+(``_metadata.file_path``) to find only the data files that contain a
+matched key; untouched files survive the commit by reference (zero data
+movement), touched files are rewritten merged with their slice of the
+updates. At 100 TB with key-clustered files this touches the same
+files Delta would.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_LOG_DIR = "_txn_log"
+_DATA_DIR = "data"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the version this transaction targeted."""
+
+
+class NoSuchVersionError(ValueError):
+    """Requested version/timestamp predates the table or doesn't exist."""
+
+
+def _log_dir(root: str) -> str:
+    return os.path.join(root, _LOG_DIR)
+
+
+def _entry_path(root: str, version: int) -> str:
+    return os.path.join(_log_dir(root), f"{version:08d}.json")
+
+
+def _read_log(root: str) -> list[dict]:
+    """All committed entries, version order. Ignores foreign files."""
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        return []
+    entries = []
+    for name in sorted(os.listdir(d)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(d, name)) as f:
+            entries.append(json.load(f))
+    entries.sort(key=lambda e: e["version"])
+    return entries
+
+
+def latest_version(root: str) -> int:
+    """Highest committed version, or -1 for a non-existent table."""
+    entries = _read_log(root)
+    return entries[-1]["version"] if entries else -1
+
+
+def _resolve_files(entries: Sequence[dict], version: int) -> list[str]:
+    live: set[str] = set()
+    for e in entries:
+        if e["version"] > version:
+            break
+        live -= set(e.get("removes", ()))
+        live |= set(e.get("adds", ()))
+    return sorted(live)
+
+
+def _commit(
+    root: str,
+    op: str,
+    adds: Sequence[str],
+    removes: Sequence[str],
+    schema_json: str,
+    expected_version: int | None = None,
+    app_txn_id: str | None = None,
+    op_params: dict | None = None,
+) -> int:
+    """Atomically write the next log entry; the O_EXCL create IS the
+    commit point. Raises ConcurrentCommitError on any lost race."""
+    os.makedirs(_log_dir(root), exist_ok=True)
+    entries = _read_log(root)
+    if app_txn_id is not None and any(
+        e.get("app_txn_id") == app_txn_id for e in entries
+    ):
+        return -1  # idempotent replay: already committed, no-op
+    current = entries[-1]["version"] if entries else -1
+    if expected_version is not None and current != expected_version:
+        raise ConcurrentCommitError(
+            f"read version {expected_version} but table is at {current}: "
+            "re-read the snapshot and retry the transaction"
+        )
+    version = current + 1
+    entry = {
+        "version": version,
+        "op": op,
+        "adds": list(adds),
+        "removes": list(removes),
+        "schema": schema_json,
+        "commit_ts": time.time(),
+        "app_txn_id": app_txn_id,
+        "op_params": op_params or {},
+    }
+    payload = json.dumps(entry, sort_keys=True).encode()
+    try:
+        fd = os.open(
+            _entry_path(root, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        )
+    except FileExistsError as exc:
+        raise ConcurrentCommitError(
+            f"version {version} was committed concurrently"
+        ) from exc
+    with os.fdopen(fd, "wb") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    return version
+
+
+def _write_data(df: DataFrame, root: str, version_hint: int) -> list[str]:
+    """Write df as parquet under data/v<hint>-<token>/ and return the
+    part files RELATIVE to root (the log stores relative paths so the
+    table directory is relocatable)."""
+    token = uuid.uuid4().hex[:12]
+    rel_dir = os.path.join(_DATA_DIR, f"v{version_hint}-{token}")
+    out = os.path.join(root, rel_dir)
+    df.write.mode("error").parquet(out)
+    rels = []
+    for name in sorted(os.listdir(out)):
+        if name.endswith(".parquet"):
+            rels.append(os.path.join(rel_dir, name))
+    return rels
+
+
+def create_table(
+    df: DataFrame, root: str, app_txn_id: str | None = None
+) -> int:
+    """Create (or fully replace) the table: version with op=overwrite
+    whose removes = every previously-live file."""
+    entries = _read_log(root)
+    current = entries[-1]["version"] if entries else -1
+    prior = _resolve_files(entries, current) if current >= 0 else []
+    adds = _write_data(df, root, current + 1)
+    return _commit(
+        root,
+        "overwrite",
+        adds,
+        prior,
+        df.schema.json(),
+        expected_version=current,
+        app_txn_id=app_txn_id,
+    )
+
+
+def append(df: DataFrame, root: str, app_txn_id: str | None = None) -> int:
+    """Blind append — no read dependency, so it never conflicts on
+    expected_version (appends serialize by the O_EXCL race alone;
+    losers retry the commit, not the data write)."""
+    entries = _read_log(root)
+    if not entries:
+        raise NoSuchVersionError(f"no table at {root}: create_table first")
+    committed = json.loads(entries[-1]["schema"])
+    if json.loads(df.schema.json()) != committed:
+        raise ValueError(
+            "append schema drift: incoming schema does not match the "
+            "table schema at the latest version"
+        )
+    adds = _write_data(df, root, entries[-1]["version"] + 1)
+    while True:
+        try:
+            return _commit(
+                root, "append", adds, [], df.schema.json(),
+                app_txn_id=app_txn_id,
+            )
+        except ConcurrentCommitError:
+            continue  # pure append: safe to retry the log write as-is
+
+
+def read_snapshot(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    timestamp: float | None = None,
+) -> DataFrame:
+    """Snapshot (time-travel) read: the table as of ``version``, or as
+    of the last commit with commit_ts <= ``timestamp``, or latest.
+    An empty snapshot returns an empty DataFrame with the committed
+    schema (not an error)."""
+    entries = _read_log(root)
+    if not entries:
+        raise NoSuchVersionError(f"no table at {root}")
+    if version is None and timestamp is not None:
+        eligible = [e["version"] for e in entries if e["commit_ts"] <= timestamp]
+        if not eligible:
+            raise NoSuchVersionError(
+                f"timestamp {timestamp} predates the first commit"
+            )
+        version = max(eligible)
+    if version is None:
+        version = entries[-1]["version"]
+    by_v = {e["version"]: e for e in entries}
+    if version not in by_v:
+        raise NoSuchVersionError(f"version {version} not in log")
+    files = _resolve_files(entries, version)
+    schema = T.StructType.fromJson(json.loads(by_v[version]["schema"]))
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(root, f) for f in files]
+    )
+
+
+def merge(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    app_txn_id: str | None = None,
+) -> int:
+    """MERGE INTO (WHEN MATCHED UPDATE ALL / WHEN NOT MATCHED INSERT
+    ALL) as file-pruned copy-on-write:
+
+    1. attribute every snapshot row to its parquet file
+       (``_metadata.file_path`` — no extra scan, the metadata column is
+       constant-folded per file);
+    2. semi-join on the merge keys to find TOUCHED files (only files
+       holding a matched key are rewritten — at 100 TB with
+       key-clustered layout this is the small set Delta would touch);
+    3. rewrite touched-file rows through operators/cdc.merge_upsert
+       with the update batch (updates win; not-matched updates insert);
+    4. commit adds=new files, removes=touched files. Untouched files
+       survive by reference — zero data movement.
+
+    The commit pins ``expected_version`` to the snapshot read in step 1:
+    any concurrent commit fails this transaction (write-write conflict).
+    """
+    from financial_data_lakehouse_pipeline__spark.operators.cdc import merge_upsert
+
+    entries = _read_log(root)
+    if not entries:
+        raise NoSuchVersionError(f"no table at {root}: create_table first")
+    read_version = entries[-1]["version"]
+    snap = read_snapshot(spark, root, version=read_version)
+    committed = json.loads(entries[-1]["schema"])
+    if json.loads(updates.schema.json()) != committed:
+        raise ValueError(
+            "merge schema drift: updates schema does not match the table"
+        )
+    files = _resolve_files(entries, read_version)
+    if not files:
+        touched_rel: list[str] = []
+        merged = updates
+    else:
+        attributed = spark.read.schema(snap.schema).parquet(
+            *[os.path.join(root, f) for f in files]
+        ).withColumn("__file", F.col("_metadata.file_path"))
+        key_set = updates.select(*keys).distinct()
+        touched_files = [
+            r["__file"]
+            for r in attributed.join(F.broadcast(key_set), list(keys), "semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        ]
+        abs_root = os.path.abspath(root)
+        touched_rel = sorted(
+            os.path.relpath(
+                f[len("file:"):] if f.startswith("file:") else f, abs_root
+            )
+            for f in touched_files
+        )
+        if touched_rel:
+            touched_df = spark.read.schema(snap.schema).parquet(
+                *[os.path.join(root, f) for f in touched_rel]
+            )
+        else:
+            touched_df = spark.createDataFrame([], snap.schema)
+        merged = merge_upsert(touched_df, updates, keys)
+    adds = _write_data(merged, root, read_version + 1)
+    return _commit(
+        root,
+        "merge",
+        adds,
+        touched_rel,
+        snap.schema.json(),
+        expected_version=read_version,
+        app_txn_id=app_txn_id,
+        op_params={"keys": list(keys)},
+    )
+
+
+def delete_where(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    app_txn_id: str | None = None,
+) -> int:
+    """DELETE FROM ... WHERE predicate, file-pruned copy-on-write: only
+    files containing at least one matching row are rewritten (with the
+    survivors); files with no match survive by reference."""
+    entries = _read_log(root)
+    if not entries:
+        raise NoSuchVersionError(f"no table at {root}")
+    read_version = entries[-1]["version"]
+    files = _resolve_files(entries, read_version)
+    schema = T.StructType.fromJson(json.loads(entries[-1]["schema"]))
+    if not files:
+        return _commit(
+            root, "delete", [], [], schema.json(),
+            expected_version=read_version, app_txn_id=app_txn_id,
+            op_params={"predicate": predicate},
+        )
+    attributed = spark.read.schema(schema).parquet(
+        *[os.path.join(root, f) for f in files]
+    ).withColumn("__file", F.col("_metadata.file_path"))
+    touched_files = [
+        r["__file"]
+        for r in attributed.filter(F.expr(predicate))
+        .select("__file")
+        .distinct()
+        .collect()
+    ]
+    abs_root = os.path.abspath(root)
+    touched_rel = sorted(
+        os.path.relpath(
+            f[len("file:"):] if f.startswith("file:") else f, abs_root
+        )
+        for f in touched_files
+    )
+    adds: list[str] = []
+    if touched_rel:
+        survivors = spark.read.schema(schema).parquet(
+            *[os.path.join(root, f) for f in touched_rel]
+        ).filter(~F.expr(predicate))
+        adds = _write_data(survivors, root, read_version + 1)
+    return _commit(
+        root,
+        "delete",
+        adds,
+        touched_rel,
+        schema.json(),
+        expected_version=read_version,
+        app_txn_id=app_txn_id,
+        op_params={"predicate": predicate},
+    )
+
+
+def history(spark: SparkSession, root: str) -> DataFrame:
+    """The commit log as a DataFrame: (version, op, n_adds, n_removes,
+    commit_ts, app_txn_id) — the DESCRIBE HISTORY twin."""
+    entries = _read_log(root)
+    rows = [
+        (
+            e["version"],
+            e["op"],
+            len(e.get("adds", ())),
+            len(e.get("removes", ())),
+            float(e["commit_ts"]),
+            e.get("app_txn_id"),
+        )
+        for e in entries
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version bigint, op string, n_adds int, n_removes int, "
+        "commit_ts double, app_txn_id string",
+    )
+
+
+def vacuum(root: str, keep_versions: int = 1) -> list[str]:
+    """Delete data files unreachable from the newest ``keep_versions``
+    snapshots (removed-and-aged-out files plus crash orphans never
+    referenced by any commit). Returns the deleted relative paths.
+    Log entries are never deleted — history stays auditable; only
+    time-travel BEFORE the retention horizon loses its data."""
+    entries = _read_log(root)
+    if not entries:
+        return []
+    versions = [e["version"] for e in entries]
+    keep = versions[-max(1, int(keep_versions)):]
+    reachable: set[str] = set()
+    for v in keep:
+        reachable |= set(_resolve_files(entries, v))
+    deleted = []
+    data_root = os.path.join(root, _DATA_DIR)
+    if not os.path.isdir(data_root):
+        return []
+    for dirpath, _dirnames, filenames in os.walk(data_root):
+        for name in filenames:
+            full = os.path.join(dirpath, name)
+            rel = os.path.relpath(full, root)
+            if name.endswith(".parquet") and rel not in reachable:
+                os.remove(full)
+                deleted.append(rel)
+    return sorted(deleted)
+
+
+def snapshot_files(root: str, version: int | None = None) -> list[str]:
+    """The resolved live-file list (relative paths) at a version —
+    exposed so an external engine (the DuckDB oracle) can read the
+    exact snapshot byte-for-byte."""
+    entries = _read_log(root)
+    if not entries:
+        raise NoSuchVersionError(f"no table at {root}")
+    if version is None:
+        version = entries[-1]["version"]
+    return _resolve_files(entries, version)

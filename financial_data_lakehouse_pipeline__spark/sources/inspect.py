@@ -127,16 +127,14 @@ def compaction_plan(
     Output: (compaction_group, n_files, group_bytes, first_file,
     last_file), one row per planned output file.
     """
-    from pyspark.sql import Window
-
     if int(target_bytes) <= 0:
         raise ValueError(
             f"target_bytes must be a positive integer, got {target_bytes}: "
             "`DIV 0` silently yields one NULL compaction group"
         )
-    w = Window.orderBy("file_name").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    # The exclusive running sum lives in ONE place — the inline OVER
+    # clause below (integer DIV needs F.expr anyway; a parallel
+    # Window object would just be a second ordering spec to drift).
     g = stats.select(
         "file_name",
         F.col("compressed_bytes").cast("bigint").alias("__b"),

@@ -774,3 +774,56 @@ def test_srm_check_hand_values(spark):
     assert got["control"]["expected"] == 20.0
     assert got["control"]["chi2_term"] == (30 - 20) ** 2 / 20.0
     assert got["treatment"]["chi2_term"] == (10 - 20) ** 2 / 20.0
+
+
+def test_srm_check_zero_observed_arm_still_emits_row(spark):
+    """An arm with ZERO observed units must still emit a row with n=0
+    and its full chi2 term — the most extreme mismatch case cannot
+    vanish from the statistic (round-8 advice fix)."""
+    from pyspark.sql import functions as F
+
+    from financial_data_lakehouse_pipeline__spark.operators import sampling
+
+    probe = spark.createDataFrame(
+        [(i,) for i in range(2000)], "id int"
+    ).select(
+        "id", sampling.hash_bucket(F.col("id"), "ab").alias("b")
+    ).collect()
+    control_only = [r["id"] for r in probe if r["b"] < 5000][:20]
+    df = spark.createDataFrame([(i,) for i in control_only], "id int")
+    got = {
+        r["arm"]: r
+        for r in sampling.srm_check(
+            df, "id", [("control", 5000), ("treatment", 5000)], salt="ab"
+        ).collect()
+    }
+    assert set(got) == {"control", "treatment"}
+    assert got["treatment"]["n"] == 0
+    assert got["treatment"]["expected"] == 10.0
+    assert got["treatment"]["chi2_term"] == (0 - 10) ** 2 / 10.0
+    assert got["control"]["chi2_term"] == (20 - 10) ** 2 / 10.0
+
+
+def test_ndcg_duplicate_relevance_rows_do_not_fan_out(spark):
+    """Duplicate (query_id, neighbor_id) relevance rows are collapsed
+    by max before the join — DCG/IDCG are not inflated (round-8
+    advice fix)."""
+    from financial_data_lakehouse_pipeline__spark.operators import similarity
+
+    ranking = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)],
+        "query_id int, neighbor_id int, rank int",
+    )
+    rel_dup = spark.createDataFrame(
+        [(1, 10, 3.0), (1, 10, 1.0), (1, 11, 2.0)],
+        "query_id int, neighbor_id int, rel double",
+    )
+    out = similarity.ndcg_at_k(ranking, rel_dup, k=2).collect()
+    assert len(out) == 1
+    row = out[0]
+    import math
+
+    dcg = 3.0 / math.log2(2.0) + 2.0 / math.log2(3.0)
+    assert abs(row["dcg"] - dcg) < 1e-12
+    assert abs(row["idcg"] - dcg) < 1e-12  # already ideally ordered
+    assert abs(row["ndcg"] - 1.0) < 1e-12

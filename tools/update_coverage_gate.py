@@ -26,10 +26,27 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main() -> int:
     src = sys.argv[1] if len(sys.argv) > 1 else None
     text = open(src).read() if src else sys.stdin.read()
-    m = re.search(r"==\s*(\d+) pass, (\d+) rows-only, (\d+) fail", text)
-    if not m:
+    summaries = list(
+        re.finditer(r"==\s*(\d+) pass, (\d+) rows-only, (\d+) fail", text)
+    )
+    if not summaries:
         print("no '== N pass, R rows-only, F fail' summary found", file=sys.stderr)
         return 1
+    # Optional seeded-subsample run (check_oracle --sample N --seed S):
+    # its "sample: n=.. seed=.." header precedes its own summary line;
+    # the FULL run is whichever summary has no sample header before it.
+    sample_hdr = re.search(r"sample: n=(\d+) seed=(\d+)", text)
+    sample_sum = None
+    m = summaries[0]
+    if sample_hdr:
+        after = [s for s in summaries if s.start() > sample_hdr.end()]
+        before = [s for s in summaries if s.start() < sample_hdr.start()]
+        if after:
+            sample_sum = after[0]
+        if before:
+            m = before[0]
+        elif len(after) > 1:
+            m = after[1]
     n_pass, n_rows, n_fail = map(int, m.groups())
     pytest_m = re.search(r"(\d+) passed", text)
     # The "checked at commit X" claim is only trustworthy if X's tree is
@@ -69,6 +86,13 @@ def main() -> int:
         f"`python tools/check_oracle.py /root/testdata/sf0.01` → "
         f"{n_pass} pass, {n_rows} rows-only, {n_fail} fail."
     )
+    if sample_hdr and sample_sum:
+        sn, ss = sample_hdr.groups()
+        sp, sr, sf = sample_sum.groups()
+        line += (
+            f" Seeded subsample (n={sn}, seed={ss}): "
+            f"{sp} pass, {sr} rows-only, {sf} fail."
+        )
     if pytest_m:
         line += f" `pytest tests/` → {pytest_m.group(1)} passed."
 
@@ -79,6 +103,8 @@ def main() -> int:
     # accumulating as stale "`pytest tests/` → N passed." sentences.
     new_doc, n_sub = re.subn(
         r"Gate \(checked .*?→\s*\d+ pass.*?fail\."
+        r"(?:\s*Seeded subsample \(n=\d+, seed=\d+\): \d+ pass, "
+        r"\d+ rows-only, \d+ fail\.)?"
         r"(?:\s*`pytest tests/` → \d+ passed\.)*",
         line,
         doc,

@@ -87,6 +87,7 @@ def _load() -> None:
     if _LOADED:
         return
     from financial_data_lakehouse_pipeline__spark.corpus import (  # noqa: F401
+        acid_q,
         events_q,
         lake,
         mlfeat_q,

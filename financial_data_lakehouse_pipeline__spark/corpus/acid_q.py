@@ -1,0 +1,237 @@
+"""Corpus: ACID table format (sources/acid.py) — time travel, MERGE
+upsert, and predicate DELETE, each oracle-paired.
+
+The reference rebuilds its managed warehouse tables by full overwrite
+each daily run (sql/hive_schemas.sql:78-106); acid.py is the
+incremental, versioned alternative. These queries make the transaction
+layer driver-verifiable:
+
+* fixture tables are built at import time, deterministically and
+  idempotently, with pyarrow data files + the REAL ``acid._commit``
+  log machinery (no SparkSession exists at import time) — so the
+  committed file lists are stable and the DuckDB oracle can read the
+  exact snapshot byte-for-byte via ``acid.snapshot_files()`` embedded
+  as literal paths (the same fixed-fixture pattern as lake.py's JSON
+  fixtures);
+* the mutating queries (merge/delete) run the real Spark-side
+  ``acid.merge`` / ``acid.delete_where`` with an ``app_txn_id`` so
+  re-runs are idempotent replays (no-ops) and the snapshot is stable
+  from the first execution on;
+* the merge/delete oracles recompute the EXPECTED post-commit state in
+  pure SQL from the pre-commit snapshot files + the literal update
+  batch — DuckDB independently re-derives MERGE / DELETE semantics
+  rather than trusting the engine's output files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from financial_data_lakehouse_pipeline__spark.corpus import register
+from financial_data_lakehouse_pipeline__spark.sources import acid
+
+_SCRATCH = os.path.join(os.path.dirname(__file__), "..", "..", ".scratch")
+_SCRATCH = os.path.abspath(_SCRATCH)
+_TT_ROOT = os.path.join(_SCRATCH, "fixtures", "acid", "timetravel")
+_MG_ROOT = os.path.join(_SCRATCH, "fixtures", "acid", "merge")
+_DL_ROOT = os.path.join(_SCRATCH, "fixtures", "acid", "delete")
+
+#: Bump when fixture CONTENT changes — the builder wipes and rebuilds
+#: any table whose version-0 app_txn_id doesn't match.
+_BASE_TXN = "corpus-acid-base-v1"
+
+_SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "amt", "type": "double", "nullable": True, "metadata": {}},
+        ],
+    },
+    sort_keys=True,
+)
+
+
+def _write_fixture_file(root: str, rel_dir: str, rows: list[tuple]) -> str:
+    """One parquet data file at a DETERMINISTIC relative path (unlike
+    acid._write_data's uuid tokens — fixtures must be byte-stable so the
+    oracle SQL can embed the paths as literals)."""
+    out_dir = os.path.join(root, rel_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    rel = os.path.join(rel_dir, "part-0.parquet")
+    tbl = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int32()),
+            "v": pa.array([r[1] for r in rows], pa.string()),
+            "amt": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(root, rel))
+    return rel
+
+
+def _ensure(root: str, expected_final_version: int, builder) -> None:
+    """Idempotent build: keep an existing fixture only if version 0
+    carries the current content marker and the build completed (the
+    final fixture version committed); anything else is wiped."""
+    try:
+        entries = acid._read_log(root)
+    except acid.CorruptLogError:
+        entries = []
+    if (
+        entries
+        and entries[0].get("app_txn_id") == _BASE_TXN
+        and entries[-1]["version"] >= expected_final_version
+    ):
+        return
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    builder(root)
+
+
+def _build_timetravel(root: str) -> None:
+    # v0: create 3 rows; v1: append 2 more — two snapshots to travel
+    adds0 = [
+        _write_fixture_file(
+            root, os.path.join("data", "v0-fixture"),
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        )
+    ]
+    acid._commit(root, "overwrite", adds0, [], _SCHEMA_JSON,
+                 expected_version=-1, app_txn_id=_BASE_TXN)
+    adds1 = [
+        _write_fixture_file(
+            root, os.path.join("data", "v1-fixture"),
+            [(4, "d", 4.0), (5, "e", 5.0)],
+        )
+    ]
+    acid._commit(root, "append", adds1, [], _SCHEMA_JSON,
+                 expected_version=0, app_txn_id=_BASE_TXN + "-append")
+
+
+def _build_two_file_base(root: str) -> None:
+    # v0 committed with TWO data files so copy-on-write file pruning has
+    # something to prune (file B must survive by reference)
+    adds = [
+        _write_fixture_file(
+            root, os.path.join("data", "v0-fixture-a"),
+            [(1, "a", 1.0), (2, "b", 2.0)],
+        ),
+        _write_fixture_file(
+            root, os.path.join("data", "v0-fixture-b"),
+            [(10, "x", 10.0), (11, "y", 11.0)],
+        ),
+    ]
+    acid._commit(root, "overwrite", adds, [], _SCHEMA_JSON,
+                 expected_version=-1, app_txn_id=_BASE_TXN)
+
+
+def _build_delete_base(root: str) -> None:
+    adds = [
+        _write_fixture_file(
+            root, os.path.join("data", "v0-fixture-a"),
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        ),
+        _write_fixture_file(
+            root, os.path.join("data", "v0-fixture-b"),
+            [(4, "d", 4.0), (5, "e", 5.0)],
+        ),
+    ]
+    acid._commit(root, "overwrite", adds, [], _SCHEMA_JSON,
+                 expected_version=-1, app_txn_id=_BASE_TXN)
+
+
+_ensure(_TT_ROOT, 1, _build_timetravel)
+_ensure(_MG_ROOT, 0, _build_two_file_base)
+_ensure(_DL_ROOT, 0, _build_delete_base)
+
+
+def _read_parquet_list(root: str, version: int) -> str:
+    files = acid.snapshot_files(root, version)
+    paths = ", ".join(f"'{os.path.join(root, f)}'" for f in files)
+    return f"read_parquet([{paths}])"
+
+
+# resolved at import time, AFTER the builds — stable literal file lists
+_TT_V0 = _read_parquet_list(_TT_ROOT, 0)
+_TT_V1 = _read_parquet_list(_TT_ROOT, 1)
+_MG_V0 = _read_parquet_list(_MG_ROOT, 0)
+_DL_V0 = _read_parquet_list(_DL_ROOT, 0)
+
+
+@register(
+    "acid_time_travel",
+    f"""SELECT 'v0' AS as_of, k, v, amt FROM {_TT_V0}
+        UNION ALL
+        SELECT 'ts0' AS as_of, k, v, amt FROM {_TT_V0}
+        UNION ALL
+        SELECT 'latest' AS as_of, k, v, amt FROM {_TT_V1}""",
+)
+def acid_time_travel(spark, sf_dir):
+    """Snapshot isolation / time travel (acid.read_snapshot): the same
+    table read as-of version 0, as-of version 0's commit TIMESTAMP, and
+    at the latest version, union-tagged. The oracle reads the resolved
+    snapshot file lists (acid.snapshot_files) directly — DuckDB sees
+    the exact bytes each snapshot pins."""
+    ts0 = acid._read_log(_TT_ROOT)[0]["commit_ts"]
+    s_v0 = acid.read_snapshot(spark, _TT_ROOT, version=0)
+    s_ts = acid.read_snapshot(spark, _TT_ROOT, timestamp=ts0)
+    s_hd = acid.read_snapshot(spark, _TT_ROOT)
+    return (
+        s_v0.select(F.lit("v0").alias("as_of"), "k", "v", "amt")
+        .unionAll(s_ts.select(F.lit("ts0").alias("as_of"), "k", "v", "amt"))
+        .unionAll(s_hd.select(F.lit("latest").alias("as_of"), "k", "v", "amt"))
+    )
+
+
+@register(
+    "acid_merge_upsert",
+    # the oracle re-derives MERGE semantics (updates win on key match,
+    # not-matched inserts, untouched rows pass through) from the
+    # PRE-merge snapshot files + the literal update batch
+    f"""WITH base AS (SELECT * FROM {_MG_V0}),
+             upd AS (
+               SELECT CAST(2 AS INT) AS k, 'B!' AS v, 20e0 AS amt
+               UNION ALL
+               SELECT CAST(99 AS INT), 'new', 99e0
+             )
+        SELECT k, v, amt FROM upd
+        UNION ALL
+        SELECT b.k, b.v, b.amt FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.k = b.k)""",
+)
+def acid_merge_upsert(spark, sf_dir):
+    """Transactional MERGE (acid.merge): file-pruned copy-on-write
+    upsert — key 2 updated, key 99 inserted, the data file holding keys
+    10/11 survives by reference (asserted in tests/test_acid.py). The
+    ``app_txn_id`` makes re-runs idempotent replays, so the snapshot is
+    stable from the first execution on and the oracle's recomputation
+    from the v0 files must match every run."""
+    upd = spark.createDataFrame(
+        [(2, "B!", 20.0), (99, "new", 99.0)], "k int, v string, amt double"
+    )
+    acid.merge(spark, _MG_ROOT, upd, ["k"], app_txn_id="corpus-acid-merge-v1")
+    return acid.read_snapshot(spark, _MG_ROOT).select("k", "v", "amt")
+
+
+@register(
+    "acid_delete_where",
+    f"""SELECT k, v, amt FROM {_DL_V0} WHERE NOT (k = 4)""",
+)
+def acid_delete_where(spark, sf_dir):
+    """Transactional DELETE (acid.delete_where): predicate k = 4 touches
+    only the data file holding keys 4/5 — that file is rewritten with
+    its survivor (5), the file holding 1/2/3 survives by reference.
+    Idempotent via app_txn_id; the oracle filters the v0 snapshot files
+    with the negated predicate."""
+    acid.delete_where(
+        spark, _DL_ROOT, "k = 4", app_txn_id="corpus-acid-delete-v1"
+    )
+    return acid.read_snapshot(spark, _DL_ROOT).select("k", "v", "amt")

@@ -173,6 +173,56 @@ def language_id_docs(spark, sf_dir):
     return text.language_id(d).select("doc_id", "lang_pred")
 
 
+_PROFILE_VALUES = ", ".join(
+    f"('{g}', '{lang}')"
+    for lang, grams in sorted(text.CHAR_TRIGRAM_PROFILES.items())
+    for g in sorted(set(grams))
+)
+
+
+@register(
+    "language_id_ngram_docs",
+    f"""WITH d AS (
+          SELECT doc_id, ' ' || {_CANON} || ' ' AS t FROM documents
+        ),
+        g AS (
+          SELECT doc_id, substr(t, CAST(i AS INT), 3) AS gram
+          FROM (SELECT doc_id, t,
+                       unnest(generate_series(1, length(t) - 2)) AS i
+                FROM d WHERE length(t) >= 3)
+        ),
+        p AS (SELECT * FROM (VALUES {_PROFILE_VALUES}) AS v(gram, lang)),
+        s AS (
+          SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM g JOIN p USING (gram) GROUP BY doc_id, lang
+        ),
+        best AS (
+          SELECT doc_id, lang, n_hits,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY n_hits DESC, lang) AS rn
+          FROM s
+        )
+        SELECT d0.doc_id,
+               COALESCE(b.lang, 'und') AS lang_pred,
+               COALESCE(b.n_hits, CAST(0 AS BIGINT)) AS n_hits
+        FROM documents d0
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""",
+)
+def language_id_ngram_docs(spark, sf_dir):
+    """Char-trigram profile language classifier
+    (operators/text.language_id_ngram — the Cavnar-Trenkle-style upgrade
+    of the stopword vote): explode char 3-grams of the space-padded
+    canonical text, broadcast-join the fixed CHAR_TRIGRAM_PROFILES
+    table, argmax hits per doc with (hits DESC, lang ASC) tie-break,
+    'und' on zero hits. All-integer scoring — the oracle reproduces the
+    profile table as literal VALUES and matches bit-for-bit. (Accuracy
+    on real multilingual text is pinned separately by
+    tests/test_text.py's labeled fixture; the synthetic documents table
+    exercises determinism, not accuracy — its lang labels are random.)"""
+    d = read_table(spark, sf_dir, "documents")
+    return text.language_id_ngram(d, spark)
+
+
 @register(
     "token_counts_docs",
     r"""SELECT doc_id,

@@ -98,6 +98,118 @@ def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -
     return df2.withColumn(out, best).drop(*[f"__hits_{lang}" for lang in langs])
 
 
+#: Characteristic char-trigram profiles per language (Cavnar & Trenkle
+#: 1994 "N-Gram-Based Text Categorization" style: the high-frequency
+#: grams of each language's function words, space-padded so word
+#: boundaries count). Hand-curated from public frequency knowledge,
+#: deliberately small + literal so the identical table is embeddable as
+#: VALUES in oracle SQL. Grams may overlap between languages — argmax
+#: over total hits resolves.
+CHAR_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (
+        " th", "the", "he ", " an", "and", "nd ", "ing", "ng ", " of",
+        "of ", " to", "to ", " is", "is ", "ion", "ed ", " wi", "wit",
+        "ith", " be", "are", " ar", "ent", " it", "it ",
+    ),
+    "de": (
+        "der", " de", "die", " di", "ie ", "und", " un", "ich", "ch ",
+        "ein", " ei", "sch", " sc", "cht", "ung", "gen", "den", " da",
+        "das", "ten", "ber", "er ", "ht ", " ge", "eit",
+    ),
+    "fr": (
+        " le", "le ", " la", " de", "de ", "es ", "ent", "nt ", "et ",
+        " et", "une", " un", "que", " qu", "ue ", "ais", "eur", "aux",
+        " pa", "par", "our", " po", "ous", "ait", " da",
+    ),
+    "es": (
+        " de", "de ", " la", "la ", "el ", " el", "que", " qu", "ue ",
+        "os ", "as ", "ión", "ció", " co", "con", " en", "en ", "ado",
+        "los", " lo", " es", "es ", "ar ", " po", "por",
+    ),
+}
+
+
+def char_trigrams(text: Column) -> Column:
+    """Char 3-gram multiset of the canonicalized (lower, trim, collapsed
+    whitespace), space-padded text — padded so word-boundary grams like
+    ' th' / 'er ' exist. Empty/short text yields an empty array (never a
+    descending sequence). Materialize the padded text in its OWN
+    projection before calling (array-lambda re-evaluation trap)."""
+    n = F.length(text)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(2)),
+            lambda i: text.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def language_id_ngram(
+    df: DataFrame,
+    spark=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str = "lang_pred",
+) -> DataFrame:
+    """Char-n-gram language classifier (the model-based upgrade of the
+    stopword-vote ``language_id``): explode the document's char
+    trigrams, broadcast-join the fixed CHAR_TRIGRAM_PROFILES table, sum
+    hits per (doc, lang) with multiplicity, argmax with a total order
+    (hits DESC, lang ASC). Documents matching no profile gram predict
+    'und' with 0 hits.
+
+    Scale shape: gram rows ≈ total characters — one explode, one
+    broadcast inner join (profile table is O(languages × 25) rows), one
+    (doc, lang) partial-aggregated groupBy, one doc-keyed window.
+    All-integer scoring: bit-exact across engines, no floats anywhere.
+
+    Output: (id_col, out, n_hits).
+    """
+    sess = spark if spark is not None else df.sparkSession
+    profile_rows = [
+        (g, lang)
+        for lang, grams in sorted(CHAR_TRIGRAM_PROFILES.items())
+        for g in sorted(set(grams))
+    ]
+    profiles = sess.createDataFrame(profile_rows, "gram string, lang string")
+    canon = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+        F.lit(" "),
+    )
+    padded = df.select(F.col(id_col), canon.alias("__t"))
+    grams = padded.select(
+        id_col, F.explode(char_trigrams(F.col("__t"))).alias("gram")
+    )
+    hits = (
+        grams.join(F.broadcast(profiles), "gram")
+        .groupBy(id_col, "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("n_hits").desc(), F.col("lang").asc()
+    )
+    best = (
+        hits.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("lang"), F.lit("und")).alias(out),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias(
+                "n_hits"
+            ),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
     """Canonical document fingerprint: md5 of the whitespace-normalized,
     lowercased text — the exact-dedup key (content hash, not identity)."""
@@ -604,6 +716,19 @@ def vocab_coverage(
             ),
         )
     )
+
+
+def encoding_ok_expr(text: Column) -> Column:
+    """Boolean "no encoding damage" predicate — the filter form of
+    :func:`encoding_quality` (same three regexp_count screens), exposed
+    separately so pipeline compositions (curation_funnel_docs) can apply
+    it inline without the projecting scan."""
+    repl = F.regexp_count(text, F.lit("�"))
+    ctrl = F.regexp_count(
+        text, F.lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")
+    )
+    moji = F.regexp_count(text, F.lit("[ÃÂâÐÑ][^ ]"))
+    return (repl + ctrl + moji) == 0
 
 
 def encoding_quality(df: DataFrame, text_col: str = "text") -> DataFrame:

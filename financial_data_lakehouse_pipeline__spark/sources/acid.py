@@ -31,14 +31,24 @@ metadata-scale (file lists, not data) either way.
 ACID properties and how each is provided:
 
 - **Atomicity**: data files are fully written BEFORE the log entry; the
-  log entry is created with ``O_CREAT | O_EXCL`` (atomic on POSIX — on
-  S3-class object stores this maps to a putIfAbsent/conditional-put).
-  A crash between data write and log write leaves orphan files that
-  ``vacuum`` removes; readers never see them because only logged files
-  are scanned.
+  log entry's full payload is written (and fsynced) to a temp file
+  first, then published with ``os.link(tmp, entry)`` — an atomic,
+  fails-if-exists operation on POSIX (on S3-class object stores this
+  maps to a putIfAbsent/conditional-put). A torn/empty entry can
+  therefore never exist at a committed path: the path appears only
+  with its complete payload. A crash between data write and log write
+  leaves orphan files that ``vacuum`` removes (after a retention
+  window); readers never see them because only logged files are
+  scanned. Defense-in-depth: ``_read_log`` additionally treats an
+  unparsable TRAILING entry (e.g. a table copied mid-write by a
+  non-atomic tool) as uncommitted and ignores it, while failing loudly
+  on mid-log corruption.
 - **Consistency**: every commit records the post-commit schema;
   ``append``/``merge`` reject schema drift (unionByName would silently
-  widen otherwise).
+  widen otherwise). Drift is judged modulo nullability — a parquet
+  re-read of a snapshot comes back all-nullable, which must not be
+  rejected; the recorded table schema widens a field to nullable once
+  any committed batch declares it nullable.
 - **Isolation**: readers resolve a snapshot from immutable log entries —
   a concurrent writer can only ADD a new version file, never mutate one,
   so a reader's file list is stable for the lifetime of its query
@@ -88,6 +98,14 @@ class NoSuchVersionError(ValueError):
     """Requested version/timestamp predates the table or doesn't exist."""
 
 
+class CorruptLogError(RuntimeError):
+    """A NON-trailing log entry is unparsable — the table needs repair.
+
+    (A torn trailing entry is tolerated as uncommitted; corruption in
+    the middle of the log means history itself is damaged and no
+    snapshot after the corrupt version can be trusted.)"""
+
+
 def _log_dir(root: str) -> str:
     return os.path.join(root, _LOG_DIR)
 
@@ -97,18 +115,85 @@ def _entry_path(root: str, version: int) -> str:
 
 
 def _read_log(root: str) -> list[dict]:
-    """All committed entries, version order. Ignores foreign files."""
+    """All committed entries, version order. Ignores foreign files.
+
+    An unparsable TRAILING entry is skipped as uncommitted (our own
+    commits publish via atomic link so this only arises from foreign
+    tooling — e.g. a mid-write rsync of the table); an unparsable
+    entry anywhere BEFORE the last one raises :class:`CorruptLogError`
+    because every later snapshot would silently resolve wrong."""
     d = _log_dir(root)
     if not os.path.isdir(d):
         return []
+    names = [n for n in sorted(os.listdir(d)) if n.endswith(".json")]
     entries = []
-    for name in sorted(os.listdir(d)):
-        if not name.endswith(".json"):
-            continue
-        with open(os.path.join(d, name)) as f:
-            entries.append(json.load(f))
+    for i, name in enumerate(names):
+        try:
+            with open(os.path.join(d, name)) as f:
+                entries.append(json.load(f))
+        except (json.JSONDecodeError, ValueError) as exc:
+            if i == len(names) - 1:
+                break  # torn trailing entry: never committed, ignore
+            raise CorruptLogError(
+                f"log entry {name} in {d} is unparsable and is not the "
+                "trailing entry — the table history is damaged"
+            ) from exc
     entries.sort(key=lambda e: e["version"])
     return entries
+
+
+_NULLNESS_KEYS = ("nullable", "containsNull", "valueContainsNull")
+
+
+def _strip_nullability(node):
+    """Recursive copy of a schema-JSON node with every nullability flag
+    removed (``nullable`` / ``containsNull`` / ``valueContainsNull``),
+    so two schemas can be compared modulo nullability — a parquet
+    re-read of a snapshot comes back all-nullable and must still count
+    as "the same schema"."""
+    if isinstance(node, dict):
+        return {
+            k: _strip_nullability(v)
+            for k, v in node.items()
+            if k not in _NULLNESS_KEYS
+        }
+    if isinstance(node, list):
+        return [_strip_nullability(v) for v in node]
+    return node
+
+
+def _widen_nullability(committed, incoming):
+    """The committed schema JSON with nullability flags OR'd with the
+    incoming batch's: once any committed batch declares a field
+    nullable, the recorded table schema stays nullable (reading
+    non-null-declared files with a nullable schema is always safe; the
+    reverse is not). Only called after the stripped schemas compared
+    equal, so structure/order line up."""
+    if isinstance(committed, dict):
+        out = {}
+        for k, v in committed.items():
+            iv = incoming.get(k) if isinstance(incoming, dict) else None
+            if k in _NULLNESS_KEYS:
+                out[k] = bool(v) or bool(iv)
+            else:
+                out[k] = _widen_nullability(v, iv)
+        return out
+    if (
+        isinstance(committed, list)
+        and isinstance(incoming, list)
+        and len(committed) == len(incoming)
+    ):
+        return [_widen_nullability(c, i) for c, i in zip(committed, incoming)]
+    return committed
+
+
+def _check_drift(op: str, incoming: dict, committed: dict) -> None:
+    if _strip_nullability(incoming) != _strip_nullability(committed):
+        raise ValueError(
+            f"{op} schema drift: incoming schema does not match the "
+            "table schema at the latest version (compared modulo "
+            "nullability)"
+        )
 
 
 def latest_version(root: str) -> int:
@@ -137,8 +222,12 @@ def _commit(
     app_txn_id: str | None = None,
     op_params: dict | None = None,
 ) -> int:
-    """Atomically write the next log entry; the O_EXCL create IS the
-    commit point. Raises ConcurrentCommitError on any lost race."""
+    """Atomically publish the next log entry; the ``os.link`` of the
+    fully-written, fsynced temp file to the versioned name IS the
+    commit point (atomic + fails-if-exists on POSIX — putIfAbsent).
+    Raises ConcurrentCommitError on any lost race. Because the payload
+    exists in full before the committed path does, a crash at any
+    instant can never leave a torn entry at a committed path."""
     os.makedirs(_log_dir(root), exist_ok=True)
     entries = _read_log(root)
     if app_txn_id is not None and any(
@@ -163,19 +252,32 @@ def _commit(
         "op_params": op_params or {},
     }
     payload = json.dumps(entry, sort_keys=True).encode()
+    tmp = os.path.join(
+        _log_dir(root), f".tmp-{version:08d}-{uuid.uuid4().hex}.json"
+    )
+    with open(tmp, "wb") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(
-            _entry_path(root, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-        )
+        os.link(tmp, _entry_path(root, version))
     except FileExistsError as exc:
         raise ConcurrentCommitError(
             f"version {version} was committed concurrently"
         ) from exc
-    with os.fdopen(fd, "wb") as f:
-        f.write(payload)
-        f.flush()
-        os.fsync(f.fileno())
+    finally:
+        os.unlink(tmp)
     return version
+
+
+def _already_applied(entries: Sequence[dict], app_txn_id: str | None) -> bool:
+    """True when ``app_txn_id`` is already in the log — the write-path
+    entry points short-circuit replays BEFORE doing any data write
+    (``_commit`` re-checks under the race, so this is purely an
+    optimization that avoids staging orphan files on retried batches)."""
+    return app_txn_id is not None and any(
+        e.get("app_txn_id") == app_txn_id for e in entries
+    )
 
 
 def _write_data(df: DataFrame, root: str, version_hint: int) -> list[str]:
@@ -199,6 +301,8 @@ def create_table(
     """Create (or fully replace) the table: version with op=overwrite
     whose removes = every previously-live file."""
     entries = _read_log(root)
+    if _already_applied(entries, app_txn_id):
+        return -1
     current = entries[-1]["version"] if entries else -1
     prior = _resolve_files(entries, current) if current >= 0 else []
     adds = _write_data(df, root, current + 1)
@@ -215,26 +319,32 @@ def create_table(
 
 def append(df: DataFrame, root: str, app_txn_id: str | None = None) -> int:
     """Blind append — no read dependency, so it never conflicts on
-    expected_version (appends serialize by the O_EXCL race alone;
-    losers retry the commit, not the data write)."""
+    expected_version (appends serialize by the atomic-link race alone;
+    losers retry the commit, not the data write). Every retry re-reads
+    the log and re-validates the schema first: if the concurrent winner
+    was an overwrite with a different schema, retrying blindly would
+    commit mismatched files and stamp the wrong table schema."""
     entries = _read_log(root)
     if not entries:
         raise NoSuchVersionError(f"no table at {root}: create_table first")
-    committed = json.loads(entries[-1]["schema"])
-    if json.loads(df.schema.json()) != committed:
-        raise ValueError(
-            "append schema drift: incoming schema does not match the "
-            "table schema at the latest version"
-        )
+    if _already_applied(entries, app_txn_id):
+        return -1
+    incoming = json.loads(df.schema.json())
+    _check_drift("append", incoming, json.loads(entries[-1]["schema"]))
     adds = _write_data(df, root, entries[-1]["version"] + 1)
     while True:
+        committed = json.loads(_read_log(root)[-1]["schema"])
+        _check_drift("append", incoming, committed)
+        schema_out = json.dumps(
+            _widen_nullability(committed, incoming), sort_keys=True
+        )
         try:
             return _commit(
-                root, "append", adds, [], df.schema.json(),
+                root, "append", adds, [], schema_out,
                 app_txn_id=app_txn_id,
             )
         except ConcurrentCommitError:
-            continue  # pure append: safe to retry the log write as-is
+            continue  # re-validate against the new head, then retry
 
 
 def read_snapshot(
@@ -300,13 +410,15 @@ def merge(
     entries = _read_log(root)
     if not entries:
         raise NoSuchVersionError(f"no table at {root}: create_table first")
+    if _already_applied(entries, app_txn_id):
+        return -1
     read_version = entries[-1]["version"]
     snap = read_snapshot(spark, root, version=read_version)
-    committed = json.loads(entries[-1]["schema"])
-    if json.loads(updates.schema.json()) != committed:
-        raise ValueError(
-            "merge schema drift: updates schema does not match the table"
-        )
+    _check_drift(
+        "merge",
+        json.loads(updates.schema.json()),
+        json.loads(entries[-1]["schema"]),
+    )
     files = _resolve_files(entries, read_version)
     if not files:
         touched_rel: list[str] = []
@@ -362,6 +474,8 @@ def delete_where(
     entries = _read_log(root)
     if not entries:
         raise NoSuchVersionError(f"no table at {root}")
+    if _already_applied(entries, app_txn_id):
+        return -1
     read_version = entries[-1]["version"]
     files = _resolve_files(entries, read_version)
     schema = T.StructType.fromJson(json.loads(entries[-1]["schema"]))
@@ -428,12 +542,24 @@ def history(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
-def vacuum(root: str, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    root: str,
+    keep_versions: int = 1,
+    min_age_seconds: float = 86400.0,
+) -> list[str]:
     """Delete data files unreachable from the newest ``keep_versions``
     snapshots (removed-and-aged-out files plus crash orphans never
     referenced by any commit). Returns the deleted relative paths.
     Log entries are never deleted — history stays auditable; only
-    time-travel BEFORE the retention horizon loses its data."""
+    time-travel BEFORE the retention horizon loses its data.
+
+    ``min_age_seconds`` is the retention window (Delta's
+    ``deletedFileRetentionDuration``, default 24h here): an
+    unreferenced file younger than this is left alone, because an
+    IN-FLIGHT writer stages its data files BEFORE its log entry —
+    deleting them mid-transaction would let the writer commit a
+    snapshot referencing missing files. Only pass 0 when no writer can
+    possibly be active."""
     entries = _read_log(root)
     if not entries:
         return []
@@ -442,15 +568,31 @@ def vacuum(root: str, keep_versions: int = 1) -> list[str]:
     reachable: set[str] = set()
     for v in keep:
         reachable |= set(_resolve_files(entries, v))
+    now = time.time()
     deleted = []
+    # stale commit temp files (crash between payload write and link)
+    log_d = _log_dir(root)
+    for name in os.listdir(log_d):
+        full = os.path.join(log_d, name)
+        if (
+            name.startswith(".tmp-")
+            and name.endswith(".json")
+            and now - os.path.getmtime(full) >= min_age_seconds
+        ):
+            os.remove(full)
+            deleted.append(os.path.relpath(full, root))
     data_root = os.path.join(root, _DATA_DIR)
     if not os.path.isdir(data_root):
-        return []
+        return sorted(deleted)
     for dirpath, _dirnames, filenames in os.walk(data_root):
         for name in filenames:
             full = os.path.join(dirpath, name)
             rel = os.path.relpath(full, root)
-            if name.endswith(".parquet") and rel not in reachable:
+            if (
+                name.endswith(".parquet")
+                and rel not in reachable
+                and now - os.path.getmtime(full) >= min_age_seconds
+            ):
                 os.remove(full)
                 deleted.append(rel)
     return sorted(deleted)

@@ -101,19 +101,94 @@ def test_merge_conflict_detection(spark, root, monkeypatch):
     assert got == [1, 7]
 
 
-def test_commit_o_excl_race_raises(spark, root):
+def test_commit_link_race_raises(spark, root, monkeypatch):
     acid.create_table(_mk(spark, [(1, "a", 1.0)]), root)
-    # handcraft the next version file to occupy the slot
+    # capture the version-0 log BEFORE planting the concurrent entry
+    entries_v0 = acid._read_log(root)
+    schema = entries_v0[0]["schema"]
+    # handcraft a committed version-1 entry occupying the slot
     nxt = acid._entry_path(root, 1)
     with open(nxt, "w") as f:
         json.dump(
             {"version": 1, "op": "append", "adds": [], "removes": [],
-             "schema": acid._read_log(root)[0]["schema"],
+             "schema": schema,
              "commit_ts": 0.0, "app_txn_id": None, "op_params": {}},
             f,
         )
+    # (a) expected_version mismatch path: the log now shows version 1
     with pytest.raises(acid.ConcurrentCommitError):
-        acid._commit(root, "merge", [], [], "{}", expected_version=1)
+        acid._commit(root, "merge", [], [], "{}", expected_version=0)
+    # (b) the atomic-link race itself: freeze _commit's view of the log
+    # at version 0 so it targets the occupied slot — os.link must lose
+    monkeypatch.setattr(acid, "_read_log", lambda r: list(entries_v0))
+    with pytest.raises(acid.ConcurrentCommitError):
+        acid._commit(root, "merge", [], [], "{}", expected_version=0)
+    # the loser's temp file was cleaned up
+    leftovers = [
+        n for n in os.listdir(acid._log_dir(root)) if n.startswith(".tmp-")
+    ]
+    assert leftovers == []
+
+
+def test_torn_trailing_entry_tolerated_mid_log_raises(spark, root):
+    acid.create_table(_mk(spark, [(1, "a", 1.0)]), root)
+    acid.append(_mk(spark, [(2, "b", 2.0)]), root)
+    # a torn (empty) TRAILING entry — e.g. a table copied mid-write by a
+    # non-atomic tool — is treated as uncommitted: reads keep working
+    open(acid._entry_path(root, 2), "w").close()
+    assert acid.latest_version(root) == 1
+    got = sorted(r["k"] for r in acid.read_snapshot(spark, root).collect())
+    assert got == [1, 2]
+    # but corruption in the MIDDLE of the log fails loudly
+    open(acid._entry_path(root, 1), "w").close()
+    with pytest.raises(acid.CorruptLogError):
+        acid._read_log(root)
+
+
+def test_append_retry_revalidates_schema(spark, root, monkeypatch):
+    # a concurrent OVERWRITE with a different schema lands between
+    # append's data write and its commit: append must refuse to commit
+    # mismatched files, not stamp its own schema over the new table
+    acid.create_table(_mk(spark, [(1, "a", 1.0)]), root)
+    real_write = acid._write_data
+
+    def race_write(df, r, hint):
+        out = real_write(df, r, hint)
+        monkeypatch.setattr(acid, "_write_data", real_write)
+        acid.create_table(
+            spark.createDataFrame([(1, 2.5)], "k int, other double"), r
+        )
+        return out
+
+    monkeypatch.setattr(acid, "_write_data", race_write)
+    with pytest.raises(ValueError, match="schema drift"):
+        acid.append(_mk(spark, [(3, "c", 3.0)]), root)
+    # the overwrite won; the failed append left no committed trace
+    assert acid.latest_version(root) == 1
+    assert [f.name for f in acid.read_snapshot(spark, root).schema.fields] \
+        == ["k", "other"]
+
+
+def test_nullability_only_drift_accepted(spark, root):
+    from pyspark.sql import types as T
+
+    strict = T.StructType([
+        T.StructField("k", T.IntegerType(), nullable=False),
+        T.StructField("v", T.StringType(), nullable=False),
+    ])
+    df_strict = spark.createDataFrame([(1, "a")], strict)
+    acid.create_table(df_strict, root)
+    # a parquet re-read comes back all-nullable — append must accept it
+    relaxed = spark.createDataFrame([(2, "b")], "k int, v string")
+    assert [f.nullable for f in relaxed.schema.fields] == [True, True]
+    v = acid.append(relaxed, root)
+    assert v == 1
+    # recorded table schema widened to nullable; real drift still rejected
+    snap = acid.read_snapshot(spark, root)
+    assert sorted(r["k"] for r in snap.collect()) == [1, 2]
+    assert [f.nullable for f in snap.schema.fields] == [True, True]
+    with pytest.raises(ValueError, match="schema drift"):
+        acid.append(spark.createDataFrame([(3,)], "k int"), root)
 
 
 def test_idempotent_replay(spark, root):
@@ -145,7 +220,14 @@ def test_vacuum_removes_aged_out_and_orphans(spark, root):
     os.makedirs(orphan_dir)
     orphan = os.path.join(orphan_dir, "part-orphan.parquet")
     open(orphan, "wb").write(b"not parquet")
-    deleted = acid.vacuum(root, keep_versions=1)
+    # retention window: everything here is seconds old, so a default
+    # vacuum deletes NOTHING — an in-flight writer's staged (not yet
+    # committed) data files must survive
+    assert acid.vacuum(root, keep_versions=1) == []
+    assert os.path.exists(orphan)
+    assert acid.read_snapshot(spark, root).count() == 1
+    # min_age_seconds=0 opts out (no active writers in this test)
+    deleted = acid.vacuum(root, keep_versions=1, min_age_seconds=0)
     assert any("orphan" in d for d in deleted)
     v0_files = set(acid._read_log(root)[0]["adds"])
     assert v0_files & set(deleted) == v0_files  # aged-out v0 data gone

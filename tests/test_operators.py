@@ -326,6 +326,53 @@ def test_language_id_votes(spark):
     assert got == {0: "en", 1: "de", 2: "und"}
 
 
+#: Labeled multilingual fixture for the char-trigram classifier — plain
+#: public-domain-style sentences written for this test. The classifier
+#: must get every one right (it only has to beat 3 siblings).
+_LANG_FIXTURE = [
+    (0, "en", "the quick brown fox is jumping over the lazy dog with joy"),
+    (1, "en", "this is an example of a short english sentence about nothing"),
+    (2, "en", "we are going to the market in the morning to buy some bread"),
+    (3, "de", "der hund und die katze schlafen nicht in der kleinen wohnung"),
+    (4, "de", "ich gehe morgen mit einem freund in die schule und lerne viel"),
+    (5, "de", "das wetter ist heute schlecht und die kinder bleiben zu hause"),
+    (6, "fr", "le chien et le chat dorment dans la petite maison pres du parc"),
+    (7, "fr", "nous allons au marche pour acheter du pain et une bouteille de lait"),
+    (8, "fr", "il fait beau aujourd'hui et les enfants jouent dans le jardin"),
+    (9, "es", "el perro y el gato duermen en la casa pequena cerca del parque"),
+    (10, "es", "vamos al mercado por la manana para comprar pan y un poco de leche"),
+    (11, "es", "hace buen tiempo hoy y los ninos juegan en el jardin con pelotas"),
+    (12, "und", "zzzz qqqq 12345 %%%%"),
+]
+
+
+def test_language_id_ngram_accuracy(spark):
+    from financial_data_lakehouse_pipeline__spark.operators import text
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, _, t in _LANG_FIXTURE]
+    )
+    out = text.language_id_ngram(df, spark)
+    got = {r.doc_id: (r.lang_pred, r.n_hits) for r in out.collect()}
+    for i, expected, _ in _LANG_FIXTURE:
+        assert got[i][0] == expected, (i, got[i])
+    # real-language docs must land several profile hits, not squeak by
+    assert all(got[i][1] >= 5 for i, lg, _ in _LANG_FIXTURE if lg != "und")
+    assert got[12][1] == 0
+
+
+def test_language_id_ngram_short_and_empty(spark):
+    from financial_data_lakehouse_pipeline__spark.operators import text
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=""), Row(doc_id=1, text="a"),
+         Row(doc_id=2, text="   ")]
+    )
+    got = {r.doc_id: r.lang_pred for r in
+           text.language_id_ngram(df, spark).collect()}
+    assert got == {0: "und", 1: "und", 2: "und"}
+
+
 def test_winnowing_shares_fingerprints_on_near_dups(spark):
     """Near-duplicate docs share most winnowing fingerprints; unrelated
     docs share almost none — the MOSS selection property."""

@@ -47,6 +47,16 @@ def main() -> int:
             m = before[0]
         elif len(after) > 1:
             m = after[1]
+        else:
+            # the only summary present belongs to the subsample — do NOT
+            # stamp it as the full-corpus result (misrepresents provenance)
+            print(
+                "refusing: the only summary found follows the 'sample:' "
+                "header — run the FULL check too (its summary must appear "
+                "without a sample header, before or after the sampled one)",
+                file=sys.stderr,
+            )
+            return 1
     n_pass, n_rows, n_fail = map(int, m.groups())
     pytest_m = re.search(r"(\d+) passed", text)
     # The "checked at commit X" claim is only trustworthy if X's tree is

@@ -75,6 +75,8 @@ HEADLINE = [
     "bpe_merges_docs",           # iterative driver-loop tokenizer training
     "gram_matrix_embeddings",    # mapInPandas BLAS partial reduction
     "repeated_spans_docs",       # substring-dedup span diagnostic
+    "curation_funnel_docs",      # LLM: end-to-end curation funnel
+    "dpp_partitioned_revenue",   # dynamic-partition-pruned lake scan
 ]
 
 

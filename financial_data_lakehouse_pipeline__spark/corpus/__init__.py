@@ -88,6 +88,7 @@ def _load() -> None:
         return
     from financial_data_lakehouse_pipeline__spark.corpus import (  # noqa: F401
         acid_q,
+        curation,
         events_q,
         lake,
         mlfeat_q,

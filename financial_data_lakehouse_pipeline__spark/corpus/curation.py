@@ -1,0 +1,260 @@
+"""Corpus: the end-to-end training-data curation funnel — the single
+query a 100 TB LLM-data user actually runs, composing the engine's
+curation operators in the canonical order:
+
+    raw → encoding screen → language filter → quality filter
+        → exact dedup → MinHash-LSH near-dedup → decontamination
+        → mixture resample → sequence packing
+
+emitting one row per stage with its survivor count, every stage
+oracle-paired (the DuckDB twin re-derives each stage from scratch).
+
+Shape at scale (see SCALE.md "Curation funnel"): the per-row screens
+(encoding, quality, tokens, fingerprint) are computed in ONE scan as
+flag columns — a document is in stage i iff it passes flags 1..i — so
+stage membership never materializes intermediate tables. The only
+sub-DAGs that genuinely need their own shuffles are the ones whose
+semantics are set-dependent: language ID (gram explode + broadcast
+profile join + doc-keyed argmax), exact dedup (one fingerprint-keyed
+window), LSH near-dedup (banded signature join over stage-4 survivors
+only), decontamination (broadcast anti-flag on fingerprints), and the
+mixture thresholds (strata-sized aggregate broadcast back). The flagged
+table (ids + flags, no text) is persisted so the count aggregation, the
+mixture-threshold aggregate, and the packing branch share one
+computation — at 100 TB you would checkpoint it to the lake instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_data_lakehouse_pipeline__spark.corpus import register
+from financial_data_lakehouse_pipeline__spark.corpus.mlprep import _bucket_sql
+from financial_data_lakehouse_pipeline__spark.corpus.textdocs import (
+    _lang_hits_sql,
+    _minhash_ctes,
+)
+from financial_data_lakehouse_pipeline__spark.operators import sampling, text
+from financial_data_lakehouse_pipeline__spark.operators.dedup import (
+    canonical_text,
+    minhash_lsh_pairs,
+)
+from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+#: Target training mixture over the document sources (the remaining 16
+#: sources are dropped by design — mixture weights define the corpus).
+_MIX = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_PACK_CAPACITY = 512
+
+_STAGES = [
+    "raw", "encoding_ok", "lang_en", "quality", "exact_dedup",
+    "near_dedup", "decontaminated", "mixture",
+]
+
+_CANON = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_NW = (
+    r"CASE WHEN length(trim(text)) = 0 THEN 0 "
+    r"ELSE len(regexp_split_to_array(trim(text), '\s+')) END"
+)
+_MIX_CASE = " ".join(
+    f"WHEN '{s}' THEN {int(w * 10)}e-1" for s, w in sorted(_MIX.items())
+)
+
+#: stopword-vote 'en' predicate: en wins iff it has hits and no other
+#: language beats it (en is first in the operator's tie-break order)
+_LANG_EN = "(greatest(h_en, h_de, h_fr, h_es) > 0 AND h_en = greatest(h_en, h_de, h_fr, h_es))"
+
+_FUNNEL_SQL = f"""WITH q0 AS (
+  SELECT doc_id, text, source,
+         md5({_CANON}) AS fp,
+         CAST({_NW} AS BIGINT) AS n_tokens,
+         (len(regexp_extract_all(text, '�'))
+          + len(regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]'))
+          + len(regexp_extract_all(text, '[ÃÂâÐÑ][^ ]'))) = 0 AS f1,
+         {_lang_hits_sql('en')}, {_lang_hits_sql('de')},
+         {_lang_hits_sql('fr')}, {_lang_hits_sql('es')},
+         (CASE WHEN ({_NW}) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END
+          + CASE WHEN ({_NW}) <> 0
+                   AND length(regexp_replace(text, '\\s', '', 'g'))
+                       / CAST({_NW} AS DOUBLE) BETWEEN 2.0 AND 12.0
+                 THEN 1.0 ELSE 0.0 END
+          + CASE WHEN COALESCE(len(regexp_extract_all(text, '[^\\w\\s]'))
+                       / NULLIF(CAST(length(text) AS DOUBLE), 0), 0.0) <= 0.3
+                 THEN 1.0 ELSE 0.0 END) / 3.0 > 5e-1 AS q_ok
+  FROM main.documents
+),
+q2 AS (SELECT *, f1 AND {_LANG_EN} AS f2,
+              f1 AND {_LANG_EN} AND q_ok AS f3
+       FROM q0),
+q3 AS (SELECT *, f3 AND doc_id = MIN(CASE WHEN f3 THEN doc_id END)
+                              OVER (PARTITION BY fp) AS f4
+       FROM q2),
+documents AS (SELECT doc_id, text FROM q3 WHERE f4),
+{_minhash_ctes()},
+dups AS (SELECT DISTINCT id_b AS doc_id FROM lsh_pairs),
+benchq AS (SELECT DISTINCT md5({_CANON}) AS fp
+           FROM main.documents WHERE doc_id % 97 = 0),
+q4 AS (SELECT q3.*, q3.f4 AND dups.doc_id IS NULL AS f5
+       FROM q3 LEFT JOIN dups USING (doc_id)),
+q5 AS (SELECT q4.*, q4.f5 AND benchq.fp IS NULL AS f6
+       FROM q4 LEFT JOIN benchq USING (fp)),
+cnts AS (SELECT source, COUNT(*) FILTER (WHERE f6) AS n FROM q5 GROUP BY source),
+wq AS (SELECT source, n, CASE source {_MIX_CASE} END AS w
+       FROM cnts WHERE n > 0),
+fq AS (SELECT * FROM wq WHERE w IS NOT NULL),
+tq AS (SELECT MIN(CAST(n AS DOUBLE) / w) AS tmin FROM fq),
+thr AS (SELECT source,
+               CAST(FLOOR(w * tmin / CAST(n AS DOUBLE) * 10000) AS BIGINT)
+                 AS thr
+        FROM fq, tq),
+q6 AS (SELECT q5.*,
+              COALESCE(q5.f6 AND {_bucket_sql("doc_id", "mixture")} < thr.thr,
+                       FALSE) AS f7
+       FROM q5 LEFT JOIN thr USING (source)),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+               {", ".join(
+                   f"CAST(COUNT(*) FILTER (WHERE f{i}) AS BIGINT) AS n{i}"
+                   for i in range(1, 8)
+               )}
+        FROM q6),
+pk AS (SELECT COALESCE(CAST(SUM((st + {_PACK_CAPACITY - 1}) // {_PACK_CAPACITY})
+                            AS BIGINT), 0) AS n
+       FROM (SELECT SUM(n_tokens) AS st FROM q6 WHERE f7 GROUP BY source)
+       WHERE st > 0)
+{" UNION ALL ".join(
+    [f"SELECT CAST(0 AS INT) AS stage_idx, 'raw' AS stage, n0 AS n_docs FROM agg"]
+    + [
+        f"SELECT CAST({i} AS INT), '{name}', n{i} FROM agg"
+        for i, name in enumerate(_STAGES[1:], start=1)
+    ]
+    + [f"SELECT CAST(8 AS INT), 'packed_{_PACK_CAPACITY}', n FROM pk"]
+)}"""
+
+
+@register("curation_funnel_docs", _FUNNEL_SQL)
+def curation_funnel_docs(spark, sf_dir):
+    """End-to-end curation funnel: per-stage survivor counts for the
+    full screen → dedup → decontaminate → mix → pack pipeline (module
+    docstring has the plan shape). Stage semantics:
+
+    1 encoding_ok    text.encoding_ok_expr (replacement/control/mojibake
+                     counts all zero)
+    2 lang_en        text.language_id (stopword vote) predicts 'en' —
+                     the cheap per-row pre-filter; the char-trigram
+                     classifier (language_id_ngram_docs) is the
+                     model-based upgrade when a broadcast join is
+                     affordable
+    3 quality        text.quality_score > 0.5 (≥ 2 of 3 heuristics)
+    4 exact_dedup    keep min(doc_id) per md5(canonical_text)
+    5 near_dedup     drop docs LSH-paired (jaccard ≥ 0.5) with a lower
+                     surviving doc_id (dedup.minhash_lsh_pairs over
+                     stage-4 survivors only)
+    6 decontaminated drop fingerprints present in the benchmark set
+                     (docs with doc_id % 97 == 0 — the eval holdout)
+    7 mixture        sampling.mixture_thresholds keep-rates realizing
+                     {src0:.4, src1:.3, src2:.2, src3:.1}
+    8 packed_512     number of 512-token packed sequences
+                     (sampling.pack_sequences per source shard)
+    """
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    q = text.language_id(text.quality_score(d))
+    base = q.select(
+        "doc_id",
+        "text",
+        "source",
+        F.md5(canonical_text(F.col("text"))).alias("fp"),
+        text.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        text.encoding_ok_expr(F.col("text")).alias("f1"),
+        (F.col("lang_pred") == "en").alias("__en"),
+        (F.col("quality_score") > 0.5).alias("q_ok"),
+    )
+    b2 = base.withColumn("f2", F.col("f1") & F.col("__en")).withColumn(
+        "f3", F.col("f2") & F.col("q_ok")
+    )
+
+    from pyspark.sql import Window
+
+    w_fp = Window.partitionBy("fp")
+    b3 = b2.withColumn(
+        "__min_id",
+        F.min(F.when(F.col("f3"), F.col("doc_id"))).over(w_fp),
+    ).withColumn("f4", F.col("f3") & (F.col("doc_id") == F.col("__min_id")))
+
+    lsh_in = b3.filter("f4").select("doc_id", "text")
+    dups = (
+        minhash_lsh_pairs(lsh_in, num_hashes=16, bands=4, threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    bench = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.md5(canonical_text(F.col("text"))).alias("fp"))
+        .distinct()
+        .withColumn("__contam", F.lit(True))
+    )
+    b4 = (
+        b3.drop("text")
+        .join(dups, "doc_id", "left")
+        .withColumn("f5", F.col("f4") & ~F.coalesce(F.col("__dup"), F.lit(False)))
+        .join(F.broadcast(bench), "fp", "left")
+        .withColumn(
+            "f6", F.col("f5") & ~F.coalesce(F.col("__contam"), F.lit(False))
+        )
+    )
+    flagged = b4.select(
+        "doc_id", "source", "n_tokens", "f1", "f2", "f3", "f4", "f5", "f6"
+    ).persist()
+
+    thr = sampling.mixture_thresholds(flagged.filter("f6"), "source", _MIX)
+    fin = flagged.join(F.broadcast(thr), "source", "left").withColumn(
+        "f7",
+        F.coalesce(
+            F.col("f6")
+            & (
+                sampling.hash_bucket(F.col("doc_id"), "mixture").cast("bigint")
+                < F.col("__thr")
+            ),
+            F.lit(False),
+        ),
+    )
+
+    agg = fin.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        *[
+            F.sum(F.col(f"f{i}").cast("long")).cast("bigint").alias(f"n{i}")
+            for i in range(1, 8)
+        ],
+    )
+    stack_args = ", ".join(
+        f"{i}, '{name}', n{i}" for i, name in enumerate(_STAGES)
+    )
+    stage_counts = agg.select(
+        F.expr(
+            f"stack(8, {stack_args}) AS (stage_idx, stage, n_docs)"
+        )
+    ).select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+    packed = sampling.pack_sequences(
+        fin.filter("f7"),
+        F.col("n_tokens"),
+        id_col="doc_id",
+        partition_by=("source",),
+        capacity=_PACK_CAPACITY,
+    )
+    pk = (
+        packed.groupBy("source")
+        .agg((F.max("last_bin") + 1).alias("__bins"))
+        .agg(
+            F.coalesce(F.sum("__bins"), F.lit(0)).cast("bigint").alias("n_docs")
+        )
+        .select(
+            F.lit(8).cast("int").alias("stage_idx"),
+            F.lit(f"packed_{_PACK_CAPACITY}").alias("stage"),
+            "n_docs",
+        )
+    )
+    return stage_counts.unionAll(pk)

@@ -443,6 +443,56 @@ def schema_evolution_scan(spark, sf_dir):
 
 
 @register(
+    "dpp_partitioned_revenue",
+    f"""WITH yrs AS (
+          SELECT DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INT)
+                   AS ship_year
+          FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+        )
+        SELECT y.ship_year,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem l
+        JOIN yrs y
+          ON CAST(EXTRACT(year FROM l.l_shipdate) AS INT) = y.ship_year
+        GROUP BY y.ship_year""",
+)
+def dpp_partitioned_revenue(spark, sf_dir):
+    """Dynamic-partition-pruned fact scan: lineitem is laid out as a
+    hive-partitioned lake table (ship_year directories, written
+    idempotently per sf), then joined to a RUNTIME-ONLY dim (the ship
+    years reachable from recent orders — unknown until the dim scan
+    runs). Catalyst plans a dynamicpruning subquery on the partition
+    column, so only the reachable year directories are scanned — at
+    100 TB the difference between reading every date partition and the
+    ~40% the dim selects. Plan asserted in tests/test_plans.py
+    (PartitionFilters + dynamicpruning); the oracle recomputes from the
+    unpartitioned source, proving the partition round-trip lossless."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    lake = os.path.join(_SCRATCH, "dpp_lake_v1", tag, "lineitem_by_year")
+    if not os.path.exists(os.path.join(lake, "_SUCCESS")):
+        li = read_table(spark, sf_dir, "lineitem").select(
+            "l_extendedprice",
+            "l_discount",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        write_partitioned_parquet(li, lake, ["ship_year"])
+    fact = read_parquet(spark, lake)
+    dim = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        .select(F.year("o_orderdate").cast("int").alias("ship_year"))
+        .distinct()
+    )
+    return fact.join(dim, "ship_year").groupBy("ship_year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )
+
+
+@register(
     "sql_vectorized_udf",
     # The registered pandas UDF is pure arithmetic, so the oracle is the
     # same closed form in plain SQL.

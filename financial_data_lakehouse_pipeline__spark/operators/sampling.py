@@ -146,6 +146,45 @@ def pack_sequences(
     )
 
 
+def mixture_thresholds(
+    df: DataFrame, stratum_col: str, weights: dict[str, float]
+) -> DataFrame:
+    """Per-stratum keep-thresholds (stratum_col, __thr) realizing the
+    target mixture ``weights`` at the largest no-upsampling total
+    T = min_s(n_s / w_s): keep bucket < floor(w_s·T/n_s·BUCKETS).
+    Exact BIGINT counts through one fixed double expression tree —
+    reproducible across engines. The threshold table is strata-sized
+    (always broadcastable); shared by :func:`mixture_resample` and the
+    curation-funnel composition."""
+    w_expr = None
+    for val, w in weights.items():
+        cond = F.col(stratum_col) == val
+        lw = F.lit(float(w))
+        w_expr = F.when(cond, lw) if w_expr is None else w_expr.when(cond, lw)
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__w", w_expr)
+        .filter(F.col("__w").isNotNull())
+    )
+    tmin = counts.agg(
+        F.min(F.col("__n").cast("double") / F.col("__w")).alias("__tmin")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tmin))
+        .withColumn(
+            "__thr",
+            F.floor(
+                F.col("__w")
+                * F.col("__tmin")
+                / F.col("__n").cast("double")
+                * F.lit(BUCKETS)
+            ),
+        )
+        .select(stratum_col, "__thr")
+    )
+
+
 def mixture_resample(
     df: DataFrame,
     id_col: str,
@@ -172,33 +211,7 @@ def mixture_resample(
     output size is w_s·T per stratum (exactly proportional in hash
     buckets, ±quantization of 1/BUCKETS).
     """
-    w_expr = None
-    for val, w in weights.items():
-        cond = F.col(stratum_col) == val
-        lw = F.lit(float(w))
-        w_expr = F.when(cond, lw) if w_expr is None else w_expr.when(cond, lw)
-    counts = (
-        df.groupBy(stratum_col)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .withColumn("__w", w_expr)
-        .filter(F.col("__w").isNotNull())
-    )
-    tmin = counts.agg(
-        F.min(F.col("__n").cast("double") / F.col("__w")).alias("__tmin")
-    )
-    thr = (
-        counts.crossJoin(F.broadcast(tmin))
-        .withColumn(
-            "__thr",
-            F.floor(
-                F.col("__w")
-                * F.col("__tmin")
-                / F.col("__n").cast("double")
-                * F.lit(BUCKETS)
-            ),
-        )
-        .select(stratum_col, "__thr")
-    )
+    thr = mixture_thresholds(df, stratum_col, weights)
     b = hash_bucket(F.col(id_col), salt)
     return (
         df.join(F.broadcast(thr), stratum_col)

@@ -23,10 +23,13 @@ Each log entry is a self-contained action record::
 Snapshot at version V = replay entries 0..V: live files = union(adds)
 minus union(removes). This is Delta's add/remove-action model (Armbrust
 et al., "Delta Lake: High-Performance ACID Table Storage over Cloud
-Object Stores", VLDB 2020) without checkpoints — at 100 TB you add a
-parquet checkpoint of the live-file set every K commits so snapshot
-resolution reads O(1) files instead of O(versions); the log itself is
-metadata-scale (file lists, not data) either way.
+Object Stores", VLDB 2020) including its checkpoints: every
+CHECKPOINT_EVERY commits the live-file set is materialized to
+``<root>/_txn_log/<N>.checkpoint`` so snapshot resolution reads one
+checkpoint + the log suffix instead of replaying O(versions) entries.
+Checkpoints are derived data — unparsable/missing ones silently fall
+back to full replay; the log itself stays metadata-scale (file lists,
+not data) either way.
 
 ACID properties and how each is provided:
 
@@ -78,6 +81,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from collections.abc import Sequence
@@ -125,7 +129,10 @@ def _read_log(root: str) -> list[dict]:
     d = _log_dir(root)
     if not os.path.isdir(d):
         return []
-    names = [n for n in sorted(os.listdir(d)) if n.endswith(".json")]
+    # ONLY canonical entry names: a crashed commit's stale .tmp-*.json
+    # (which sorts before the digits) or a checkpoint file must never be
+    # parsed as a log entry
+    names = sorted(n for n in os.listdir(d) if re.fullmatch(r"\d{8}\.json", n))
     entries = []
     for i, name in enumerate(names):
         try:
@@ -202,14 +209,105 @@ def latest_version(root: str) -> int:
     return entries[-1]["version"] if entries else -1
 
 
-def _resolve_files(entries: Sequence[dict], version: int) -> list[str]:
-    live: set[str] = set()
+def _resolve_files(
+    entries: Sequence[dict],
+    version: int,
+    base_files: Sequence[str] = (),
+    from_version: int = -1,
+) -> list[str]:
+    """Live files at ``version``: start from ``base_files`` (a
+    checkpoint's live set as of ``from_version``) and replay only the
+    entries in (from_version, version]."""
+    live: set[str] = set(base_files)
     for e in entries:
+        if e["version"] <= from_version:
+            continue
         if e["version"] > version:
             break
         live -= set(e.get("removes", ()))
         live |= set(e.get("adds", ()))
     return sorted(live)
+
+
+# ---- checkpoints: O(1) snapshot resolution at many-commit scale ----
+#
+# A checkpoint materializes the live-file set (and schema) as of a
+# version, so snapshot resolution reads ONE checkpoint + the log suffix
+# instead of replaying every entry since version 0 — Delta's parquet
+# checkpoint, as promised by the module docstring. Checkpoints are
+# DERIVED data: unparsable/missing ones are ignored (full replay is
+# always correct), they are written last-writer-wins via atomic
+# os.replace, and one is taken automatically every CHECKPOINT_EVERY
+# commits (best-effort, never fails the commit).
+
+CHECKPOINT_EVERY = 10
+
+
+def _checkpoint_path(root: str, version: int) -> str:
+    return os.path.join(_log_dir(root), f"{version:08d}.checkpoint")
+
+
+def _latest_checkpoint(root: str, max_version: int) -> dict | None:
+    """Newest parsable checkpoint with version <= max_version."""
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        return None
+    names = sorted(
+        (n for n in os.listdir(d) if re.fullmatch(r"\d{8}\.checkpoint", n)),
+        reverse=True,
+    )
+    for name in names:
+        v = int(name.split(".")[0])
+        if v > max_version:
+            continue
+        try:
+            with open(os.path.join(d, name)) as f:
+                cp = json.load(f)
+            if cp.get("version") == v and isinstance(cp.get("files"), list):
+                return cp
+        except (json.JSONDecodeError, ValueError, OSError):
+            continue  # derived data: fall back to the next older one
+    return None
+
+
+def _resolve(root: str, entries: Sequence[dict], version: int) -> list[str]:
+    """Checkpoint-accelerated :func:`_resolve_files`."""
+    cp = _latest_checkpoint(root, version)
+    if cp is None:
+        return _resolve_files(entries, version)
+    return _resolve_files(
+        entries, version, base_files=cp["files"], from_version=cp["version"]
+    )
+
+
+def checkpoint(root: str, version: int | None = None) -> int:
+    """Write a live-file-set checkpoint as of ``version`` (default
+    latest). Returns the checkpointed version. Atomic last-writer-wins
+    publish (os.replace) — checkpoints are derived, so a concurrent
+    duplicate write of the same version is harmless."""
+    entries = _read_log(root)
+    if not entries:
+        raise NoSuchVersionError(f"no table at {root}")
+    if version is None:
+        version = entries[-1]["version"]
+    by_v = {e["version"]: e for e in entries}
+    if version not in by_v:
+        raise NoSuchVersionError(f"version {version} not in log")
+    payload = json.dumps(
+        {
+            "version": version,
+            "files": _resolve_files(entries, version),
+            "schema": by_v[version]["schema"],
+        },
+        sort_keys=True,
+    ).encode()
+    tmp = os.path.join(_log_dir(root), f".tmpcp-{uuid.uuid4().hex}")
+    with open(tmp, "wb") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _checkpoint_path(root, version))
+    return version
 
 
 def _commit(
@@ -267,6 +365,11 @@ def _commit(
         ) from exc
     finally:
         os.unlink(tmp)
+    if CHECKPOINT_EVERY and version > 0 and version % CHECKPOINT_EVERY == 0:
+        try:  # checkpoints are derived: never fail a committed txn
+            checkpoint(root, version)
+        except OSError:
+            pass
     return version
 
 
@@ -304,7 +407,7 @@ def create_table(
     if _already_applied(entries, app_txn_id):
         return -1
     current = entries[-1]["version"] if entries else -1
-    prior = _resolve_files(entries, current) if current >= 0 else []
+    prior = _resolve(root, entries, current) if current >= 0 else []
     adds = _write_data(df, root, current + 1)
     return _commit(
         root,
@@ -372,7 +475,7 @@ def read_snapshot(
     by_v = {e["version"]: e for e in entries}
     if version not in by_v:
         raise NoSuchVersionError(f"version {version} not in log")
-    files = _resolve_files(entries, version)
+    files = _resolve(root, entries, version)
     schema = T.StructType.fromJson(json.loads(by_v[version]["schema"]))
     if not files:
         return spark.createDataFrame([], schema)
@@ -419,7 +522,7 @@ def merge(
         json.loads(updates.schema.json()),
         json.loads(entries[-1]["schema"]),
     )
-    files = _resolve_files(entries, read_version)
+    files = _resolve(root, entries, read_version)
     if not files:
         touched_rel: list[str] = []
         merged = updates
@@ -477,7 +580,7 @@ def delete_where(
     if _already_applied(entries, app_txn_id):
         return -1
     read_version = entries[-1]["version"]
-    files = _resolve_files(entries, read_version)
+    files = _resolve(root, entries, read_version)
     schema = T.StructType.fromJson(json.loads(entries[-1]["schema"]))
     if not files:
         return _commit(
@@ -517,6 +620,65 @@ def delete_where(
         expected_version=read_version,
         app_txn_id=app_txn_id,
         op_params={"predicate": predicate},
+    )
+
+
+def optimize(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    app_txn_id: str | None = None,
+) -> int:
+    """OPTIMIZE (small-file compaction) as a committed transaction:
+    rewrite every live data file smaller than ``target_file_bytes``
+    into ~target-sized files; files already at/above target survive by
+    reference. The commit is logically a no-op (identical rows before
+    and after — pinned by pytest), so readers time-traveling across it
+    see the same table; it exists to fix the small-files problem that
+    streaming appends accumulate (HDFS/S3 listing + task-per-file
+    overhead dominates scans at 100 TB).
+
+    Optimistic like merge/delete: pinned to the version read; a
+    concurrent commit raises ConcurrentCommitError (rerun — compaction
+    is always safe to retry). Returns the new version, the current
+    version when there is nothing to compact (< 2 small files), or -1
+    on idempotent replay."""
+    entries = _read_log(root)
+    if not entries:
+        raise NoSuchVersionError(f"no table at {root}")
+    if _already_applied(entries, app_txn_id):
+        return -1
+    read_version = entries[-1]["version"]
+    files = _resolve(root, entries, read_version)
+    small = [
+        f
+        for f in files
+        if os.path.getsize(os.path.join(root, f)) < target_file_bytes
+    ]
+    if len(small) < 2:
+        return read_version  # nothing to gain
+    schema = T.StructType.fromJson(json.loads(entries[-1]["schema"]))
+    total = sum(os.path.getsize(os.path.join(root, f)) for f in small)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    compacted = (
+        spark.read.schema(schema)
+        .parquet(*[os.path.join(root, f) for f in small])
+        .repartition(int(n_out))
+    )
+    adds = _write_data(compacted, root, read_version + 1)
+    return _commit(
+        root,
+        "optimize",
+        adds,
+        small,
+        schema.json(),
+        expected_version=read_version,
+        app_txn_id=app_txn_id,
+        op_params={
+            "target_file_bytes": int(target_file_bytes),
+            "n_in": len(small),
+            "n_out": len(adds),
+        },
     )
 
 
@@ -567,7 +729,7 @@ def vacuum(
     keep = versions[-max(1, int(keep_versions)):]
     reachable: set[str] = set()
     for v in keep:
-        reachable |= set(_resolve_files(entries, v))
+        reachable |= set(_resolve(root, entries, v))
     now = time.time()
     deleted = []
     # stale commit temp files (crash between payload write and link)
@@ -607,4 +769,4 @@ def snapshot_files(root: str, version: int | None = None) -> list[str]:
         raise NoSuchVersionError(f"no table at {root}")
     if version is None:
         version = entries[-1]["version"]
-    return _resolve_files(entries, version)
+    return _resolve(root, entries, version)

@@ -290,6 +290,52 @@ def upsert_sink(
     )
 
 
+def acid_append_sink(
+    stream: DataFrame,
+    root: str,
+    query_name: str = "acid_append_sink",
+    merge_keys: Sequence[str] | None = None,
+    checkpoint_location: str | None = None,
+):
+    """Exactly-once streaming sink into a sources/acid.py table via
+    foreachBatch: each micro-batch commits with
+    ``app_txn_id=f"{query_name}:{batch_id}"``, so a batch REPLAYED
+    after a crash/restart (Structured Streaming's at-least-once
+    foreachBatch contract) is an idempotent no-op — at-least-once
+    delivery + idempotent transactional commit = exactly-once table
+    state, the same recipe Delta's ``txnAppId``/``txnVersion`` uses.
+
+    ``merge_keys=None`` appends (create on first batch); with keys,
+    each batch MERGEs (update-or-insert — dedupe the batch to one row
+    per key upstream, e.g. dedup_within_watermark). Readers get snapshot
+    isolation and time travel for free (one committed version per
+    batch); ``acid.optimize`` compacts the small files streaming
+    appends accumulate.
+
+    Returns the StreamingQuery (availableNow trigger; caller awaits).
+    """
+    from financial_data_lakehouse_pipeline__spark.sources import acid
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        txn = f"{query_name}:{batch_id}"
+        spark = batch_df.sparkSession
+        if acid.latest_version(root) < 0:
+            acid.create_table(batch_df, root, app_txn_id=txn)
+        elif merge_keys is None:
+            acid.append(batch_df, root, app_txn_id=txn)
+        else:
+            acid.merge(spark, root, batch_df, merge_keys, app_txn_id=txn)
+
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_location is not None:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    return writer.start()
+
+
 def read_upsert_state(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:

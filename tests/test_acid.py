@@ -237,6 +237,87 @@ def test_vacuum_removes_aged_out_and_orphans(spark, root):
     assert acid.history(spark, root).count() == 2
 
 
+def test_checkpoint_resolution_and_auto(spark, root, monkeypatch):
+    """Checkpoints: snapshot resolution from a checkpoint + log suffix
+    equals full replay; one is taken automatically every
+    CHECKPOINT_EVERY commits; a corrupt checkpoint silently falls back."""
+    monkeypatch.setattr(acid, "CHECKPOINT_EVERY", 4)
+    acid.create_table(_mk(spark, [(0, "a", 0.0)]), root)  # v0
+    for i in range(1, 6):  # v1..v5 — auto checkpoint fires at v4
+        acid.append(_mk(spark, [(i, "x", float(i))]), root)
+    cps = [n for n in os.listdir(acid._log_dir(root))
+           if n.endswith(".checkpoint")]
+    assert cps == ["00000004.checkpoint"]
+    entries = acid._read_log(root)
+    # checkpointed resolution == raw replay, at several versions
+    for v in (4, 5):
+        assert acid._resolve(root, entries, v) == \
+            acid._resolve_files(entries, v)
+    # resolution BEFORE the checkpoint ignores it (falls back to replay)
+    assert acid._resolve(root, entries, 2) == acid._resolve_files(entries, 2)
+    assert sorted(
+        r["k"] for r in acid.read_snapshot(spark, root, version=2).collect()
+    ) == [0, 1, 2]
+    # manual checkpoint at an explicit version
+    assert acid.checkpoint(root, 5) == 5
+    # a corrupt checkpoint is ignored, not fatal
+    open(acid._checkpoint_path(root, 5), "w").write("{broken")
+    assert sorted(
+        r["k"] for r in acid.read_snapshot(spark, root).collect()
+    ) == [0, 1, 2, 3, 4, 5]
+
+
+def test_stale_commit_tmp_file_is_ignored(spark, root):
+    """A crashed commit's leftover .tmp-*.json (payload written, link
+    never happened) sorts BEFORE the numbered entries — _read_log must
+    not parse it as an entry (it is uncommitted) and vacuum reaps it
+    after the retention window."""
+    acid.create_table(_mk(spark, [(1, "a", 1.0)]), root)
+    stale = os.path.join(acid._log_dir(root), ".tmp-00000001-deadbeef.json")
+    open(stale, "w").write('{"version": 1, "adds": ["bogus"]}')
+    entries = acid._read_log(root)
+    assert [e["version"] for e in entries] == [0]
+    assert acid.latest_version(root) == 0
+    # next commit is unaffected
+    acid.append(_mk(spark, [(2, "b", 2.0)]), root)
+    assert acid.latest_version(root) == 1
+    # vacuum reaps the stale tmp once aged out
+    deleted = acid.vacuum(root, keep_versions=10, min_age_seconds=0)
+    assert any(d.endswith("deadbeef.json") for d in deleted)
+    assert not os.path.exists(stale)
+
+
+def test_optimize_compacts_preserving_rows(spark, root):
+    """OPTIMIZE: many small files -> fewer files, identical rows, prior
+    versions still time-travelable, concurrent-safe version pinning."""
+    acid.create_table(_mk(spark, [(0, "a", 0.0)]), root)
+    for i in range(1, 5):
+        acid.append(_mk(spark, [(i, "x", float(i))]), root)
+    before_files = acid.snapshot_files(root)
+    before_rows = sorted(
+        (r["k"], r["v"], r["amt"])
+        for r in acid.read_snapshot(spark, root).collect()
+    )
+    assert len(before_files) >= 5
+    v = acid.optimize(spark, root, target_file_bytes=10 * 1024 * 1024)
+    assert v == 5
+    after_files = acid.snapshot_files(root)
+    assert len(after_files) < len(before_files)
+    after_rows = sorted(
+        (r["k"], r["v"], r["amt"])
+        for r in acid.read_snapshot(spark, root).collect()
+    )
+    assert after_rows == before_rows  # logically a no-op
+    # time travel across the optimize still sees the old snapshot
+    assert sorted(
+        r["k"] for r in acid.read_snapshot(spark, root, version=1).collect()
+    ) == [0, 1]
+    # everything fits one target-sized file now -> nothing to compact
+    assert acid.optimize(spark, root, target_file_bytes=10 * 1024 * 1024) == 5
+    h = {r["version"]: r["op"] for r in acid.history(spark, root).collect()}
+    assert h[5] == "optimize"
+
+
 def test_history_shape(spark, root):
     acid.create_table(_mk(spark, [(1, "a", 1.0)]), root)
     acid.append(_mk(spark, [(2, "b", 2.0)]), root, app_txn_id="t1")

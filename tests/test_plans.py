@@ -330,6 +330,19 @@ def test_aqe_skew_join_splits_hot_partition_at_runtime(spark):
                 spark.conf.set(k, v)
 
 
+def test_dpp_partitioned_revenue_corpus_plan(spark, sf_dir):
+    """The dpp_partitioned_revenue CORPUS query (not just a synthetic
+    fixture) must scan its hive-partitioned lake with a dynamicpruning
+    subquery on ship_year — the bench headline that proves the pruned
+    path end-to-end (oracle proves values; this proves the plan)."""
+    from financial_data_lakehouse_pipeline__spark import corpus
+
+    df = corpus.queries()["dpp_partitioned_revenue"](spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+    assert "PartitionFilters" in plan
+
+
 def test_dynamic_partition_pruning_on_partitioned_lake(spark, sf_dir, tmp_path):
     """A hive-partitioned fact joined to a filtered dim must plan a
     dynamicpruning subquery on the partition column — at 100 TB this is

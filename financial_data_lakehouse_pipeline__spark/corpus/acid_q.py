@@ -41,10 +41,12 @@ _SCRATCH = os.path.abspath(_SCRATCH)
 _TT_ROOT = os.path.join(_SCRATCH, "fixtures", "acid", "timetravel")
 _MG_ROOT = os.path.join(_SCRATCH, "fixtures", "acid", "merge")
 _DL_ROOT = os.path.join(_SCRATCH, "fixtures", "acid", "delete")
+_SK_ROOT = os.path.join(_SCRATCH, "fixtures", "acid", "skipping")
 
 #: Bump when fixture CONTENT changes — the builder wipes and rebuilds
-#: any table whose version-0 app_txn_id doesn't match.
-_BASE_TXN = "corpus-acid-base-v1"
+#: any table whose version-0 app_txn_id doesn't match. (v2: fixtures
+#: commit with per-file stats so data-skipping scans can prune.)
+_BASE_TXN = "corpus-acid-base-v2"
 
 _SCHEMA_JSON = json.dumps(
     {
@@ -105,7 +107,8 @@ def _build_timetravel(root: str) -> None:
         )
     ]
     acid._commit(root, "overwrite", adds0, [], _SCHEMA_JSON,
-                 expected_version=-1, app_txn_id=_BASE_TXN)
+                 expected_version=-1, app_txn_id=_BASE_TXN,
+                 stats=acid._collect_stats(root, adds0))
     adds1 = [
         _write_fixture_file(
             root, os.path.join("data", "v1-fixture"),
@@ -113,7 +116,8 @@ def _build_timetravel(root: str) -> None:
         )
     ]
     acid._commit(root, "append", adds1, [], _SCHEMA_JSON,
-                 expected_version=0, app_txn_id=_BASE_TXN + "-append")
+                 expected_version=0, app_txn_id=_BASE_TXN + "-append",
+                 stats=acid._collect_stats(root, adds1))
 
 
 def _build_two_file_base(root: str) -> None:
@@ -130,7 +134,8 @@ def _build_two_file_base(root: str) -> None:
         ),
     ]
     acid._commit(root, "overwrite", adds, [], _SCHEMA_JSON,
-                 expected_version=-1, app_txn_id=_BASE_TXN)
+                 expected_version=-1, app_txn_id=_BASE_TXN,
+                 stats=acid._collect_stats(root, adds))
 
 
 def _build_delete_base(root: str) -> None:
@@ -145,12 +150,36 @@ def _build_delete_base(root: str) -> None:
         ),
     ]
     acid._commit(root, "overwrite", adds, [], _SCHEMA_JSON,
-                 expected_version=-1, app_txn_id=_BASE_TXN)
+                 expected_version=-1, app_txn_id=_BASE_TXN,
+                 stats=acid._collect_stats(root, adds))
+
+
+def _build_skipping_base(root: str) -> None:
+    # three files with DISJOINT key ranges — the layout data skipping
+    # rewards; per-file min/max stats are recorded in the commit
+    adds = [
+        _write_fixture_file(
+            root, os.path.join("data", "v0-lo"),
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        ),
+        _write_fixture_file(
+            root, os.path.join("data", "v0-mid"),
+            [(10, "x", 10.0), (11, "y", 11.0)],
+        ),
+        _write_fixture_file(
+            root, os.path.join("data", "v0-hi"),
+            [(20, "z", 20.0), (25, "w", 25.0)],
+        ),
+    ]
+    acid._commit(root, "overwrite", adds, [], _SCHEMA_JSON,
+                 expected_version=-1, app_txn_id=_BASE_TXN,
+                 stats=acid._collect_stats(root, adds))
 
 
 _ensure(_TT_ROOT, 1, _build_timetravel)
 _ensure(_MG_ROOT, 0, _build_two_file_base)
 _ensure(_DL_ROOT, 0, _build_delete_base)
+_ensure(_SK_ROOT, 0, _build_skipping_base)
 
 
 def _read_parquet_list(root: str, version: int) -> str:
@@ -164,6 +193,7 @@ _TT_V0 = _read_parquet_list(_TT_ROOT, 0)
 _TT_V1 = _read_parquet_list(_TT_ROOT, 1)
 _MG_V0 = _read_parquet_list(_MG_ROOT, 0)
 _DL_V0 = _read_parquet_list(_DL_ROOT, 0)
+_SK_V0 = _read_parquet_list(_SK_ROOT, 0)
 
 
 @register(
@@ -219,6 +249,26 @@ def acid_merge_upsert(spark, sf_dir):
     )
     acid.merge(spark, _MG_ROOT, upd, ["k"], app_txn_id="corpus-acid-merge-v1")
     return acid.read_snapshot(spark, _MG_ROOT).select("k", "v", "amt")
+
+
+@register(
+    "acid_stats_pruned_scan",
+    # the oracle reads the FULL v0 snapshot and filters — proving the
+    # stats-pruned scan (which opens only the one file whose min/max
+    # range can match) is lossless
+    f"""SELECT k, v, amt FROM {_SK_V0} WHERE k >= 10 AND k <= 11""",
+)
+def acid_stats_pruned_scan(spark, sf_dir):
+    """Data-skipping scan (acid.scan): the log carries per-file
+    column min/max recorded at commit time; a range predicate over
+    disjointly-clustered files opens ONLY the file whose range can
+    match (asserted via acid.pruned_files in tests/test_acid.py) —
+    Delta-style data skipping, zero I/O on skipped files. The oracle
+    reads every v0 file and filters, so a hash match proves the pruned
+    read lossless."""
+    return acid.scan(
+        spark, _SK_ROOT, [("k", ">=", 10), ("k", "<=", 11)]
+    ).select("k", "v", "amt")
 
 
 @register(

@@ -319,6 +319,7 @@ def _commit(
     expected_version: int | None = None,
     app_txn_id: str | None = None,
     op_params: dict | None = None,
+    stats: dict | None = None,
 ) -> int:
     """Atomically publish the next log entry; the ``os.link`` of the
     fully-written, fsynced temp file to the versioned name IS the
@@ -348,6 +349,7 @@ def _commit(
         "commit_ts": time.time(),
         "app_txn_id": app_txn_id,
         "op_params": op_params or {},
+        "stats": stats or {},
     }
     payload = json.dumps(entry, sort_keys=True).encode()
     tmp = os.path.join(
@@ -383,18 +385,185 @@ def _already_applied(entries: Sequence[dict], app_txn_id: str | None) -> bool:
     )
 
 
+def _collect_stats(root: str, rels: Sequence[str]) -> dict:
+    """Per-file column min/max/null-count from the parquet FOOTERS of
+    freshly written files (one local metadata read per file — the files
+    were just written by this writer, so this adds no remote I/O at
+    commit time; Delta computes the same stats inline during the
+    write). Only JSON-safe scalar types are recorded (int/float/str/
+    bool); other columns are simply absent — readers treat a missing
+    stat as "cannot prune"."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for rel in rels:
+        try:
+            md = pq.ParquetFile(os.path.join(root, rel)).metadata
+        except OSError:
+            continue
+        cols: dict[str, dict] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode(), mx.decode()
+                    except UnicodeDecodeError:
+                        continue
+                if not isinstance(mn, (int, float, str, bool)):
+                    continue
+                name = c.path_in_schema
+                cur = cols.get(name)
+                nulls = int(st.null_count or 0)
+                if cur is None:
+                    cols[name] = {"min": mn, "max": mx, "nulls": nulls}
+                else:
+                    cur["min"] = min(cur["min"], mn)
+                    cur["max"] = max(cur["max"], mx)
+                    cur["nulls"] += nulls
+        if cols:
+            out[rel] = cols
+    return out
+
+
+#: supported comparison operators for stats pruning: op -> (python test
+#: "file may contain a matching row", Spark Column builder)
+_PRUNE_OPS = ("==", ">=", "<=", ">", "<")
+
+
+def _file_may_match(stats: dict | None, col: str, op: str, val) -> bool:
+    """Conservative per-file test: False ONLY when the footer stats
+    PROVE no row in the file satisfies (col op val). Missing stats →
+    True (cannot prune)."""
+    if not stats or col not in stats:
+        return True
+    s = stats[col]
+    mn, mx = s.get("min"), s.get("max")
+    if mn is None or mx is None:
+        return True
+    try:
+        if op == "==":
+            return mn <= val <= mx
+        if op == ">=":
+            return mx >= val
+        if op == ">":
+            return mx > val
+        if op == "<=":
+            return mn <= val
+        if op == "<":
+            return mn < val
+    except TypeError:
+        return True  # incomparable types: never prune on a guess
+    return True
+
+
+def pruned_files(
+    root: str,
+    predicates: Sequence[tuple],
+    version: int | None = None,
+) -> list[str]:
+    """The snapshot file list after stats-based data skipping: keep a
+    file unless the log's per-file min/max PROVE it cannot contain a
+    row matching ALL ``predicates`` (a conjunction of simple
+    comparisons ``(column, op, literal)`` with op in ==/>=/<=/>/<).
+    Exposed separately so tests (and the DuckDB oracle) can assert the
+    exact pruned set."""
+    for _, op, _v in predicates:
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"unsupported prune op: {op}")
+    entries = _read_log(root)
+    if not entries:
+        raise NoSuchVersionError(f"no table at {root}")
+    if version is None:
+        version = entries[-1]["version"]
+    files = _resolve(root, entries, version)
+    stats_by_file: dict[str, dict] = {}
+    for e in entries:
+        if e["version"] > version:
+            break
+        for rel, st in (e.get("stats") or {}).items():
+            stats_by_file[rel] = st
+    return [
+        f
+        for f in files
+        if all(
+            _file_may_match(stats_by_file.get(f), col, op, val)
+            for col, op, val in predicates
+        )
+    ]
+
+
+def scan(
+    spark: SparkSession,
+    root: str,
+    predicates: Sequence[tuple] = (),
+    version: int | None = None,
+) -> DataFrame:
+    """Data-skipping snapshot read: resolve the snapshot, DROP every
+    data file whose logged min/max stats prove it cannot match the
+    predicate conjunction (zero I/O against skipped files — at 100 TB
+    this is the difference between opening a million footers and
+    reading a metadata-scale log), then apply the SAME predicates as a
+    residual Spark filter (stats pruning is conservative, never a
+    substitute for the filter)."""
+    entries = _read_log(root)
+    if not entries:
+        raise NoSuchVersionError(f"no table at {root}")
+    if version is None:
+        version = entries[-1]["version"]
+    by_v = {e["version"]: e for e in entries}
+    if version not in by_v:
+        raise NoSuchVersionError(f"version {version} not in log")
+    schema = T.StructType.fromJson(json.loads(by_v[version]["schema"]))
+    files = pruned_files(root, predicates, version)
+    if not files:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(root, f) for f in files]
+        )
+    for col, op, val in predicates:
+        c = F.col(col)
+        expr = {
+            "==": c == val, ">=": c >= val, "<=": c <= val,
+            ">": c > val, "<": c < val,
+        }[op]
+        df = df.filter(expr)
+    return df
+
+
 def _write_data(df: DataFrame, root: str, version_hint: int) -> list[str]:
     """Write df as parquet under data/v<hint>-<token>/ and return the
     part files RELATIVE to root (the log stores relative paths so the
-    table directory is relocatable)."""
+    table directory is relocatable). Zero-row part files (empty task
+    partitions — routine under Spark's default parallelism on small
+    batches) are deleted, not committed: they would accumulate as
+    stat-less files that data skipping can never prune and every scan
+    must still open."""
+    import pyarrow.parquet as pq
+
     token = uuid.uuid4().hex[:12]
     rel_dir = os.path.join(_DATA_DIR, f"v{version_hint}-{token}")
     out = os.path.join(root, rel_dir)
     df.write.mode("error").parquet(out)
     rels = []
     for name in sorted(os.listdir(out)):
-        if name.endswith(".parquet"):
-            rels.append(os.path.join(rel_dir, name))
+        if not name.endswith(".parquet"):
+            continue
+        full = os.path.join(out, name)
+        try:
+            n_rows = pq.ParquetFile(full).metadata.num_rows
+        except OSError:
+            n_rows = -1  # unreadable: keep, let the scan surface it
+        if n_rows == 0:
+            os.remove(full)
+            continue
+        rels.append(os.path.join(rel_dir, name))
     return rels
 
 
@@ -417,6 +586,7 @@ def create_table(
         df.schema.json(),
         expected_version=current,
         app_txn_id=app_txn_id,
+        stats=_collect_stats(root, adds),
     )
 
 
@@ -435,6 +605,7 @@ def append(df: DataFrame, root: str, app_txn_id: str | None = None) -> int:
     incoming = json.loads(df.schema.json())
     _check_drift("append", incoming, json.loads(entries[-1]["schema"]))
     adds = _write_data(df, root, entries[-1]["version"] + 1)
+    stats = _collect_stats(root, adds)
     while True:
         committed = json.loads(_read_log(root)[-1]["schema"])
         _check_drift("append", incoming, committed)
@@ -444,7 +615,7 @@ def append(df: DataFrame, root: str, app_txn_id: str | None = None) -> int:
         try:
             return _commit(
                 root, "append", adds, [], schema_out,
-                app_txn_id=app_txn_id,
+                app_txn_id=app_txn_id, stats=stats,
             )
         except ConcurrentCommitError:
             continue  # re-validate against the new head, then retry
@@ -562,6 +733,7 @@ def merge(
         expected_version=read_version,
         app_txn_id=app_txn_id,
         op_params={"keys": list(keys)},
+        stats=_collect_stats(root, adds),
     )
 
 
@@ -620,6 +792,7 @@ def delete_where(
         expected_version=read_version,
         app_txn_id=app_txn_id,
         op_params={"predicate": predicate},
+        stats=_collect_stats(root, adds),
     )
 
 
@@ -679,6 +852,47 @@ def optimize(
             "n_in": len(small),
             "n_out": len(adds),
         },
+        stats=_collect_stats(root, adds),
+    )
+
+
+def restore(root: str, version: int, app_txn_id: str | None = None) -> int:
+    """RESTORE TABLE ... TO VERSION: commit a new version whose live
+    set IS the target version's live set (adds = files live then but
+    not now, removes = files live now but not then). Pure metadata —
+    zero data movement, history preserved (the bad versions stay
+    auditable and time-travelable), roll-FORWARD by restoring again.
+    Requires the target's files to still exist: vacuum with
+    keep_versions covering the target, or restore before vacuuming."""
+    entries = _read_log(root)
+    if not entries:
+        raise NoSuchVersionError(f"no table at {root}")
+    if _already_applied(entries, app_txn_id):
+        return -1
+    by_v = {e["version"]: e for e in entries}
+    if version not in by_v:
+        raise NoSuchVersionError(f"version {version} not in log")
+    current = entries[-1]["version"]
+    target = set(_resolve(root, entries, version))
+    live = set(_resolve(root, entries, current))
+    missing = [
+        f for f in target - live
+        if not os.path.exists(os.path.join(root, f))
+    ]
+    if missing:
+        raise NoSuchVersionError(
+            f"cannot restore to {version}: {len(missing)} data files were "
+            f"vacuumed (e.g. {missing[0]})"
+        )
+    return _commit(
+        root,
+        "restore",
+        sorted(target - live),
+        sorted(live - target),
+        by_v[version]["schema"],
+        expected_version=current,
+        app_txn_id=app_txn_id,
+        op_params={"restored_to": int(version)},
     )
 
 

@@ -318,6 +318,80 @@ def test_optimize_compacts_preserving_rows(spark, root):
     assert h[5] == "optimize"
 
 
+def test_restore_rolls_back_as_new_commit(spark, root):
+    acid.create_table(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]), root)  # v0
+    acid.append(_mk(spark, [(3, "c", 3.0)]), root)                        # v1
+    acid.delete_where(spark, root, "k <= 2")                              # v2
+    assert sorted(
+        r["k"] for r in acid.read_snapshot(spark, root).collect()
+    ) == [3]
+    v = acid.restore(root, 0)                                             # v3
+    assert v == 3
+    assert sorted(
+        r["k"] for r in acid.read_snapshot(spark, root).collect()
+    ) == [1, 2]
+    # history preserved: the deleted state is still time-travelable
+    assert sorted(
+        r["k"] for r in acid.read_snapshot(spark, root, version=2).collect()
+    ) == [3]
+    h = {r["version"]: r["op"] for r in acid.history(spark, root).collect()}
+    assert h[3] == "restore"
+    # roll FORWARD by restoring to the pre-restore head
+    acid.restore(root, 2)
+    assert sorted(
+        r["k"] for r in acid.read_snapshot(spark, root).collect()
+    ) == [3]
+    # restoring to a vacuumed-away version fails loudly
+    acid.vacuum(root, keep_versions=1, min_age_seconds=0)
+    with pytest.raises(acid.NoSuchVersionError, match="vacuumed"):
+        acid.restore(root, 0)
+
+
+def test_data_skipping_scan(spark, root):
+    """Per-file min/max stats recorded at commit time prune files whose
+    ranges cannot match; the scan result equals the unpruned filter."""
+    acid.create_table(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]), root)
+    acid.append(_mk(spark, [(10, "x", 10.0), (11, "y", 11.0)]), root)
+    acid.append(_mk(spark, [(20, "z", 20.0)]), root)
+    all_files = acid.snapshot_files(root)
+    assert len(all_files) >= 3
+    # stats landed in the log for every data file
+    entries = acid._read_log(root)
+    assert all(e.get("stats") for e in entries)
+    # k >= 10 AND k <= 11 proves only the middle commit's file(s) match
+    kept = acid.pruned_files(root, [("k", ">=", 10), ("k", "<=", 11)])
+    assert set(kept) == set(entries[1]["adds"])
+    got = sorted(
+        r["k"]
+        for r in acid.scan(
+            spark, root, [("k", ">=", 10), ("k", "<=", 11)]
+        ).collect()
+    )
+    assert got == [10, 11]
+    # equality predicate; no file can match -> empty scan, schema intact
+    assert acid.pruned_files(root, [("k", "==", 15)]) == []
+    empty = acid.scan(spark, root, [("k", "==", 15)])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k", "v", "amt"]
+    # string stats prune too
+    kept_v = acid.pruned_files(root, [("v", ">=", "x")])
+    assert set(kept_v) == set(entries[1]["adds"]) | set(entries[2]["adds"])
+    # a file committed WITHOUT stats is never pruned (conservative)
+    nostats = acid._read_log(root)
+    assert acid._file_may_match(None, "k", "==", 999) is True
+    assert nostats  # silence lint
+
+
+def test_restore_and_scan_residual_filter_consistency(spark, root):
+    """scan()'s residual filter applies even when stats keep a file:
+    rows outside the predicate inside a kept file are filtered."""
+    acid.create_table(_mk(spark, [(1, "a", 1.0), (9, "b", 9.0)]), root)
+    got = sorted(
+        r["k"] for r in acid.scan(spark, root, [("k", ">", 5)]).collect()
+    )
+    assert got == [9]
+
+
 def test_history_shape(spark, root):
     acid.create_table(_mk(spark, [(1, "a", 1.0)]), root)
     acid.append(_mk(spark, [(2, "b", 2.0)]), root, app_txn_id="t1")

@@ -477,7 +477,11 @@ def dpp_partitioned_revenue(spark, sf_dir):
             F.year("l_shipdate").cast("int").alias("ship_year"),
         )
         write_partitioned_parquet(li, lake, ["ship_year"])
-    fact = read_parquet(spark, lake)
+    # explicit schema: an EMPTY source writes zero part files, and a
+    # schema-less read of the bare directory cannot infer one
+    fact = spark.read.schema(
+        "l_extendedprice double, l_discount double, ship_year int"
+    ).parquet(lake)
     dim = (
         read_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))

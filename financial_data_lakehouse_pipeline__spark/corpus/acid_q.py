@@ -272,6 +272,50 @@ def acid_stats_pruned_scan(spark, sf_dir):
 
 
 @register(
+    "acid_table_changes",
+    # the oracle re-derives the change feed from the PRE-commit snapshot
+    # files + the literal mutation batches: merge -> k=2 updated, k=99
+    # inserted (k=1 rewritten verbatim is 'unchanged' and dropped; the
+    # untouched file's keys 10/11 never appear); delete k=4 -> deleted
+    f"""WITH base AS (SELECT * FROM {_MG_V0}),
+             upd AS (
+               SELECT CAST(2 AS INT) AS k, 'B!' AS v, 20e0 AS amt
+               UNION ALL
+               SELECT CAST(99 AS INT), 'new', 99e0
+             )
+        SELECT 'merge' AS tbl, u.k, u.v, u.amt,
+               CASE WHEN b.k IS NULL THEN 'inserted' ELSE 'updated' END
+                 AS change_type
+        FROM upd u LEFT JOIN base b USING (k)
+        WHERE b.k IS NULL OR b.v <> u.v OR b.amt <> u.amt
+        UNION ALL
+        SELECT 'delete', k, v, amt, 'deleted' FROM {_DL_V0} WHERE k = 4""",
+)
+def acid_table_changes(spark, sf_dir):
+    """Change data feed (acid.table_changes): the add/remove file-list
+    diff between two versions labels changed KEYS inserted / updated /
+    deleted while reading ONLY the files that entered or left the live
+    set — the untouched file (keys 10/11) is never opened. Self-
+    contained: replays the merge/delete mutations idempotently (same
+    app_txn_ids as acid_merge_upsert / acid_delete_where) so it is
+    driver-samplable in isolation."""
+    upd = spark.createDataFrame(
+        [(2, "B!", 20.0), (99, "new", 99.0)], "k int, v string, amt double"
+    )
+    acid.merge(spark, _MG_ROOT, upd, ["k"], app_txn_id="corpus-acid-merge-v1")
+    acid.delete_where(
+        spark, _DL_ROOT, "k = 4", app_txn_id="corpus-acid-delete-v1"
+    )
+    ch_mg = acid.table_changes(spark, _MG_ROOT, 0, 1, keys=["k"]).select(
+        F.lit("merge").alias("tbl"), "k", "v", "amt", "change_type"
+    )
+    ch_dl = acid.table_changes(spark, _DL_ROOT, 0, 1, keys=["k"]).select(
+        F.lit("delete").alias("tbl"), "k", "v", "amt", "change_type"
+    )
+    return ch_mg.unionAll(ch_dl)
+
+
+@register(
     "acid_delete_where",
     f"""SELECT k, v, amt FROM {_DL_V0} WHERE NOT (k = 4)""",
 )

@@ -590,28 +590,76 @@ def create_table(
     )
 
 
-def append(df: DataFrame, root: str, app_txn_id: str | None = None) -> int:
+def _merge_schemas(committed: dict, incoming: dict) -> dict:
+    """Additive schema evolution (Delta ``mergeSchema``): the committed
+    schema plus any NEW top-level fields the incoming batch adds, each
+    forced nullable (historical files lack the column, so reads must
+    NULL-fill). Existing fields must match modulo nullability — type
+    CHANGES are still drift; evolution here is strictly additive."""
+    committed_names = {f["name"] for f in committed["fields"]}
+    new_fields = [
+        dict(f, nullable=True)
+        for f in incoming["fields"]
+        if f["name"] not in committed_names
+    ]
+    shared_incoming = {
+        "type": "struct",
+        "fields": [
+            f for f in incoming["fields"] if f["name"] in committed_names
+        ],
+    }
+    # shared columns must appear in the committed order for the
+    # positional drift check; reorder by committed field order
+    order = {f["name"]: i for i, f in enumerate(committed["fields"])}
+    shared_incoming["fields"].sort(key=lambda f: order[f["name"]])
+    _check_drift("append(merge_schema)", shared_incoming, committed)
+    merged = _widen_nullability(committed, shared_incoming)
+    merged["fields"] = list(merged["fields"]) + new_fields
+    return merged
+
+
+def append(
+    df: DataFrame,
+    root: str,
+    app_txn_id: str | None = None,
+    merge_schema: bool = False,
+) -> int:
     """Blind append — no read dependency, so it never conflicts on
     expected_version (appends serialize by the atomic-link race alone;
     losers retry the commit, not the data write). Every retry re-reads
     the log and re-validates the schema first: if the concurrent winner
     was an overwrite with a different schema, retrying blindly would
-    commit mismatched files and stamp the wrong table schema."""
+    commit mismatched files and stamp the wrong table schema.
+
+    ``merge_schema=True`` permits ADDITIVE evolution: new top-level
+    columns are appended to the table schema as nullable; historical
+    files NULL-fill them on read (read_snapshot reads every file with
+    the latest committed schema — the mergeSchema contract without
+    rewriting history). Type changes and dropped columns are still
+    rejected as drift."""
     entries = _read_log(root)
     if not entries:
         raise NoSuchVersionError(f"no table at {root}: create_table first")
     if _already_applied(entries, app_txn_id):
         return -1
     incoming = json.loads(df.schema.json())
-    _check_drift("append", incoming, json.loads(entries[-1]["schema"]))
+
+    def out_schema(committed: dict) -> str:
+        if merge_schema:
+            return json.dumps(
+                _merge_schemas(committed, incoming), sort_keys=True
+            )
+        _check_drift("append", incoming, committed)
+        return json.dumps(
+            _widen_nullability(committed, incoming), sort_keys=True
+        )
+
+    out_schema(json.loads(entries[-1]["schema"]))  # validate BEFORE writing
     adds = _write_data(df, root, entries[-1]["version"] + 1)
     stats = _collect_stats(root, adds)
     while True:
         committed = json.loads(_read_log(root)[-1]["schema"])
-        _check_drift("append", incoming, committed)
-        schema_out = json.dumps(
-            _widen_nullability(committed, incoming), sort_keys=True
-        )
+        schema_out = out_schema(committed)
         try:
             return _commit(
                 root, "append", adds, [], schema_out,
@@ -794,6 +842,87 @@ def delete_where(
         op_params={"predicate": predicate},
         stats=_collect_stats(root, adds),
     )
+
+
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+    keys: Sequence[str] | None = None,
+) -> DataFrame:
+    """Change data feed between two committed versions, derived from the
+    log's add/remove file lists — NO change files are written at commit
+    time (Delta's CDF-disabled fallback): only files that entered or
+    left the live set between the versions are read, every untouched
+    file is skipped entirely (at 100 TB a small MERGE touches a handful
+    of files, so the diff reads a handful of files).
+
+    With ``keys``: one row per changed key labeled
+    inserted/deleted/updated (operators/cdc.snapshot_diff over the
+    changed-file subsets; 'unchanged' rows — same key rewritten with
+    identical values by a copy-on-write rewrite — are dropped).
+    Without keys: row-multiset semantics — every row of removed files
+    as 'deleted' + every row of added files as 'inserted'."""
+    entries = _read_log(root)
+    if not entries:
+        raise NoSuchVersionError(f"no table at {root}")
+    if to_version is None:
+        to_version = entries[-1]["version"]
+    by_v = {e["version"]: e for e in entries}
+    if from_version not in by_v or to_version not in by_v:
+        raise NoSuchVersionError(
+            f"versions {from_version}..{to_version} not both in log"
+        )
+    old_files = set(_resolve(root, entries, from_version))
+    new_files = set(_resolve(root, entries, to_version))
+    removed = sorted(old_files - new_files)
+    added = sorted(new_files - old_files)
+    schema = T.StructType.fromJson(json.loads(by_v[to_version]["schema"]))
+    old_schema = T.StructType.fromJson(
+        json.loads(by_v[from_version]["schema"])
+    )
+
+    def read(files: Sequence[str], sch) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], sch)
+        return spark.read.schema(sch).parquet(
+            *[os.path.join(root, f) for f in files]
+        )
+
+    old_side = read(removed, old_schema)
+    new_side = read(added, schema)
+    if keys is None:
+        cols = [f.name for f in schema.fields]
+        old_cols = {f.name for f in old_schema.fields}
+        old_sel = [
+            F.col(c) if c in old_cols else F.lit(None).cast(
+                schema[c].dataType
+            ).alias(c)
+            for c in cols
+        ]
+        return (
+            old_side.select(*old_sel)
+            .withColumn("change_type", F.lit("deleted"))
+            .unionByName(
+                new_side.select(*cols).withColumn(
+                    "change_type", F.lit("inserted")
+                )
+            )
+        )
+    from financial_data_lakehouse_pipeline__spark.operators.cdc import (
+        snapshot_diff,
+    )
+
+    compare = [f.name for f in schema.fields if f.name not in set(keys)]
+    old_aligned = old_side
+    for f in schema.fields:
+        if f.name not in {x.name for x in old_schema.fields}:
+            old_aligned = old_aligned.withColumn(
+                f.name, F.lit(None).cast(f.dataType)
+            )
+    diff = snapshot_diff(old_aligned, new_side, list(keys), compare)
+    return diff.filter(F.col("change_type") != "unchanged")
 
 
 def optimize(

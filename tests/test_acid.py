@@ -392,6 +392,75 @@ def test_restore_and_scan_residual_filter_consistency(spark, root):
     assert got == [9]
 
 
+def test_append_merge_schema_additive_evolution(spark, root):
+    """merge_schema=True: a new nullable column joins the table schema;
+    historical files NULL-fill it; type changes are still drift."""
+    acid.create_table(_mk(spark, [(1, "a", 1.0)]), root)
+    evolved = spark.createDataFrame(
+        [(2, "b", 2.0, "EU")], "k int, v string, amt double, region string"
+    )
+    # without the flag: rejected
+    with pytest.raises(ValueError, match="schema drift"):
+        acid.append(evolved, root)
+    v = acid.append(evolved, root, merge_schema=True)
+    assert v == 1
+    snap = acid.read_snapshot(spark, root)
+    assert [f.name for f in snap.schema.fields] == ["k", "v", "amt", "region"]
+    got = {r["k"]: r["region"] for r in snap.collect()}
+    assert got == {1: None, 2: "EU"}  # old file NULL-fills the new column
+    # time travel to v0 keeps the OLD schema
+    s0 = acid.read_snapshot(spark, root, version=0)
+    assert [f.name for f in s0.schema.fields] == ["k", "v", "amt"]
+    # a type CHANGE is still drift even with merge_schema
+    bad = spark.createDataFrame(
+        [("x", "y", 1.0, "EU")], "k string, v string, amt double, region string"
+    )
+    with pytest.raises(ValueError, match="schema drift"):
+        acid.append(bad, root, merge_schema=True)
+    # missing existing columns are drift too (evolution is additive-only)
+    narrower = spark.createDataFrame([(3,)], "k int")
+    with pytest.raises(ValueError, match="schema drift"):
+        acid.append(narrower, root, merge_schema=True)
+    # subsequent plain append must carry the evolved schema
+    more = spark.createDataFrame(
+        [(3, "c", 3.0, None)], "k int, v string, amt double, region string"
+    )
+    acid.append(more, root)
+    assert acid.read_snapshot(spark, root).count() == 3
+
+
+def test_table_changes_cdf(spark, root):
+    """table_changes: derived change feed between versions reads only
+    added/removed files; keyed mode labels insert/update/delete."""
+    acid.create_table(
+        _mk(spark, [(1, "a", 1.0), (2, "b", 2.0), (10, "x", 10.0)]), root
+    )  # v0
+    acid.merge(
+        spark, root,
+        _mk(spark, [(2, "B!", 20.0), (99, "new", 99.0)]), ["k"],
+    )  # v1: update k=2, insert k=99 (k=1 rewritten unchanged, k=10 untouched)
+    acid.delete_where(spark, root, "k = 10")  # v2
+
+    ch = {
+        r["k"]: r["change_type"]
+        for r in acid.table_changes(spark, root, 0, 2, keys=["k"]).collect()
+    }
+    assert ch == {2: "updated", 99: "inserted", 10: "deleted"}
+    # k=1 was rewritten verbatim by the COW merge -> 'unchanged', dropped
+
+    # row-multiset mode (no keys): deletes from removed files + inserts
+    # from added files, k=1 appearing on both sides
+    rows = acid.table_changes(spark, root, 0, 2).collect()
+    by_type: dict[str, set] = {}
+    for r in rows:
+        by_type.setdefault(r["change_type"], set()).add(r["k"])
+    assert by_type["inserted"] >= {2, 99}
+    assert by_type["deleted"] >= {2, 10}
+    # version range validation
+    with pytest.raises(acid.NoSuchVersionError):
+        acid.table_changes(spark, root, 0, 99, keys=["k"])
+
+
 def test_history_shape(spark, root):
     acid.create_table(_mk(spark, [(1, "a", 1.0)]), root)
     acid.append(_mk(spark, [(2, "b", 2.0)]), root, app_txn_id="t1")

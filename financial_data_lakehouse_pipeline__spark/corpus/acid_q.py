@@ -42,6 +42,8 @@ _TT_ROOT = os.path.join(_SCRATCH, "fixtures", "acid", "timetravel")
 _MG_ROOT = os.path.join(_SCRATCH, "fixtures", "acid", "merge")
 _DL_ROOT = os.path.join(_SCRATCH, "fixtures", "acid", "delete")
 _SK_ROOT = os.path.join(_SCRATCH, "fixtures", "acid", "skipping")
+_RS_ROOT = os.path.join(_SCRATCH, "fixtures", "acid", "restore")
+_OP_ROOT = os.path.join(_SCRATCH, "fixtures", "acid", "optimize")
 
 #: Bump when fixture CONTENT changes — the builder wipes and rebuilds
 #: any table whose version-0 app_txn_id doesn't match. (v2: fixtures
@@ -176,10 +178,34 @@ def _build_skipping_base(root: str) -> None:
                  stats=acid._collect_stats(root, adds))
 
 
+def _build_restore_base(root: str) -> None:
+    # v0: the good state; v1: a bad append the query rolls back
+    adds0 = [
+        _write_fixture_file(
+            root, os.path.join("data", "v0-good"),
+            [(1, "a", 1.0), (2, "b", 2.0)],
+        )
+    ]
+    acid._commit(root, "overwrite", adds0, [], _SCHEMA_JSON,
+                 expected_version=-1, app_txn_id=_BASE_TXN,
+                 stats=acid._collect_stats(root, adds0))
+    adds1 = [
+        _write_fixture_file(
+            root, os.path.join("data", "v1-bad"),
+            [(666, "corrupt", -1.0)],
+        )
+    ]
+    acid._commit(root, "append", adds1, [], _SCHEMA_JSON,
+                 expected_version=0, app_txn_id=_BASE_TXN + "-bad",
+                 stats=acid._collect_stats(root, adds1))
+
+
 _ensure(_TT_ROOT, 1, _build_timetravel)
 _ensure(_MG_ROOT, 0, _build_two_file_base)
 _ensure(_DL_ROOT, 0, _build_delete_base)
 _ensure(_SK_ROOT, 0, _build_skipping_base)
+_ensure(_RS_ROOT, 1, _build_restore_base)
+_ensure(_OP_ROOT, 0, _build_skipping_base)  # 3 small files to compact
 
 
 def _read_parquet_list(root: str, version: int) -> str:
@@ -194,6 +220,8 @@ _TT_V1 = _read_parquet_list(_TT_ROOT, 1)
 _MG_V0 = _read_parquet_list(_MG_ROOT, 0)
 _DL_V0 = _read_parquet_list(_DL_ROOT, 0)
 _SK_V0 = _read_parquet_list(_SK_ROOT, 0)
+_RS_V0 = _read_parquet_list(_RS_ROOT, 0)
+_OP_V0 = _read_parquet_list(_OP_ROOT, 0)
 
 
 @register(
@@ -269,6 +297,41 @@ def acid_stats_pruned_scan(spark, sf_dir):
     return acid.scan(
         spark, _SK_ROOT, [("k", ">=", 10), ("k", "<=", 11)]
     ).select("k", "v", "amt")
+
+
+@register(
+    "acid_restore_rollback",
+    # after RESTORE to v0 the live set IS v0's file list — the oracle
+    # reads exactly those files; the bad v1 row must be gone
+    f"""SELECT k, v, amt FROM {_RS_V0}""",
+)
+def acid_restore_rollback(spark, sf_dir):
+    """RESTORE-to-version (acid.restore): the fixture's v1 appended a
+    bad batch; the query rolls the table back to v0 as a metadata-only
+    commit (idempotent app_txn_id) and reads the head — which must
+    equal the v0 snapshot byte-for-byte. History stays auditable: the
+    bad version remains time-travelable (pinned in tests/test_acid.py)."""
+    acid.restore(_RS_ROOT, 0, app_txn_id="corpus-acid-restore-v1")
+    return acid.read_snapshot(spark, _RS_ROOT).select("k", "v", "amt")
+
+
+@register(
+    "acid_optimize_noop",
+    # OPTIMIZE is logically a no-op: the compacted head must equal the
+    # pre-compaction snapshot content exactly
+    f"""SELECT k, v, amt FROM {_OP_V0}""",
+)
+def acid_optimize_noop(spark, sf_dir):
+    """OPTIMIZE compaction (acid.optimize): the fixture's 3 small files
+    are rewritten into ~1 target-sized file as a committed transaction
+    (idempotent app_txn_id); the post-compaction head must carry the
+    identical row multiset — proven against the pre-compaction file
+    list. File-count reduction itself is pinned in tests/test_acid.py."""
+    acid.optimize(
+        spark, _OP_ROOT, target_file_bytes=8 * 1024 * 1024,
+        app_txn_id="corpus-acid-optimize-v1",
+    )
+    return acid.read_snapshot(spark, _OP_ROOT).select("k", "v", "amt")
 
 
 @register(

@@ -1075,15 +1075,16 @@ def vacuum(
         reachable |= set(_resolve(root, entries, v))
     now = time.time()
     deleted = []
-    # stale commit temp files (crash between payload write and link)
+    # stale temp files: a commit that crashed between payload write and
+    # link (.tmp-*.json) or a checkpoint that crashed before os.replace
+    # (.tmpcp-*)
     log_d = _log_dir(root)
     for name in os.listdir(log_d):
         full = os.path.join(log_d, name)
         if (
-            name.startswith(".tmp-")
-            and name.endswith(".json")
-            and now - os.path.getmtime(full) >= min_age_seconds
-        ):
+            (name.startswith(".tmp-") and name.endswith(".json"))
+            or name.startswith(".tmpcp-")
+        ) and now - os.path.getmtime(full) >= min_age_seconds:
             os.remove(full)
             deleted.append(os.path.relpath(full, root))
     data_root = os.path.join(root, _DATA_DIR)

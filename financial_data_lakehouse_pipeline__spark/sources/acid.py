@@ -930,6 +930,7 @@ def optimize(
     root: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     app_txn_id: str | None = None,
+    zorder: Sequence[str] | None = None,
 ) -> int:
     """OPTIMIZE (small-file compaction) as a committed transaction:
     rewrite every live data file smaller than ``target_file_bytes``
@@ -940,11 +941,19 @@ def optimize(
     streaming appends accumulate (HDFS/S3 listing + task-per-file
     overhead dominates scans at 100 TB).
 
+    ``zorder``: Delta's ``OPTIMIZE ... ZORDER BY`` — rewrite EVERY live
+    file (re-clustering must touch everything) with rows range-
+    partitioned and sorted by the Morton code of the named numeric
+    columns (operators/layout.zorder_by). Each output file then owns a
+    contiguous Z-curve segment, so the per-file min/max stats recorded
+    by this commit are narrow in ALL the z-ordered dimensions and
+    :func:`scan` prunes on any of them — not just the first sort key.
+
     Optimistic like merge/delete: pinned to the version read; a
     concurrent commit raises ConcurrentCommitError (rerun — compaction
     is always safe to retry). Returns the new version, the current
-    version when there is nothing to compact (< 2 small files), or -1
-    on idempotent replay."""
+    version when there is nothing to compact (< 2 small files and no
+    zorder), or -1 on idempotent replay."""
     entries = _read_log(root)
     if not entries:
         raise NoSuchVersionError(f"no table at {root}")
@@ -952,34 +961,65 @@ def optimize(
         return -1
     read_version = entries[-1]["version"]
     files = _resolve(root, entries, read_version)
-    small = [
-        f
-        for f in files
-        if os.path.getsize(os.path.join(root, f)) < target_file_bytes
-    ]
-    if len(small) < 2:
-        return read_version  # nothing to gain
+    if zorder:
+        candidates = list(files)  # re-clustering rewrites everything
+    else:
+        candidates = [
+            f
+            for f in files
+            if os.path.getsize(os.path.join(root, f)) < target_file_bytes
+        ]
+        if len(candidates) < 2:
+            return read_version  # nothing to gain
+    if not candidates:
+        return read_version
     schema = T.StructType.fromJson(json.loads(entries[-1]["schema"]))
-    total = sum(os.path.getsize(os.path.join(root, f)) for f in small)
-    n_out = max(1, -(-total // target_file_bytes))  # ceil
-    compacted = (
-        spark.read.schema(schema)
-        .parquet(*[os.path.join(root, f) for f in small])
-        .repartition(int(n_out))
+    total = sum(os.path.getsize(os.path.join(root, f)) for f in candidates)
+    n_out = int(max(1, -(-total // target_file_bytes)))  # ceil
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(root, f) for f in candidates]
     )
+    if zorder:
+        from financial_data_lakehouse_pipeline__spark.operators import layout
+
+        bits = min(16, 62 // len(zorder))
+        aggs = []
+        for c in zorder:
+            aggs.append(F.min(F.col(c).cast("bigint")).alias(f"__mn_{c}"))
+            aggs.append(F.max(F.col(c).cast("bigint")).alias(f"__mx_{c}"))
+        mm = df.agg(*aggs)
+        widened = df.crossJoin(F.broadcast(mm))
+        qcols = [
+            layout.quantize_minmax(
+                F.col(c).cast("bigint"),
+                F.col(f"__mx_{c}"),
+                bits=bits,
+                min_col=F.col(f"__mn_{c}"),
+            )
+            for c in zorder
+        ]
+        clustered = layout.zorder_by(widened, qcols, bits=bits,
+                                     num_partitions=n_out)
+        helper = ["__zorder"] + [f"__mn_{c}" for c in zorder] + [
+            f"__mx_{c}" for c in zorder
+        ]
+        compacted = clustered.drop(*helper)
+    else:
+        compacted = df.repartition(n_out)
     adds = _write_data(compacted, root, read_version + 1)
     return _commit(
         root,
         "optimize",
         adds,
-        small,
+        candidates,
         schema.json(),
         expected_version=read_version,
         app_txn_id=app_txn_id,
         op_params={
             "target_file_bytes": int(target_file_bytes),
-            "n_in": len(small),
+            "n_in": len(candidates),
             "n_out": len(adds),
+            "zorder": list(zorder) if zorder else None,
         },
         stats=_collect_stats(root, adds),
     )

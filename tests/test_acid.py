@@ -318,6 +318,48 @@ def test_optimize_compacts_preserving_rows(spark, root):
     assert h[5] == "optimize"
 
 
+def test_optimize_zorder_enables_second_dim_skipping(spark, root):
+    """OPTIMIZE ZORDER: after re-clustering by (k, amt2), per-file
+    stats are narrow in BOTH dimensions — a predicate on the SECOND
+    dimension prunes files that the unclustered layout could not."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"r{i}", float(rng.randrange(0, 1000)))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "k int, v string, amt double")
+    acid.create_table(df.repartition(4), root)
+    # pre-clustering: hash-distributed files -> every file spans nearly
+    # the full amt range, so an amt band prunes NOTHING
+    before = acid.pruned_files(root, [("amt", ">=", 900.0)])
+    assert set(before) == set(acid.snapshot_files(root))
+    n_before = len(acid.snapshot_files(root))
+    assert n_before >= 4
+    rows_before = sorted(
+        (r["k"], r["amt"]) for r in acid.read_snapshot(spark, root).collect()
+    )
+    acid.optimize(spark, root, target_file_bytes=8 * 1024, zorder=("k", "amt"))
+    after_files = acid.snapshot_files(root)
+    assert len(after_files) >= 3  # still multiple files to prune among
+    kept = acid.pruned_files(root, [("amt", ">=", 900.0)])
+    assert len(kept) < len(after_files)  # second-dim pruning now works
+    # logically a no-op: identical rows, and the scan result is exact
+    rows_after = sorted(
+        (r["k"], r["amt"]) for r in acid.read_snapshot(spark, root).collect()
+    )
+    assert rows_after == rows_before
+    got = sorted(
+        r["k"]
+        for r in acid.scan(spark, root, [("amt", ">=", 900.0)]).collect()
+    )
+    want = sorted(k for k, _v, amt in rows if amt >= 900.0)
+    assert got == want
+    h = acid._read_log(root)[-1]
+    assert h["op_params"]["zorder"] == ["k", "amt"]
+
+
 def test_restore_rolls_back_as_new_commit(spark, root):
     acid.create_table(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]), root)  # v0
     acid.append(_mk(spark, [(3, "c", 3.0)]), root)                        # v1

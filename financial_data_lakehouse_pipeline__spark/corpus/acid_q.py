@@ -335,6 +335,42 @@ def acid_optimize_noop(spark, sf_dir):
 
 
 @register(
+    "acid_stream_ingest",
+    "SELECT event_id, user_id, event_type FROM events",
+)
+def acid_stream_ingest(spark, sf_dir):
+    """Exactly-once streaming ingestion into the ACID table
+    (streaming.acid_append_sink): the events parquet is streamed
+    (availableNow) into a transactional table — one committed version
+    per micro-batch, ``app_txn_id=f"{{query}}:{{batch_id}}"`` — and the
+    table head must equal the batch read of the same source. Re-runs
+    redeliver every batch and every commit no-ops (the exactly-once
+    contract, also pinned in tests/test_streaming.py). The table root
+    is keyed by the source file's size+mtime so a regenerated driver
+    dataset gets a fresh ingest instead of a stale no-op."""
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stt = os.stat(src)
+    tag = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-{stt.st_size}-{int(stt.st_mtime)}"
+    )
+    root = os.path.join(_SCRATCH, "fixtures", "acid", f"stream_{tag}")
+    raw_schema = spark.read.parquet(src).schema
+    stream = st.stream_from_parquet_dir(
+        spark, sf_dir, raw_schema, glob="events.parquet"
+    ).select("event_id", "user_id", "event_type")
+    q = st.acid_append_sink(
+        stream, root, query_name=f"corpus-acid-stream-{tag}"
+    )
+    q.awaitTermination()
+    return acid.read_snapshot(spark, root).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@register(
     "acid_table_changes",
     # the oracle re-derives the change feed from the PRE-commit snapshot
     # files + the literal mutation batches: merge -> k=2 updated, k=99

@@ -130,6 +130,35 @@ def test_commit_link_race_raises(spark, root, monkeypatch):
     assert leftovers == []
 
 
+def test_concurrent_appends_all_land(spark, root):
+    """8 threads blind-append concurrently: the atomic-link race
+    serializes them, every append lands exactly once (versions 1..8),
+    no rows lost or duplicated — the optimistic-retry loop under real
+    contention, not a monkeypatched interleave."""
+    import threading
+
+    acid.create_table(_mk(spark, [(0, "z", 0.0)]), root)
+    errs: list[Exception] = []
+
+    def worker(i: int) -> None:
+        try:
+            acid.append(_mk(spark, [(i, f"w{i}", float(i))]), root)
+        except Exception as e:  # noqa: BLE001 - assert below
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(i,)) for i in range(1, 9)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert acid.latest_version(root) == 8
+    got = sorted(r["k"] for r in acid.read_snapshot(spark, root).collect())
+    assert got == list(range(9))
+
+
 def test_torn_trailing_entry_tolerated_mid_log_raises(spark, root):
     acid.create_table(_mk(spark, [(1, "a", 1.0)]), root)
     acid.append(_mk(spark, [(2, "b", 2.0)]), root)

@@ -783,6 +783,98 @@ def repetition_stats_docs(spark, sf_dir):
     return text.repetition_stats(d, n=2)
 
 
+#: shared CTE chain for the Naive Bayes train/infer pair: per-class
+#: term counts -> Laplace-smoothed log-odds weights (ROUND 6 after the
+#: single ln per class — everything before it is exact integers)
+_NB_CTES = f"""toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array({_CANON}, ' ')) AS term
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        lab AS (SELECT doc_id, (lang = 'en') AS y FROM documents),
+        ltoks AS (SELECT t.term, l.y FROM toks t JOIN lab l USING (doc_id)),
+        cnt AS (
+          SELECT term,
+                 SUM(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+                 SUM(CASE WHEN y THEN 0 ELSE 1 END) AS c_neg
+          FROM ltoks GROUP BY term
+        ),
+        tot AS (SELECT SUM(c_pos) AS tp, SUM(c_neg) AS tn,
+                       COUNT(*) AS v FROM cnt),
+        wts AS (
+          SELECT term, c_pos, c_neg,
+                 ROUND(ln(CAST(c_pos + 1 AS DOUBLE) / CAST(tp + v AS DOUBLE))
+                       - ln(CAST(c_neg + 1 AS DOUBLE) / CAST(tn + v AS DOUBLE)),
+                       6) + 0e0 AS weight
+          FROM cnt, tot
+        )"""
+
+
+@register(
+    "nb_train_weights_docs",
+    f"""WITH {_NB_CTES}
+        SELECT term, CAST(c_pos AS BIGINT) AS c_pos,
+               CAST(c_neg AS BIGINT) AS c_neg, weight
+        FROM wts""",
+)
+def nb_train_weights_docs(spark, sf_dir):
+    """TRAIN a Naive Bayes text classifier (operators/text.
+    naive_bayes_train — the trainer for linear_text_classifier's
+    inference): multinomial NB with Laplace smoothing over the shared
+    canonical tokenization, labels = (lang == 'en'). Per-class counts
+    are exact integers; the only floats are one ln per class, rounded
+    to 6 — so the learned weight table is bit-reproducible across
+    engines and partitionings."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.naive_bayes_train(d, F.col("lang") == "en")
+
+
+@register(
+    "nb_classify_docs",
+    f"""WITH {_NB_CTES},
+        prior AS (
+          SELECT ROUND(ln(
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS DOUBLE)
+                   / CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                          AS DOUBLE)), 6) + 0e0 AS bias
+          FROM documents
+        ),
+        scored AS (
+          SELECT tk.doc_id,
+                 COUNT(tk.term) AS n_tokens,
+                 COUNT(w.weight) AS n_hits,
+                 SUM(CAST(w.weight AS DECIMAL(30,6))) AS s
+          FROM toks tk LEFT JOIN wts w ON w.term = tk.term
+          GROUP BY tk.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+               bias + CASE WHEN COALESCE(n_tokens, 0) > 0
+                           THEN CAST(COALESCE(s, 0) AS DOUBLE) / n_tokens
+                           ELSE CAST(COALESCE(s, 0) AS DOUBLE) END AS score,
+               (bias + CASE WHEN COALESCE(n_tokens, 0) > 0
+                            THEN CAST(COALESCE(s, 0) AS DOUBLE) / n_tokens
+                            ELSE CAST(COALESCE(s, 0) AS DOUBLE) END)
+                 >= 0e0 AS label
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN scored USING (doc_id)
+        CROSS JOIN prior""",
+)
+def nb_classify_docs(spark, sf_dir):
+    """Train → infer round trip: naive_bayes_train's ROUND-6 weights +
+    naive_bayes_bias prior feed linear_text_classifier unchanged (its
+    DECIMAL(30,6) accumulation of 6-decimal weights is exact, so the
+    mean-of-weights score is bit-identical cross-engine). The oracle
+    retrains AND rescores in pure SQL — the full ML pipeline verified
+    end to end, not just the weight table."""
+    d = read_table(spark, sf_dir, "documents")
+    label = F.col("lang") == "en"
+    weights = text.naive_bayes_train(d, label).select("term", "weight")
+    bias = text.naive_bayes_bias(d, label)
+    return text.linear_text_classifier(d, weights, bias=bias, threshold=0.0)
+
+
 @register(
     "decontaminate_docs",
     f"""WITH {_SHINGLES_CTE},

@@ -834,6 +834,84 @@ def linear_text_classifier(
     )
 
 
+def naive_bayes_train(
+    df: DataFrame,
+    label: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """TRAIN a binary Naive Bayes bag-of-words text classifier — the
+    missing half of :func:`linear_text_classifier` (which only infers):
+    the standard recipe behind fastText-style quality/language filters
+    when the model must be reproducible. Multinomial NB with Laplace
+    smoothing reduces to a LINEAR model over term counts:
+
+        w(t) = ln((c_pos(t)+1)/(T_pos+V)) - ln((c_neg(t)+1)/(T_neg+V))
+
+    where c_y(t) = occurrences of t in class y, T_y = total tokens in
+    class y, V = vocabulary size. Everything is exact integer counting
+    until the single ln per class, rounded to ``round_decimals`` — so
+    the weight table is bit-reproducible across engines/partitionings
+    and plugs straight into linear_text_classifier (whose DECIMAL
+    accumulation of <=6-decimal weights is exact).
+
+    Scale shape: one explode, one (term, class) partial-aggregated
+    groupBy, three scalar aggregates broadcast back — the corpus never
+    shuffles twice. Tokenization is the shared canonical_text+tokens
+    pipeline, identical to inference.
+
+    Output: (term, c_pos, c_neg, weight), one row per vocabulary term.
+    """
+    from financial_data_lakehouse_pipeline__spark.operators.dedup import (
+        canonical_text,
+    )
+
+    toks = df.select(
+        label.cast("boolean").alias("__y"),
+        F.explode(tokens(canonical_text(F.col(text_col)))).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).cast("bigint").alias("c_pos"),
+        F.sum(F.when(F.col("__y"), 0).otherwise(1)).cast("bigint").alias("c_neg"),
+    )
+    totals = counts.agg(
+        F.sum("c_pos").alias("__tp"),
+        F.sum("c_neg").alias("__tn"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    w = (
+        F.log(
+            (F.col("c_pos") + 1).cast("double")
+            / (F.col("__tp") + F.col("__v")).cast("double")
+        )
+        - F.log(
+            (F.col("c_neg") + 1).cast("double")
+            / (F.col("__tn") + F.col("__v")).cast("double")
+        )
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        "c_pos",
+        "c_neg",
+        (F.round(w, round_decimals) + F.lit(0.0)).alias("weight"),
+    )
+
+
+def naive_bayes_bias(df: DataFrame, label: Column, round_decimals: int = 6) -> float:
+    """The NB class prior log-odds ln(n_pos/n_neg), rounded like the
+    weights — a 2-scalar driver-side aggregate (metadata-scale collect),
+    passed as linear_text_classifier's ``bias``."""
+    import math
+
+    r = df.select(
+        F.sum(F.when(label.cast("boolean"), 1).otherwise(0)).alias("p"),
+        F.sum(F.when(label.cast("boolean"), 0).otherwise(1)).alias("n"),
+    ).collect()[0]
+    val = round(math.log(r["p"] / r["n"]), round_decimals)
+    return val + 0.0
+
+
 #: Soundex consonant classes (public phonetic-coding standard):
 #: class digit -> member letters.
 _CONSONANT_CLASSES = (

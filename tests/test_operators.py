@@ -361,6 +361,36 @@ def test_language_id_ngram_accuracy(spark):
     assert got[12][1] == 0
 
 
+def test_naive_bayes_train_and_classify(spark):
+    """Train NB on the labeled fixture (en vs rest) and classify the
+    SAME corpus: every en doc must score positive, every non-en doc
+    negative (training-set separation — a weak but deterministic bar),
+    and characteristic terms get the expected weight signs."""
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark.operators import text
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang=lg, text=t) for i, lg, t in _LANG_FIXTURE
+         if lg != "und"]
+    )
+    label = df["lang"] == "en"
+    w = text.naive_bayes_train(df, label)
+    weights = {r.term: r.weight for r in w.collect()}
+    assert weights["the"] > 0  # english function word
+    assert weights["der"] < 0  # german function word
+    bias = text.naive_bayes_bias(df, label)
+    out = text.linear_text_classifier(
+        df, w.select("term", "weight"), bias=bias, threshold=0.0
+    )
+    got = {r.doc_id: (r.score, r.label) for r in out.collect()}
+    for i, lg, _t in _LANG_FIXTURE:
+        if lg == "und":
+            continue
+        score, pred = got[i]
+        assert pred == (lg == "en"), (i, lg, score)
+
+
 def test_language_id_ngram_short_and_empty(spark):
     from financial_data_lakehouse_pipeline__spark.operators import text
 

@@ -905,9 +905,15 @@ def naive_bayes_bias(df: DataFrame, label: Column, round_decimals: int = 6) -> f
     import math
 
     r = df.select(
-        F.sum(F.when(label.cast("boolean"), 1).otherwise(0)).alias("p"),
-        F.sum(F.when(label.cast("boolean"), 0).otherwise(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.when(label.cast("boolean"), 1).otherwise(0)), F.lit(0)
+        ).alias("p"),
+        F.coalesce(
+            F.sum(F.when(label.cast("boolean"), 0).otherwise(1)), F.lit(0)
+        ).alias("n"),
     ).collect()[0]
+    if r["p"] == 0 or r["n"] == 0:
+        return 0.0  # degenerate (empty or one-class input): neutral prior
     val = round(math.log(r["p"] / r["n"]), round_decimals)
     return val + 0.0
 

@@ -362,7 +362,8 @@ def acid_stream_ingest(spark, sf_dir):
         spark, sf_dir, raw_schema, glob="events.parquet"
     ).select("event_id", "user_id", "event_type")
     q = st.acid_append_sink(
-        stream, root, query_name=f"corpus-acid-stream-{tag}"
+        stream, root, query_name=f"corpus-acid-stream-{tag}",
+        checkpoint_location=os.path.join(root, "_spark_checkpoint"),
     )
     q.awaitTermination()
     return acid.read_snapshot(spark, root).select(

@@ -19,12 +19,16 @@ profile join + doc-keyed argmax), exact dedup (one fingerprint-keyed
 window), LSH near-dedup (banded signature join over stage-4 survivors
 only), decontamination (broadcast anti-flag on fingerprints), and the
 mixture thresholds (strata-sized aggregate broadcast back). The flagged
-table (ids + flags, no text) is persisted so the count aggregation, the
-mixture-threshold aggregate, and the packing branch share one
-computation — at 100 TB you would checkpoint it to the lake instead.
+table (ids + flags, no text) is checkpointed to the lake (scratch
+parquet) so the count aggregation, the mixture-threshold aggregate, and
+the packing branch share one computation of the funnel DAG without
+pinning executor memory — the same move at 100 TB, just to object
+storage.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import functions as F
 
@@ -40,6 +44,10 @@ from financial_data_lakehouse_pipeline__spark.operators.dedup import (
     minhash_lsh_pairs,
 )
 from financial_data_lakehouse_pipeline__spark.sources import read_table
+
+_SCRATCH = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", ".scratch")
+)
 
 #: Target training mixture over the document sources (the remaining 16
 #: sources are dropped by design — mixture weights define the corpus).
@@ -202,9 +210,20 @@ def curation_funnel_docs(spark, sf_dir):
             "f6", F.col("f5") & ~F.coalesce(F.col("__contam"), F.lit(False))
         )
     )
-    flagged = b4.select(
+    # Checkpoint the slim flag table (ids + flags, no text) to the lake
+    # so the count aggregation, mixture-threshold aggregate, and packing
+    # branch share ONE computation of the funnel DAG — exactly the
+    # posture you'd take at 100 TB, and unlike .persist() it pins no
+    # executor memory across bench/driver invocations (the prior cache
+    # was never unpersisted and leaked a pinned DataFrame per run).
+    ckpt = os.path.join(
+        _SCRATCH, "ckpt", "curation",
+        f"flagged_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    b4.select(
         "doc_id", "source", "n_tokens", "f1", "f2", "f3", "f4", "f5", "f6"
-    ).persist()
+    ).write.mode("overwrite").parquet(ckpt)
+    flagged = spark.read.parquet(ckpt)
 
     thr = sampling.mixture_thresholds(flagged.filter("f6"), "source", _MIX)
     fin = flagged.join(F.broadcast(thr), "source", "left").withColumn(

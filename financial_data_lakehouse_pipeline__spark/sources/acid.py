@@ -315,18 +315,27 @@ def _commit(
     op: str,
     adds: Sequence[str],
     removes: Sequence[str],
-    schema_json: str,
+    schema_json: str | None,
     expected_version: int | None = None,
     app_txn_id: str | None = None,
     op_params: dict | None = None,
     stats: dict | None = None,
+    schema_fn=None,
 ) -> int:
     """Atomically publish the next log entry; the ``os.link`` of the
     fully-written, fsynced temp file to the versioned name IS the
     commit point (atomic + fails-if-exists on POSIX — putIfAbsent).
     Raises ConcurrentCommitError on any lost race. Because the payload
     exists in full before the committed path does, a crash at any
-    instant can never leave a torn entry at a committed path."""
+    instant can never leave a torn entry at a committed path.
+
+    ``schema_fn`` (exclusive with ``schema_json``) derives the schema
+    to stamp FROM THE SAME LOG READ that computes the next version:
+    it is called with the entries list and must return the schema JSON
+    string (raising SchemaDriftError etc. as needed). This closes the
+    TOCTOU where a caller validates against one log head while the
+    link lands on a different one — validation and versioning observe
+    a single read."""
     os.makedirs(_log_dir(root), exist_ok=True)
     entries = _read_log(root)
     if app_txn_id is not None and any(
@@ -339,6 +348,8 @@ def _commit(
             f"read version {expected_version} but table is at {current}: "
             "re-read the snapshot and retry the transaction"
         )
+    if schema_fn is not None:
+        schema_json = schema_fn(entries)
     version = current + 1
     entry = {
         "version": version,
@@ -362,6 +373,24 @@ def _commit(
     try:
         os.link(tmp, _entry_path(root, version))
     except FileExistsError as exc:
+        # Distinguish a lost race (a VALID entry occupies the path —
+        # retryable) from a torn/foreign file squatting on it (the
+        # trailing-torn entry _read_log tolerates for readers). The
+        # latter is NOT retryable: every future _commit would compute
+        # this same version and spin forever. Raise CorruptLogError so
+        # retry loops stop; repair with repair_torn_log().
+        try:
+            with open(_entry_path(root, version)) as f:
+                json.load(f)
+        except (json.JSONDecodeError, ValueError):
+            raise CorruptLogError(
+                f"log path for version {version} in {_log_dir(root)} is "
+                "occupied by an unparsable (torn/foreign) file, wedging "
+                "all writers — run acid.repair_torn_log(root) to remove "
+                "it, then retry the write"
+            ) from exc
+        except OSError:
+            pass  # vanished between link and open: a real race, retry
         raise ConcurrentCommitError(
             f"version {version} was committed concurrently"
         ) from exc
@@ -392,7 +421,15 @@ def _collect_stats(root: str, rels: Sequence[str]) -> dict:
     commit time; Delta computes the same stats inline during the
     write). Only JSON-safe scalar types are recorded (int/float/str/
     bool); other columns are simply absent — readers treat a missing
-    stat as "cannot prune"."""
+    stat as "cannot prune".
+
+    A column whose stats are missing or unusable in ANY row group of a
+    file (writer dropped min/max, e.g. oversized strings; byte stats
+    that fail UTF-8 decode; non-JSON-scalar logical types) is POISONED
+    for that file: no stats are recorded for it at all, Delta-style.
+    Recording the other row groups' range would understate the file's
+    true range and let ``pruned_files`` skip a file that actually
+    contains matching rows — pruning must stay conservative."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict] = {}
@@ -402,22 +439,26 @@ def _collect_stats(root: str, rels: Sequence[str]) -> dict:
         except OSError:
             continue
         cols: dict[str, dict] = {}
+        poisoned: set[str] = set()
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
                 c = g.column(ci)
+                name = c.path_in_schema
                 st = c.statistics
                 if st is None or not st.has_min_max:
+                    poisoned.add(name)
                     continue
                 mn, mx = st.min, st.max
                 if isinstance(mn, bytes):
                     try:
                         mn, mx = mn.decode(), mx.decode()
                     except UnicodeDecodeError:
+                        poisoned.add(name)
                         continue
                 if not isinstance(mn, (int, float, str, bool)):
+                    poisoned.add(name)
                     continue
-                name = c.path_in_schema
                 cur = cols.get(name)
                 nulls = int(st.null_count or 0)
                 if cur is None:
@@ -426,6 +467,8 @@ def _collect_stats(root: str, rels: Sequence[str]) -> dict:
                     cur["min"] = min(cur["min"], mn)
                     cur["max"] = max(cur["max"], mx)
                     cur["nulls"] += nulls
+        for name in poisoned:
+            cols.pop(name, None)
         if cols:
             out[rel] = cols
     return out
@@ -657,13 +700,17 @@ def append(
     out_schema(json.loads(entries[-1]["schema"]))  # validate BEFORE writing
     adds = _write_data(df, root, entries[-1]["version"] + 1)
     stats = _collect_stats(root, adds)
+    # schema_fn validates against the SAME log read _commit uses to
+    # compute the next version — an overwrite with a different schema
+    # landing between any earlier read and the link can never be
+    # silently built upon (it either raises drift here, or loses the
+    # link race and the retry re-validates against the new head).
     while True:
-        committed = json.loads(_read_log(root)[-1]["schema"])
-        schema_out = out_schema(committed)
         try:
             return _commit(
-                root, "append", adds, [], schema_out,
+                root, "append", adds, [], None,
                 app_txn_id=app_txn_id, stats=stats,
+                schema_fn=lambda es: out_schema(json.loads(es[-1]["schema"])),
             )
         except ConcurrentCommitError:
             continue  # re-validate against the new head, then retry
@@ -1142,6 +1189,37 @@ def vacuum(
                 os.remove(full)
                 deleted.append(rel)
     return sorted(deleted)
+
+
+def repair_torn_log(root: str) -> str | None:
+    """Remove an unparsable TRAILING log entry so writers can commit
+    again (the repair step _commit's CorruptLogError points at).
+
+    Our own commits publish atomically, so a torn trailing entry only
+    arises from foreign tooling (mid-write rsync/copy of the table).
+    Readers already tolerate it (_read_log skips it as uncommitted),
+    but it squats on the next version's path and wedges every writer.
+    Removing it is safe precisely because it is unparsable AND trailing:
+    it was never a committed version, and no later entry builds on it
+    (mid-log corruption still raises — this never deletes history).
+
+    Returns the removed filename, or None when the log is healthy."""
+    d = _log_dir(root)
+    if not os.path.isdir(d):
+        return None
+    names = sorted(n for n in os.listdir(d) if re.fullmatch(r"\d{8}\.json", n))
+    if not names:
+        return None
+    last = os.path.join(d, names[-1])
+    try:
+        with open(last) as f:
+            json.load(f)
+        return None  # trailing entry is a healthy commit
+    except (json.JSONDecodeError, ValueError):
+        os.unlink(last)
+        return names[-1]
+    except OSError:
+        return None
 
 
 def snapshot_files(root: str, version: int | None = None) -> list[str]:

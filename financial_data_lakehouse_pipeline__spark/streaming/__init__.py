@@ -296,6 +296,7 @@ def acid_append_sink(
     query_name: str = "acid_append_sink",
     merge_keys: Sequence[str] | None = None,
     checkpoint_location: str | None = None,
+    allow_uncheckpointed: bool = False,
 ):
     """Exactly-once streaming sink into a sources/acid.py table via
     foreachBatch: each micro-batch commits with
@@ -304,6 +305,17 @@ def acid_append_sink(
     foreachBatch contract) is an idempotent no-op — at-least-once
     delivery + idempotent transactional commit = exactly-once table
     state, the same recipe Delta's ``txnAppId``/``txnVersion`` uses.
+
+    **The exactly-once contract REQUIRES ``checkpoint_location``.**
+    Idempotency is keyed on batch_id, and Structured Streaming only
+    guarantees a stable batch_id→content mapping when the query runs
+    against a checkpoint; without one, a redelivered batch id can carry
+    DIFFERENT rows (source files added between runs, listing-order
+    drift) and would be silently no-opped — dropping data. Passing
+    ``checkpoint_location=None`` therefore raises unless
+    ``allow_uncheckpointed=True``, the explicit opt-in for callers that
+    guarantee deterministic batching themselves (an immutable source
+    dir replayed availableNow from scratch, e.g. the redelivery test).
 
     ``merge_keys=None`` appends (create on first batch); with keys,
     each batch MERGEs (update-or-insert — dedupe the batch to one row
@@ -315,6 +327,15 @@ def acid_append_sink(
     Returns the StreamingQuery (availableNow trigger; caller awaits).
     """
     from financial_data_lakehouse_pipeline__spark.sources import acid
+
+    if checkpoint_location is None and not allow_uncheckpointed:
+        raise ValueError(
+            "acid_append_sink without checkpoint_location breaks the "
+            "exactly-once contract (batch ids are only stable under a "
+            "checkpoint); pass checkpoint_location, or "
+            "allow_uncheckpointed=True if the source is immutable and "
+            "replays deterministically"
+        )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         txn = f"{query_name}:{batch_id}"

@@ -539,3 +539,81 @@ def test_history_shape(spark, root):
     assert h[0]["op"] == "overwrite" and h[1]["op"] == "append"
     assert h[1]["app_txn_id"] == "t1"
     assert h[1]["n_adds"] >= 1 and h[1]["n_removes"] == 0
+
+
+def test_torn_trailing_entry_does_not_wedge_writers(spark, root):
+    """A torn trailing entry squats on the next version's path; before
+    round 10 append's retry loop spun on it forever. _commit must raise
+    CorruptLogError (non-retryable) and repair_torn_log must clear it."""
+    acid.create_table(_mk(spark, [(1, "a", 1.0)]), root)
+    open(acid._entry_path(root, 1), "w").close()  # torn: empty file
+    assert acid.latest_version(root) == 0  # readers tolerate it
+    with pytest.raises(acid.CorruptLogError, match="repair_torn_log"):
+        acid.append(_mk(spark, [(2, "b", 2.0)]), root)
+    # repair removes exactly the torn entry, then writes flow again
+    assert acid.repair_torn_log(root) == "00000001.json"
+    assert acid.repair_torn_log(root) is None  # healthy log: no-op
+    assert acid.append(_mk(spark, [(2, "b", 2.0)]), root) == 1
+    got = sorted(r["k"] for r in acid.read_snapshot(spark, root).collect())
+    assert got == [1, 2]
+
+
+def test_append_validates_schema_under_commit_log_read(spark, root):
+    """The narrowest TOCTOU: an overwrite with a DIFFERENT schema lands
+    between append's last log read and the link. schema_fn moves the
+    validation onto _commit's own read, so the retry after the lost
+    link race re-validates against the new head and raises drift —
+    never stamping a schema validated against a stale head."""
+    acid.create_table(_mk(spark, [(1, "a", 1.0)]), root)
+    real_link = os.link
+    state = {"fired": False}
+
+    def racing_link(src, dst):
+        if not state["fired"] and "00000001.json" in dst:
+            state["fired"] = True  # the racer wins version 1 first
+            acid.create_table(
+                spark.createDataFrame([(1, 2.5)], "k int, other double"),
+                root,
+            )
+        return real_link(src, dst)
+
+    import builtins  # noqa: F401  (monkeypatch target is the os module)
+
+    try:
+        os.link = racing_link
+        with pytest.raises(ValueError, match="schema drift"):
+            acid.append(_mk(spark, [(3, "c", 3.0)]), root)
+    finally:
+        os.link = real_link
+    assert state["fired"]
+    # the overwrite won; the failed append left no committed trace
+    assert acid.latest_version(root) == 1
+    assert [f.name for f in acid.read_snapshot(spark, root).schema.fields] \
+        == ["k", "other"]
+
+
+def test_collect_stats_poisons_partial_row_group_stats(root):
+    """A column whose min/max are absent in ANY row group (pyarrow drops
+    stats for oversized string values) must carry NO file-level stats —
+    recording the other row groups' range would let pruned_files skip a
+    file that actually contains matching rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    rel = "data/mixed.parquet"
+    big = "z" * 100_000  # beyond parquet-cpp's stats size cutoff
+    t1 = pa.table({"k": [1, 2], "v": ["a", "b"]})
+    t2 = pa.table({"k": [3, 4], "v": [big, big]})
+    w = pq.ParquetWriter(os.path.join(root, rel), t1.schema)
+    w.write_table(t1)
+    w.write_table(t2)
+    w.close()
+    stats = acid._collect_stats(root, [rel])
+    # k has healthy stats in both row groups: merged across groups
+    assert stats[rel]["k"] == {"min": 1, "max": 4, "nulls": 0}
+    # v's row group 1 stats were dropped by the writer: POISONED —
+    # with rg0's ('a','b') recorded, a predicate v == 'zzz…' would
+    # wrongly prune this file even though rg1 matches
+    assert "v" not in stats[rel]
+    assert acid._file_may_match(stats[rel], "v", "==", big) is True

@@ -462,7 +462,10 @@ def test_acid_append_sink_exactly_once_replay(spark, tmp_path):
             .option("maxFilesPerTrigger", 1)
             .parquet(feed + "/*")
         )
-        q = st.acid_append_sink(stream, root, query_name="t_acid_once")
+        q = st.acid_append_sink(
+            stream, root, query_name="t_acid_once",
+            allow_uncheckpointed=True,  # immutable feed, deliberate redelivery
+        )
         q.awaitTermination()
 
     run()

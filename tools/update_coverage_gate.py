@@ -108,6 +108,28 @@ def main() -> int:
 
     path = os.path.join(REPO, "COVERAGE.md")
     doc = open(path).read()
+    # Stamp the Totals line from the LIVE corpus in the same pass — it
+    # drifted by hand-editing in round 9 (read 299/297 while the corpus
+    # was 312/310). Import inside main: the registry import starts no
+    # Spark session, it just registers query callables.
+    sys.path.insert(0, REPO)
+    from financial_data_lakehouse_pipeline__spark import corpus
+
+    n_q = len(corpus.queries())
+    n_oracle = len(corpus.oracle_sql())
+    totals = (
+        f"**Totals: {n_q} corpus queries, {n_oracle} oracle-paired, "
+        f"{n_q - n_oracle} rows-only (HLL, approx-percentile).**"
+    )
+    doc, n_tot = re.subn(
+        r"\*\*Totals: \d+ corpus queries, \d+ oracle-paired, "
+        r"\d+ rows-only \(HLL, approx-percentile\)\.\*\*",
+        totals,
+        doc,
+    )
+    if not n_tot:
+        print("Totals line not found in COVERAGE.md", file=sys.stderr)
+        return 1
     # Consume ALL trailing pytest sentences, not just the first — a
     # non-greedy stop at the first "passed." left earlier rounds' tails
     # accumulating as stale "`pytest tests/` → N passed." sentences.

@@ -77,6 +77,9 @@ HEADLINE = [
     "repeated_spans_docs",       # substring-dedup span diagnostic
     "curation_funnel_docs",      # LLM: end-to-end curation funnel
     "dpp_partitioned_revenue",   # dynamic-partition-pruned lake scan
+    "acid_stream_ingest",        # exactly-once streaming ACID sink
+    "acid_merge_upsert",         # file-pruned copy-on-write MERGE
+    "acid_partitioned_prune",    # partition+stats pruned ACID scan
 ]
 
 

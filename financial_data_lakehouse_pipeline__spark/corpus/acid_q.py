@@ -44,6 +44,7 @@ _DL_ROOT = os.path.join(_SCRATCH, "fixtures", "acid", "delete")
 _SK_ROOT = os.path.join(_SCRATCH, "fixtures", "acid", "skipping")
 _RS_ROOT = os.path.join(_SCRATCH, "fixtures", "acid", "restore")
 _OP_ROOT = os.path.join(_SCRATCH, "fixtures", "acid", "optimize")
+_PT_ROOT = os.path.join(_SCRATCH, "fixtures", "acid", "partitioned")
 
 #: Bump when fixture CONTENT changes — the builder wipes and rebuilds
 #: any table whose version-0 app_txn_id doesn't match. (v2: fixtures
@@ -178,6 +179,51 @@ def _build_skipping_base(root: str) -> None:
                  stats=acid._collect_stats(root, adds))
 
 
+_PT_SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            {"name": "amt", "type": "double", "nullable": True, "metadata": {}},
+            {"name": "year", "type": "integer", "nullable": True,
+             "metadata": {}},
+        ],
+    },
+    sort_keys=True,
+)
+
+
+def _build_partitioned_base(root: str) -> None:
+    # hive layout: one file per year partition, partition column in the
+    # PATH (not the footers), partition values + per-file stats in the
+    # commit — so both prune paths (partition first, then stats) have
+    # something to bite on: year>=2025 drops the 2024 file by partition
+    # value, k<=4 drops the 2026 file (k=5) by min/max stats
+    pb = ["year"]
+    adds = [
+        _write_fixture_file(
+            root, os.path.join("data", "v0-fixture", "year=2024"),
+            [(1, "a", 1.0), (2, "b", 2.0)],
+        ),
+        _write_fixture_file(
+            root, os.path.join("data", "v0-fixture", "year=2025"),
+            [(3, "c", 3.0), (4, "d", 4.0)],
+        ),
+        _write_fixture_file(
+            root, os.path.join("data", "v0-fixture", "year=2026"),
+            [(5, "e", 5.0)],
+        ),
+    ]
+    acid._commit(
+        root, "overwrite", adds, [], _PT_SCHEMA_JSON,
+        expected_version=-1, app_txn_id=_BASE_TXN,
+        stats=acid._collect_stats(root, adds),
+        partition_by=pb,
+        partitions={r: acid._partition_values_of(r, pb) for r in adds},
+    )
+
+
 def _build_restore_base(root: str) -> None:
     # v0: the good state; v1: a bad append the query rolls back
     adds0 = [
@@ -206,6 +252,7 @@ _ensure(_DL_ROOT, 0, _build_delete_base)
 _ensure(_SK_ROOT, 0, _build_skipping_base)
 _ensure(_RS_ROOT, 1, _build_restore_base)
 _ensure(_OP_ROOT, 0, _build_skipping_base)  # 3 small files to compact
+_ensure(_PT_ROOT, 0, _build_partitioned_base)
 
 
 def _read_parquet_list(root: str, version: int) -> str:
@@ -222,6 +269,12 @@ _DL_V0 = _read_parquet_list(_DL_ROOT, 0)
 _SK_V0 = _read_parquet_list(_SK_ROOT, 0)
 _RS_V0 = _read_parquet_list(_RS_ROOT, 0)
 _OP_V0 = _read_parquet_list(_OP_ROOT, 0)
+# the FULL v0 list with hive partition parsing — the oracle reads every
+# file unpruned and filters, so a hash match proves the partition+stats
+# pruned scan lossless
+_PT_V0 = _read_parquet_list(_PT_ROOT, 0).replace(
+    "])", "], hive_partitioning=1)"
+)
 
 
 @register(
@@ -297,6 +350,33 @@ def acid_stats_pruned_scan(spark, sf_dir):
     return acid.scan(
         spark, _SK_ROOT, [("k", ">=", 10), ("k", "<=", 11)]
     ).select("k", "v", "amt")
+
+
+@register(
+    "acid_partitioned_prune",
+    # the oracle reads the FULL v0 snapshot (hive partition values
+    # parsed from the paths) and filters — proving the scan that
+    # partition-prunes the 2024 file AND stats-prunes the 2026 file
+    # (k=5 outside k<=4) is lossless
+    f"""SELECT k, v, amt, CAST(year AS INT) AS year
+        FROM {_PT_V0}
+        WHERE year >= 2025 AND k <= 4""",
+)
+def acid_partitioned_prune(spark, sf_dir):
+    """Partition-pruned scan over a hive-partitioned ACID table
+    (acid.create_table(partition_by=['year']) — the reference lake's
+    signature layout, data_cleaning.py:127): partition values recorded
+    in the commit drop the year=2024 file at metadata cost BEFORE
+    stats, then per-file min/max stats drop the year=2026 file (its
+    only k is 5, outside k<=4) — the two prune paths composing in one
+    scan. The exact pruned file set is pinned in tests/test_acid.py;
+    read-back re-injects the partition column from the file paths."""
+    assert acid.pruned_files(
+        _PT_ROOT, [("year", ">=", 2025), ("k", "<=", 4)]
+    ) == [os.path.join("data", "v0-fixture", "year=2025", "part-0.parquet")]
+    return acid.scan(
+        spark, _PT_ROOT, [("year", ">=", 2025), ("k", "<=", 4)]
+    ).select("k", "v", "amt", "year")
 
 
 @register(

@@ -18,7 +18,19 @@ Each log entry is a self-contained action record::
      "removes": [relative parquet paths...],
      "schema": "<json schema of the table after this commit>",
      "commit_ts": <float unix seconds>, "app_txn_id": "..."|null,
-     "op_params": {...}}
+     "op_params": {...},
+     "partition_by": [partition columns as of this commit],
+     "partitions": {rel path: {col: "hive string value"|null}}}
+
+Hive-partitioned tables (``create_table(partition_by=[...])`` — the
+reference lake's signature layout, data_cleaning.py:127
+``partitionBy('year','month','day')``): data files land under
+``col=val/`` dirs inside the version dir, partition values are logged
+per file, and ``pruned_files``/``scan`` prune by partition predicate
+BEFORE min/max stats — whole partitions drop at metadata cost, stats
+skipping composes inside the survivors. Partition columns live in the
+file PATHS, not the footers; snapshot reads re-inject them via one
+``basePath`` scan per version dir (never per partition).
 
 Snapshot at version V = replay entries 0..V: live files = union(adds)
 minus union(removes). This is Delta's add/remove-action model (Armbrust
@@ -321,6 +333,8 @@ def _commit(
     op_params: dict | None = None,
     stats: dict | None = None,
     schema_fn=None,
+    partition_by: Sequence[str] | None = None,
+    partitions: dict | None = None,
 ) -> int:
     """Atomically publish the next log entry; the ``os.link`` of the
     fully-written, fsynced temp file to the versioned name IS the
@@ -361,6 +375,11 @@ def _commit(
         "app_txn_id": app_txn_id,
         "op_params": op_params or {},
         "stats": stats or {},
+        # table partitioning as of this commit + per-added-file partition
+        # values (strings, hive encoding) — metadata-scale, lets
+        # pruned_files prune whole partitions without touching storage
+        "partition_by": list(partition_by or []),
+        "partitions": partitions or {},
     }
     payload = json.dumps(entry, sort_keys=True).encode()
     tmp = os.path.join(
@@ -505,17 +524,60 @@ def _file_may_match(stats: dict | None, col: str, op: str, val) -> bool:
     return True
 
 
+def _partition_may_match(pvals: dict | None, col: str, op: str, val) -> bool:
+    """Partition-value test: the file holds EXACTLY one value of a
+    partition column, so unlike min/max stats this is an exact test,
+    not a range overlap. Missing values → True (cannot prune); a NULL
+    partition value can never satisfy a comparison predicate (SQL
+    three-valued logic) → always pruned. Logged values are hive-encoded
+    strings; they are coerced to the PREDICATE literal's type so int/
+    float/bool/str (and ISO dates, which compare lexicographically)
+    all prune correctly — a failed coercion never prunes."""
+    if not pvals or col not in pvals:
+        return True
+    sv = pvals[col]
+    if sv is None:
+        return False
+    try:
+        if isinstance(val, bool):
+            pv = sv.lower() == "true"
+        elif isinstance(val, int):
+            pv = int(sv)
+        elif isinstance(val, float):
+            pv = float(sv)
+        else:
+            pv = sv
+    except (ValueError, AttributeError):
+        return True
+    try:
+        if op == "==":
+            return pv == val
+        if op == ">=":
+            return pv >= val
+        if op == ">":
+            return pv > val
+        if op == "<=":
+            return pv <= val
+        if op == "<":
+            return pv < val
+    except TypeError:
+        return True
+    return True
+
+
 def pruned_files(
     root: str,
     predicates: Sequence[tuple],
     version: int | None = None,
 ) -> list[str]:
-    """The snapshot file list after stats-based data skipping: keep a
-    file unless the log's per-file min/max PROVE it cannot contain a
-    row matching ALL ``predicates`` (a conjunction of simple
-    comparisons ``(column, op, literal)`` with op in ==/>=/<=/>/<).
-    Exposed separately so tests (and the DuckDB oracle) can assert the
-    exact pruned set."""
+    """The snapshot file list after partition pruning + stats-based
+    data skipping: keep a file unless (a) its logged PARTITION VALUES
+    prove no row can match — exact, whole partitions drop first — or
+    (b) the log's per-file min/max PROVE it cannot contain a matching
+    row, for ALL ``predicates`` (a conjunction of simple comparisons
+    ``(column, op, literal)`` with op in ==/>=/<=/>/<). Exposed
+    separately so tests (and the DuckDB oracle) can assert the exact
+    pruned set."""
     for _, op, _v in predicates:
         if op not in _PRUNE_OPS:
             raise ValueError(f"unsupported prune op: {op}")
@@ -526,16 +588,20 @@ def pruned_files(
         version = entries[-1]["version"]
     files = _resolve(root, entries, version)
     stats_by_file: dict[str, dict] = {}
+    parts_by_file: dict[str, dict] = {}
     for e in entries:
         if e["version"] > version:
             break
         for rel, st in (e.get("stats") or {}).items():
             stats_by_file[rel] = st
+        for rel, pv in (e.get("partitions") or {}).items():
+            parts_by_file[rel] = pv
     return [
         f
         for f in files
         if all(
-            _file_may_match(stats_by_file.get(f), col, op, val)
+            _partition_may_match(parts_by_file.get(f), col, op, val)
+            and _file_may_match(stats_by_file.get(f), col, op, val)
             for col, op, val in predicates
         )
     ]
@@ -564,12 +630,7 @@ def scan(
         raise NoSuchVersionError(f"version {version} not in log")
     schema = T.StructType.fromJson(json.loads(by_v[version]["schema"]))
     files = pruned_files(root, predicates, version)
-    if not files:
-        df = spark.createDataFrame([], schema)
-    else:
-        df = spark.read.schema(schema).parquet(
-            *[os.path.join(root, f) for f in files]
-        )
+    df = _read_files(spark, root, files, schema)
     for col, op, val in predicates:
         c = F.col(col)
         expr = {
@@ -580,47 +641,167 @@ def scan(
     return df
 
 
-def _write_data(df: DataFrame, root: str, version_hint: int) -> list[str]:
+def _write_data(
+    df: DataFrame,
+    root: str,
+    version_hint: int,
+    partition_by: Sequence[str] | None = None,
+) -> list[str]:
     """Write df as parquet under data/v<hint>-<token>/ and return the
     part files RELATIVE to root (the log stores relative paths so the
-    table directory is relocatable). Zero-row part files (empty task
-    partitions — routine under Spark's default parallelism on small
-    batches) are deleted, not committed: they would accumulate as
-    stat-less files that data skipping can never prune and every scan
-    must still open."""
+    table directory is relocatable). With ``partition_by``, files land
+    hive-layout (``col=val/`` dirs) under the version dir — ONE Spark
+    job regardless of partition count; the partition values a file owns
+    are recorded in its path (and, by the caller, in the commit entry —
+    metadata-scale, so ``pruned_files`` prunes partitions without
+    listing directories). Zero-row part files (empty task partitions —
+    routine under Spark's default parallelism on small batches) are
+    deleted, not committed: they would accumulate as stat-less files
+    that data skipping can never prune and every scan must still open."""
     import pyarrow.parquet as pq
 
     token = uuid.uuid4().hex[:12]
     rel_dir = os.path.join(_DATA_DIR, f"v{version_hint}-{token}")
     out = os.path.join(root, rel_dir)
-    df.write.mode("error").parquet(out)
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out)
     rels = []
-    for name in sorted(os.listdir(out)):
-        if not name.endswith(".parquet"):
-            continue
-        full = os.path.join(out, name)
-        try:
-            n_rows = pq.ParquetFile(full).metadata.num_rows
-        except OSError:
-            n_rows = -1  # unreadable: keep, let the scan surface it
-        if n_rows == 0:
-            os.remove(full)
-            continue
-        rels.append(os.path.join(rel_dir, name))
-    return rels
+    for dirpath, _dirnames, filenames in os.walk(out):
+        for name in sorted(filenames):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(dirpath, name)
+            try:
+                n_rows = pq.ParquetFile(full).metadata.num_rows
+            except OSError:
+                n_rows = -1  # unreadable: keep, let the scan surface it
+            if n_rows == 0:
+                os.remove(full)
+                continue
+            rels.append(os.path.relpath(full, root))
+    return sorted(rels)
+
+
+def _partition_values_of(rel: str, partition_by: Sequence[str]) -> dict:
+    """Parse a file's partition values out of its hive-layout relative
+    path (``data/vN-token/col=val/.../part.parquet``). Values are kept
+    as the STRINGS hive encodes in the path (Delta stores partition
+    values as strings too); ``__HIVE_DEFAULT_PARTITION__`` is NULL."""
+    from urllib.parse import unquote
+
+    vals: dict[str, str | None] = {}
+    for seg in rel.split(os.sep)[2:-1]:
+        k, eq, v = seg.partition("=")
+        if eq and k in partition_by:
+            vals[k] = (
+                None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+            )
+    return vals
+
+
+def _table_partition_by(entries: Sequence[dict], version: int | None = None) -> list[str]:
+    """The table's partition columns as of ``version`` (default: head).
+    Stamped on every commit entry; entries from before partitioning
+    support (or unpartitioned tables) read as []."""
+    if not entries:
+        return []
+    if version is None:
+        return list(entries[-1].get("partition_by") or [])
+    for e in reversed(entries):
+        if e["version"] <= version:
+            return list(e.get("partition_by") or [])
+    return []
+
+
+def _read_files(
+    spark: SparkSession,
+    root: str,
+    files: Sequence[str],
+    schema,
+    with_file_col: str | None = None,
+) -> DataFrame:
+    """Read an explicit snapshot file list with partition columns
+    re-injected. Partitioned files don't store partition columns in
+    their footers — the values live in the ``col=val`` path segments —
+    so those files are read per version dir with ``basePath`` (Spark's
+    partition recovery parses the path and casts to the declared
+    schema; one scan node per version dir, never per partition).
+    Spanning version dirs with one basePath is impossible (the
+    ``vN-token`` level conflicts — CONFLICTING_DIRECTORY_STRUCTURES),
+    hence the group-and-union. Plain files read as one scan, so
+    unpartitioned tables keep the single-node fast path.
+
+    ``with_file_col`` materializes ``_metadata.file_path`` under that
+    name BEFORE the union (the metadata column resolves only directly
+    against a file-source relation, not through a union)."""
+    if not files:
+        df = spark.createDataFrame([], schema)
+        if with_file_col:
+            df = df.withColumn(with_file_col, F.lit(None).cast("string"))
+        return df
+    plain: list[str] = []
+    by_vdir: dict[str, list[str]] = {}
+    for f in files:
+        parts = f.split(os.sep)
+        if len(parts) > 3 and any("=" in seg for seg in parts[2:-1]):
+            by_vdir.setdefault(os.path.join(*parts[:2]), []).append(f)
+        else:
+            plain.append(f)
+
+    def _load(reader, paths):
+        df = reader.parquet(*[os.path.join(root, p) for p in paths])
+        if with_file_col:
+            df = df.withColumn(with_file_col, F.col("_metadata.file_path"))
+        return df
+
+    dfs = []
+    if plain:
+        dfs.append(_load(spark.read.schema(schema), plain))
+    for vdir in sorted(by_vdir):
+        dfs.append(
+            _load(
+                spark.read.schema(schema).option(
+                    "basePath", os.path.join(root, vdir)
+                ),
+                by_vdir[vdir],
+            )
+        )
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 def create_table(
-    df: DataFrame, root: str, app_txn_id: str | None = None
+    df: DataFrame,
+    root: str,
+    app_txn_id: str | None = None,
+    partition_by: Sequence[str] | None = None,
 ) -> int:
     """Create (or fully replace) the table: version with op=overwrite
-    whose removes = every previously-live file."""
+    whose removes = every previously-live file.
+
+    ``partition_by`` hive-partitions the table (reference
+    scripts/spark_jobs/data_cleaning.py:127 ``partitionBy('year',
+    'month','day')`` — the reference lake's signature layout): data
+    files land under ``col=val/`` dirs, per-file partition values are
+    recorded in the log, and ``pruned_files``/``scan`` prune by
+    partition predicate BEFORE stats — whole partitions drop at
+    metadata cost, composing with stats skipping inside the surviving
+    partitions. Subsequent appends/merges/deletes inherit the
+    partitioning; only a new create_table can change it."""
+    pb = list(partition_by or [])
+    missing = [c for c in pb if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition_by columns not in df: {missing}")
     entries = _read_log(root)
     if _already_applied(entries, app_txn_id):
         return -1
     current = entries[-1]["version"] if entries else -1
     prior = _resolve(root, entries, current) if current >= 0 else []
-    adds = _write_data(df, root, current + 1)
+    adds = _write_data(df, root, current + 1, partition_by=pb)
     return _commit(
         root,
         "overwrite",
@@ -630,6 +811,8 @@ def create_table(
         expected_version=current,
         app_txn_id=app_txn_id,
         stats=_collect_stats(root, adds),
+        partition_by=pb,
+        partitions={r: _partition_values_of(r, pb) for r in adds} if pb else None,
     )
 
 
@@ -698,19 +881,33 @@ def append(
         )
 
     out_schema(json.loads(entries[-1]["schema"]))  # validate BEFORE writing
-    adds = _write_data(df, root, entries[-1]["version"] + 1)
+    pb = _table_partition_by(entries)  # appends inherit the partitioning
+    adds = _write_data(df, root, entries[-1]["version"] + 1, partition_by=pb)
     stats = _collect_stats(root, adds)
-    # schema_fn validates against the SAME log read _commit uses to
+
+    # validate_head runs against the SAME log read _commit uses to
     # compute the next version — an overwrite with a different schema
-    # landing between any earlier read and the link can never be
-    # silently built upon (it either raises drift here, or loses the
+    # or partitioning landing between any earlier read and the link can
+    # never be silently built upon (it either raises here, or loses the
     # link race and the retry re-validates against the new head).
+    def validate_head(es):
+        if _table_partition_by(es) != pb:
+            raise ValueError(
+                f"partitioning drift: table is now partitioned by "
+                f"{_table_partition_by(es)} but this append wrote {pb} — "
+                "a concurrent overwrite changed the layout; retry the append"
+            )
+        return out_schema(json.loads(es[-1]["schema"]))
+
     while True:
         try:
             return _commit(
                 root, "append", adds, [], None,
                 app_txn_id=app_txn_id, stats=stats,
-                schema_fn=lambda es: out_schema(json.loads(es[-1]["schema"])),
+                schema_fn=validate_head,
+                partition_by=pb,
+                partitions={r: _partition_values_of(r, pb) for r in adds}
+                if pb else None,
             )
         except ConcurrentCommitError:
             continue  # re-validate against the new head, then retry
@@ -743,11 +940,7 @@ def read_snapshot(
         raise NoSuchVersionError(f"version {version} not in log")
     files = _resolve(root, entries, version)
     schema = T.StructType.fromJson(json.loads(by_v[version]["schema"]))
-    if not files:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *[os.path.join(root, f) for f in files]
-    )
+    return _read_files(spark, root, files, schema)
 
 
 def merge(
@@ -788,14 +981,15 @@ def merge(
         json.loads(updates.schema.json()),
         json.loads(entries[-1]["schema"]),
     )
+    pb = _table_partition_by(entries)
     files = _resolve(root, entries, read_version)
     if not files:
         touched_rel: list[str] = []
         merged = updates
     else:
-        attributed = spark.read.schema(snap.schema).parquet(
-            *[os.path.join(root, f) for f in files]
-        ).withColumn("__file", F.col("_metadata.file_path"))
+        attributed = _read_files(
+            spark, root, files, snap.schema, with_file_col="__file"
+        )
         key_set = updates.select(*keys).distinct()
         touched_files = [
             r["__file"]
@@ -811,14 +1005,9 @@ def merge(
             )
             for f in touched_files
         )
-        if touched_rel:
-            touched_df = spark.read.schema(snap.schema).parquet(
-                *[os.path.join(root, f) for f in touched_rel]
-            )
-        else:
-            touched_df = spark.createDataFrame([], snap.schema)
+        touched_df = _read_files(spark, root, touched_rel, snap.schema)
         merged = merge_upsert(touched_df, updates, keys)
-    adds = _write_data(merged, root, read_version + 1)
+    adds = _write_data(merged, root, read_version + 1, partition_by=pb)
     return _commit(
         root,
         "merge",
@@ -829,6 +1018,9 @@ def merge(
         app_txn_id=app_txn_id,
         op_params={"keys": list(keys)},
         stats=_collect_stats(root, adds),
+        partition_by=pb,
+        partitions={r: _partition_values_of(r, pb) for r in adds}
+        if pb else None,
     )
 
 
@@ -847,17 +1039,16 @@ def delete_where(
     if _already_applied(entries, app_txn_id):
         return -1
     read_version = entries[-1]["version"]
+    pb = _table_partition_by(entries)
     files = _resolve(root, entries, read_version)
     schema = T.StructType.fromJson(json.loads(entries[-1]["schema"]))
     if not files:
         return _commit(
             root, "delete", [], [], schema.json(),
             expected_version=read_version, app_txn_id=app_txn_id,
-            op_params={"predicate": predicate},
+            op_params={"predicate": predicate}, partition_by=pb,
         )
-    attributed = spark.read.schema(schema).parquet(
-        *[os.path.join(root, f) for f in files]
-    ).withColumn("__file", F.col("_metadata.file_path"))
+    attributed = _read_files(spark, root, files, schema, with_file_col="__file")
     touched_files = [
         r["__file"]
         for r in attributed.filter(F.expr(predicate))
@@ -874,10 +1065,10 @@ def delete_where(
     )
     adds: list[str] = []
     if touched_rel:
-        survivors = spark.read.schema(schema).parquet(
-            *[os.path.join(root, f) for f in touched_rel]
-        ).filter(~F.expr(predicate))
-        adds = _write_data(survivors, root, read_version + 1)
+        survivors = _read_files(spark, root, touched_rel, schema).filter(
+            ~F.expr(predicate)
+        )
+        adds = _write_data(survivors, root, read_version + 1, partition_by=pb)
     return _commit(
         root,
         "delete",
@@ -888,6 +1079,9 @@ def delete_where(
         app_txn_id=app_txn_id,
         op_params={"predicate": predicate},
         stats=_collect_stats(root, adds),
+        partition_by=pb,
+        partitions={r: _partition_values_of(r, pb) for r in adds}
+        if pb else None,
     )
 
 
@@ -931,11 +1125,7 @@ def table_changes(
     )
 
     def read(files: Sequence[str], sch) -> DataFrame:
-        if not files:
-            return spark.createDataFrame([], sch)
-        return spark.read.schema(sch).parquet(
-            *[os.path.join(root, f) for f in files]
-        )
+        return _read_files(spark, root, files, sch)
 
     old_side = read(removed, old_schema)
     new_side = read(added, schema)
@@ -1021,11 +1211,10 @@ def optimize(
     if not candidates:
         return read_version
     schema = T.StructType.fromJson(json.loads(entries[-1]["schema"]))
+    pb = _table_partition_by(entries)
     total = sum(os.path.getsize(os.path.join(root, f)) for f in candidates)
     n_out = int(max(1, -(-total // target_file_bytes)))  # ceil
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(root, f) for f in candidates]
-    )
+    df = _read_files(spark, root, candidates, schema)
     if zorder:
         from financial_data_lakehouse_pipeline__spark.operators import layout
 
@@ -1053,7 +1242,7 @@ def optimize(
         compacted = clustered.drop(*helper)
     else:
         compacted = df.repartition(n_out)
-    adds = _write_data(compacted, root, read_version + 1)
+    adds = _write_data(compacted, root, read_version + 1, partition_by=pb)
     return _commit(
         root,
         "optimize",
@@ -1069,6 +1258,9 @@ def optimize(
             "zorder": list(zorder) if zorder else None,
         },
         stats=_collect_stats(root, adds),
+        partition_by=pb,
+        partitions={r: _partition_values_of(r, pb) for r in adds}
+        if pb else None,
     )
 
 
@@ -1109,6 +1301,7 @@ def restore(root: str, version: int, app_txn_id: str | None = None) -> int:
         expected_version=current,
         app_txn_id=app_txn_id,
         op_params={"restored_to": int(version)},
+        partition_by=_table_partition_by(entries, version),
     )
 
 

@@ -86,8 +86,8 @@ def test_merge_conflict_detection(spark, root, monkeypatch):
     # and its commit: patch _write_data to append first
     real_write = acid._write_data
 
-    def race_write(df, r, hint):
-        out = real_write(df, r, hint)
+    def race_write(df, r, hint, **kw):
+        out = real_write(df, r, hint, **kw)
         # interleave a concurrent append once, then restore
         monkeypatch.setattr(acid, "_write_data", real_write)
         acid.append(_mk(spark, [(7, "z", 7.0)]), r)
@@ -181,8 +181,8 @@ def test_append_retry_revalidates_schema(spark, root, monkeypatch):
     acid.create_table(_mk(spark, [(1, "a", 1.0)]), root)
     real_write = acid._write_data
 
-    def race_write(df, r, hint):
-        out = real_write(df, r, hint)
+    def race_write(df, r, hint, **kw):
+        out = real_write(df, r, hint, **kw)
         monkeypatch.setattr(acid, "_write_data", real_write)
         acid.create_table(
             spark.createDataFrame([(1, 2.5)], "k int, other double"), r
@@ -617,3 +617,109 @@ def test_collect_stats_poisons_partial_row_group_stats(root):
     # wrongly prune this file even though rg1 matches
     assert "v" not in stats[rel]
     assert acid._file_may_match(stats[rel], "v", "==", big) is True
+
+
+def test_partitioned_table_lifecycle(spark, root):
+    """Hive-partitioned ACID table: create/append write col=val layout,
+    partition pruning drops whole partitions BEFORE stats, reads
+    re-inject partition columns from paths, and merge/delete/optimize
+    preserve the partitioning."""
+    df = spark.createDataFrame(
+        [(1, "a", 2024), (2, "b", 2024), (3, "c", 2025)],
+        "k int, v string, year int",
+    )
+    acid.create_table(df, root, partition_by=["year"])
+    acid.append(
+        spark.createDataFrame([(4, "d", 2026)], "k int, v string, year int"),
+        root,
+    )
+    entries = acid._read_log(root)
+    assert entries[-1]["partition_by"] == ["year"]
+    # layout: every data file sits under a year=<val> dir
+    assert all("year=" in f for f in acid.snapshot_files(root))
+    # partition values logged per file
+    pv = {
+        rel: vals
+        for e in entries
+        for rel, vals in e["partitions"].items()
+    }
+    assert set(v["year"] for v in pv.values()) == {"2024", "2025", "2026"}
+    # read re-injects the partition column with the declared type
+    snap = acid.read_snapshot(spark, root)
+    assert dict(snap.dtypes)["year"] == "int"
+    assert sorted((r.k, r.year) for r in snap.collect()) == [
+        (1, 2024), (2, 2024), (3, 2025), (4, 2026)
+    ]
+    # partition pruning: year == 2025 keeps exactly the 2025 files
+    kept = acid.pruned_files(root, [("year", "==", 2025)])
+    assert kept and all("year=2025" in f for f in kept)
+    assert [r.k for r in acid.scan(spark, root, [("year", "==", 2025)]).collect()] == [3]
+    # range predicate prunes too
+    kept_ge = acid.pruned_files(root, [("year", ">=", 2026)])
+    assert kept_ge and all("year=2026" in f for f in kept_ge)
+    # stats skipping still composes on non-partition columns
+    assert acid.scan(spark, root, [("k", ">=", 4)]).count() == 1
+
+    # merge preserves partitioning (updated k=3 moves value, k=9 inserts)
+    acid.merge(
+        spark, root,
+        spark.createDataFrame([(3, "C", 2025), (9, "z", 2027)],
+                              "k int, v string, year int"),
+        keys=["k"],
+    )
+    assert all("year=" in f for f in acid.snapshot_files(root))
+    got = {r.k: (r.v, r.year) for r in acid.read_snapshot(spark, root).collect()}
+    assert got[3] == ("C", 2025) and got[9] == ("z", 2027) and len(got) == 5
+    # new partition 2027 visible to pruning
+    assert all("year=2027" in f
+               for f in acid.pruned_files(root, [("year", "==", 2027)]))
+
+    # delete a whole partition; pruning now proves it empty
+    acid.delete_where(spark, root, "year = 2024")
+    assert acid.pruned_files(root, [("year", "==", 2024)]) == []
+    assert acid.read_snapshot(spark, root).count() == 3
+
+    # optimize keeps layout + rows
+    v = acid.optimize(spark, root, target_file_bytes=1 << 30)
+    if v > 0:  # compacted (>=2 small files existed)
+        assert all("year=" in f for f in acid.snapshot_files(root))
+    assert acid.read_snapshot(spark, root).count() == 3
+    # time travel still sees the pre-merge table with partition cols
+    assert acid.read_snapshot(spark, root, version=1).count() == 4
+
+
+def test_partitioned_null_partition_value(spark, root):
+    """NULL partition values round-trip (__HIVE_DEFAULT_PARTITION__)
+    and are pruned by any comparison predicate (SQL three-valued
+    logic: NULL never satisfies ==/</>)."""
+    df = spark.createDataFrame(
+        [(1, 2024), (2, None)], "k int, year int"
+    )
+    acid.create_table(df, root, partition_by=["year"])
+    snap = {(r.k, r.year) for r in acid.read_snapshot(spark, root).collect()}
+    assert snap == {(1, 2024), (2, None)}
+    kept = acid.pruned_files(root, [("year", "==", 2024)])
+    assert all("year=2024" in f for f in kept)
+    assert not any("__HIVE_DEFAULT_PARTITION__" in f for f in kept)
+
+
+def test_append_partitioning_drift_rejected(spark, root):
+    """An append racing a re-create that CHANGED the partitioning must
+    not commit its differently-laid-out files."""
+    df = spark.createDataFrame([(1, 2024)], "k int, year int")
+    acid.create_table(df, root, partition_by=["year"])
+    real_collect = acid._collect_stats
+
+    def race_stats(r, rels):
+        out = real_collect(r, rels)
+        acid._collect_stats = real_collect
+        acid.create_table(df, root)  # re-created UNpartitioned
+        return out
+
+    acid._collect_stats = race_stats
+    try:
+        with pytest.raises(ValueError, match="partitioning drift"):
+            acid.append(df, root)
+    finally:
+        acid._collect_stats = real_collect
+    assert acid._read_log(root)[-1]["partition_by"] == []

@@ -58,6 +58,16 @@ _STAGES = [
     "raw", "encoding_ok", "lang_en", "quality", "exact_dedup",
     "near_dedup", "decontaminated", "mixture",
 ]
+#: model-gated variant: stage 3 filters by the TRAINED quality
+#: classifier's score instead of the raw heuristic
+_STAGES_MODEL = [
+    "raw", "encoding_ok", "lang_en", "quality_model", "exact_dedup",
+    "near_dedup", "decontaminated", "mixture",
+]
+#: labeled-slice selector for the model variant: 1-in-10 docs get a
+#: heuristic label, the trained model scores everything (the
+#: weak-supervision distillation loop real curation teams run)
+_TRAIN_MOD = 10
 
 _CANON = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 _NW = (
@@ -72,7 +82,7 @@ _MIX_CASE = " ".join(
 #: language beats it (en is first in the operator's tie-break order)
 _LANG_EN = "(greatest(h_en, h_de, h_fr, h_es) > 0 AND h_en = greatest(h_en, h_de, h_fr, h_es))"
 
-_FUNNEL_SQL = f"""WITH q0 AS (
+_Q0_SQL = f"""q0 AS (
   SELECT doc_id, text, source,
          md5({_CANON}) AS fp,
          CAST({_NW} AS BIGINT) AS n_tokens,
@@ -90,21 +100,90 @@ _FUNNEL_SQL = f"""WITH q0 AS (
                        / NULLIF(CAST(length(text) AS DOUBLE), 0), 0.0) <= 0.3
                  THEN 1.0 ELSE 0.0 END) / 3.0 > 5e-1 AS q_ok
   FROM main.documents
+)"""
+
+#: Naive Bayes train-on-slice + score-all CTE block for the model
+#: variant (the same recipe nb_classify_docs verifies standalone):
+#: labels = the heuristic q_ok on the 1-in-_TRAIN_MOD slice, Laplace
+#: log-odds weights rounded to 6 decimals, DECIMAL-exact scoring, doc
+#: label = prior + mean weight >= 0. Defined BEFORE the shadowing
+#: `documents` CTE so references here still mean main.documents.
+_NB_MODEL_CTES = f"""nbtr AS (
+  SELECT doc_id, q_ok AS y FROM q0 WHERE doc_id % {_TRAIN_MOD} = 0
 ),
-q2 AS (SELECT *, f1 AND {_LANG_EN} AS f2,
+nbtoks AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_split_to_array({_CANON}, ' ')) AS term
+  FROM main.documents WHERE length(trim(text)) > 0
+),
+nbcnt AS (
+  SELECT term,
+         SUM(CASE WHEN y THEN 1 ELSE 0 END) AS c_pos,
+         SUM(CASE WHEN y THEN 0 ELSE 1 END) AS c_neg
+  FROM nbtoks t JOIN nbtr l USING (doc_id) GROUP BY term
+),
+nbtot AS (SELECT SUM(c_pos) AS tp, SUM(c_neg) AS tn,
+                 COUNT(*) AS v FROM nbcnt),
+nbwts AS (
+  SELECT term,
+         ROUND(ln(CAST(c_pos + 1 AS DOUBLE) / CAST(tp + v AS DOUBLE))
+               - ln(CAST(c_neg + 1 AS DOUBLE) / CAST(tn + v AS DOUBLE)),
+               6) + 0e0 AS weight
+  FROM nbcnt, nbtot
+),
+nbprior AS (
+  SELECT CASE WHEN SUM(CASE WHEN y THEN 1 ELSE 0 END) = 0
+                OR SUM(CASE WHEN y THEN 0 ELSE 1 END) = 0
+              THEN 0e0
+              ELSE ROUND(ln(
+                     CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS DOUBLE)),
+                   6) + 0e0
+         END AS bias
+  FROM nbtr
+),
+nbscored AS (
+  SELECT tk.doc_id, COUNT(tk.term) AS ntk,
+         SUM(CAST(w.weight AS DECIMAL(30,6))) AS s
+  FROM nbtoks tk LEFT JOIN nbwts w USING (term)
+  GROUP BY tk.doc_id
+),
+mq AS (
+  SELECT d.doc_id,
+         (bias + CASE WHEN COALESCE(ntk, 0) > 0
+                      THEN CAST(COALESCE(s, 0) AS DOUBLE) / ntk
+                      ELSE CAST(COALESCE(s, 0) AS DOUBLE) END) >= 0e0
+           AS mlabel
+  FROM (SELECT doc_id FROM main.documents) d
+  LEFT JOIN nbscored ON nbscored.doc_id = d.doc_id
+  CROSS JOIN nbprior
+)"""
+
+
+def _funnel_sql(model_quality: bool) -> str:
+    stages = _STAGES_MODEL if model_quality else _STAGES
+    if model_quality:
+        nb = _NB_MODEL_CTES + ",\n"
+        q2 = f"""q2 AS (SELECT q0.*, f1 AND {_LANG_EN} AS f2,
+              f1 AND {_LANG_EN} AND mq.mlabel AS f3
+       FROM q0 JOIN mq USING (doc_id))"""
+    else:
+        nb = ""
+        q2 = f"""q2 AS (SELECT *, f1 AND {_LANG_EN} AS f2,
               f1 AND {_LANG_EN} AND q_ok AS f3
-       FROM q0),
-q3 AS (SELECT *, f3 AND doc_id = MIN(CASE WHEN f3 THEN doc_id END)
+       FROM q0)"""
+    return f"""WITH {_Q0_SQL},
+{nb}{q2},
+q3 AS MATERIALIZED (SELECT *, f3 AND doc_id = MIN(CASE WHEN f3 THEN doc_id END)
                               OVER (PARTITION BY fp) AS f4
        FROM q2),
-documents AS (SELECT doc_id, text FROM q3 WHERE f4),
+documents AS MATERIALIZED (SELECT doc_id, text FROM q3 WHERE f4),
 {_minhash_ctes()},
 dups AS (SELECT DISTINCT id_b AS doc_id FROM lsh_pairs),
 benchq AS (SELECT DISTINCT md5({_CANON}) AS fp
            FROM main.documents WHERE doc_id % 97 = 0),
 q4 AS (SELECT q3.*, q3.f4 AND dups.doc_id IS NULL AS f5
        FROM q3 LEFT JOIN dups USING (doc_id)),
-q5 AS (SELECT q4.*, q4.f5 AND benchq.fp IS NULL AS f6
+q5 AS MATERIALIZED (SELECT q4.*, q4.f5 AND benchq.fp IS NULL AS f6
        FROM q4 LEFT JOIN benchq USING (fp)),
 cnts AS (SELECT source, COUNT(*) FILTER (WHERE f6) AS n FROM q5 GROUP BY source),
 wq AS (SELECT source, n, CASE source {_MIX_CASE} END AS w
@@ -133,37 +212,16 @@ pk AS (SELECT COALESCE(CAST(SUM((st + {_PACK_CAPACITY - 1}) // {_PACK_CAPACITY})
     [f"SELECT CAST(0 AS INT) AS stage_idx, 'raw' AS stage, n0 AS n_docs FROM agg"]
     + [
         f"SELECT CAST({i} AS INT), '{name}', n{i} FROM agg"
-        for i, name in enumerate(_STAGES[1:], start=1)
+        for i, name in enumerate(stages[1:], start=1)
     ]
     + [f"SELECT CAST(8 AS INT), 'packed_{_PACK_CAPACITY}', n FROM pk"]
 )}"""
 
 
-@register("curation_funnel_docs", _FUNNEL_SQL)
-def curation_funnel_docs(spark, sf_dir):
-    """End-to-end curation funnel: per-stage survivor counts for the
-    full screen → dedup → decontaminate → mix → pack pipeline (module
-    docstring has the plan shape). Stage semantics:
-
-    1 encoding_ok    text.encoding_ok_expr (replacement/control/mojibake
-                     counts all zero)
-    2 lang_en        text.language_id (stopword vote) predicts 'en' —
-                     the cheap per-row pre-filter; the char-trigram
-                     classifier (language_id_ngram_docs) is the
-                     model-based upgrade when a broadcast join is
-                     affordable
-    3 quality        text.quality_score > 0.5 (≥ 2 of 3 heuristics)
-    4 exact_dedup    keep min(doc_id) per md5(canonical_text)
-    5 near_dedup     drop docs LSH-paired (jaccard ≥ 0.5) with a lower
-                     surviving doc_id (dedup.minhash_lsh_pairs over
-                     stage-4 survivors only)
-    6 decontaminated drop fingerprints present in the benchmark set
-                     (docs with doc_id % 97 == 0 — the eval holdout)
-    7 mixture        sampling.mixture_thresholds keep-rates realizing
-                     {src0:.4, src1:.3, src2:.2, src3:.1}
-    8 packed_512     number of 512-token packed sequences
-                     (sampling.pack_sequences per source shard)
-    """
+def _funnel(spark, sf_dir, model_quality: bool):
+    """Shared funnel body for the heuristic- and model-gated variants;
+    only stage 3 differs (q_ok heuristic vs the trained classifier's
+    label) plus the stage name it reports."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     q = text.language_id(text.quality_score(d))
     base = q.select(
@@ -176,8 +234,26 @@ def curation_funnel_docs(spark, sf_dir):
         (F.col("lang_pred") == "en").alias("__en"),
         (F.col("quality_score") > 0.5).alias("q_ok"),
     )
+    if model_quality:
+        # train on the labeled 1-in-_TRAIN_MOD slice (labels = the
+        # heuristic — weak supervision), score EVERY doc with the
+        # learned linear model; stage 3 gates on the model's label
+        train = base.filter(F.col("doc_id") % _TRAIN_MOD == 0).select(
+            "doc_id", "text", "q_ok"
+        )
+        weights = text.naive_bayes_train(train, F.col("q_ok")).select(
+            "term", "weight"
+        )
+        bias = text.naive_bayes_bias(train, F.col("q_ok"))
+        mq = text.linear_text_classifier(
+            d, weights, bias=bias, threshold=0.0
+        ).select("doc_id", F.col("label").alias("__mq"))
+        base = base.join(mq, "doc_id")
+        gate = F.col("__mq")
+    else:
+        gate = F.col("q_ok")
     b2 = base.withColumn("f2", F.col("f1") & F.col("__en")).withColumn(
-        "f3", F.col("f2") & F.col("q_ok")
+        "f3", F.col("f2") & gate
     )
 
     from pyspark.sql import Window
@@ -216,9 +292,10 @@ def curation_funnel_docs(spark, sf_dir):
     # posture you'd take at 100 TB, and unlike .persist() it pins no
     # executor memory across bench/driver invocations (the prior cache
     # was never unpersisted and leaked a pinned DataFrame per run).
+    variant = "model" if model_quality else "heur"
     ckpt = os.path.join(
         _SCRATCH, "ckpt", "curation",
-        f"flagged_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"flagged_{variant}_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     b4.select(
         "doc_id", "source", "n_tokens", "f1", "f2", "f3", "f4", "f5", "f6"
@@ -246,7 +323,8 @@ def curation_funnel_docs(spark, sf_dir):
         ],
     )
     stack_args = ", ".join(
-        f"{i}, '{name}', n{i}" for i, name in enumerate(_STAGES)
+        f"{i}, '{name}', n{i}"
+        for i, name in enumerate(_STAGES_MODEL if model_quality else _STAGES)
     )
     stage_counts = agg.select(
         F.expr(
@@ -277,3 +355,46 @@ def curation_funnel_docs(spark, sf_dir):
         )
     )
     return stage_counts.unionAll(pk)
+
+
+@register("curation_funnel_docs", _funnel_sql(False))
+def curation_funnel_docs(spark, sf_dir):
+    """End-to-end curation funnel: per-stage survivor counts for the
+    full screen → dedup → decontaminate → mix → pack pipeline (module
+    docstring has the plan shape). Stage semantics:
+
+    1 encoding_ok    text.encoding_ok_expr (replacement/control/mojibake
+                     counts all zero)
+    2 lang_en        text.language_id (stopword vote) predicts 'en' —
+                     the cheap per-row pre-filter; the char-trigram
+                     classifier (language_id_ngram_docs) is the
+                     model-based upgrade when a broadcast join is
+                     affordable
+    3 quality        text.quality_score > 0.5 (≥ 2 of 3 heuristics)
+    4 exact_dedup    keep min(doc_id) per md5(canonical_text)
+    5 near_dedup     drop docs LSH-paired (jaccard ≥ 0.5) with a lower
+                     surviving doc_id (dedup.minhash_lsh_pairs over
+                     stage-4 survivors only)
+    6 decontaminated drop fingerprints present in the benchmark set
+                     (docs with doc_id % 97 == 0 — the eval holdout)
+    7 mixture        sampling.mixture_thresholds keep-rates realizing
+                     {src0:.4, src1:.3, src2:.2, src3:.1}
+    8 packed_512     number of 512-token packed sequences
+                     (sampling.pack_sequences per source shard)
+    """
+    return _funnel(spark, sf_dir, model_quality=False)
+
+
+@register("curation_funnel_model_docs", _funnel_sql(True))
+def curation_funnel_model_docs(spark, sf_dir):
+    """The funnel with a TRAINED quality gate — the train→deploy loop a
+    real curation team runs: the heuristic labels a 1-in-10 slice (weak
+    supervision), naive_bayes_train fits Laplace log-odds weights on it,
+    and linear_text_classifier scores EVERY document; stage 3
+    (quality_model) keeps docs the model labels positive instead of
+    docs the raw heuristic passes. All other stages are identical to
+    curation_funnel_docs, so the two queries' stage counts diverge only
+    at stage 3+ — the generalization gap of the distilled model made
+    visible. The oracle retrains AND rescores the classifier in pure
+    SQL (the nb_classify_docs recipe inlined into the funnel twin)."""
+    return _funnel(spark, sf_dir, model_quality=True)

@@ -297,9 +297,13 @@ def _funnel(spark, sf_dir, model_quality: bool):
         _SCRATCH, "ckpt", "curation",
         f"flagged_{variant}_{os.path.basename(os.path.normpath(sf_dir))}",
     )
+    # coalesce: the flag table is ~9 narrow columns; 32 task-sized
+    # shards would be tiny-file overhead for the three downstream
+    # readers (at 100 TB the equivalent is targeting sane file sizes,
+    # not task-count files)
     b4.select(
         "doc_id", "source", "n_tokens", "f1", "f2", "f3", "f4", "f5", "f6"
-    ).write.mode("overwrite").parquet(ckpt)
+    ).coalesce(8).write.mode("overwrite").parquet(ckpt)
     flagged = spark.read.parquet(ckpt)
 
     thr = sampling.mixture_thresholds(flagged.filter("f6"), "source", _MIX)

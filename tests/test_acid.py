@@ -723,3 +723,41 @@ def test_append_partitioning_drift_rejected(spark, root):
     finally:
         acid._collect_stats = real_collect
     assert acid._read_log(root)[-1]["partition_by"] == []
+
+
+def test_restore_across_partitioning_change_mixes_layouts(spark, root):
+    """RESTORE can resurrect a partitioned version after an
+    unpartitioned re-create: the snapshot then resolves files from a
+    hive-layout version dir, and _read_files re-injects the partition
+    column for exactly those files while reading plain files directly."""
+    df = spark.createDataFrame(
+        [(1, 2024), (2, 2025)], "k int, year int"
+    )
+    acid.create_table(df, root, partition_by=["year"])       # v0 partitioned
+    acid.create_table(df, root)                               # v1 plain
+    v = acid.restore(root, 0)                                 # v2 = v0's files
+    assert v == 2
+    assert acid._read_log(root)[-1]["partition_by"] == ["year"]
+    snap = {(r.k, r.year) for r in acid.read_snapshot(spark, root).collect()}
+    assert snap == {(1, 2024), (2, 2025)}
+    # partition pruning works again on the restored head
+    kept = acid.pruned_files(root, [("year", "==", 2025)])
+    assert kept and all("year=2025" in f for f in kept)
+
+
+def test_partitioned_string_values_with_special_chars(spark, root):
+    """String partition columns round-trip through hive path escaping
+    (spaces/colons are percent-encoded in the path; the log stores the
+    DECODED value so pruning compares real strings)."""
+    df = spark.createDataFrame(
+        [(1, "north america"), (2, "emea:west")], "k int, region string"
+    )
+    acid.create_table(df, root, partition_by=["region"])
+    pv = acid._read_log(root)[-1]["partitions"]
+    assert sorted(v["region"] for v in pv.values()) == [
+        "emea:west", "north america"
+    ]
+    snap = {(r.k, r.region) for r in acid.read_snapshot(spark, root).collect()}
+    assert snap == {(1, "north america"), (2, "emea:west")}
+    kept = acid.pruned_files(root, [("region", "==", "north america")])
+    assert len(kept) == 1 and "north" in kept[0]

@@ -29,6 +29,9 @@ storage.
 from __future__ import annotations
 
 import os
+import shutil
+import time
+import uuid
 
 from pyspark.sql import functions as F
 
@@ -48,6 +51,29 @@ from financial_data_lakehouse_pipeline__spark.sources import read_table
 _SCRATCH = os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "..", ".scratch")
 )
+
+#: Checkpoint dirs older than this are assumed dead (no lazy reader can
+#: plausibly still hold them) and are swept on the next invocation.
+_CKPT_TTL_SEC = 6 * 3600
+
+
+def _sweep_stale_checkpoints(parent: str) -> None:
+    """Best-effort removal of checkpoint dirs from finished invocations.
+    Every invocation writes a fresh uuid-suffixed dir, so without a
+    sweep the scratch area grows without bound; the TTL grace period
+    protects any still-lazy DataFrame from a concurrent run."""
+    try:
+        now = time.time()
+        for name in os.listdir(parent):
+            p = os.path.join(parent, name)
+            try:
+                if now - os.path.getmtime(p) > _CKPT_TTL_SEC:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+    except OSError:
+        pass
+
 
 #: Target training mixture over the document sources (the remaining 16
 #: sources are dropped by design — mixture weights define the corpus).
@@ -293,9 +319,17 @@ def _funnel(spark, sf_dir, model_quality: bool):
     # executor memory across bench/driver invocations (the prior cache
     # was never unpersisted and leaked a pinned DataFrame per run).
     variant = "model" if model_quality else "heur"
+    # Per-invocation unique leaf: two datasets sharing a basename, or
+    # two concurrent runs of the same query (parallel bench/driver
+    # sessions), must never overwrite a checkpoint a previously
+    # returned lazy DataFrame is still reading. Stale siblings from
+    # finished invocations are swept best-effort after a grace period.
+    ckpt_parent = os.path.join(_SCRATCH, "ckpt", "curation")
+    _sweep_stale_checkpoints(ckpt_parent)
     ckpt = os.path.join(
-        _SCRATCH, "ckpt", "curation",
-        f"flagged_{variant}_{os.path.basename(os.path.normpath(sf_dir))}",
+        ckpt_parent,
+        f"flagged_{variant}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{uuid.uuid4().hex}",
     )
     # coalesce: the flag table is ~9 narrow columns; 32 task-sized
     # shards would be tiny-file overhead for the three downstream

@@ -122,6 +122,22 @@ class CorruptLogError(RuntimeError):
     snapshot after the corrupt version can be trusted.)"""
 
 
+def _file_uri_to_rel(uri: str, abs_root: str) -> str:
+    """Convert a ``_metadata.file_path`` URI into a path relative to the
+    table root.
+
+    Spark returns URL-encoded URIs: a partition directory
+    ``region=north america`` surfaces as ``.../region=north%20america/...``
+    and a hive-escaped value (``emea%3Awest`` on disk for ``emea:west``)
+    is double-encoded to ``emea%253Awest``. One ``unquote`` after
+    stripping the scheme recovers the on-disk path (the hive escaping
+    itself is part of the on-disk name and must survive)."""
+    from urllib.parse import unquote
+
+    path = uri[len("file:"):] if uri.startswith("file:") else uri
+    return os.path.relpath(unquote(path), abs_root)
+
+
 def _log_dir(root: str) -> str:
     return os.path.join(root, _LOG_DIR)
 
@@ -130,14 +146,29 @@ def _entry_path(root: str, version: int) -> str:
     return os.path.join(_log_dir(root), f"{version:08d}.json")
 
 
+def _entry_shape_ok(obj, expected_version: int) -> bool:
+    """True when ``obj`` has the shape of a committed log entry at
+    ``expected_version``. A foreign file that merely parses as JSON
+    (e.g. `{}` dropped by other tooling) must NOT be mistaken for a
+    commit: every entry this module writes carries these keys."""
+    return (
+        isinstance(obj, dict)
+        and obj.get("version") == expected_version
+        and isinstance(obj.get("op"), str)
+        and isinstance(obj.get("adds"), list)
+        and isinstance(obj.get("removes"), list)
+    )
+
+
 def _read_log(root: str) -> list[dict]:
     """All committed entries, version order. Ignores foreign files.
 
-    An unparsable TRAILING entry is skipped as uncommitted (our own
-    commits publish via atomic link so this only arises from foreign
-    tooling — e.g. a mid-write rsync of the table); an unparsable
-    entry anywhere BEFORE the last one raises :class:`CorruptLogError`
-    because every later snapshot would silently resolve wrong."""
+    An unparsable or wrong-shaped TRAILING entry is skipped as
+    uncommitted (our own commits publish via atomic link so this only
+    arises from foreign tooling — e.g. a mid-write rsync of the table);
+    an unparsable entry anywhere BEFORE the last one raises
+    :class:`CorruptLogError` because every later snapshot would
+    silently resolve wrong."""
     d = _log_dir(root)
     if not os.path.isdir(d):
         return []
@@ -149,13 +180,17 @@ def _read_log(root: str) -> list[dict]:
     for i, name in enumerate(names):
         try:
             with open(os.path.join(d, name)) as f:
-                entries.append(json.load(f))
+                obj = json.load(f)
+            if not _entry_shape_ok(obj, int(name[:8])):
+                raise ValueError("valid JSON but not a log entry")
+            entries.append(obj)
         except (json.JSONDecodeError, ValueError) as exc:
             if i == len(names) - 1:
-                break  # torn trailing entry: never committed, ignore
+                break  # torn/foreign trailing entry: never committed
             raise CorruptLogError(
-                f"log entry {name} in {d} is unparsable and is not the "
-                "trailing entry — the table history is damaged"
+                f"log entry {name} in {d} is unparsable or wrong-shaped "
+                "and is not the trailing entry — the table history is "
+                "damaged"
             ) from exc
     entries.sort(key=lambda e: e["version"])
     return entries
@@ -397,16 +432,23 @@ def _commit(
         # trailing-torn entry _read_log tolerates for readers). The
         # latter is NOT retryable: every future _commit would compute
         # this same version and spin forever. Raise CorruptLogError so
-        # retry loops stop; repair with repair_torn_log().
+        # retry loops stop; repair with repair_torn_log(). Shape is
+        # validated, not just JSON-parsability: a foreign file that
+        # happens to parse (e.g. `{}`) would otherwise spin append's
+        # retry loop forever, since _read_log skips it and every retry
+        # recomputes the same squatted version.
         try:
             with open(_entry_path(root, version)) as f:
-                json.load(f)
+                squatter = json.load(f)
+            if not _entry_shape_ok(squatter, version):
+                raise ValueError("valid JSON but not a log entry")
         except (json.JSONDecodeError, ValueError):
             raise CorruptLogError(
                 f"log path for version {version} in {_log_dir(root)} is "
-                "occupied by an unparsable (torn/foreign) file, wedging "
-                "all writers — run acid.repair_torn_log(root) to remove "
-                "it, then retry the write"
+                "occupied by a torn or foreign file (unparsable, or JSON "
+                "without log-entry shape), wedging all writers — run "
+                "acid.repair_torn_log(root) to remove it, then retry "
+                "the write"
             ) from exc
         except OSError:
             pass  # vanished between link and open: a real race, retry
@@ -1000,10 +1042,7 @@ def merge(
         ]
         abs_root = os.path.abspath(root)
         touched_rel = sorted(
-            os.path.relpath(
-                f[len("file:"):] if f.startswith("file:") else f, abs_root
-            )
-            for f in touched_files
+            _file_uri_to_rel(f, abs_root) for f in touched_files
         )
         touched_df = _read_files(spark, root, touched_rel, snap.schema)
         merged = merge_upsert(touched_df, updates, keys)
@@ -1058,10 +1097,7 @@ def delete_where(
     ]
     abs_root = os.path.abspath(root)
     touched_rel = sorted(
-        os.path.relpath(
-            f[len("file:"):] if f.startswith("file:") else f, abs_root
-        )
-        for f in touched_files
+        _file_uri_to_rel(f, abs_root) for f in touched_files
     )
     adds: list[str] = []
     if touched_rel:
@@ -1240,6 +1276,15 @@ def optimize(
             f"__mx_{c}" for c in zorder
         ]
         compacted = clustered.drop(*helper)
+    elif pb:
+        # Cluster rows by partition value BEFORE the partitionBy write:
+        # a plain round-robin repartition(n_out) would let every task
+        # hold rows of every partition, emitting up to n_out*P files —
+        # MORE small files than the compaction removed on
+        # high-cardinality partitions. Hashing on the partition columns
+        # sends each partition's rows to (about) one task, so the write
+        # emits ~1 file per live partition value.
+        compacted = df.repartition(max(n_out, 1), *[F.col(c) for c in pb])
     else:
         compacted = df.repartition(n_out)
     adds = _write_data(compacted, root, read_version + 1, partition_by=pb)
@@ -1406,8 +1451,11 @@ def repair_torn_log(root: str) -> str | None:
     last = os.path.join(d, names[-1])
     try:
         with open(last) as f:
-            json.load(f)
-        return None  # trailing entry is a healthy commit
+            obj = json.load(f)
+        if _entry_shape_ok(obj, int(names[-1][:8])):
+            return None  # trailing entry is a healthy commit
+        os.unlink(last)  # foreign JSON squatting on the next version
+        return names[-1]
     except (json.JSONDecodeError, ValueError):
         os.unlink(last)
         return names[-1]

@@ -761,3 +761,79 @@ def test_partitioned_string_values_with_special_chars(spark, root):
     assert snap == {(1, "north america"), (2, "emea:west")}
     kept = acid.pruned_files(root, [("region", "==", "north america")])
     assert len(kept) == 1 and "north" in kept[0]
+
+
+def test_merge_and_delete_on_escaped_partition_values(spark, root):
+    """merge() and delete_where() must survive hive-escaped partition
+    dirs: _metadata.file_path comes back URL-encoded ('north america' →
+    'north%20america', on-disk 'emea%3Awest' → 'emea%253Awest'), and
+    the touched-file rel-path conversion must percent-decode before
+    resolving against the table root (was: PATH_NOT_FOUND)."""
+    df = spark.createDataFrame(
+        [(1, 10, "north america"), (2, 20, "emea:west"), (3, 30, "apac")],
+        "k int, v int, region string",
+    )
+    acid.create_table(df, root, partition_by=["region"])
+    upd = spark.createDataFrame(
+        [(1, 11, "north america"), (4, 40, "emea:west")],
+        "k int, v int, region string",
+    )
+    acid.merge(spark, root, upd, keys=["k"])
+    snap = {
+        (r.k, r.v, r.region)
+        for r in acid.read_snapshot(spark, root).collect()
+    }
+    assert snap == {
+        (1, 11, "north america"), (2, 20, "emea:west"),
+        (3, 30, "apac"), (4, 40, "emea:west"),
+    }
+    acid.delete_where(spark, root, "region = 'emea:west' AND v >= 40")
+    snap = {
+        (r.k, r.v, r.region)
+        for r in acid.read_snapshot(spark, root).collect()
+    }
+    assert snap == {
+        (1, 11, "north america"), (2, 20, "emea:west"), (3, 30, "apac"),
+    }
+
+
+def test_foreign_json_squatter_raises_not_spins(spark, root):
+    """A foreign file at the next version path that PARSES as JSON but
+    lacks log-entry shape must raise CorruptLogError (not spin append's
+    retry loop as a phantom ConcurrentCommitError), and
+    repair_torn_log must remove it."""
+    df = spark.createDataFrame([(1,)], "k int")
+    acid.create_table(df, root)
+    squat = acid._entry_path(root, 1)
+    with open(squat, "w") as f:
+        f.write('{"hello": "world"}')
+    # readers tolerate it as uncommitted
+    assert acid._read_log(root)[-1]["version"] == 0
+    with pytest.raises(acid.CorruptLogError):
+        acid.append(df, root)
+    assert acid.repair_torn_log(root) == os.path.basename(squat)
+    assert acid.append(df, root) == 1
+
+
+def test_optimize_partitioned_compacts_to_few_files(spark, root):
+    """Compaction on a partitioned table must cluster rows by partition
+    value before the partitionBy write: the output should be ~1 file
+    per partition value, never n_out × P small files."""
+    acid.create_table(
+        spark.createDataFrame(
+            [(i, f"p{i % 4}") for i in range(8)], "k int, part string"
+        ),
+        root, partition_by=["part"],
+    )
+    for i in range(8, 24):
+        acid.append(
+            spark.createDataFrame([(i, f"p{i % 4}")], "k int, part string"),
+            root,
+        )
+    before = acid.snapshot_files(root)
+    assert len(before) > 8
+    acid.optimize(spark, root, target_file_bytes=1 << 20)
+    after = acid.snapshot_files(root)
+    assert len(after) <= 4 + 2  # ~one file per partition value
+    snap = {(r.k, r.part) for r in acid.read_snapshot(spark, root).collect()}
+    assert snap == {(i, f"p{i % 4}") for i in range(24)}

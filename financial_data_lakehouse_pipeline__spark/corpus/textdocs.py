@@ -45,21 +45,28 @@ sh AS (
   WHERE length(array_to_string(toks[i+1:i+3], ' ')) > 0
 )"""
 
-#: exact pairwise Jaccard over `sh` (dedup._pairwise_jaccard)
-_JACCARD_CTE = """
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-common AS (
+def _jaccard_ctes(src: str = "sh", suffix: str = "") -> str:
+    """Exact pairwise Jaccard over a shingle CTE
+    (dedup._pairwise_jaccard) — parametric source/suffix so one oracle
+    can hold several independently-gated copies (dedup_pairs_auto)."""
+    return f"""
+sizes{suffix} AS (SELECT doc_id, COUNT(*) AS sz FROM {src} GROUP BY doc_id),
+common{suffix} AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM {src} a JOIN {src} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-jac AS (
+jac{suffix} AS (
   SELECT id_a, id_b,
          CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
-  FROM common
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
+  FROM common{suffix}
+  JOIN sizes{suffix} sa ON sa.doc_id = id_a
+  JOIN sizes{suffix} sb ON sb.doc_id = id_b
 )"""
+
+
+#: exact pairwise Jaccard over `sh` (dedup._pairwise_jaccard)
+_JACCARD_CTE = _jaccard_ctes()
 
 
 @register(
@@ -447,14 +454,21 @@ def _minhash_ctes(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    src: str | None = None,
+    suffix: str = "",
 ) -> str:
-    """Shared CTE chain ending in `lsh_pairs(id_a, id_b, jaccard)` —
-    the MinHash+LSH pipeline as reusable oracle SQL. Embeds the same
-    universal-hash coefficients as operators/dedup.minhash_coeffs, over
-    the same two 28-bit md5-prefix integers. ``max_bucket_size`` mirrors
-    the engine's hot-bucket skip (dedup.minhash_lsh_pairs)."""
+    """Shared CTE chain ending in `lsh_pairs{suffix}(id_a, id_b,
+    jaccard)` — the MinHash+LSH pipeline as reusable oracle SQL. Embeds
+    the same universal-hash coefficients as
+    operators/dedup.minhash_coeffs, over the same two 28-bit md5-prefix
+    integers. ``max_bucket_size`` mirrors the engine's hot-bucket skip
+    (dedup.minhash_lsh_pairs). ``src``/``suffix`` let a caller run the
+    chain over its own (possibly route-gated) shingle CTE without name
+    collisions; by default it emits the shingle CTEs itself and uses
+    the historical unsuffixed names."""
     rows = num_hashes // bands
     P = dedup.MINHASH_P
+    s = suffix
     mins = ", ".join(
         f"min(({a}*h1 + {b}*h2 + {c}) % {P}) AS mh_{i}"
         for i, (a, b, c) in enumerate(dedup.minhash_coeffs(num_hashes))
@@ -463,35 +477,37 @@ def _minhash_ctes(
     for b in range(bands):
         cols = ", ".join(f"mh_{b * rows + r}" for r in range(rows))
         band_selects.append(
-            f"SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS key FROM sig"
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS key"
+            f" FROM sig{s}"
         )
     buckets = " UNION ALL ".join(band_selects)
-    bucket_ctes = f"buckets AS ({buckets})"
+    bucket_ctes = f"buckets{s} AS ({buckets})"
     if max_bucket_size is not None:
-        bucket_ctes = f"""buckets0 AS ({buckets}),
-        hotb AS (SELECT band, key FROM buckets0
+        bucket_ctes = f"""buckets0{s} AS ({buckets}),
+        hotb{s} AS (SELECT band, key FROM buckets0{s}
                  GROUP BY band, key HAVING COUNT(*) > {max_bucket_size}),
-        buckets AS (
-          SELECT b.* FROM buckets0 b
-          ANTI JOIN hotb h ON b.band = h.band AND b.key = h.key
+        buckets{s} AS (
+          SELECT b.* FROM buckets0{s} b
+          ANTI JOIN hotb{s} h ON b.band = h.band AND b.key = h.key
         )"""
-    return f"""{_SHINGLES_CTE},
-        shh AS (
+    shingle_src = src if src is not None else "sh"
+    lead = "" if src is not None else f"{_SHINGLES_CTE},\n        "
+    return f"""{lead}shh{s} AS (
           SELECT doc_id,
                  CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS h1,
                  CAST(('0x' || substr(md5(shingle), 8, 7)) AS BIGINT) AS h2
-          FROM sh
+          FROM {shingle_src}
         ),
-        sig AS (SELECT doc_id, {mins} FROM shh GROUP BY doc_id),
+        sig{s} AS (SELECT doc_id, {mins} FROM shh{s} GROUP BY doc_id),
         {bucket_ctes},
-        cand AS (
+        cand{s} AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM buckets a
-          JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-        ), {_JACCARD_CTE},
-        lsh_pairs AS (
+          FROM buckets{s} a
+          JOIN buckets{s} b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ), {_jaccard_ctes(shingle_src, s)},
+        lsh_pairs{s} AS (
           SELECT c.id_a, c.id_b, j.jaccard
-          FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+          FROM cand{s} c JOIN jac{s} j ON j.id_a = c.id_a AND j.id_b = c.id_b
           WHERE j.jaccard >= {threshold}
         )"""
 
@@ -544,6 +560,56 @@ def minhash_lsh_capped_docs(spark, sf_dir):
     )
     return dedup.minhash_lsh_pairs(
         d, num_hashes=16, bands=4, threshold=0.5, max_bucket_size=50
+    )
+
+
+@register(
+    "dedup_pairs_auto_docs",
+    # The oracle REPLICATES THE ROUTER: it computes the same posting
+    # collision-mass statistic, then gates each branch's shingle input
+    # on the routed choice (cross join with the 1-row stat), so the
+    # un-routed branch's whole pipeline runs over 0 rows. Whichever
+    # path the data selects, DuckDB and Spark select it from the same
+    # numbers — the oracle stays green even when the route flips at a
+    # larger scale (prefix ≤ 512 cand/doc, capped LSH above).
+    f"""WITH {_SHINGLES_CTE},
+        dfq AS (
+          SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+          FROM sh GROUP BY shingle
+        ),
+        stat AS (
+          SELECT CASE
+                   WHEN COALESCE(SUM(df * (df - 1) // 2), 0)
+                        <= 512 * (SELECT COUNT(*) FROM documents)
+                   THEN 'prefix' ELSE 'lsh'
+                 END AS route
+          FROM dfq
+        ),
+        sh_p AS (SELECT s.* FROM sh s, stat WHERE stat.route = 'prefix'),
+        sh_l AS (SELECT s.* FROM sh s, stat WHERE stat.route = 'lsh'),
+        {_jaccard_ctes('sh_p', '_p')},
+        {_minhash_ctes(16, 4, 0.5, max_bucket_size=50, src='sh_l',
+                       suffix='_l')}
+        SELECT id_a, id_b, jaccard FROM jac_p WHERE jaccard >= 0.5
+        UNION ALL
+        SELECT id_a, id_b, jaccard FROM lsh_pairs_l""",
+)
+def dedup_pairs_auto_docs(spark, sf_dir):
+    """Near-dup pairs with the path picked FROM THE DATA
+    (operators/dedup.similar_pairs_auto): a one-pass collision-mass
+    statistic routes to the exact prefix-filtered SSJoin below the
+    measured switch point (512 candidate pairs per doc — between the
+    sf0.1 regime where the exact join still wins and the saturated sf1
+    regime where it goes quadratic, SCALE.md §17/§18) and to capped
+    MinHash-LSH above it. At the driver scales the corpus routes to
+    'prefix' (28–253 cand/doc measured), so this row ALSO re-proves the
+    prefix filter's losslessness; at sf1 on the saturated synthetic
+    vocabulary it flips to 'lsh', and the oracle — which re-derives the
+    same statistic in SQL and gates each branch's input on it — flips
+    with it."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.similar_pairs_auto(
+        d, n=3, threshold=0.5, num_hashes=16, bands=4, max_bucket_size=50
     )
 
 

@@ -418,6 +418,113 @@ def minhash_lsh_pairs(
     return exact.filter(F.col("jaccard") >= threshold)
 
 
+#: Measured switch point for the auto near-dup router, in expected
+#: candidate pairs per document (posting-list collision mass / n_docs).
+#: Calibrated on the driver corpus (SCALE.md §17/§18): the exact
+#: prefix-filtered SSJoin is the faster path through sf0.1
+#: (253 cand/doc, 4.3 s vs capped LSH 3.1 s — comparable) but loses
+#: decisively by sf1 on a saturated vocabulary (~1,000 cand/doc:
+#: candidates 50.7M, wall alpha 1.11 rising to 1.68 at sf2, while
+#: capped LSH holds alpha 0.62). 512 sits between the two measured
+#: regimes.
+AUTO_SWITCH_CANDIDATES_PER_DOC = 512
+
+
+def dedup_route(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_doc_freq: int | None = None,
+    switch_candidates_per_doc: float = AUTO_SWITCH_CANDIDATES_PER_DOC,
+) -> tuple[str, dict]:
+    """One cheap pre-pass deciding exact-prefix-join vs capped-LSH.
+
+    Statistic: posting-list collision mass Σ_shingle df·(df−1)/2 — the
+    exact output size of the unpruned posting self-join and an upper
+    bound on any exact SSJoin's candidate volume — normalized per
+    document. On an OPEN vocabulary (real corpora: vocabulary grows
+    with n, document frequencies stay O(1)) the mass grows ~linearly in
+    n_docs and the per-doc statistic is flat, so the exact prefix join
+    stays the winner at any scale; on a CLOSED/saturated vocabulary
+    (boilerplate-heavy crawls, the driver corpus's 31-token generator)
+    df grows with n_docs, the mass goes quadratic, and the per-doc
+    statistic crosses the measured switch point — route to LSH, whose
+    cost follows band-collision volume instead.
+
+    Cost: one groupBy over the shingle table + a scalar aggregate —
+    the same df aggregation the prefix path must run anyway for its
+    rare-first ordering, so routing adds no asymptotic work. The only
+    driver-side action is a 1-row collect.
+
+    Returns ``(route, stats)`` with route in {"prefix", "lsh"} and the
+    stats dict carrying the measured quantities for logging/tests."""
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        sh = drop_stop_shingles(sh, max_doc_freq)
+    dfreq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    row = dfreq.agg(
+        F.coalesce(
+            F.sum(F.expr("__df * (__df - 1) DIV 2")), F.lit(0)
+        ).alias("collision_mass"),
+        F.count(F.lit(1)).alias("distinct_shingles"),
+        F.coalesce(F.sum("__df"), F.lit(0)).alias("postings"),
+    ).collect()[0]
+    n_docs = df.count()
+    cand_per_doc = row["collision_mass"] / max(n_docs, 1)
+    route = "prefix" if cand_per_doc <= switch_candidates_per_doc else "lsh"
+    return route, {
+        "n_docs": n_docs,
+        "distinct_shingles": row["distinct_shingles"],
+        "postings": row["postings"],
+        "collision_mass": row["collision_mass"],
+        "candidates_per_doc": cand_per_doc,
+        "switch": switch_candidates_per_doc,
+    }
+
+
+def similar_pairs_auto(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = 50,
+    switch_candidates_per_doc: float = AUTO_SWITCH_CANDIDATES_PER_DOC,
+) -> DataFrame:
+    """Near-dup pairs with the execution path picked FROM THE DATA:
+    :func:`dedup_route`'s collision-mass pre-pass routes to the exact
+    prefix-filtered SSJoin (:func:`prefix_filter_jaccard_pairs` —
+    lossless, the winner while candidate volume is bounded) or to
+    capped MinHash-LSH (:func:`minhash_lsh_pairs` — collision-bounded,
+    the only survivor once a saturated shingle vocabulary sends exact
+    candidate volume quadratic). Same output schema either way
+    (id_a, id_b, jaccard; jaccard ≥ threshold, exact-verified).
+
+    This is the operational answer to SCALE.md §17's sf2 finding: the
+    engine, not the caller, now picks the path at the measured switch
+    point."""
+    route, _ = dedup_route(
+        df, id_col, text_col, n,
+        max_doc_freq=max_doc_freq,
+        switch_candidates_per_doc=switch_candidates_per_doc,
+    )
+    if route == "prefix":
+        return prefix_filter_jaccard_pairs(
+            df, id_col, text_col, n, threshold, max_doc_freq=max_doc_freq
+        )
+    return minhash_lsh_pairs(
+        df, id_col, text_col, n,
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+        max_doc_freq=max_doc_freq, max_bucket_size=max_bucket_size,
+    )
+
+
 def duplicate_clusters(
     df: DataFrame,
     pairs: DataFrame,

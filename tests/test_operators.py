@@ -2058,6 +2058,52 @@ def test_prefix_filter_jaccard_equals_full_join(spark):
         assert pruned == full
 
 
+def test_similar_pairs_auto_routes_by_vocabulary_regime(spark):
+    """The collision-mass router flips paths between the two corpus
+    regimes: an OPEN vocabulary (document frequencies O(1)) routes to
+    the exact prefix join; a SATURATED vocabulary (every doc drawn from
+    the same tiny token set → df ~ n_docs, collision mass quadratic)
+    routes to capped LSH. On each regime the auto output is exactly the
+    routed path's output."""
+    import random
+
+    rng = random.Random(7)
+    # open vocab: per-doc disjoint token streams, df == 1 everywhere
+    open_docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{i}_{j}" for j in range(30)))
+         for i in range(40)]
+    )
+    route_o, stats_o = dedup.dedup_route(open_docs)
+    assert route_o == "prefix"
+    assert stats_o["candidates_per_doc"] <= 1
+    # saturated vocab: every doc is 30 tokens from the same 4-token set
+    # (≤ 64 possible 3-gram shingles, so df grows with n_docs and the
+    # collision mass goes quadratic)
+    vocab = [f"t{k}" for k in range(4)]
+    sat_docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(rng.choice(vocab) for _ in range(30)))
+         for i in range(200)]
+    )
+    route_s, stats_s = dedup.dedup_route(sat_docs)
+    assert route_s == "lsh"
+    assert stats_s["candidates_per_doc"] > dedup.AUTO_SWITCH_CANDIDATES_PER_DOC
+
+    def pairs(df_out):
+        return {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+            for r in df_out.collect()
+        }
+
+    assert pairs(dedup.similar_pairs_auto(open_docs)) == pairs(
+        dedup.prefix_filter_jaccard_pairs(open_docs)
+    )
+    assert pairs(
+        dedup.similar_pairs_auto(sat_docs, max_bucket_size=50)
+    ) == pairs(
+        dedup.minhash_lsh_pairs(sat_docs, max_bucket_size=50)
+    )
+
+
 def test_consonant_signature_examples(spark):
     """Fixed-order class presence + uppercase initial; sound-alike
     variants (doubled letters, vowel swaps) share a key."""

@@ -23,7 +23,15 @@ sf0.1):
                                     props = {"k": U(0,99)}
   documents  50k                    U(10,100) words over the driver's 31-token
                                     vocab, lang/source empirical, 0.16% exact
-                                    dup rate (driver: 8 dups / 5000 docs)
+                                    dup rate (driver: 8 dups / 5000 docs).
+                                    --open-vocab swaps the CLOSED driver vocab
+                                    for a Zipf(1.07) draw over a Heaps-law
+                                    vocabulary (V ≈ 3·T^0.7 grows with corpus
+                                    size) — the open-vocabulary regime real
+                                    corpora exhibit, where shingle document
+                                    frequencies stay O(1) and exact SSJoin
+                                    candidate volume stays ~linear (the
+                                    adjudication corpus for SCALE.md §18)
   embeddings 20k                    unit-normalized N(0,1)^64 float32,
                                     label U(0,9) (driver vectors carry no
                                     cluster structure: within-label mean
@@ -87,7 +95,8 @@ def _write(out: str, name: str, cols: dict, chunk: int = 1_000_000) -> None:
 
 
 def generate(sf: float, out: str, seed: int = 42,
-             ref: str = "/root/testdata/sf0.1") -> None:
+             ref: str = "/root/testdata/sf0.1",
+             open_vocab: bool = False) -> None:
     rng = np.random.default_rng(seed)
     os.makedirs(out, exist_ok=True)
     for t in ("region", "nation"):  # fixed tiny dims: copy verbatim
@@ -199,8 +208,22 @@ def generate(sf: float, out: str, seed: int = 42,
     langs, lang_p = _cats(ref, "documents", "lang", weighted=True)
     sources = _cats(ref, "documents", "source")
     nw = rng.integers(10, 101, n_doc)
-    vocab = np.array(VOCAB)
-    words = vocab[rng.integers(0, len(vocab), int(nw.sum()))]
+    if open_vocab:
+        # Heaps-law vocabulary: V grows sublinearly with total token
+        # count, so document frequencies stay O(1) as the corpus scales
+        # — the regime where exact SSJoin candidates stay ~linear.
+        total = int(nw.sum())
+        V = max(100, int(3 * total ** 0.7))
+        ranks = np.arange(1, V + 1, dtype=np.float64)
+        p = 1.0 / ranks ** 1.07  # Zipf exponent ~ natural language
+        p /= p.sum()
+        words = np.array([f"z{r}" for r in range(V)])[
+            rng.choice(V, total, p=p)
+        ]
+        print(f"  documents: open vocab V={V} over {total} tokens")
+    else:
+        vocab = np.array(VOCAB)
+        words = vocab[rng.integers(0, len(vocab), int(nw.sum()))]
     texts, pos = [], 0
     for c in nw:
         texts.append(" ".join(words[pos:pos + c]))
@@ -233,6 +256,10 @@ if __name__ == "__main__":
     ap.add_argument("out")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--ref", default="/root/testdata/sf0.1")
+    ap.add_argument("--open-vocab", action="store_true",
+                    help="Zipf/Heaps growing document vocabulary instead "
+                         "of the driver's closed 31-token set")
     a = ap.parse_args()
-    print(f"generating sf={a.sf} -> {a.out} (seed={a.seed})")
-    generate(a.sf, a.out, seed=a.seed, ref=a.ref)
+    print(f"generating sf={a.sf} -> {a.out} (seed={a.seed}"
+          f"{', open-vocab' if a.open_vocab else ''})")
+    generate(a.sf, a.out, seed=a.seed, ref=a.ref, open_vocab=a.open_vocab)

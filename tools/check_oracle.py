@@ -5,11 +5,22 @@ so regressions are caught locally before the round ends.
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
        python tools/check_oracle.py [sf_dir] --sample N --seed S
+       python tools/check_oracle.py [sf_dir] --checksum
 
 --sample/--seed draw a reproducible random subsample of the corpus
 (seeded ``random.Random(S)`` over the sorted query names) so each
 round's gate stamp can record a fresh randomized subsample id alongside
 the full run — cheap provenance a future judge can replay verbatim.
+
+--checksum replaces the per-cell Python normalization (which dominates
+at sf1: up-to-6M-row outputs cost ~10 min/query to repr+sort) with an
+order-insensitive per-row hash computed by ONE shared vectorized
+canonicalization over both engines' Arrow output — same code path on
+both sides, so cell rendering is consistent by construction (no
+cross-dialect float-formatting contract needed). Row counts, column
+names, and the coarse type gate are identical to the slow path; on a
+checksum mismatch the query FALLS BACK to the full row-diff so the
+failure report stays as actionable as before.
 """
 
 from __future__ import annotations
@@ -122,6 +133,42 @@ def norm_duck_type(s: str) -> str:
     return s.lower()
 
 
+def _canonical_row_hashes(tbl):
+    """Order-insensitive content checksum of an Arrow table: one
+    canonical string per row (columns sorted by name, cells rendered by
+    THE SAME vectorized rules regardless of which engine produced the
+    table), hashed per row, summed with uint64 wraparound.
+
+    Rendering rules mirror norm_cell: floats by shortest round-trip
+    repr (numpy dragon4 — identical for identical bits), timestamps
+    tz-stripped and fixed-width ISO, everything else str()."""
+    import numpy as np
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    df = df[sorted(df.columns)]
+    out = None
+    for c in df.columns:
+        s = df[c]
+        mask = s.isna()
+        if isinstance(s.dtype, pd.DatetimeTZDtype):
+            s = s.dt.tz_localize(None)
+        if pd.api.types.is_datetime64_any_dtype(s.dtype):
+            # fixed-width microsecond ISO on both sides, any input unit
+            vals = s.to_numpy().astype("datetime64[us]").astype(str)
+            col = pd.Series(vals, index=s.index, dtype=object)
+        elif pd.api.types.is_float_dtype(s.dtype):
+            col = s.astype(str)  # numpy shortest-repr (dragon4)
+        else:
+            col = s.astype(str)
+        col = col.mask(mask, "\x00NULL")
+        out = col if out is None else out + "\x1f" + col
+    if out is None or not len(df):
+        return len(df), 0
+    h = pd.util.hash_pandas_object(out, index=False).to_numpy(np.uint64)
+    return len(df), int(np.add.reduce(h, dtype=np.uint64))
+
+
 def type_mismatches(spark_df, con, sql) -> list[str]:
     """Column-by-column coarse type classes: Spark schema vs DuckDB
     DESCRIBE (bind-only, no execution). Returns human-readable diffs."""
@@ -140,6 +187,10 @@ def type_mismatches(spark_df, con, sql) -> list[str]:
 def main() -> int:
     argv = sys.argv[1:]
     sample_n = seed = None
+    checksum = False
+    if "--checksum" in argv:
+        checksum = True
+        argv.remove("--checksum")
     if "--sample" in argv:
         i = argv.index("--sample")
         sample_n = int(argv[i + 1])
@@ -193,7 +244,18 @@ def main() -> int:
                     "serialize to string (concat_ws / to_json) before register"
                 )
                 continue
-            s_rows = [tuple(r) for r in df.collect()]
+            if checksum:
+                try:
+                    s_tbl = df.toArrow()
+                except AttributeError:
+                    import pyarrow as pa
+
+                    s_tbl = pa.Table.from_pandas(df.toPandas())
+                s_rows = None
+                n_s = s_tbl.num_rows
+            else:
+                s_rows = [tuple(r) for r in df.collect()]
+                n_s = len(s_rows)
         except Exception as e:  # noqa: BLE001
             n_fail += 1
             failures.append(name)
@@ -201,20 +263,27 @@ def main() -> int:
             continue
         if name not in oracles:
             n_rows_only += 1
-            print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"rows  {name}: {n_s} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
             cur = con.execute(oracles[name])
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
+            if checksum:
+                d_tbl = cur.fetch_arrow_table()
+                d_cols = list(d_tbl.column_names)
+                d_rows = None
+                n_d = d_tbl.num_rows
+            else:
+                d_cols = [d[0] for d in cur.description]
+                d_rows = cur.fetchall()
+                n_d = len(d_rows)
         except Exception as e:  # noqa: BLE001
             n_fail += 1
             failures.append(name)
             print(f"FAIL  {name}: DUCKDB ERROR {type(e).__name__}: {e}"[:500])
             continue
         problems = []
-        if len(s_rows) != len(d_rows):
-            problems.append(f"count {len(s_rows)} vs {len(d_rows)}")
+        if n_s != n_d:
+            problems.append(f"count {n_s} vs {n_d}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols {sorted(s_cols)} vs {sorted(d_cols)}")
         else:
@@ -224,18 +293,41 @@ def main() -> int:
                 tm = [f"DESCRIBE error: {type(e).__name__}: {e}"]
             if tm:
                 problems.append(f"types [{'; '.join(tm)}]")
-        if not problems:
+        if not problems and checksum:
+            _, hs = _canonical_row_hashes(s_tbl)
+            _, hd = _canonical_row_hashes(d_tbl)
+            if hs != hd:
+                # fall back to the full row diff so the failure report
+                # is as actionable as the slow path's
+                s_rows = [
+                    tuple(r)
+                    for r in s_tbl.to_pandas()[list(s_cols)].itertuples(
+                        index=False
+                    )
+                ]
+                d_rows = [
+                    tuple(r)
+                    for r in d_tbl.to_pandas()[list(d_cols)].itertuples(
+                        index=False
+                    )
+                ]
+        if not problems and (not checksum or s_rows is not None):
             ns, nd = normalize(s_rows, s_cols), normalize(d_rows, d_cols)
             if ns != nd:
                 diff = [(a, b) for a, b in zip(ns, nd) if a != b]
                 problems.append(f"values ({len(diff)} differing rows; first: {diff[:2]})")
+            elif checksum:
+                problems.append(
+                    "checksum mismatch but full row diff agrees — "
+                    "canonicalization bug in _canonical_row_hashes"
+                )
         if problems:
             n_fail += 1
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}"[:700])
         else:
             n_pass += 1
-            print(f"pass  {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+            print(f"pass  {name}: {n_s} rows [{time.time()-t0:.1f}s]")
 
     print(
         f"\n== {n_pass} pass, {n_rows_only} rows-only, {n_fail} fail"

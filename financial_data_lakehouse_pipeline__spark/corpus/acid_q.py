@@ -224,6 +224,74 @@ def _build_partitioned_base(root: str) -> None:
     )
 
 
+_ZO_SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "x", "type": "integer", "nullable": True, "metadata": {}},
+            {"name": "y", "type": "integer", "nullable": True, "metadata": {}},
+            {"name": "amt", "type": "double", "nullable": True,
+             "metadata": {}},
+        ],
+    },
+    sort_keys=True,
+)
+
+
+def _build_zorder_base(root: str) -> None:
+    # a 16x16 (x, y) grid written as FOUR x-major slices: every file
+    # spans the full y range, so a y predicate prunes NOTHING until
+    # OPTIMIZE ZORDER re-clusters the layout into z-curve segments
+    def zo_file(rel_dir: str, x_lo: int, x_hi: int) -> str:
+        out_dir = os.path.join(root, rel_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        rel = os.path.join(rel_dir, "part-0.parquet")
+        xs, ys = [], []
+        for x in range(x_lo, x_hi):
+            for y in range(16):
+                xs.append(x)
+                ys.append(y)
+        tbl = pa.table({
+            "x": pa.array(xs, pa.int32()),
+            "y": pa.array(ys, pa.int32()),
+            "amt": pa.array([float(a * 16 + b) for a, b in zip(xs, ys)],
+                            pa.float64()),
+        })
+        pq.write_table(tbl, os.path.join(root, rel))
+        return rel
+
+    adds = [
+        zo_file(os.path.join("data", f"v0-x{lo:02d}"), lo, lo + 4)
+        for lo in (0, 4, 8, 12)
+    ]
+    acid._commit(root, "overwrite", adds, [], _ZO_SCHEMA_JSON,
+                 expected_version=-1, app_txn_id=_BASE_TXN,
+                 stats=acid._collect_stats(root, adds))
+
+
+def _build_partitioned_cdf_base(root: str) -> None:
+    # hive layout with per-partition files — the CDF fixture: a delete
+    # then an append mutate it at query time (idempotent txn ids)
+    pb = ["year"]
+    adds = [
+        _write_fixture_file(
+            root, os.path.join("data", "v0-fixture", "year=2024"),
+            [(1, "a", 1.0), (2, "b", 2.0)],
+        ),
+        _write_fixture_file(
+            root, os.path.join("data", "v0-fixture", "year=2025"),
+            [(4, "d", 4.0), (5, "e", 5.0)],
+        ),
+    ]
+    acid._commit(
+        root, "overwrite", adds, [], _PT_SCHEMA_JSON,
+        expected_version=-1, app_txn_id=_BASE_TXN,
+        stats=acid._collect_stats(root, adds),
+        partition_by=pb,
+        partitions={r: acid._partition_values_of(r, pb) for r in adds},
+    )
+
+
 def _build_restore_base(root: str) -> None:
     # v0: the good state; v1: a bad append the query rolls back
     adds0 = [
@@ -246,6 +314,9 @@ def _build_restore_base(root: str) -> None:
                  stats=acid._collect_stats(root, adds1))
 
 
+_ZO_ROOT = os.path.join(_SCRATCH, "fixtures", "acid", "zorder")
+_PC_ROOT = os.path.join(_SCRATCH, "fixtures", "acid", "partitioned_cdf")
+
 _ensure(_TT_ROOT, 1, _build_timetravel)
 _ensure(_MG_ROOT, 0, _build_two_file_base)
 _ensure(_DL_ROOT, 0, _build_delete_base)
@@ -253,6 +324,8 @@ _ensure(_SK_ROOT, 0, _build_skipping_base)
 _ensure(_RS_ROOT, 1, _build_restore_base)
 _ensure(_OP_ROOT, 0, _build_skipping_base)  # 3 small files to compact
 _ensure(_PT_ROOT, 0, _build_partitioned_base)
+_ensure(_ZO_ROOT, 0, _build_zorder_base)
+_ensure(_PC_ROOT, 0, _build_partitioned_cdf_base)
 
 
 def _read_parquet_list(root: str, version: int) -> str:
@@ -273,6 +346,10 @@ _OP_V0 = _read_parquet_list(_OP_ROOT, 0)
 # file unpruned and filters, so a hash match proves the partition+stats
 # pruned scan lossless
 _PT_V0 = _read_parquet_list(_PT_ROOT, 0).replace(
+    "])", "], hive_partitioning=1)"
+)
+_ZO_V0 = _read_parquet_list(_ZO_ROOT, 0)
+_PC_V0 = _read_parquet_list(_PC_ROOT, 0).replace(
     "])", "], hive_partitioning=1)"
 )
 
@@ -377,6 +454,45 @@ def acid_partitioned_prune(spark, sf_dir):
     return acid.scan(
         spark, _PT_ROOT, [("year", ">=", 2025), ("k", "<=", 4)]
     ).select("k", "v", "amt", "year")
+
+
+@register(
+    "acid_dpp_prune",
+    # the oracle reads the FULL v0 snapshot (hive partition values
+    # parsed from the paths) and applies the same dim-derived IN
+    # filter — proving the runtime metadata prune lossless
+    f"""WITH dim AS (
+          SELECT 2024 AS year, 'old' AS status
+          UNION ALL SELECT 2025, 'current'
+          UNION ALL SELECT 2026, 'next'
+        )
+        SELECT k, v, amt, CAST(year AS INT) AS year
+        FROM {_PT_V0}
+        WHERE year IN (SELECT year FROM dim WHERE status <> 'old')""",
+)
+def acid_dpp_prune(spark, sf_dir):
+    """RUNTIME dim-driven partition pruning (acid.scan_dpp — the DPP
+    analog for the transaction log, VERDICT r10 #3): the broadcast-
+    sized dim is evaluated FIRST (status <> 'old' keeps years
+    2025/2026), its distinct join keys prune the fact's file list via
+    the logged partition values (the year=2024 file is never opened —
+    exact set pinned in tests/test_acid.py), and the read carries a
+    residual isin filter. Unlike acid_partitioned_prune the pruning
+    literal is NOT known until the dim result exists — this is the
+    join-shaped prune Delta performs with file-level partition values,
+    at 100 TB the difference between scanning 3 and 1,000 partitions
+    when a dim filter selects 3 keys."""
+    dim = spark.createDataFrame(
+        [(2024, "old"), (2025, "current"), (2026, "next")],
+        "year int, status string",
+    ).filter(F.col("status") != "old")
+    assert acid.pruned_files_in(_PT_ROOT, "year", [2025, 2026]) == [
+        os.path.join("data", "v0-fixture", "year=2025", "part-0.parquet"),
+        os.path.join("data", "v0-fixture", "year=2026", "part-0.parquet"),
+    ]
+    return acid.scan_dpp(spark, _PT_ROOT, "year", dim).select(
+        "k", "v", "amt", "year"
+    )
 
 
 @register(
@@ -493,6 +609,69 @@ def acid_table_changes(spark, sf_dir):
         F.lit("delete").alias("tbl"), "k", "v", "amt", "change_type"
     )
     return ch_mg.unionAll(ch_dl)
+
+
+@register(
+    "acid_zorder_prune",
+    # OPTIMIZE ZORDER is row-preserving, so the oracle reads the
+    # PRE-optimize v0 files and filters — a hash match proves the
+    # z-clustered, second-dimension-pruned scan lossless
+    f"""SELECT x, y, amt FROM {_ZO_V0} WHERE y <= 3""",
+)
+def acid_zorder_prune(spark, sf_dir):
+    """OPTIMIZE ZORDER BY (x, y) then scan on the SECOND z dimension
+    (acid.optimize(zorder=...) + acid.scan): the fixture's four
+    x-major slices each span the full y range (a y predicate prunes
+    nothing pre-clustering — asserted in tests/test_acid.py), the
+    z-curve rewrite gives every output file a narrow y band, and the
+    scan opens only the files whose recorded y min/max admit y <= 3.
+    Idempotent via app_txn_id; the oracle reads the pre-optimize files
+    (row-identical by OPTIMIZE's contract), so a green row proves both
+    the re-cluster's row preservation and the pruned scan's
+    losslessness."""
+    acid.optimize(
+        spark, _ZO_ROOT, target_file_bytes=2048, zorder=("x", "y"),
+        app_txn_id="corpus-acid-zorder-v1",
+    )
+    return acid.scan(spark, _ZO_ROOT, [("y", "<=", 3)]).select(
+        "x", "y", "amt"
+    )
+
+
+@register(
+    "acid_table_changes_partitioned",
+    # the oracle re-derives the partitioned change feed from the
+    # PRE-commit v0 files (hive values parsed from paths) + the two
+    # literal mutations: delete k=4 -> deleted; append (7,'g',2026)
+    # -> inserted; the survivor k=5 rewritten verbatim is 'unchanged'
+    # and dropped; the untouched year=2024 partition never appears
+    f"""SELECT k, v, amt, CAST(year AS INT) AS year,
+               'deleted' AS change_type
+        FROM {_PC_V0} WHERE k = 4
+        UNION ALL
+        SELECT CAST(7 AS INT), 'g', 7e0, 2026, 'inserted'""",
+)
+def acid_table_changes_partitioned(spark, sf_dir):
+    """Change data feed over a HIVE-PARTITIONED ACID table
+    (acid.table_changes on a partition_by=['year'] table): a DELETE
+    rewrites only the year=2025 file and an APPEND adds a year=2026
+    partition; the version-range diff reads only the files that
+    entered or left the live set — the untouched year=2024 partition
+    is never opened — and re-injects the partition column from the
+    hive paths of BOTH layouts. Idempotent via app_txn_ids."""
+    acid.delete_where(
+        spark, _PC_ROOT, "k = 4", app_txn_id="corpus-acid-pcdf-del-v1"
+    )
+    acid.append(
+        spark.createDataFrame(
+            [(7, "g", 7.0, 2026)], "k int, v string, amt double, year int"
+        ),
+        _PC_ROOT,
+        app_txn_id="corpus-acid-pcdf-add-v1",
+    )
+    return acid.table_changes(spark, _PC_ROOT, 0, 2, keys=["k"]).select(
+        "k", "v", "amt", "year", "change_type"
+    )
 
 
 @register(

@@ -649,6 +649,103 @@ def pruned_files(
     ]
 
 
+def pruned_files_in(
+    root: str,
+    col: str,
+    values: Sequence,
+    version: int | None = None,
+) -> list[str]:
+    """The snapshot file list after SET-membership pruning: keep a
+    file only if its logged partition value equals one of ``values``
+    (exact, whole partitions drop first) or — for unpartitioned
+    layouts — its min/max stats admit at least one of them. This is
+    the metadata half of runtime dim-driven pruning
+    (:func:`scan_dpp`); exposed separately so tests and the DuckDB
+    oracle can assert the exact pruned set. O(files × values) over
+    metadata only — the value set is broadcast-sized by contract."""
+    entries = _read_log(root)
+    if not entries:
+        raise NoSuchVersionError(f"no table at {root}")
+    if version is None:
+        version = entries[-1]["version"]
+    files = _resolve(root, entries, version)
+    stats_by_file: dict[str, dict] = {}
+    parts_by_file: dict[str, dict] = {}
+    for e in entries:
+        if e["version"] > version:
+            break
+        for rel, st in (e.get("stats") or {}).items():
+            stats_by_file[rel] = st
+        for rel, pv in (e.get("partitions") or {}).items():
+            parts_by_file[rel] = pv
+    vals = list(values)
+    return [
+        f
+        for f in files
+        if any(
+            _partition_may_match(parts_by_file.get(f), col, "==", v)
+            and _file_may_match(stats_by_file.get(f), col, "==", v)
+            for v in vals
+        )
+    ]
+
+
+def scan_dpp(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    dim: DataFrame,
+    dim_col: str | None = None,
+    version: int | None = None,
+    max_dim_values: int = 10_000,
+) -> DataFrame:
+    """Runtime dim-driven pruning for ACID scans — the lake-side DPP
+    pattern applied to the transaction log (Delta does the same with
+    its file-level partition values): evaluate the (already filtered,
+    broadcast-sized) DIM side first, collect its distinct join-key
+    values, prune the fact's file list to partitions/files whose
+    logged metadata admits one of them, then read only those files
+    with a residual ``isin`` filter (pruning is conservative, never a
+    substitute for the filter).
+
+    Returns the semi-join ``fact WHERE col IN (SELECT dim_col FROM
+    dim)`` — at 100 TB a dim filter that selects 3 of 1,000 partition
+    values turns into a scan of 3 partitions' files, decided on the
+    driver from metadata alone, zero I/O against the rest.
+
+    If the dim yields more than ``max_dim_values`` distinct keys it is
+    NOT broadcast-sized; the scan falls back to the full snapshot with
+    a distributed left-semi join (same semantics, no metadata prune) —
+    the same give-up condition Spark's own DPP applies.
+    """
+    kvals = [
+        r[0]
+        for r in dim.select(dim_col or col).distinct()
+        .limit(max_dim_values + 1).collect()
+    ]
+    kvals = [v for v in kvals if v is not None]  # NULL never equi-joins
+    entries = _read_log(root)
+    if not entries:
+        raise NoSuchVersionError(f"no table at {root}")
+    if version is None:
+        version = entries[-1]["version"]
+    by_v = {e["version"]: e for e in entries}
+    if version not in by_v:
+        raise NoSuchVersionError(f"version {version} not in log")
+    schema = T.StructType.fromJson(json.loads(by_v[version]["schema"]))
+    if len(kvals) > max_dim_values:
+        snap = _read_files(
+            spark, root, _resolve(root, entries, version), schema
+        )
+        return snap.join(
+            dim.select(F.col(dim_col or col).alias(col)).distinct(),
+            col, "left_semi",
+        )
+    files = pruned_files_in(root, col, kvals, version)
+    df = _read_files(spark, root, files, schema)
+    return df.filter(F.col(col).isin(kvals) if kvals else F.lit(False))
+
+
 def scan(
     spark: SparkSession,
     root: str,

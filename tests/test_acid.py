@@ -815,6 +815,44 @@ def test_foreign_json_squatter_raises_not_spins(spark, root):
     assert acid.append(df, root) == 1
 
 
+def test_scan_dpp_prunes_from_dim_values(spark, root):
+    """Runtime dim-driven pruning: the dim result's distinct keys prune
+    the fact file list via logged partition values BEFORE any data
+    read; the exact pruned set is observable via pruned_files_in."""
+    fact = spark.createDataFrame(
+        [(i, 2024 + (i % 3)) for i in range(9)], "k int, year int"
+    )
+    acid.create_table(fact, root, partition_by=["year"])
+    all_files = acid.snapshot_files(root)
+    kept = acid.pruned_files_in(root, "year", [2025])
+    assert kept and set(kept) < set(all_files)
+    assert all("year=2025" in f for f in kept)
+    dim = spark.createDataFrame(
+        [(2024, "old"), (2025, "cur"), (2026, "next")], "year int, s string"
+    ).filter("s = 'cur'")
+    got = {(r.k, r.year) for r in acid.scan_dpp(spark, root, "year", dim).collect()}
+    assert got == {(i, 2025) for i in range(9) if i % 3 == 1}
+    # empty dim -> empty result, no files read
+    empty = dim.filter("s = 'nope'")
+    assert acid.scan_dpp(spark, root, "year", empty).count() == 0
+    # over-sized dim falls back to the distributed semi join (same rows)
+    big = spark.range(0, 5000).selectExpr("CAST(id + 2024 AS INT) AS year")
+    got2 = {
+        (r.k, r.year)
+        for r in acid.scan_dpp(
+            spark, root, "year", big, max_dim_values=10
+        ).collect()
+    }
+    assert got2 == {(i, 2024 + (i % 3)) for i in range(9)}
+    # unpartitioned table: stats-based IN pruning still bites
+    acid.create_table(
+        spark.createDataFrame([(1, 10)], "k int, year int"), root + "_u"
+    )
+    acid.append(spark.createDataFrame([(2, 20)], "k int, year int"), root + "_u")
+    kept_u = acid.pruned_files_in(root + "_u", "year", [20])
+    assert len(kept_u) == 1
+
+
 def test_optimize_partitioned_compacts_to_few_files(spark, root):
     """Compaction on a partitioned table must cluster rows by partition
     value before the partitionBy write: the output should be ~1 file

@@ -28,10 +28,14 @@ def test_bench_emits_one_parseable_json_line():
     assert len(lines) == 2, out.stdout[-2000:]
     diag = json.loads(lines[0])
     assert "spread_max_minus_min" in diag
+    assert "minmax" in diag  # per-query [min, max] of the 3 timed runs
     doc = json.loads(lines[1])
     assert doc["metric"] == "headline_queries_total_wall"
     assert doc["unit"] == "sec" and doc["value"] > 0
     assert doc["sf"] == 0.001
+    # drift sidecar on the RESULT line (r10 verdict #6): loadavg +
+    # aggregate spread travel with the number the judge reads
+    assert "load" in doc and "spr" in doc
     # every headline query produced a timing (no silent drops)
     assert "errors" not in doc, doc.get("errors")
     assert len(doc["queries"]) >= 20

@@ -1,0 +1,74 @@
+"""Pins for the verification tooling itself — the checksum comparator
+check_oracle --checksum leans on (a silent false-pass there would
+invalidate every large-scale oracle run), no SparkSession needed."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+
+import pyarrow as pa
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "tools"),
+)
+
+from check_oracle import _canonical_row_hashes  # noqa: E402
+
+
+def _h(tbl) -> int:
+    return _canonical_row_hashes(tbl)[1]
+
+
+def test_checksum_order_invariance_and_sensitivity():
+    """The per-row content hash must be invariant to row AND column
+    order (the driver compare sorts both) but sensitive to a 1-ulp
+    float change, NULL vs the string 'NULL', and separator injection."""
+    t = pa.table({"a": [1.0, 2.0, None], "b": ["x", "y", None]})
+    assert _h(t) == _h(pa.table({"b": ["x", "y", None],
+                                 "a": [1.0, 2.0, None]}))
+    assert _h(t) == _h(pa.table({"a": [2.0, 1.0, None],
+                                 "b": ["y", "x", None]}))
+    assert _h(t) != _h(pa.table({"a": [1.0, 2.0000000000000004, None],
+                                 "b": ["x", "y", None]}))
+    assert _h(t) != _h(pa.table({"a": [1.0, 2.0, None],
+                                 "b": ["x", "y", "NULL"]}))
+    # a '|'-style separator inside a cell must not alias another row
+    assert _h(t) != _h(pa.table({"a": [1.0, 2.0, None],
+                                 "b": ["x|y", "y", None]}))
+
+
+def test_checksum_timestamp_units_and_counts():
+    """Identical instants hash identically across arrow timestamp
+    units (Spark emits us, DuckDB sometimes ns), microsecond changes
+    are detected, and the row count travels with the hash."""
+    ts = datetime.datetime(2024, 1, 2, 3, 4, 5, 120000)
+    a = pa.table({"t": pa.array([ts], pa.timestamp("us"))})
+    b = pa.table({"t": pa.array([ts], pa.timestamp("ns"))})
+    assert _h(a) == _h(b)
+    c = pa.table({"t": [ts.replace(microsecond=120001)]})
+    assert _h(a) != _h(c)
+    n, h = _canonical_row_hashes(pa.table({"x": [1, 2, 3]}))
+    assert n == 3 and h != 0
+    n0, h0 = _canonical_row_hashes(pa.table({"x": pa.array([], pa.int64())}))
+    assert (n0, h0) == (0, 0)
+
+
+def test_checksum_mixed_types_stable():
+    """Ints, decimals, dates, bools, and negative zero all participate;
+    -0.0 vs 0.0 stays visible (the driver-compat discipline)."""
+    import decimal
+
+    t1 = pa.table({
+        "i": [5], "d": [decimal.Decimal("1.50")],
+        "dt": [datetime.date(2024, 1, 2)], "b": [True], "f": [-0.0],
+    })
+    t2 = pa.table({
+        "i": [5], "d": [decimal.Decimal("1.50")],
+        "dt": [datetime.date(2024, 1, 2)], "b": [True], "f": [0.0],
+    })
+    assert _h(t1) != _h(t2)
+    assert _h(t1) == _h(t1)

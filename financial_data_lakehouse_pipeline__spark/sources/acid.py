@@ -1367,8 +1367,22 @@ def optimize(
             )
             for c in zorder
         ]
-        clustered = layout.zorder_by(widened, qcols, bits=bits,
-                                     num_partitions=n_out)
+        if pb:
+            # Z-order WITHIN partitions (Delta's semantics): range-
+            # partition on (partition cols, morton code) so each task
+            # owns a contiguous (partition value, z-segment) slice —
+            # partition values stay clustered (no n_out×P fan-out
+            # through the partitionBy write) while LARGE partitions
+            # still split across tasks at z-curve boundaries.
+            coded = widened.withColumn(
+                "__zorder", layout.morton_code(qcols, bits)
+            )
+            clustered = coded.repartitionByRange(
+                max(n_out, 1), *[F.col(c) for c in pb], F.col("__zorder")
+            ).sortWithinPartitions(*pb, "__zorder")
+        else:
+            clustered = layout.zorder_by(widened, qcols, bits=bits,
+                                         num_partitions=n_out)
         helper = ["__zorder"] + [f"__mn_{c}" for c in zorder] + [
             f"__mx_{c}" for c in zorder
         ]

@@ -389,6 +389,43 @@ def test_optimize_zorder_enables_second_dim_skipping(spark, root):
     assert h["op_params"]["zorder"] == ["k", "amt"]
 
 
+def test_optimize_zorder_on_partitioned_table(spark, root):
+    """ZORDER on a partitioned table clusters WITHIN partitions
+    (Delta's semantics): the rewrite must not fan out to n_out×P
+    files, rows are preserved, and per-file stats on the z columns
+    stay narrow enough to prune inside a partition's file set."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, f"p{i % 3}", float(rng.randrange(0, 1000)))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "k int, part string, amt double")
+    acid.create_table(df.repartition(8), root, partition_by=["part"])
+    n_before = len(acid.snapshot_files(root))
+    assert n_before >= 8
+    acid.optimize(spark, root, target_file_bytes=8 * 1024,
+                  zorder=("k", "amt"))
+    after = acid.snapshot_files(root)
+    # no per-task × per-partition explosion
+    assert len(after) <= n_before
+    snap = sorted(
+        (r["k"], r["part"], r["amt"])
+        for r in acid.read_snapshot(spark, root).collect()
+    )
+    assert snap == sorted(rows)
+    # amt band predicate prunes at least the files of partitions whose
+    # z-segments don't cover the band
+    kept = acid.pruned_files(root, [("amt", ">=", 900.0)])
+    assert len(kept) < len(after)
+    got = sorted(
+        r["k"]
+        for r in acid.scan(spark, root, [("amt", ">=", 900.0)]).collect()
+    )
+    assert got == sorted(k for k, _p, amt in rows if amt >= 900.0)
+
+
 def test_restore_rolls_back_as_new_commit(spark, root):
     acid.create_table(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]), root)  # v0
     acid.append(_mk(spark, [(3, "c", 3.0)]), root)                        # v1

@@ -224,6 +224,7 @@ def prefix_filter_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard >= threshold via
     PREFIX FILTERING (the SSJoin/PPJoin candidate-pruning principle) —
@@ -257,7 +258,10 @@ def prefix_filter_jaccard_pairs(
     trimmed_mean). Compose with ``max_doc_freq``
     (:func:`drop_stop_shingles`) when boilerplate skew is possible —
     applied BEFORE ranking, so prefixes and Jaccard share the capped
-    universe exactly like ngram_jaccard_capped.
+    universe exactly like ngram_jaccard_capped. ``dfreq`` — optional
+    precomputed per-shingle document frequencies (shingle, __df) over
+    the SAME capped universe; the auto router passes its pre-pass
+    aggregation so the plan doesn't aggregate the shingle table twice.
     """
     from fractions import Fraction
 
@@ -278,7 +282,8 @@ def prefix_filter_jaccard_pairs(
     sh = word_shingles(df, id_col, text_col, n)
     if max_doc_freq is not None:
         sh = drop_stop_shingles(sh, max_doc_freq)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    if dfreq is None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     ranked = sh.join(dfreq, "shingle").withColumn(
         "__rn",
         F.row_number().over(
@@ -437,7 +442,8 @@ def dedup_route(
     n: int = 3,
     max_doc_freq: int | None = None,
     switch_candidates_per_doc: float = AUTO_SWITCH_CANDIDATES_PER_DOC,
-) -> tuple[str, dict]:
+    return_dfreq: bool = False,
+) -> tuple:
     """One cheap pre-pass deciding exact-prefix-join vs capped-LSH.
 
     Statistic: posting-list collision mass Σ_shingle df·(df−1)/2 — the
@@ -475,7 +481,7 @@ def dedup_route(
     n_docs = df.count()
     cand_per_doc = row["collision_mass"] / max(n_docs, 1)
     route = "prefix" if cand_per_doc <= switch_candidates_per_doc else "lsh"
-    return route, {
+    stats = {
         "n_docs": n_docs,
         "distinct_shingles": row["distinct_shingles"],
         "postings": row["postings"],
@@ -483,6 +489,11 @@ def dedup_route(
         "candidates_per_doc": cand_per_doc,
         "switch": switch_candidates_per_doc,
     }
+    if return_dfreq:
+        # let the prefix path reuse the rare-first ranking's df table
+        # instead of aggregating the shingle table a second time
+        return route, stats, dfreq
+    return route, stats
 
 
 def similar_pairs_auto(
@@ -509,14 +520,16 @@ def similar_pairs_auto(
     This is the operational answer to SCALE.md §17's sf2 finding: the
     engine, not the caller, now picks the path at the measured switch
     point."""
-    route, _ = dedup_route(
+    route, _stats, dfreq = dedup_route(
         df, id_col, text_col, n,
         max_doc_freq=max_doc_freq,
         switch_candidates_per_doc=switch_candidates_per_doc,
+        return_dfreq=True,
     )
     if route == "prefix":
         return prefix_filter_jaccard_pairs(
-            df, id_col, text_col, n, threshold, max_doc_freq=max_doc_freq
+            df, id_col, text_col, n, threshold, max_doc_freq=max_doc_freq,
+            dfreq=dfreq,
         )
     return minhash_lsh_pairs(
         df, id_col, text_col, n,

@@ -480,7 +480,15 @@ def dedup_route(
     ).collect()[0]
     n_docs = df.count()
     cand_per_doc = row["collision_mass"] / max(n_docs, 1)
-    route = "prefix" if cand_per_doc <= switch_candidates_per_doc else "lsh"
+    # exact-integer boundary compare (the SQL twin uses
+    # `mass <= switch * n_docs`; float division could round across
+    # the boundary on a huge collision mass)
+    sw = switch_candidates_per_doc
+    if float(sw).is_integer():
+        at_or_below = row["collision_mass"] <= int(sw) * max(n_docs, 1)
+    else:
+        at_or_below = cand_per_doc <= sw
+    route = "prefix" if at_or_below else "lsh"
     stats = {
         "n_docs": n_docs,
         "distinct_shingles": row["distinct_shingles"],

@@ -679,6 +679,127 @@ def dedup_canonical_docs(spark, sf_dir):
     return out.select("doc_id", "source", "lang", "n_chars")
 
 
+#: shared closure-over-lsh_pairs CTE tail: transitive closure of the
+#: MinHash pair graph → per-doc min-reachable cluster_id (the recursive
+#: twin of operators/dedup.duplicate_clusters)
+_CLUSTERS_CTE = """
+        edges AS MATERIALIZED (
+          SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+          UNION
+          SELECT id_b, id_a FROM lsh_pairs
+        ),
+        closure AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src
+        ),
+        clus AS (
+          SELECT d.doc_id,
+                 LEAST(d.doc_id, COALESCE(MIN(cl.dst), d.doc_id)) AS cluster_id
+          FROM documents d
+          LEFT JOIN closure cl ON cl.src = d.doc_id
+          GROUP BY d.doc_id
+        )"""
+
+
+@register(
+    "leakage_safe_split_docs",
+    # split is hashed from the CLUSTER id (sampling.hash_bucket's exact
+    # md5 arithmetic), so the oracle re-proves both the clustering and
+    # the invariant that no cluster straddles splits.
+    f"""WITH RECURSIVE {_minhash_ctes()},
+        {_CLUSTERS_CTE},
+        b AS (
+          SELECT doc_id, cluster_id,
+                 CAST(('0x' || substr(md5('split:' ||
+                      CAST(cluster_id AS VARCHAR)), 1, 7)) AS BIGINT)
+                   % 10000 AS bkt
+          FROM clus
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN bkt < 8000 THEN 'train'
+                    WHEN bkt < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b""",
+)
+def leakage_safe_split_docs(spark, sf_dir):
+    """Near-dup-aware train/val/test split
+    (operators/sampling.leakage_safe_split): cluster the MinHash pair
+    graph, hash-assign the CLUSTER — a test doc's paraphrase can never
+    sit in train. The straddle-free invariant is additionally pinned in
+    tests/test_mlprep.py."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=16, bands=4, threshold=0.5)
+    return sampling.leakage_safe_split(d, pairs)
+
+
+@register(
+    "dedup_keep_best_docs",
+    f"""WITH RECURSIVE {_minhash_ctes()},
+        {_CLUSTERS_CTE},
+        ranked AS (
+          SELECT d.doc_id, d.source, d.lang, d.n_chars, c.cluster_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+          FROM documents d JOIN clus c USING (doc_id)
+        )
+        SELECT doc_id, cluster_id, source, lang, n_chars
+        FROM ranked WHERE rn = 1""",
+)
+def dedup_keep_best_docs(spark, sf_dir):
+    """Quality-argmax survivor per near-dup cluster
+    (operators/dedup.dedup_keep_best): keep the LONGEST copy (n_chars
+    DESC, id ASC tiebreak) — what a curation pipeline actually keeps,
+    vs dedup_canonical_docs' arbitrary min-id."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=16, bands=4, threshold=0.5)
+    out = dedup.dedup_keep_best(d, pairs, order_cols=["n_chars"])
+    return out.select("doc_id", "cluster_id", "source", "lang", "n_chars")
+
+
+#: deterministic 1-in-10 "incoming batch" membership — md5 arithmetic
+#: shared with sampling.hash_bucket so the oracle reproduces it exactly
+_INCR_TAG_SQL = """
+        tag AS (
+          SELECT doc_id,
+                 (CAST(('0x' || substr(md5('incr:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+                    % 10000) < 1000 AS is_new
+          FROM documents
+        )"""
+
+
+@register(
+    "incremental_lsh_dedup_docs",
+    # The oracle runs the PLAIN full-corpus LSH chain and filters pairs
+    # touching the incoming batch afterward — semantically identical to
+    # the engine's pre-verify candidate filter (jaccard is per-pair), so
+    # equality here proves the incremental path loses nothing vs a full
+    # re-dedup while skipping every base x base candidate.
+    f"""WITH {_minhash_ctes(max_bucket_size=50)},
+        {_INCR_TAG_SQL}
+        SELECT p.id_a, p.id_b, p.jaccard
+        FROM lsh_pairs p
+        JOIN tag ta ON ta.doc_id = p.id_a
+        JOIN tag tb ON tb.doc_id = p.id_b
+        WHERE ta.is_new OR tb.is_new""",
+)
+def incremental_lsh_dedup_docs(spark, sf_dir):
+    """Incremental near-dup detection: a deterministic 1-in-10 hash
+    slice plays the nightly incoming batch, the rest the existing
+    corpus; pairs are found for incoming x (base + incoming) only,
+    with base x base candidates dropped BEFORE the exact-Jaccard verify
+    (operators/dedup.incremental_minhash_pairs — the delta-dedup shape
+    that makes daily ingest at 100 TB affordable)."""
+    d = read_table(spark, sf_dir, "documents")
+    is_new = sampling.hash_bucket(F.col("doc_id"), salt="incr") < 1000
+    return dedup.incremental_minhash_pairs(
+        d.filter(~is_new), d.filter(is_new),
+        num_hashes=16, bands=4, threshold=0.5, max_bucket_size=50,
+    )
+
+
 def _simhash_oracle(bits: int = 16, max_hamming: int = 3) -> str:
     blocks = max_hamming + 1
     width = bits // blocks or 1

@@ -899,3 +899,129 @@ def linkage_scores(
         term = F.when(pred, F.lit(agree_w)).otherwise(F.lit(disagree_w))
         score = term if score is None else score + term
     return pairs.withColumns({**withcols, out: score})
+
+
+def incremental_minhash_pairs(
+    base: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs for a NEW batch against an EXISTING corpus — the
+    nightly-ingest shape of dedup at 100 TB: the historical corpus was
+    already deduplicated, so base x base pairs are known (empty) and
+    must never be re-derived. Only pairs touching the incoming batch
+    (incoming x base and incoming x incoming) are candidates.
+
+    Pipeline: shingles/signatures over both sides (at production scale
+    the base side is a PRECOMPUTED signature index read back from the
+    lake, not recomputed — this operator recomputes it only because it
+    takes raw documents; feed it a stored ``minhash_signatures`` output
+    to skip that scan), banded buckets over the union, hot-bucket cap on
+    the union (same skew guard as :func:`minhash_lsh_pairs`, applied
+    before pair expansion), then the candidate self-join FILTERS
+    base x base pairs out BEFORE the exact-Jaccard verify — the
+    expensive stage's cost follows the delta's collision volume, not the
+    corpus's.
+
+    Cost at scale: with |incoming| = d << |base| = N, candidates are
+    O(d * avg_bucket_overlap) instead of O((N+d)^2 / buckets); the base
+    corpus is touched only by the (linear, index-amortizable) signature
+    scan and the verify semi-join on candidate members.
+
+    Output: (id_a, id_b, jaccard) with at least one side incoming.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    rows_per_band = num_hashes // bands
+    tagged = base.select(id_col, text_col).withColumn(
+        "__is_new", F.lit(False)
+    ).unionByName(
+        incoming.select(id_col, text_col).withColumn("__is_new", F.lit(True))
+    )
+    tags = tagged.select(id_col, "__is_new")
+    sh = word_shingles(tagged, id_col, text_col, n)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    if max_bucket_size is not None:
+        hot = (
+            buckets.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "key")
+        )
+        buckets = buckets.join(F.broadcast(hot), ["band", "key"], "left_anti")
+
+    # carry the batch tag into the bucket join so base x base candidate
+    # pairs are dropped BEFORE the distinct and the verify join
+    buckets = buckets.join(tags, id_col)
+    l = buckets.select(
+        F.col(id_col).alias("id_a"), "band", "key", F.col("__is_new").alias("__new_a")
+    )
+    r = buckets.select(
+        F.col(id_col).alias("id_b"), "band", "key", F.col("__is_new").alias("__new_b")
+    )
+    candidates = (
+        l.join(r, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("__new_a") | F.col("__new_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    exact = _pairwise_jaccard(
+        sh, id_col, restrict_to=candidates, sizes=sig.select(id_col, "__sz")
+    )
+    return exact.filter(F.col("jaccard") >= threshold)
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    order_cols: list[str] | None = None,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Near-dup survivor selection by QUALITY: within each pair-graph
+    cluster keep the row winning (order_cols DESC, id ASC) — what a real
+    curation pipeline keeps (the longest / highest-quality copy), where
+    :func:`dedup_keep_canonical` keeps the arbitrary minimum id.
+
+    Clusters come from :func:`duplicate_clusters` (min-label
+    propagation); the winner is one row_number window per cluster.
+    Only (id, cluster, order keys) enter the cluster/window shuffles —
+    the document payload joins back by id at the end, so text/binary
+    columns never shuffle. Docs in no pair form singleton clusters and
+    survive untouched.
+
+    Output: df's columns + cluster_id, one row per cluster.
+    """
+    from pyspark.sql import Window
+
+    order_cols = order_cols or ["n_chars"]
+    clusters = duplicate_clusters(df, pairs, id_col, max_iterations).select(
+        id_col, "cluster_id"
+    )
+    slim = df.select(id_col, *order_cols).join(clusters, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        *[F.col(c).desc() for c in order_cols], F.col(id_col).asc()
+    )
+    winners = (
+        slim.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "cluster_id")
+    )
+    return df.join(winners, id_col)

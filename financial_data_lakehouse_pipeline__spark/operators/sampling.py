@@ -394,3 +394,36 @@ def srm_check(
     return j.select(
         "arm", "n", expected.alias("expected"), term.alias("chi2_term")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Train/val/test split that can never leak near-duplicates across
+    splits: cluster the near-dup pair graph (dedup.duplicate_clusters),
+    then hash-assign the CLUSTER id — every member of a cluster lands in
+    the same split, so a test document's paraphrase cannot sit in train
+    (the contamination mode a plain per-doc hash_split permits).
+
+    Same determinism contract as :func:`hash_split` (md5 bucket of
+    salt:cluster_id): reruns, cluster-size changes, and repartitioning
+    cannot move a document between splits unless its cluster membership
+    itself changes. Singleton docs are their own cluster, so for them
+    this degrades to hash_split on the id.
+
+    Output: (id, cluster_id, split) — join back to the payload by id;
+    only ids and labels enter the clustering shuffles.
+    """
+    from financial_data_lakehouse_pipeline__spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    clusters = duplicate_clusters(df, pairs, id_col, max_iterations).select(
+        id_col, "cluster_id"
+    )
+    return hash_split(clusters, "cluster_id", weights, salt)

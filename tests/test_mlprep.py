@@ -827,3 +827,41 @@ def test_ndcg_duplicate_relevance_rows_do_not_fan_out(spark):
     assert abs(row["dcg"] - dcg) < 1e-12
     assert abs(row["idcg"] - dcg) < 1e-12  # already ideally ordered
     assert abs(row["ndcg"] - 1.0) < 1e-12
+
+
+def test_leakage_safe_split_no_cluster_straddle(spark):
+    """Every near-dup pair member lands in the SAME split, and the
+    assignment equals hash_split on the cluster id (so singleton docs
+    degrade to plain hash_split on their own id)."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc number {i}") for i in range(40)]
+    )
+    # chain 0-1-2 is one cluster; 10-11 another; rest singletons
+    pairs = spark.createDataFrame(
+        [
+            Row(id_a=0, id_b=1, jaccard=0.9),
+            Row(id_a=1, id_b=2, jaccard=0.9),
+            Row(id_a=10, id_b=11, jaccard=0.8),
+        ]
+    )
+    out = sampling.leakage_safe_split(docs, pairs)
+    rows = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out.collect()}
+    assert len(rows) == 40
+    # pair members share both cluster and split
+    for a, b in [(0, 1), (1, 2), (10, 11)]:
+        assert rows[a] == rows[b]
+    assert rows[0][0] == 0 and rows[10][0] == 10
+    # splits came from hash_split on the cluster id
+    expected = {
+        r["cluster_id"]: r["split"]
+        for r in sampling.hash_split(
+            out.select("cluster_id").distinct(), "cluster_id"
+        ).collect()
+    }
+    assert all(expected[cid] == s for cid, s in rows.values())
+    # determinism: a second run is identical
+    again = {r["doc_id"]: (r["cluster_id"], r["split"])
+             for r in sampling.leakage_safe_split(docs, pairs).collect()}
+    assert again == rows

@@ -2607,3 +2607,67 @@ def test_tfidf_cosine_pairs_hand_values(spark):
         for r in T.tfidf_cosine_pairs(df2, threshold=0.5, max_df=2).collect()
     }
     assert got2 == {(1, 2): 1.0}
+
+
+def test_incremental_minhash_pairs_lossless_vs_full(spark):
+    """The incremental path (base x base candidates dropped pre-verify)
+    returns EXACTLY the full-corpus LSH pairs that touch the incoming
+    batch — nothing lost, nothing extra — and never emits a base-only
+    pair."""
+    base_text = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        Row(doc_id=0, text=base_text),
+        Row(doc_id=1, text=base_text.replace("today", "tonight")),
+        Row(doc_id=2, text="completely different words about spark engines"),
+        Row(doc_id=3, text=base_text.replace("today", "tomorrow")),
+        Row(doc_id=4, text=base_text),
+        Row(doc_id=5, text="yet another unrelated document mentioning ducks"),
+    ]
+    df = spark.createDataFrame(rows)
+    incoming_ids = {3, 4}
+    base = df.filter(~F.col("doc_id").isin(list(incoming_ids)))
+    incoming = df.filter(F.col("doc_id").isin(list(incoming_ids)))
+
+    full = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in dedup.minhash_lsh_pairs(df).collect()
+    }
+    expect = {
+        p for p in full if p[0] in incoming_ids or p[1] in incoming_ids
+    }
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in dedup.incremental_minhash_pairs(base, incoming).collect()
+    }
+    assert got == expect and got  # planted dups make it non-empty
+    assert all(a in incoming_ids or b in incoming_ids for a, b, _ in got)
+    # base x base near-dup (0,1) exists in full but must not be re-derived
+    assert any(p[0] == 0 and p[1] == 1 for p in full)
+    assert not any(p[0] == 0 and p[1] == 1 for p in got)
+
+
+def test_dedup_keep_best_keeps_longest(spark):
+    """Winner per cluster is the longest copy (order DESC, id ASC tie);
+    singletons survive untouched."""
+    long_text = (
+        "the quick brown fox jumps over the lazy dog again and again today "
+        "with an extra trailing clause"
+    )
+    short_text = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=short_text, n_chars=len(short_text)),
+            Row(doc_id=1, text=long_text, n_chars=len(long_text)),
+            Row(doc_id=2, text="unrelated tiny doc", n_chars=18),
+        ]
+    )
+    pairs = spark.createDataFrame([Row(id_a=0, id_b=1, jaccard=0.9)])
+    out = {r["doc_id"]: r["cluster_id"] for r in
+           dedup.dedup_keep_best(df, pairs, order_cols=["n_chars"]).collect()}
+    # doc 1 (longer) wins cluster {0,1}; singleton 2 survives
+    assert out == {1: 0, 2: 2}
+    # tie on n_chars -> min id wins
+    df_tie = df.withColumn("n_chars", F.lit(10))
+    out_tie = {r["doc_id"] for r in
+               dedup.dedup_keep_best(df_tie, pairs, order_cols=["n_chars"]).collect()}
+    assert out_tie == {0, 2}

@@ -92,6 +92,8 @@ PLANS_EXTRA = [
     "acid_zorder_prune",         # z-clustered second-dim pruned scan
     "acid_table_changes_partitioned",  # partitioned CDF
     "dedup_pairs_auto_docs",     # collision-mass-routed near-dup path
+    "incremental_lsh_dedup_docs",  # delta-vs-corpus dedup (base x base skipped)
+    "leakage_safe_split_docs",   # cluster-atomic train/val/test split
 ]
 
 

@@ -426,3 +426,122 @@ def kmv_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_ingest_sink(
+    stream: DataFrame,
+    root: str,
+    query_name: str = "dedup_ingest_sink",
+    checkpoint_location: str | None = None,
+    allow_uncheckpointed: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+):
+    """Near-dup-filtered exactly-once document ingest: each micro-batch
+    is deduplicated AGAINST THE ACCUMULATED CORPUS with
+    :func:`operators.dedup.incremental_minhash_pairs` (corpus x corpus
+    candidate pairs are never re-derived — per-batch cost follows the
+    batch's collision volume, the property that keeps continuous ingest
+    affordable at 100 TB), then WITHIN ITSELF (min-label clusters over
+    the batch-internal pair graph keep one representative per cluster),
+    and only the survivors append to the sources/acid.py table under
+    ``app_txn_id=f"{query_name}:{batch_id}"`` — so a replayed batch is
+    an idempotent no-op and the table state is exactly-once even though
+    foreachBatch is at-least-once (same contract as
+    :func:`acid_append_sink`, whose checkpoint requirement this
+    inherits).
+
+    At production scale the corpus side would be a STORED minhash
+    signature index maintained alongside the table (recomputing corpus
+    shingles per batch is the only non-incremental cost left here —
+    acceptable at test scale, an index read at lake scale; see
+    incremental_minhash_pairs' docstring).
+
+    Dedup policy: a batch doc near-dupping an EXISTING corpus doc is
+    dropped (the corpus copy wins — ingest order is arrival order); a
+    batch doc near-dupping only OTHER BATCH docs survives iff it is its
+    cluster's min-id representative. Exact duplicates are a near-dup
+    with jaccard 1.0, so no separate exact pass is needed.
+    """
+    from financial_data_lakehouse_pipeline__spark.operators import dedup
+    from financial_data_lakehouse_pipeline__spark.sources import acid
+
+    if checkpoint_location is None and not allow_uncheckpointed:
+        raise ValueError(
+            "dedup_ingest_sink without checkpoint_location breaks the "
+            "exactly-once contract; pass checkpoint_location, or "
+            "allow_uncheckpointed=True if the source is immutable and "
+            "replays deterministically"
+        )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        txn = f"{query_name}:{batch_id}"
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()
+        batch_ids = batch_df.select(id_col)
+        if acid.latest_version(root) < 0:
+            pairs = dedup.minhash_lsh_pairs(
+                batch_df, id_col, text_col, n, num_hashes, bands,
+                threshold, max_bucket_size=max_bucket_size,
+            )
+            survivors_of_base = batch_df
+        else:
+            base = acid.scan(spark, root).select(id_col, text_col)
+            all_pairs = dedup.incremental_minhash_pairs(
+                base, batch_df, id_col, text_col, n, num_hashes, bands,
+                threshold, max_bucket_size=max_bucket_size,
+            ).localCheckpoint()
+            # pair sides that are batch members (vs corpus members)
+            a_in = all_pairs.join(
+                batch_ids.withColumnRenamed(id_col, "id_a"), "id_a",
+                "left_semi",
+            ).select("id_a", "id_b")
+            b_in = all_pairs.join(
+                batch_ids.withColumnRenamed(id_col, "id_b"), "id_b",
+                "left_semi",
+            ).select("id_a", "id_b")
+            # batch docs near-dupping a CORPUS doc: drop (corpus wins)
+            dup_vs_corpus = (
+                b_in.join(a_in, ["id_a", "id_b"], "left_anti")
+                .select(F.col("id_b").alias(id_col))
+                .unionByName(
+                    a_in.join(b_in, ["id_a", "id_b"], "left_anti")
+                    .select(F.col("id_a").alias(id_col))
+                )
+                .distinct()
+            )
+            survivors_of_base = batch_df.join(dup_vs_corpus, id_col, "left_anti")
+            # batch-internal pairs among the remaining docs
+            pairs = (
+                a_in.join(b_in, ["id_a", "id_b"], "left_semi")
+                .join(
+                    dup_vs_corpus.withColumnRenamed(id_col, "id_a"),
+                    "id_a", "left_anti",
+                )
+                .join(
+                    dup_vs_corpus.withColumnRenamed(id_col, "id_b"),
+                    "id_b", "left_anti",
+                )
+                .select("id_a", "id_b")
+            )
+        survivors = dedup.dedup_keep_canonical(
+            survivors_of_base, pairs, id_col
+        )
+        if acid.latest_version(root) < 0:
+            acid.create_table(survivors, root, app_txn_id=txn)
+        else:
+            acid.append(survivors, root, app_txn_id=txn)
+
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_location is not None:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    return writer.start()

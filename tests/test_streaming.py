@@ -518,3 +518,68 @@ def test_acid_merge_sink_incremental(spark, tmp_path):
     assert {r.k: r.v
             for r in acid.read_snapshot(spark, root, version=0).collect()} \
         == {1: "a", 2: "b"}
+
+
+def test_dedup_ingest_sink_filters_across_and_within_batches(spark, tmp_path):
+    """Near-dup-filtered exactly-once ingest: batch 1 carries a planted
+    within-batch near-dup (one survivor kept); batch 2 carries a near-dup
+    of an ALREADY-INGESTED doc (dropped — corpus wins) plus a fresh doc
+    (kept). Final ACID table = exactly the three survivors, one committed
+    version per batch."""
+    import os
+
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+    from financial_data_lakehouse_pipeline__spark.sources import acid
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    b1 = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base.replace("today", "tonight")),  # near-dup of 1
+        Row(doc_id=3, text="completely different words about spark engines"),
+    ]
+    b2 = [
+        Row(doc_id=4, text=base.replace("today", "tomorrow")),  # near-dup of ingested 1
+        Row(doc_id=5, text="yet another unrelated document mentioning ducks"),
+    ]
+    spark.createDataFrame(b1).coalesce(1).write.parquet(feed + "/b1")
+    spark.createDataFrame(b2).coalesce(1).write.parquet(feed + "/b2")
+
+    table = str(tmp_path / "corpus_table")
+    schema = spark.read.parquet(feed + "/b1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed)
+    )
+    q = st.dedup_ingest_sink(
+        stream, table,
+        query_name="t_dedup_ingest",
+        checkpoint_location=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = {r.doc_id for r in acid.scan(spark, table).collect()}
+    assert got == {1, 3, 5}
+    # one committed version per micro-batch (0 = create, 1 = append)
+    assert acid.latest_version(table) == 1
+    # replay from scratch against the SAME table (fresh checkpoint, same
+    # immutable source): app_txn_id makes both batches idempotent no-ops
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed)
+    )
+    q2 = st.dedup_ingest_sink(
+        stream2, table,
+        query_name="t_dedup_ingest",
+        checkpoint_location=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination()
+    assert acid.latest_version(table) == 1
+    assert {r.doc_id for r in acid.scan(spark, table).collect()} == {1, 3, 5}

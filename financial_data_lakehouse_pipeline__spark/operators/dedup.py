@@ -901,8 +901,25 @@ def linkage_scores(
     return pairs.withColumns({**withcols, out: score})
 
 
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """The stored-index halves of the incremental-dedup contract:
+    ``(shingles, signatures)`` for a corpus, meant to be WRITTEN ONCE
+    (parquet, partitioned/bucketed by the id) and read back by every
+    subsequent :func:`incremental_minhash_pairs` call — so nightly
+    ingest never re-hashes the historical corpus. Append each batch's
+    own index rows after it commits to keep the index current."""
+    sh = word_shingles(df, id_col, text_col, n)
+    return sh, minhash_signatures(sh, id_col, num_hashes)
+
+
 def incremental_minhash_pairs(
-    base: DataFrame,
+    base: DataFrame | None,
     incoming: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -911,6 +928,8 @@ def incremental_minhash_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    base_shingles: DataFrame | None = None,
+    base_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs for a NEW batch against an EXISTING corpus — the
     nightly-ingest shape of dedup at 100 TB: the historical corpus was
@@ -918,35 +937,46 @@ def incremental_minhash_pairs(
     must never be re-derived. Only pairs touching the incoming batch
     (incoming x base and incoming x incoming) are candidates.
 
-    Pipeline: shingles/signatures over both sides (at production scale
-    the base side is a PRECOMPUTED signature index read back from the
-    lake, not recomputed — this operator recomputes it only because it
-    takes raw documents; feed it a stored ``minhash_signatures`` output
-    to skip that scan), banded buckets over the union, hot-bucket cap on
-    the union (same skew guard as :func:`minhash_lsh_pairs`, applied
-    before pair expansion), then the candidate self-join FILTERS
-    base x base pairs out BEFORE the exact-Jaccard verify — the
-    expensive stage's cost follows the delta's collision volume, not the
-    corpus's.
+    Pipeline: shingles/signatures for the incoming batch, the base
+    side's either recomputed from ``base`` (raw documents) or — the
+    production path — read from a STORED index built once with
+    :func:`minhash_index` (pass ``base_shingles`` + ``base_signatures``;
+    ``base`` may then be None, and the historical corpus is never
+    re-hashed). Banded buckets over the union, hot-bucket cap on the
+    union (same skew guard as :func:`minhash_lsh_pairs`, applied before
+    pair expansion), then the candidate self-join FILTERS base x base
+    pairs out BEFORE the exact-Jaccard verify — the expensive stage's
+    cost follows the delta's collision volume, not the corpus's.
 
     Cost at scale: with |incoming| = d << |base| = N, candidates are
-    O(d * avg_bucket_overlap) instead of O((N+d)^2 / buckets); the base
-    corpus is touched only by the (linear, index-amortizable) signature
-    scan and the verify semi-join on candidate members.
+    O(d * avg_bucket_overlap) instead of O((N+d)^2 / buckets); with the
+    stored index the base corpus contributes only an index scan (and
+    the verify's semi-join restricts even that to candidate members).
 
     Output: (id_a, id_b, jaccard) with at least one side incoming.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
+    if (base_shingles is None) != (base_signatures is None):
+        raise ValueError(
+            "pass base_shingles and base_signatures together (one half "
+            "of the stored index cannot substitute for the other)"
+        )
+    if base_shingles is None and base is None:
+        raise ValueError("need either base documents or a stored index")
     rows_per_band = num_hashes // bands
-    tagged = base.select(id_col, text_col).withColumn(
-        "__is_new", F.lit(False)
-    ).unionByName(
-        incoming.select(id_col, text_col).withColumn("__is_new", F.lit(True))
+    sh_inc = word_shingles(incoming.select(id_col, text_col), id_col, text_col, n)
+    sig_inc = minhash_signatures(sh_inc, id_col, num_hashes)
+    if base_shingles is not None:
+        sh_base, sig_base = base_shingles, base_signatures
+    else:
+        sh_base, sig_base = minhash_index(base, id_col, text_col, n, num_hashes)
+    sh = sh_base.unionByName(sh_inc)
+    sig = sig_base.unionByName(sig_inc)
+    tags = (
+        sig_base.select(id_col).withColumn("__is_new", F.lit(False))
+        .unionByName(sig_inc.select(id_col).withColumn("__is_new", F.lit(True)))
     )
-    tags = tagged.select(id_col, "__is_new")
-    sh = word_shingles(tagged, id_col, text_col, n)
-    sig = minhash_signatures(sh, id_col, num_hashes)
 
     band_cols = []
     for b in range(bands):

@@ -2644,6 +2644,20 @@ def test_incremental_minhash_pairs_lossless_vs_full(spark):
     # base x base near-dup (0,1) exists in full but must not be re-derived
     assert any(p[0] == 0 and p[1] == 1 for p in full)
     assert not any(p[0] == 0 and p[1] == 1 for p in got)
+    # the stored-index path (base never re-hashed) is result-identical
+    sh_b, sig_b = dedup.minhash_index(base)
+    via_index = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in dedup.incremental_minhash_pairs(
+            None, incoming, base_shingles=sh_b, base_signatures=sig_b
+        ).collect()
+    }
+    assert via_index == expect
+    # half an index is a contract violation, not a silent recompute
+    with pytest.raises(ValueError):
+        dedup.incremental_minhash_pairs(base, incoming, base_shingles=sh_b)
+    with pytest.raises(ValueError):
+        dedup.incremental_minhash_pairs(None, incoming)
 
 
 def test_dedup_keep_best_keeps_longest(spark):

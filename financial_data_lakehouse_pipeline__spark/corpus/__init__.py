@@ -46,8 +46,18 @@ def register(name: str, oracle: str | None = None):
 # ---- shared SQL fragments (mirror functions.dsum / dmean exactly) ----
 
 def sql_dsum(expr: str) -> str:
-    """Exact decimal sum cast to double — mirrors functions.dsum."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
+    """Exact decimal sum cast to double — mirrors functions.dsum.
+
+    The double cast goes THROUGH VARCHAR: DuckDB's direct
+    DECIMAL(38,6)→DOUBLE cast double-rounds (int128→double, then the
+    10^-6 scale — measured 24% off-by-one-ulp for sums in the 1e10
+    band, where ulp > 1e-6), while Spark's BigDecimal.doubleValue is
+    correctly rounded — the sf1 full-corpus run caught the two engines
+    disagreeing by exactly 1 ulp on 5e10-scale revenue sums. DuckDB's
+    VARCHAR→DOUBLE parse is correctly rounded (0/20000 mismatches vs
+    Python's exact conversion), so the string hop restores bit-equality
+    at any magnitude; it costs one tiny conversion per output row."""
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)"
 
 
 def sql_dmean(expr: str, count_expr: str | None = None) -> str:

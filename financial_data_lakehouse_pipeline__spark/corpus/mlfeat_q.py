@@ -287,11 +287,11 @@ def sharpe_supplier_pnl(spark, sf_dir):
           FROM orders GROUP BY 1, 2
         ), sm AS (
           SELECT season,
-                 CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                 CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)
                      / COUNT(value) AS smean
           FROM daily GROUP BY season
         ), gm AS (
-          SELECT CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+          SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)
                      / COUNT(value) AS gmean
           FROM daily
         )

@@ -77,7 +77,6 @@ def equal_frequency_bins(
     col: str,
     n_bins: int,
     out: str = "bin",
-    max_distinct: int | None = 1_000_000,
 ) -> DataFrame:
     """Exact equal-frequency (quantile) binning: bin_i = floor(rows
     strictly below this value * n_bins / total rows). Equal values
@@ -85,76 +84,65 @@ def equal_frequency_bins(
     bin populations are as even as ties allow — the discretizer for
     tree features, calibration buckets, and monotone WoE encodings.
 
-    Plan: value-level histogram (one groupBy on the value), cumulative
-    count via a window ordered by value, integer bin arithmetic, then a
-    join back onto the rows. The single-partition window runs over
-    DISTINCT VALUES ONLY — bounded by value cardinality, the same
-    documented aggregate-then-scan bound as the vocabulary/histogram
-    operators; for unbounded-cardinality continuous columns at extreme
-    scale, bin on pre-quantized values (e.g. integer cents) or use the
-    sketch-based hist_quantiles path instead. All arithmetic is exact
-    integers — no interpolation, no float edges — so bins are
-    bit-identical cross-engine.
-
-    The cardinality bound is ENFORCED, not just documented:
-    ``max_distinct`` (default 1e6) injects a lazy runtime guard — the
-    distinct-value count rides a broadcast and every histogram row
-    checks it BEFORE the single-partition exchange, so a caller binning
-    raw continuous doubles gets a loud error instead of silently
-    serializing ~row-cardinality rows into one task. Costs one extra
-    aggregation over the value histogram (a second scan of ``df``);
-    pass ``max_distinct=None`` to skip it when cardinality is known
-    small (e.g. an integer-cents column).
+    Plan: value-level histogram (one groupBy on the value), then a
+    DISTRIBUTED exact prefix sum over the distinct values — range
+    repartition by value, per-range running counts, plus a P-row
+    cumulative offset table (P = shuffle partitions) broadcast back —
+    then integer bin arithmetic and a join back onto the rows. No
+    single-partition sort at ANY value cardinality: until round 11 this
+    op funnelled the whole histogram through one WindowExec task behind
+    a 1e6-distinct guard, which the sf1 rehearsal tripped on 1.48M
+    distinct order totals; the range-partitioned prefix sum removed
+    both the bottleneck and the guard. The result is boundary-invariant
+    (offset + within-range rank never depends on where sampling put the
+    range splits), and all arithmetic is exact integers — no
+    interpolation, no float edges — so bins are bit-identical
+    cross-engine. NULLs are excluded from the distribution (they have
+    no rank) and come back with a NULL bin via the left join — never
+    silently dropped, never skewing __below/__total.
     """
+    from pyspark.sql import Window
+
     v = F.col(col)
-    # NULLs are excluded from the distribution (they have no rank) and
-    # come back with a NULL bin via the left join — never silently
-    # dropped, never skewing __below/__total.
     vc = (
         df.filter(v.isNotNull())
         .groupBy(v.alias("__v"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    if max_distinct is not None:
-        nv = vc.agg(F.count(F.lit(1)).cast("bigint").alias("__nv"))
-        guard = F.when(
-            F.col("__nv") > int(max_distinct),
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"equal_frequency_bins({col!r}): distinct value "
-                        "count "
-                    ),
-                    F.col("__nv").cast("string"),
-                    F.lit(
-                        f" exceeds max_distinct={int(max_distinct)}; "
-                        "pre-quantize the column (e.g. integer cents) or "
-                        "use sketches.hist_quantiles, or raise/disable "
-                        "max_distinct explicitly"
-                    ),
-                )
-            ),
-        ).otherwise(F.lit(1))
-        # filter sits UPSTREAM of the window exchange, so the guard
-        # fires in the parallel map stage — the single-partition sort
-        # never materializes on an over-cardinality column.
-        vc = (
-            vc.crossJoin(F.broadcast(nv))
-            .withColumn("__g", guard)
-            .filter(F.col("__g") == 1)
-            .drop("__nv", "__g")
-        )
-    # total from the value histogram — no second scan of the fact table
     total = vc.agg(F.sum("__c").alias("__total"))
-    from pyspark.sql import Window
-
-    # WindowExec single-partition WARN fires here BY DESIGN: the input
-    # is the distinct-value histogram, bounded by max_distinct above
-    # (SCALE.md §5 — aggregate-then-scan bound), never the raw rows.
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = vc.select(
-        "__v", F.coalesce(F.sum("__c").over(w), F.lit(0)).alias("__below")
-    ).crossJoin(F.broadcast(total))
+    n_ranges = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    # stage 1: range-partition the histogram by value; each range's
+    # running count is a per-partition window (P parallel tasks, each
+    # over ~|distinct|/P rows)
+    vcr = vc.repartitionByRange(n_ranges, F.col("__v")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("__pid").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # stage 2: the cross-range offsets — one row per range, a
+    # metadata-scale single-partition window (P rows, never data-scale)
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        vcr.groupBy("__pid")
+        .agg(F.sum("__c").alias("__pc"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__pc").over(w_off), F.lit(0)).alias("__off"),
+        )
+    )
+    ranked = (
+        vcr.withColumn(
+            "__within", F.coalesce(F.sum("__c").over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(offsets), "__pid")
+        .select(
+            "__v", (F.col("__off") + F.col("__within")).alias("__below")
+        )
+        .crossJoin(F.broadcast(total))
+    )
     # (below * n) DIV total: true integer floor division on both
     # engines (Spark `div`, DuckDB `//`) — never a double quotient
     # whose floor could misround, never a half-away CAST.
@@ -162,9 +150,10 @@ def equal_frequency_bins(
         "__v",
         F.expr(f"CAST((__below * {int(n_bins)}) DIV __total AS INT)").alias(out),
     )
-    return df.join(
-        F.broadcast(binned), df[col] == F.col("__v"), "left"
-    ).drop("__v")
+    # join strategy left to Catalyst/AQE: the value->bin map broadcasts
+    # while it is small and degrades to a shuffle join at extreme value
+    # cardinality instead of OOMing a forced broadcast
+    return df.join(binned, df[col] == F.col("__v"), "left").drop("__v")
 
 
 def feature_hash(

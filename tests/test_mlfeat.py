@@ -294,31 +294,39 @@ def test_equal_frequency_bins_null_rows_pass_through(spark):
     assert all(r["bin"] is None for r in out if r["x"] is None)
 
 
-def test_equal_frequency_bins_max_distinct_guard_raises(spark):
-    """The lazy cardinality guard blows up at execution time when the
-    distinct-value count exceeds max_distinct — the 100 TB posture is
-    enforced, not just documented."""
-    df = spark.createDataFrame([(i,) for i in range(10)], "x int")
-    out = mlfeat.equal_frequency_bins(df, "x", 2, max_distinct=5)
-    with pytest.raises(Exception, match="max_distinct"):
-        out.collect()
+def test_equal_frequency_bins_distributed_prefix_sum_invariance(spark):
+    """The distributed prefix sum (range repartition + per-range running
+    counts + offset table) is boundary-invariant: identical bins
+    regardless of how many ranges the histogram splits into — including
+    more ranges than distinct values (empty ranges) and a single range
+    (degenerates to the old global window). Until round 11 this op
+    funnelled all distinct values through ONE window task behind a 1e6
+    guard, which the sf1 rehearsal tripped; this pins the replacement."""
+    df = spark.createDataFrame(
+        [(i % 97,) for i in range(500)] + [(None,)] * 3, "x int"
+    )
+    baselines = {}
+    for n_parts in ("1", "7", "200"):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+        try:
+            rows = mlfeat.equal_frequency_bins(df, "x", 10).collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        baselines[n_parts] = sorted(
+            (r["x"], r["bin"]) for r in rows if r["x"] is not None
+        )
+        assert all(r["bin"] is None for r in rows if r["x"] is None)
+    assert baselines["1"] == baselines["7"] == baselines["200"]
+    # spot-check exactness against the definition
+    got = dict(set(baselines["7"]))
+    import collections
 
-
-def test_equal_frequency_bins_max_distinct_guard_passes(spark):
-    """At or under the bound the guard is transparent: identical bins
-    with the guard enabled, at the exact boundary, and disabled."""
-    df = spark.createDataFrame([(i,) for i in range(10)], "x int")
-
-    def bins(**kw):
-        return {
-            r["x"]: r["bin"]
-            for r in mlfeat.equal_frequency_bins(df, "x", 2, **kw).collect()
-        }
-
-    expect = {i: (0 if i < 5 else 1) for i in range(10)}
-    assert bins(max_distinct=10) == expect  # exact boundary: allowed
-    assert bins(max_distinct=None) == expect  # guard disabled
-    assert bins() == expect  # default bound
+    cnt = collections.Counter(i % 97 for i in range(500))
+    below = 0
+    for v in sorted(cnt):
+        assert got[v] == (below * 10) // 500
+        below += cnt[v]
 
 
 def test_trimmed_mean_exact_fraction_boundary(spark):

@@ -29,6 +29,7 @@ import datetime
 import math
 import os
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -223,6 +224,16 @@ def main() -> int:
     spark = build_session("oracle-check")
 
     con = duckdb.connect()
+    # Bound the oracle's memory and let it SPILL instead of dying: the
+    # sf1 full-corpus run was OOM-killed at 74 GB RSS when
+    # prefix_jaccard_skewed's unpruned-join twin ballooned on the
+    # saturated corpus — DuckDB's default limit (80% of RAM) ignores
+    # the co-resident Spark JVM. $SPARK_GRAFT_ORACLE_MEM overrides.
+    mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "32GB")
+    spill = os.path.join(tempfile.gettempdir(), "duckdb_oracle_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):

@@ -99,20 +99,50 @@ def rolling_sma(spark, sf_dir):
 
 @register(
     "rolling_bollinger",
-    f"""SELECT l_suppkey, l_orderkey, l_linenumber,
-               (SUM({_CENTS}) OVER w20 / 100e0) / (COUNT(*) OVER w20) AS bb_middle,
-               ROUND((SUM({_CENTS}) OVER w20 / 100e0) / (COUNT(*) OVER w20)
-                     + 2 * STDDEV_SAMP(l_extendedprice) OVER w20, 4) AS bb_upper,
-               ROUND((SUM({_CENTS}) OVER w20 / 100e0) / (COUNT(*) OVER w20)
-                     - 2 * STDDEV_SAMP(l_extendedprice) OVER w20, 4) AS bb_lower
-        FROM lineitem
-        WINDOW w20 AS ({_LI_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""",
+    # ±2σ from EXACT integer window moments (Σc, Σc², n over cents):
+    # var = (nΣc² - (Σc)²) / (n(n-1)) with an exact integer numerator,
+    # then ONE correctly-rounded int→double conversion, sqrt, and the
+    # band arithmetic — a fixed IEEE chain, bit-identical cross-engine,
+    # so NO ROUND anywhere. (Until round 11 the bands used the engines'
+    # native STDDEV_SAMP behind ROUND 4; the sf1 full-corpus run found
+    # 1 of 6M windows where the two engines' accumulations straddled a
+    # .00005 rounding boundary.)
+    f"""WITH t AS (
+          SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+                 l_extendedprice, l_quantity, l_partkey,
+                 {_CENTS} AS cents
+          FROM lineitem
+        ),
+        m AS (
+          SELECT l_suppkey, l_orderkey, l_linenumber,
+                 SUM(cents) OVER w20 AS s1,
+                 SUM(cents * cents) OVER w20 AS s2,
+                 COUNT(*) OVER w20 AS n
+          FROM t
+          WINDOW w20 AS ({_LI_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               (s1 / 100e0) / n AS bb_middle,
+               (s1 / 100e0) / n
+                 + 2 * (CASE WHEN n > 1 THEN
+                     sqrt((n * s2 - s1 * s1) / (n * (n - 1e0))) / 100e0
+                   END) AS bb_upper,
+               (s1 / 100e0) / n
+                 - 2 * (CASE WHEN n > 1 THEN
+                     sqrt((n * s2 - s1 * s1) / (n * (n - 1e0))) / 100e0
+                   END) AS bb_lower
+        FROM m""",
 )
 def rolling_bollinger(spark, sf_dir):
     """W3: rolling stddev bands (reference Bollinger, dt:181-184).
-    bb_middle is the exact scaled-integer mean (unrounded —
-    bit-identical); the ±2σ bands keep ROUND 4 because windowed stddev is
-    inherently floating (engine-specific accumulation order)."""
+    Middle AND bands are bit-identical cross-engine: the rolling
+    variance comes from exact scaled-integer window moments (sum,
+    sum-of-squares, count over cents — all BIGINT-exact; 20-row windows
+    of <=1e7-cent prices keep nΣc² under 2^56), collapsed to a double
+    through one correctly-rounded conversion + sqrt. No native
+    stddev_samp, no ROUND — the sf1 run showed engine-native stddev
+    accumulation order can straddle any rounding boundary at enough
+    windows."""
     li = read_table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
     out = windows.rolling_agg(
@@ -121,18 +151,22 @@ def rolling_bollinger(spark, sf_dir):
         _LI_ORDER_COLS,
         {
             "__s": (F.sum(cents), 20),
+            "__s2": (F.sum(cents * cents), 20),
             "__c": (F.count(F.lit(1)), 20),
-            "__sd": (F.stddev_samp("l_extendedprice"), 20),
         },
     )
-    mid = (F.col("__s") / F.lit(100.0)) / F.col("__c")
+    s1, s2, c = F.col("__s"), F.col("__s2"), F.col("__c")
+    mid = (s1 / F.lit(100.0)) / c
+    sd = F.when(
+        c > 1, F.sqrt((c * s2 - s1 * s1) / (c * (c - F.lit(1.0)))) / F.lit(100.0)
+    )
     return out.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
         mid.alias("bb_middle"),
-        F.round(mid + 2 * F.col("__sd"), 4).alias("bb_upper"),
-        F.round(mid - 2 * F.col("__sd"), 4).alias("bb_lower"),
+        (mid + 2 * sd).alias("bb_upper"),
+        (mid - 2 * sd).alias("bb_lower"),
     )
 
 

@@ -242,7 +242,10 @@ def main() -> None:
         line = _line(t2, {k: v[:40] for k, v in errors.items()},
                      with_drift=False)
     if len(line) > 1900:
-        line = _line({}, {k: "" for k in errors})
+        # last resort keeps drift OFF too — re-adding ~100 chars of
+        # load/spread here could push the minimal line back over the
+        # driver's tail window and truncate the JSON head
+        line = _line({}, {k: "" for k in errors}, with_drift=False)
     print(line)
     spark.stop()
 

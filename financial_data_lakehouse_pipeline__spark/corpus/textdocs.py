@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from financial_data_lakehouse_pipeline__spark.corpus import register
+from financial_data_lakehouse_pipeline__spark.corpus.mlprep import _bucket_sql
 from financial_data_lakehouse_pipeline__spark.operators import (
     dedup,
     multimodal,
@@ -711,9 +712,7 @@ _CLUSTERS_CTE = """
         {_CLUSTERS_CTE},
         b AS (
           SELECT doc_id, cluster_id,
-                 CAST(('0x' || substr(md5('split:' ||
-                      CAST(cluster_id AS VARCHAR)), 1, 7)) AS BIGINT)
-                   % 10000 AS bkt
+                 {_bucket_sql('cluster_id', 'split')} AS bkt
           FROM clus
         )
         SELECT doc_id, cluster_id,
@@ -758,14 +757,12 @@ def dedup_keep_best_docs(spark, sf_dir):
     return out.select("doc_id", "cluster_id", "source", "lang", "n_chars")
 
 
-#: deterministic 1-in-10 "incoming batch" membership — md5 arithmetic
-#: shared with sampling.hash_bucket so the oracle reproduces it exactly
-_INCR_TAG_SQL = """
+#: deterministic 1-in-10 "incoming batch" membership — reuses the
+#: pinned DuckDB twin of sampling.hash_bucket (mlprep._bucket_sql)
+_INCR_TAG_SQL = f"""
         tag AS (
           SELECT doc_id,
-                 (CAST(('0x' || substr(md5('incr:' ||
-                       CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
-                    % 10000) < 1000 AS is_new
+                 ({_bucket_sql('doc_id', 'incr')}) < 1000 AS is_new
           FROM documents
         )"""
 

@@ -343,6 +343,39 @@ def minhash_signatures(
     )
 
 
+def _band_buckets(
+    sig: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Signatures → (id, band, key) LSH bucket rows: md5 band keys over
+    each band's concatenated minhashes, then the hot-bucket skew guard
+    (buckets above the cap dropped via a broadcast anti-join BEFORE pair
+    expansion). Shared by the full and incremental pair finders so the
+    banding/cap semantics — which the SQL oracles mirror — live in
+    exactly one place."""
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    if max_bucket_size is not None:
+        hot = (
+            buckets.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "key")
+        )
+        buckets = buckets.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    return buckets
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -387,23 +420,7 @@ def minhash_lsh_pairs(
         sh = drop_stop_shingles(sh, max_doc_freq)
     sig = minhash_signatures(sh, id_col, num_hashes)
 
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
-        )
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
-    ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    if max_bucket_size is not None:
-        hot = (
-            buckets.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("band", "key")
-        )
-        buckets = buckets.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    buckets = _band_buckets(sig, id_col, bands, rows_per_band, max_bucket_size)
 
     l = buckets.select(F.col(id_col).alias("id_a"), "band", "key")
     r = buckets.select(F.col(id_col).alias("id_b"), "band", "key")
@@ -965,6 +982,18 @@ def incremental_minhash_pairs(
     if base_shingles is None and base is None:
         raise ValueError("need either base documents or a stored index")
     rows_per_band = num_hashes // bands
+    # An incoming id that ALREADY EXISTS in base is not a new document —
+    # without this guard its shingle/signature rows would double up
+    # (corrupting every Jaccard involving it) and the id_a < id_b
+    # candidate filter would hide the self-pair, so a re-sent exact
+    # duplicate would slip through dedup entirely (at-least-once
+    # upstreams re-emit docs; this is the operator's contract, not just
+    # the sink's). The corpus copy wins; the re-sent row is dropped.
+    base_ids = (
+        base.select(id_col) if base is not None
+        else base_signatures.select(id_col)
+    )
+    incoming = incoming.join(base_ids, id_col, "left_anti")
     sh_inc = word_shingles(incoming.select(id_col, text_col), id_col, text_col, n)
     sig_inc = minhash_signatures(sh_inc, id_col, num_hashes)
     if base_shingles is not None:
@@ -978,27 +1007,11 @@ def incremental_minhash_pairs(
         .unionByName(sig_inc.select(id_col).withColumn("__is_new", F.lit(True)))
     )
 
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
-        )
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
-    ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    if max_bucket_size is not None:
-        hot = (
-            buckets.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("band", "key")
-        )
-        buckets = buckets.join(F.broadcast(hot), ["band", "key"], "left_anti")
-
     # carry the batch tag into the bucket join so base x base candidate
     # pairs are dropped BEFORE the distinct and the verify join
-    buckets = buckets.join(tags, id_col)
+    buckets = _band_buckets(
+        sig, id_col, bands, rows_per_band, max_bucket_size
+    ).join(tags, id_col)
     l = buckets.select(
         F.col(id_col).alias("id_a"), "band", "key", F.col("__is_new").alias("__new_a")
     )

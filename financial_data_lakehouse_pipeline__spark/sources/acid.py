@@ -718,12 +718,17 @@ def scan_dpp(
     a distributed left-semi join (same semantics, no metadata prune) —
     the same give-up condition Spark's own DPP applies.
     """
+    # NULL never equi-joins — drop it BEFORE the over-cardinality probe:
+    # filtering after limit() would let one NULL among max+1 sampled keys
+    # mask the fallback condition and silently truncate the value set
+    # (wrong results, no error)
     kvals = [
         r[0]
-        for r in dim.select(dim_col or col).distinct()
+        for r in dim.select(dim_col or col)
+        .filter(F.col(dim_col or col).isNotNull())
+        .distinct()
         .limit(max_dim_values + 1).collect()
     ]
-    kvals = [v for v in kvals if v is not None]  # NULL never equi-joins
     entries = _read_log(root)
     if not entries:
         raise NoSuchVersionError(f"no table at {root}")

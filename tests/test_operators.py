@@ -2658,6 +2658,16 @@ def test_incremental_minhash_pairs_lossless_vs_full(spark):
         dedup.incremental_minhash_pairs(base, incoming, base_shingles=sh_b)
     with pytest.raises(ValueError):
         dedup.incremental_minhash_pairs(None, incoming)
+    # an incoming id that already exists in base is dropped, not
+    # double-counted: re-sending base's docs alongside the batch leaves
+    # the result identical (no self-pairs, no corrupted jaccards)
+    spark_s = df.sparkSession
+    resent = spark_s.createDataFrame(rows)  # all 6 docs, ids 0-5
+    got_resent = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in dedup.incremental_minhash_pairs(base, resent).collect()
+    }
+    assert got_resent == expect
 
 
 def test_dedup_keep_best_keeps_longest(spark):

@@ -153,6 +153,13 @@ def _canonical_row_hashes(tbl):
     per-row sum is order-insensitive by construction."""
     con = duckdb.connect()
     try:
+        # pin the scratch connection's zone: tz-aware (Spark-origin,
+        # session tz UTC) timestamps render through CAST(... AS
+        # TIMESTAMP) in THIS connection's TimeZone — the DuckDB-origin
+        # naive side bypasses conversion, so an unset system zone on a
+        # non-UTC host would shift only one side and fail every
+        # timestamp-bearing checksum
+        con.execute("SET TimeZone='UTC'")
         con.register("__cksum_t", tbl)
         types = {f.name: f.type for f in tbl.schema}
         import pyarrow as pa

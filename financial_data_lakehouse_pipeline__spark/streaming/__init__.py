@@ -483,8 +483,8 @@ def dedup_ingest_sink(
         txn = f"{query_name}:{batch_id}"
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint()
-        batch_ids = batch_df.select(id_col)
         if acid.latest_version(root) < 0:
+            batch_ids = batch_df.select(id_col)
             pairs = dedup.minhash_lsh_pairs(
                 batch_df, id_col, text_col, n, num_hashes, bands,
                 threshold, max_bucket_size=max_bucket_size,
@@ -492,6 +492,19 @@ def dedup_ingest_sink(
             survivors_of_base = batch_df
         else:
             base = acid.scan(spark, root).select(id_col, text_col)
+            # Same-id guard: app_txn_id only de-dupes WHOLE-BATCH
+            # replays; an at-least-once upstream can re-emit an
+            # already-ingested doc_id inside a LATER batch.
+            # incremental_minhash_pairs anti-joins same-id incoming
+            # docs out of the pair computation (they are trivially
+            # their own corpus twin, not a "pair"), so without this
+            # filter they would never reach dup_vs_corpus and would
+            # re-append as duplicate doc_id rows — mirror the
+            # operator's internal guard on the batch itself.
+            batch_df = batch_df.join(
+                base.select(id_col), id_col, "left_anti"
+            ).localCheckpoint()
+            batch_ids = batch_df.select(id_col)
             all_pairs = dedup.incremental_minhash_pairs(
                 base, batch_df, id_col, text_col, n, num_hashes, bands,
                 threshold, max_bucket_size=max_bucket_size,

@@ -583,3 +583,55 @@ def test_dedup_ingest_sink_filters_across_and_within_batches(spark, tmp_path):
     q2.awaitTermination()
     assert acid.latest_version(table) == 1
     assert {r.doc_id for r in acid.scan(spark, table).collect()} == {1, 3, 5}
+
+
+def test_dedup_ingest_sink_same_id_reemitted_in_later_batch(spark, tmp_path):
+    """An at-least-once upstream can re-emit an already-ingested doc_id
+    inside a LATER batch (different batch_id, so app_txn_id does not
+    catch it). The sink must drop the same-id row instead of appending a
+    duplicate doc_id: batch 2 re-emits doc 1 (identical text) and doc 3
+    (same id, drifted text) alongside a fresh doc — only the fresh doc
+    lands, and no doc_id appears twice in the table."""
+    import os
+
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+    from financial_data_lakehouse_pipeline__spark.sources import acid
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    b1 = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=3, text="completely different words about spark engines"),
+    ]
+    b2 = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=3, text="same id but the text has drifted since ingest"),
+        Row(doc_id=7, text="yet another unrelated document mentioning ducks"),
+    ]
+    spark.createDataFrame(b1).coalesce(1).write.parquet(feed + "/b1")
+    spark.createDataFrame(b2).coalesce(1).write.parquet(feed + "/b2")
+
+    table = str(tmp_path / "corpus_table")
+    schema = spark.read.parquet(feed + "/b1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed)
+    )
+    q = st.dedup_ingest_sink(
+        stream, table,
+        query_name="t_dedup_ingest_sameid",
+        checkpoint_location=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    rows = acid.scan(spark, table).collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids)), f"duplicate doc_id rows: {sorted(ids)}"
+    assert set(ids) == {1, 3, 7}
+    # the corpus copy won: doc 3 keeps its ORIGINAL text
+    assert {r.text for r in rows if r.doc_id == 3} \
+        == {"completely different words about spark engines"}

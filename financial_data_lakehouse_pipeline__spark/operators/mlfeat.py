@@ -115,9 +115,18 @@ def equal_frequency_bins(
     )
     # stage 1: range-partition the histogram by value; each range's
     # running count is a per-partition window (P parallel tasks, each
-    # over ~|distinct|/P rows)
-    vcr = vc.repartitionByRange(n_ranges, F.col("__v")).withColumn(
-        "__pid", F.spark_partition_id()
+    # over ~|distinct|/P rows). __pid is NONDETERMINISTIC (the range
+    # partitioner samples with an RDD-id-dependent seed), and vcr feeds
+    # TWO subtrees (the offsets aggregate and the ranked window) —
+    # without pinning, their agreement on range boundaries rests on
+    # exchange reuse, an optimizer behavior, not a semantic contract.
+    # localCheckpoint materializes the (value, count, pid) histogram
+    # once so both consumers read the SAME assignment; the cost is one
+    # |distinct|-row materialization, metadata-scale vs the input.
+    vcr = (
+        vc.repartitionByRange(n_ranges, F.col("__v"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     w_in = Window.partitionBy("__pid").orderBy("__v").rowsBetween(
         Window.unboundedPreceding, -1

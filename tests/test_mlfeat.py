@@ -329,6 +329,32 @@ def test_equal_frequency_bins_distributed_prefix_sum_invariance(spark):
         below += cnt[v]
 
 
+def test_equal_frequency_bins_correct_without_exchange_reuse(spark):
+    """The histogram's nondeterministic __pid (spark_partition_id over a
+    sampled range repartition) is consumed by TWO subtrees — the offset
+    aggregate and the ranked window. Their agreement must NOT depend on
+    Catalyst's exchange-reuse optimization: with reuse disabled each
+    subtree would re-instantiate the exchange (new RDD id, new sampling
+    seed, potentially different boundaries) unless the operator pins
+    the assignment by materializing it once. Pin: bins stay exact with
+    spark.sql.exchange.reuse off."""
+    import collections
+
+    df = spark.createDataFrame([(i % 53,) for i in range(400)], "x int")
+    old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        rows = mlfeat.equal_frequency_bins(df, "x", 8).collect()
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)
+    got = {r["x"]: r["bin"] for r in rows}
+    cnt = collections.Counter(i % 53 for i in range(400))
+    below = 0
+    for v in sorted(cnt):
+        assert got[v] == (below * 8) // 400, f"value {v}"
+        below += cnt[v]
+
+
 def test_trimmed_mean_exact_fraction_boundary(spark):
     """trim_frac=0.29, n=100: floor(100*0.29) must be 29 (double
     multiplication gives 28.999... -> 28); 29 cut from each side."""

@@ -236,7 +236,22 @@ def main() -> int:
     # prefix_jaccard_skewed's unpruned-join twin ballooned on the
     # saturated corpus — DuckDB's default limit (80% of RAM) ignores
     # the co-resident Spark JVM. $SPARK_GRAFT_ORACLE_MEM overrides.
-    mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "32GB")
+    # Default = min(32GB, ~55% of detected host RAM): a flat 32GB can
+    # EXCEED DuckDB's own 80%-of-RAM default on hosts under 40GB, which
+    # would raise (not lower) the OOM-kill risk there.
+    mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM")
+    if not mem:
+        gb = 32
+        try:
+            with open("/proc/meminfo") as fh:
+                for line in fh:
+                    if line.startswith("MemTotal:"):
+                        host_gb = int(line.split()[1]) / 1048576
+                        gb = min(32, max(1, int(host_gb * 0.55)))
+                        break
+        except OSError:
+            pass
+        mem = f"{gb}GB"
     spill = os.path.join(tempfile.gettempdir(), "duckdb_oracle_spill")
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET memory_limit='{mem}'")

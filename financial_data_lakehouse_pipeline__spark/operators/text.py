@@ -1223,10 +1223,16 @@ def zipf_fit(
     and large deviations flag template/machine-generated corpora, so
     this is a corpus-level quality screen beside the per-doc LM scores.
 
-    One tokenize + vocabulary aggregation; the rank window runs over
-    DISTINCT TERMS ONLY (vocabulary-bounded single partition — the
-    aggregate-then-scan bound, SCALE.md §5), and the five OLS moments
-    reduce it to one row. ln/OLS are floating — consumers ROUND.
+    One tokenize + vocabulary aggregation; the rank is a DISTRIBUTED
+    exact row_number over the vocabulary — range repartition by
+    (count desc, term), per-range local ranks (P parallel window
+    tasks), plus a P-row cumulative offset table broadcast back — the
+    same prefix-sum idiom equal_frequency_bins adopted after the sf1
+    campaign (mlfeat.py; a Heaps-law vocabulary at 100 TB is orders of
+    magnitude past any "vocabulary-bounded" single-partition window,
+    the bottleneck class the campaign's 1.48M-distinct finding
+    retired). The five OLS moments reduce the ranked table to one row.
+    ln/OLS are floating — consumers ROUND.
 
     Output: one row (n_terms, total_tokens, slope, intercept).
     """
@@ -1242,10 +1248,43 @@ def zipf_fit(
     vocab = toks.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("__c")
     )
-    # WindowExec single-partition WARN fires here BY DESIGN: input is
-    # the vocabulary table, never raw tokens.
-    w = Window.orderBy(F.col("__c").desc(), F.col("term"))
-    ranked = vocab.withColumn("__r", F.row_number().over(w))
+    n_ranges = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    # __pid is nondeterministic (sampled range boundaries) and feeds
+    # BOTH the offsets aggregate and the local-rank window —
+    # localCheckpoint pins one assignment for both consumers (the
+    # equal_frequency_bins contract; exchange reuse is an optimizer
+    # behavior, not a guarantee).
+    vcr = (
+        vocab.repartitionByRange(
+            n_ranges, F.col("__c").desc(), F.col("term")
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    # per-range local rank: P parallel tasks over ~|vocab|/P rows each
+    w_in = Window.partitionBy("__pid").orderBy(
+        F.col("__c").desc(), F.col("term")
+    )
+    # cross-range offsets: one row per range — a metadata-scale (P-row)
+    # single-partition window, never data-scale
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        vcr.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__pc"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__pc").over(w_off), F.lit(0)).alias("__off"),
+        )
+    )
+    ranked = (
+        vcr.withColumn("__lr", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn("__r", F.col("__off") + F.col("__lr"))
+    )
     x = F.log(F.col("__r").cast("double"))
     y = F.log(F.col("__c").cast("double"))
     g = ranked.agg(

@@ -2695,3 +2695,45 @@ def test_dedup_keep_best_keeps_longest(spark):
     out_tie = {r["doc_id"] for r in
                dedup.dedup_keep_best(df_tie, pairs, order_cols=["n_chars"]).collect()}
     assert out_tie == {0, 2}
+
+
+def test_zipf_fit_distributed_rank_matches_hand_ols(spark):
+    """zipf_fit's distributed rank (range repartition + per-range
+    row_number + broadcast offsets — the equal_frequency_bins prefix-sum
+    idiom) must reproduce the exact global (count desc, term) ranking:
+    OLS moments match a hand computation, invariant to the shuffle
+    partition count (1 range degenerates to the old global window; more
+    ranges than distinct terms exercises empty ranges)."""
+    import collections
+    import math
+
+    from financial_data_lakehouse_pipeline__spark.operators import text
+
+    words = (["alpha"] * 8 + ["beta"] * 4 + ["gamma"] * 2 + ["delta"] * 2
+             + ["epsilon"])
+    # ties: gamma/delta both 2 -> rank order broken by term asc
+    docs = [Row(doc_id=i, text=" ".join(words[i::3])) for i in range(3)]
+    df = spark.createDataFrame(docs)
+
+    cnt = collections.Counter(words)
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.log(r + 1) for r in range(len(ordered))]
+    ys = [math.log(c) for _, c in ordered]
+    n = float(len(ordered))
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+
+    for n_parts in ("1", "7", "32"):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+        try:
+            row = text.zipf_fit(df).collect()[0]
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        assert row["n_terms"] == len(ordered)
+        assert row["total_tokens"] == sum(cnt.values())
+        assert abs(row["slope"] - slope) < 1e-9, n_parts
+        assert abs(row["intercept"] - intercept) < 1e-9, n_parts

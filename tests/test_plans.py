@@ -689,3 +689,24 @@ def test_bucketed_groupby_is_shuffle_free(spark, sf_dir, tmp_path_factory):
         ) == 1
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bgb")
+
+
+def test_zipf_fit_rank_window_is_distributed(spark, sf_dir):
+    """The vocabulary rank must be the range-partitioned prefix-sum
+    shape (per-range row_number behind a hashpartitioning(__pid)
+    exchange), not a single-partition window over the full vocabulary —
+    the last unbounded-domain single-partition window, retired round 12.
+    The only SinglePartition stages left feed the P-row offsets table
+    and the final one-row OLS moments (metadata-scale by construction)."""
+    df = _q("zipf_fit_docs")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    # the data-scale rank window is partitioned by the range id
+    assert "hashpartitioning(__pid" in plan
+    # row_number (the rank) appears inside a __pid-partitioned
+    # windowspecdefinition, never a global one
+    rn_specs = [
+        ln for ln in plan.splitlines()
+        if "row_number()" in ln and "windowspecdefinition" in ln
+    ]
+    assert rn_specs, "rank window missing from plan"
+    assert all("__pid" in ln for ln in rn_specs), rn_specs

@@ -24,11 +24,29 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
+_ORACLE_CEILINGS: dict[str, dict] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(
+    name: str,
+    oracle: str | None = None,
+    max_oracle_sf: float | None = None,
+    capped_twins: tuple[str, ...] = (),
+):
     """Decorator: add a (spark, sf_dir) -> DataFrame query; ``oracle`` is
-    the equivalent DuckDB SQL (None → driver runs a rows-only check)."""
+    the equivalent DuckDB SQL (None → driver runs a rows-only check).
+
+    ``max_oracle_sf`` declares a scale ceiling for the ORACLE, not the
+    engine query: a deliberately-quadratic ground-truth twin (e.g. the
+    unpruned all-pairs Jaccard join) is the right losslessness proof at
+    driver scales and the wrong tool above them (SCALE.md §19c — it
+    OOM'd a 74 GB DuckDB at sf1 while the engine side finished in
+    433 s). tools/check_oracle.py honors the ceiling: above it the
+    query is skipped WITH THE PRINTED REASON, and the ``capped_twins``
+    (scale-checkable queries proving the same semantics through capped/
+    banded paths) are auto-added to targeted runs so the regime stays
+    verified. Encoding the ceiling here replaces the round-11 manual
+    campaign exclusion."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _QUERIES:
@@ -38,6 +56,11 @@ def register(name: str, oracle: str | None = None):
         _QUERIES[name] = fn
         if oracle is not None:
             _ORACLE[name] = oracle
+        if max_oracle_sf is not None or capped_twins:
+            _ORACLE_CEILINGS[name] = {
+                "max_oracle_sf": max_oracle_sf,
+                "capped_twins": tuple(capped_twins),
+            }
         return fn
 
     return deco
@@ -86,6 +109,13 @@ def queries() -> dict[str, QueryFn]:
 def oracle_sql() -> dict[str, str]:
     _load()
     return dict(_ORACLE)
+
+
+def oracle_ceilings() -> dict[str, dict]:
+    """Per-query oracle scale ceilings (see register(max_oracle_sf=…));
+    consumed by tools/check_oracle.py's campaign skip logic."""
+    _load()
+    return {k: dict(v) for k, v in _ORACLE_CEILINGS.items()}
 
 
 _LOADED = False

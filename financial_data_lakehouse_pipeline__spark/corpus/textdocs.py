@@ -401,6 +401,19 @@ def prefix_jaccard_pairs_docs(spark, sf_dir):
         ),
         {_SHINGLES_CTE}, {_JACCARD_CTE}
         SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5""",
+    # The ORACLE (not the engine query) is deliberately quadratic: the
+    # universal footer gives every hot shingle df = n_docs, so the
+    # unpruned posting join materializes ~n² rows — ~1.5e10 at sf1's
+    # 50k docs, which OOM'd a 74 GB DuckDB (SCALE.md §19c) while the
+    # engine side finished in 433 s. Above the ceiling the capped
+    # twins (scale-checkable proofs of the same near-dup semantics)
+    # carry the verification.
+    max_oracle_sf=0.5,
+    capped_twins=(
+        "minhash_lsh_pairs_docs",
+        "ngram_jaccard_capped_docs",
+        "containment_pairs_docs",
+    ),
 )
 def prefix_jaccard_skewed_docs(spark, sf_dir):
     """Prefix filtering under boilerplate skew: every doc carries the

@@ -72,3 +72,23 @@ def test_checksum_mixed_types_stable():
     })
     assert _h(t1) != _h(t2)
     assert _h(t1) == _h(t1)
+
+
+def test_estimate_sf_and_oracle_ceiling_registry():
+    """The oracle scale ceiling is registry-encoded (no hand-exclusion):
+    estimate_sf reads the orders footer (1.5M rows == sf1), and the
+    deliberately-quadratic skewed-Jaccard oracle declares max_oracle_sf
+    with scale-checkable capped twins that exist in the corpus."""
+    from check_oracle import estimate_sf
+
+    from financial_data_lakehouse_pipeline__spark import corpus
+
+    est = estimate_sf("/root/testdata/sf0.01")
+    assert est is not None and abs(est - 0.01) < 0.002
+    assert estimate_sf("/nonexistent") is None
+
+    ceil = corpus.oracle_ceilings()
+    meta = ceil["prefix_jaccard_skewed_docs"]
+    assert meta["max_oracle_sf"] == 0.5
+    qs = corpus.queries()
+    assert meta["capped_twins"] and all(t in qs for t in meta["capped_twins"])

@@ -43,6 +43,27 @@ from financial_data_lakehouse_pipeline__spark.session import build_session  # no
 from financial_data_lakehouse_pipeline__spark.sources import TABLES  # noqa: E402
 
 
+def estimate_sf(sf_dir: str) -> float | None:
+    """Estimate the data's scale factor from the orders row count
+    (driver shape: 1.5M orders ≡ sf1) via parquet footer metadata —
+    O(footer), no scan, and independent of directory naming."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    try:
+        if os.path.isdir(path):
+            rows = sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            rows = pq.ParquetFile(path).metadata.num_rows
+    except OSError:
+        return None
+    return rows / 1_500_000
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -261,10 +282,40 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    n_pass = n_fail = n_rows_only = 0
+    # Oracle scale ceilings (corpus.register(max_oracle_sf=…)): a
+    # deliberately-quadratic ground-truth oracle is skipped above its
+    # declared sf, with the capped twins auto-added to targeted runs so
+    # the regime stays verified — replaces the round-11 hand-exclusion
+    # (SCALE.md §19c). Data scale is ESTIMATED from the orders row
+    # count (1.5M rows ≡ sf1), never from the directory name.
+    sf_est = estimate_sf(sf_dir)
+    ceilinged = {
+        name: meta
+        for name, meta in corpus.oracle_ceilings().items()
+        if meta["max_oracle_sf"] is not None
+        and sf_est is not None
+        and sf_est > meta["max_oracle_sf"]
+    }
+    if only:
+        for name in sorted(set(only) & set(ceilinged)):
+            only |= set(ceilinged[name]["capped_twins"])
+
+    n_pass = n_fail = n_rows_only = n_skip = 0
     failures: list[str] = []
     for name, fn in sorted(qs.items()):
         if only and name not in only:
+            continue
+        if name in ceilinged:
+            meta = ceilinged[name]
+            twins = ", ".join(meta["capped_twins"]) or "none registered"
+            print(
+                f"skip  {name}: oracle ceiling max_oracle_sf="
+                f"{meta['max_oracle_sf']:g} < data ~sf{sf_est:g} — "
+                "ground-truth twin is deliberately quadratic above this "
+                f"scale (SCALE.md §19c); capped twins verify the regime: "
+                f"{twins}"
+            )
+            n_skip += 1
             continue
         t0 = time.time()
         try:
@@ -372,6 +423,7 @@ def main() -> int:
 
     print(
         f"\n== {n_pass} pass, {n_rows_only} rows-only, {n_fail} fail"
+        + (f", {n_skip} skipped (oracle scale ceiling)" if n_skip else "")
         + (f" :: {' '.join(failures)}" if failures else "")
     )
     spark.stop()

@@ -587,20 +587,52 @@ def minhash_lsh_capped_docs(spark, sf_dir):
     # numbers — the oracle stays green even when the route flips at a
     # larger scale (prefix ≤ 512 cand/doc, capped LSH above).
     f"""WITH {_SHINGLES_CTE},
+        -- MATERIALIZED throughout the gate: DuckDB inlines plain CTEs
+        -- per reference, and this query references the shingle table
+        -- from BOTH gated branches (~10 inlined copies of the
+        -- tokenize/unnest pipeline) — at ov-sf1 the inlined plan
+        -- spilled >60 GB where the materialized one runs in seconds
+        sh_m AS MATERIALIZED (SELECT doc_id, shingle FROM sh),
+        n_all AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM documents
+        ),
+        -- routing sample (mirrors dedup_route: deterministic ~10% md5
+        -- bucket at >= 20k docs, full corpus below)
+        samp AS MATERIALIZED (
+          SELECT doc_id FROM documents, n_all
+          WHERE n_all.n < 20000
+             OR CAST(('0x' || substr(md5('route:' ||
+                      CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+                % 10000 < 1000
+        ),
+        n_s AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS HUGEINT) AS ns FROM samp
+        ),
         dfq AS (
           SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
-          FROM sh GROUP BY shingle
+          FROM sh_m JOIN samp USING (doc_id) GROUP BY shingle
         ),
-        stat AS (
+        -- unified exact boundary compare in HUGEINT (the engine does
+        -- the same arithmetic in Python bigints):
+        --   mass_sample * n_docs <= 512 * n_sample^2
+        -- which reduces to mass <= 512 * n_docs when unsampled
+        stat AS MATERIALIZED (
           SELECT CASE
-                   WHEN COALESCE(SUM(df * (df - 1) // 2), 0)
-                        <= 512 * (SELECT COUNT(*) FROM documents)
+                   WHEN COALESCE(SUM(CAST(df AS HUGEINT)
+                                     * (df - 1) // 2), 0)
+                          * (SELECT n FROM n_all)
+                        <= 512 * (SELECT ns FROM n_s)
+                             * (SELECT ns FROM n_s)
                    THEN 'prefix' ELSE 'lsh'
                  END AS route
           FROM dfq
         ),
-        sh_p AS (SELECT s.* FROM sh s, stat WHERE stat.route = 'prefix'),
-        sh_l AS (SELECT s.* FROM sh s, stat WHERE stat.route = 'lsh'),
+        sh_p AS MATERIALIZED (
+          SELECT s.* FROM sh_m s, stat WHERE stat.route = 'prefix'
+        ),
+        sh_l AS MATERIALIZED (
+          SELECT s.* FROM sh_m s, stat WHERE stat.route = 'lsh'
+        ),
         {_jaccard_ctes('sh_p', '_p')},
         {_minhash_ctes(16, 4, 0.5, max_bucket_size=50, src='sh_l',
                        suffix='_l')}
@@ -620,7 +652,11 @@ def dedup_pairs_auto_docs(spark, sf_dir):
     prefix filter's losslessness; at sf1 on the saturated synthetic
     vocabulary it flips to 'lsh', and the oracle — which re-derives the
     same statistic in SQL and gates each branch's input on it — flips
-    with it."""
+    with it. Since round 12 the statistic rides a deterministic ~10%
+    doc sample at >= 20k docs (the full pre-pass measured ~40% of the
+    routed wall at ov-sf1/2); the oracle replicates the SAME md5
+    sample and the same exact HUGEINT boundary arithmetic, so both
+    engines still route from identical numbers at every scale."""
     d = read_table(spark, sf_dir, "documents")
     return dedup.similar_pairs_auto(
         d, n=3, threshold=0.5, num_hashes=16, bands=4, max_bucket_size=50

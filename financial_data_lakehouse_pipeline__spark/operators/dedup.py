@@ -452,6 +452,16 @@ def minhash_lsh_pairs(
 AUTO_SWITCH_CANDIDATES_PER_DOC = 512
 
 
+#: Sampled pre-pass engages at this corpus size: below it the full
+#: statistic is cheap AND small samples would be noisy; above it the
+#: ~10% deterministic sample cuts the pre-pass shuffle ~10x. The
+#: measured round-12 overhead that motivated it: the full pre-pass cost
+#: 7.4 s at ov-sf1 / 14.8 s at ov-sf2 — ~40% of the routed wall when
+#: the route is lsh (whose path cannot reuse the df aggregation).
+ROUTE_SAMPLE_MIN_DOCS = 20_000
+ROUTE_SAMPLE_BUCKETS = 1_000  # of sampling.BUCKETS (10_000) -> 10%
+
+
 def dedup_route(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -460,6 +470,8 @@ def dedup_route(
     max_doc_freq: int | None = None,
     switch_candidates_per_doc: float = AUTO_SWITCH_CANDIDATES_PER_DOC,
     return_dfreq: bool = False,
+    sample_min_docs: int = ROUTE_SAMPLE_MIN_DOCS,
+    sample_buckets: int = ROUTE_SAMPLE_BUCKETS,
 ) -> tuple:
     """One cheap pre-pass deciding exact-prefix-join vs capped-LSH.
 
@@ -476,13 +488,50 @@ def dedup_route(
     cost follows band-collision volume instead.
 
     Cost: one groupBy over the shingle table + a scalar aggregate —
-    the same df aggregation the prefix path must run anyway for its
-    rare-first ordering, so routing adds no asymptotic work. The only
-    driver-side action is a 1-row collect.
+    at small corpora the same df aggregation the prefix path must run
+    anyway for its rare-first ordering. At ``sample_min_docs`` and
+    above (default 20k) the statistic is computed on a DETERMINISTIC
+    ~10% doc sample (md5 hash bucket, salt "route" — same corpus →
+    same sample → same route, on any engine): round 12 measured the
+    full pre-pass at ~40% of the routed wall once the route is lsh
+    (whose path cannot reuse the df table), and the sampled statistic
+    is UNBIASED for the collision mass — each unordered doc pair
+    collides in the sample iff both docs are sampled, so
+    E[mass_sample] ≈ (n_s/n)²·mass (hypergeometric; the (n_s−1)/(n−1)
+    vs n_s/n slack is negligible at ≥20k docs), with low relative
+    variance exactly on the fat-df head that dominates the mass. The
+    boundary compare is EXACT integer arithmetic on the unified form
+
+        mass_sample · n_docs · q  ≤  p · n_sample²
+        (switch = p/q exact; n_sample = n_docs when unsampled,
+        which reduces to the old mass ≤ switch·n_docs)
+
+    evaluated driver-side in Python bigints (no 64-bit overflow at any
+    scale); the SQL twin mirrors it in HUGEINT. Sampling can only flip
+    the decision within estimator noise OF THE BOUNDARY — the measured
+    regimes sit ~2x away on either side (253 vs 617 cand/doc). With
+    ``max_doc_freq`` set, the cap applies to SAMPLED document
+    frequencies when sampling engages (it gates only this statistic,
+    never the routed paths' own caps). The only driver-side actions
+    are two counts and a 1-row collect.
 
     Returns ``(route, stats)`` with route in {"prefix", "lsh"} and the
     stats dict carrying the measured quantities for logging/tests."""
-    sh = word_shingles(df, id_col, text_col, n)
+    from fractions import Fraction
+
+    from financial_data_lakehouse_pipeline__spark.operators import sampling
+
+    n_docs = df.count()
+    sampled = (
+        n_docs >= sample_min_docs and sample_buckets < sampling.BUCKETS
+    )
+    src = df
+    if sampled:
+        src = df.filter(
+            sampling.hash_bucket(F.col(id_col), salt="route")
+            < sample_buckets
+        )
+    sh = word_shingles(src, id_col, text_col, n)
     if max_doc_freq is not None:
         sh = drop_stop_shingles(sh, max_doc_freq)
     dfreq = sh.groupBy("shingle").agg(
@@ -495,29 +544,35 @@ def dedup_route(
         F.count(F.lit(1)).alias("distinct_shingles"),
         F.coalesce(F.sum("__df"), F.lit(0)).alias("postings"),
     ).collect()[0]
-    n_docs = df.count()
-    cand_per_doc = row["collision_mass"] / max(n_docs, 1)
-    # exact-integer boundary compare (the SQL twin uses
-    # `mass <= switch * n_docs`; float division could round across
-    # the boundary on a huge collision mass)
-    sw = switch_candidates_per_doc
-    if float(sw).is_integer():
-        at_or_below = row["collision_mass"] <= int(sw) * max(n_docs, 1)
-    else:
-        at_or_below = cand_per_doc <= sw
+    n_sample = src.count() if sampled else n_docs
+    mass = int(row["collision_mass"])
+    # exact binary value of the float switch -> exact integer compare
+    fr = Fraction(float(switch_candidates_per_doc))
+    at_or_below = (
+        mass * max(n_docs, 1) * fr.denominator
+        <= fr.numerator * max(n_sample, 1) ** 2
+    )
     route = "prefix" if at_or_below else "lsh"
+    cand_per_doc = (
+        mass * max(n_docs, 1) / max(n_sample, 1) ** 2
+    )  # estimate == exact value when unsampled
     stats = {
         "n_docs": n_docs,
+        "sampled": sampled,
+        "n_sample": n_sample,
         "distinct_shingles": row["distinct_shingles"],
         "postings": row["postings"],
-        "collision_mass": row["collision_mass"],
+        "collision_mass": mass,
         "candidates_per_doc": cand_per_doc,
         "switch": switch_candidates_per_doc,
     }
     if return_dfreq:
         # let the prefix path reuse the rare-first ranking's df table
-        # instead of aggregating the shingle table a second time
-        return route, stats, dfreq
+        # instead of aggregating the shingle table a second time —
+        # ONLY when it covers the full corpus: a sampled dfreq would
+        # inner-join away unsampled shingles inside the prefix ranking
+        # and silently break losslessness
+        return route, stats, (None if sampled else dfreq)
     return route, stats
 
 

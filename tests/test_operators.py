@@ -2737,3 +2737,52 @@ def test_zipf_fit_distributed_rank_matches_hand_ols(spark):
         assert row["total_tokens"] == sum(cnt.values())
         assert abs(row["slope"] - slope) < 1e-9, n_parts
         assert abs(row["intercept"] - intercept) < 1e-9, n_parts
+
+
+def test_dedup_route_sampled_prepass_matches_full_statistic(spark):
+    """At >= sample_min_docs the router computes its collision-mass
+    statistic on a deterministic ~10% md5 doc sample (round-12: the
+    full pre-pass measured ~40% of the routed wall at ov scales). The
+    sampled decision must agree with the full-statistic decision on
+    both regimes (they sit ~2x from the boundary), the stats must
+    disclose the sampling, and the dfreq reuse handle must come back
+    None (a sampled df table would inner-join away unsampled shingles
+    inside the prefix ranking)."""
+    import random
+
+    rng = random.Random(11)
+    n_docs = 2_000  # >= the lowered sample_min below -> sampling engages
+    # open regime: disjoint per-doc vocab, mass ~ 0
+    open_docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{i}_{j}" for j in range(12)))
+         for i in range(n_docs)]
+    )
+    # saturated regime: tiny shared vocab, df ~ n_docs
+    vocab = [f"t{k}" for k in range(4)]
+    sat_docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(rng.choice(vocab) for _ in range(12)))
+         for i in range(n_docs)]
+    )
+    for docs, expect in ((open_docs, "prefix"), (sat_docs, "lsh")):
+        route_s, stats_s, dfreq_s = dedup.dedup_route(
+            docs, sample_min_docs=1_000, return_dfreq=True
+        )
+        route_f, stats_f = dedup.dedup_route(
+            docs, sample_min_docs=10**9
+        )
+        assert stats_s["sampled"] and not stats_f["sampled"]
+        # ~10% deterministic sample, same every run
+        assert 0.05 * n_docs < stats_s["n_sample"] < 0.15 * n_docs
+        assert dfreq_s is None
+        assert route_s == route_f == expect, (stats_s, stats_f)
+        # the sampled estimate tracks the exact statistic (same side of
+        # the boundary AND the right order of magnitude)
+        exact = stats_f["candidates_per_doc"]
+        est = stats_s["candidates_per_doc"]
+        if exact > 0:
+            assert est == 0 or 0.2 < est / max(exact, 1e-9) < 5.0
+    # unsampled path still returns the reusable full dfreq
+    _, stats_u, dfreq_u = dedup.dedup_route(
+        open_docs, sample_min_docs=10**9, return_dfreq=True
+    )
+    assert dfreq_u is not None and not stats_u["sampled"]

@@ -92,3 +92,23 @@ def test_estimate_sf_and_oracle_ceiling_registry():
     assert meta["max_oracle_sf"] == 0.5
     qs = corpus.queries()
     assert meta["capped_twins"] and all(t in qs for t in meta["capped_twins"])
+
+
+def test_apply_oracle_ceilings_decision_core():
+    """Skip-with-reason engages only above the declared sf; targeted
+    runs auto-add the capped twins; unknown scale never skips."""
+    from check_oracle import apply_oracle_ceilings
+
+    ceil = {"q_big": {"max_oracle_sf": 0.5, "capped_twins": ("t1", "t2")}}
+    # below the ceiling: nothing skipped, `only` untouched
+    skips, only = apply_oracle_ceilings(ceil, 0.1, {"q_big"})
+    assert skips == {} and only == {"q_big"}
+    # above it: skipped, and a targeted run gains the twins
+    skips, only = apply_oracle_ceilings(ceil, 1.0, {"q_big"})
+    assert set(skips) == {"q_big"} and only == {"q_big", "t1", "t2"}
+    # full run (empty only): skipped, only stays falsy (run everything)
+    skips, only = apply_oracle_ceilings(ceil, 1.0, set())
+    assert set(skips) == {"q_big"} and not only
+    # unknown scale: never skip (verification must not silently drop)
+    skips, only = apply_oracle_ceilings(ceil, None, {"q_big"})
+    assert skips == {} and only == {"q_big"}

@@ -64,6 +64,27 @@ def estimate_sf(sf_dir: str) -> float | None:
     return rows / 1_500_000
 
 
+def apply_oracle_ceilings(
+    ceilings: dict, sf_est: float | None, only: set
+) -> tuple[dict, set]:
+    """Pure decision core of the ceiling skip (unit-pinned): returns
+    (queries to skip at this scale, the `only` set with capped twins
+    auto-added for any targeted ceilinged query). An unknown scale
+    (sf_est None) skips nothing — never silently drop verification."""
+    ceilinged = {
+        name: meta
+        for name, meta in ceilings.items()
+        if meta["max_oracle_sf"] is not None
+        and sf_est is not None
+        and sf_est > meta["max_oracle_sf"]
+    }
+    if only:
+        only = set(only)
+        for name in sorted(set(only) & set(ceilinged)):
+            only |= set(ceilinged[name]["capped_twins"])
+    return ceilinged, only
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -289,16 +310,9 @@ def main() -> int:
     # (SCALE.md §19c). Data scale is ESTIMATED from the orders row
     # count (1.5M rows ≡ sf1), never from the directory name.
     sf_est = estimate_sf(sf_dir)
-    ceilinged = {
-        name: meta
-        for name, meta in corpus.oracle_ceilings().items()
-        if meta["max_oracle_sf"] is not None
-        and sf_est is not None
-        and sf_est > meta["max_oracle_sf"]
-    }
-    if only:
-        for name in sorted(set(only) & set(ceilinged)):
-            only |= set(ceilinged[name]["capped_twins"])
+    ceilinged, only = apply_oracle_ceilings(
+        corpus.oracle_ceilings(), sf_est, only
+    )
 
     n_pass = n_fail = n_rows_only = n_skip = 0
     failures: list[str] = []

@@ -510,10 +510,11 @@ def dedup_route(
     scale); the SQL twin mirrors it in HUGEINT. Sampling can only flip
     the decision within estimator noise OF THE BOUNDARY — the measured
     regimes sit ~2x away on either side (253 vs 617 cand/doc). With
-    ``max_doc_freq`` set, the cap applies to SAMPLED document
-    frequencies when sampling engages (it gates only this statistic,
-    never the routed paths' own caps). The only driver-side actions
-    are two counts and a 1-row collect.
+    ``max_doc_freq`` set and sampling engaged, the cap is SCALED to the
+    sample rate (max(1, cap·sample_buckets//BUCKETS)) so the statistic
+    sees the same effective stop-shingle cut as the routed paths (it
+    gates only this statistic, never the routed paths' own caps). The
+    only driver-side actions are two counts and a 1-row collect.
 
     Returns ``(route, stats)`` with route in {"prefix", "lsh"} and the
     stats dict carrying the measured quantities for logging/tests."""
@@ -533,13 +534,26 @@ def dedup_route(
         )
     sh = word_shingles(src, id_col, text_col, n)
     if max_doc_freq is not None:
-        sh = drop_stop_shingles(sh, max_doc_freq)
+        # With sampling engaged, document frequencies are ~10% of the
+        # full-corpus values — scale the stop-shingle cap accordingly so
+        # the routing statistic sees the SAME effective cap as the
+        # routed paths (an unscaled cap would be 10x looser here and
+        # skew the statistic toward 'lsh'; ADVICE r12).
+        cap = max_doc_freq
+        if sampled:
+            cap = max(1, max_doc_freq * sample_buckets // sampling.BUCKETS)
+        sh = drop_stop_shingles(sh, cap)
     dfreq = sh.groupBy("shingle").agg(
         F.count(F.lit(1)).cast("long").alias("__df")
     )
+    # DECIMAL(38,0) mass, mirroring the oracle twin's HUGEINT: a
+    # 64-bit SUM would silently wrap (ANSI off) at extreme saturated
+    # vocabularies and flip the route to 'prefix' exactly where LSH is
+    # required; df*(df-1) is even so DIV 2 is exact (ADVICE r12).
     row = dfreq.agg(
         F.coalesce(
-            F.sum(F.expr("__df * (__df - 1) DIV 2")), F.lit(0)
+            F.sum(F.expr("CAST(__df AS DECIMAL(38,0)) * (__df - 1) DIV 2")),
+            F.lit(0).cast("decimal(38,0)"),
         ).alias("collision_mass"),
         F.count(F.lit(1)).alias("distinct_shingles"),
         F.coalesce(F.sum("__df"), F.lit(0)).alias("postings"),

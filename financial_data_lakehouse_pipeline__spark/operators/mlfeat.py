@@ -110,9 +110,11 @@ def equal_frequency_bins(
         .agg(F.count(F.lit(1)).alias("__c"))
     )
     total = vc.agg(F.sum("__c").alias("__total"))
-    n_ranges = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    from financial_data_lakehouse_pipeline__spark.session import (
+        shuffle_partition_count,
     )
+
+    n_ranges = shuffle_partition_count(df.sparkSession)
     # stage 1: range-partition the histogram by value; each range's
     # running count is a per-partition window (P parallel tasks, each
     # over ~|distinct|/P rows). __pid is NONDETERMINISTIC (the range

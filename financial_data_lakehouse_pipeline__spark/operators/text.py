@@ -1248,9 +1248,11 @@ def zipf_fit(
     vocab = toks.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("__c")
     )
-    n_ranges = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    from financial_data_lakehouse_pipeline__spark.session import (
+        shuffle_partition_count,
     )
+
+    n_ranges = shuffle_partition_count(df.sparkSession)
     # __pid is nondeterministic (sampled range boundaries) and feeds
     # BOTH the offsets aggregate and the local-rank window —
     # localCheckpoint pins one assignment for both consumers (the

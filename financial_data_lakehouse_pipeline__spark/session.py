@@ -55,6 +55,18 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def shuffle_partition_count(spark: SparkSession, default: int = 200) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, falling back to
+    ``default`` when the conf is unset OR non-numeric ('auto' on some
+    managed platforms) — the range-partitioned prefix-sum operators
+    (equal-frequency bins, zipf rank) only need a reasonable task
+    count, never a parse failure (ADVICE r12)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", str(default)))
+    except (ValueError, TypeError):
+        return default
+
+
 def build_session(
     app_name: str = "financial_data_lakehouse_pipeline__spark",
     master: str | None = None,

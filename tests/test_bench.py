@@ -46,3 +46,58 @@ def test_bench_emits_one_parseable_json_line():
     tail = out.stdout[-2000:]
     last = [l for l in tail.splitlines() if l.strip()][-1]
     assert json.loads(last)["metric"] == "headline_queries_total_wall"
+
+
+def test_choose_result_line_ladder_is_monotone():
+    """The tail-window fallback ladder degrades monotonically (ADVICE
+    r12): a line that fits at 1-decimal-without-drift must be chosen
+    over the empty-timings last resort — the old ladder reverted to
+    2-decimal timings after the 1-decimal-with-drift step and lost all
+    per-query numbers unnecessarily."""
+    sys.path.insert(0, REPO)
+    from bench import choose_result_line
+
+    timings = {f"q{i:02d}": 1.234 for i in range(60)}
+    drift = {"load": [9.99, 9.99, 9.99], "spr": 12.34, "sprq": "q00"}
+    # generous budget: full detail (2-decimal + drift)
+    full = json.loads(choose_result_line(75.0, 0.1, timings, {}, drift, 4000))
+    assert full["queries"]["q00"] == 1.23 and "load" in full
+    # budget sized so 2-decimal overflows, 1-decimal + drift overflows,
+    # but 1-decimal WITHOUT drift fits: per-query numbers must survive
+    t1_len = len(choose_result_line(75.0, 0.1, timings, {}, drift, 10**6))
+    probe = json.dumps({
+        "metric": "headline_queries_total_wall", "value": 75.0,
+        "unit": "sec", "queries": {k: 1.2 for k in timings}, "sf": 0.1,
+    })
+    assert len(probe) < t1_len  # sanity: dropping drift shrinks the line
+    mid = json.loads(
+        choose_result_line(75.0, 0.1, timings, {}, drift, len(probe))
+    )
+    assert mid["queries"] == {k: 1.2 for k in timings}
+    assert "load" not in mid
+    # below any per-query budget: the parseable empty-timings last resort
+    tiny = json.loads(choose_result_line(75.0, 0.1, timings, {}, drift, 50))
+    assert tiny["queries"] == {}
+
+
+def test_previous_round_queries_picks_newest_matching_sf(tmp_path):
+    """Self-adjudication baseline: newest BENCH_r{N}.json with the SAME
+    sf; non-matching sf or unparseable files never contribute."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    old_repo = bench.REPO
+    try:
+        bench.REPO = str(tmp_path)
+        (tmp_path / "BENCH_r03.json").write_text(json.dumps(
+            {"parsed": {"sf": 0.1, "queries": {"q1": 1.0}}}))
+        (tmp_path / "BENCH_r07.json").write_text(json.dumps(
+            {"parsed": {"sf": 0.1, "queries": {"q1": 2.0}}}))
+        (tmp_path / "BENCH_r09.json").write_text(json.dumps(
+            {"parsed": {"sf": 0.01, "queries": {"q1": 9.0}}}))
+        (tmp_path / "BENCH_r11.json").write_text("not json")
+        assert bench.previous_round_queries(0.1) == {"q1": 2.0}
+        assert bench.previous_round_queries(0.01) == {"q1": 9.0}
+        assert bench.previous_round_queries(2.0) == {}
+    finally:
+        bench.REPO = old_repo

@@ -2786,3 +2786,54 @@ def test_dedup_route_sampled_prepass_matches_full_statistic(spark):
         open_docs, sample_min_docs=10**9, return_dfreq=True
     )
     assert dfreq_u is not None and not stats_u["sampled"]
+
+
+def test_dedup_route_scales_stop_shingle_cap_when_sampled(spark):
+    """ADVICE r12: with sampling engaged, document frequencies are ~10%
+    of full-corpus values, so max_doc_freq must be SCALED to the sample
+    rate — an unscaled cap is 10x looser for the routing statistic than
+    for the routed paths. A boilerplate shingle shared by all 100 docs
+    (full df 100 > cap 20 -> the routed paths drop it) must also be
+    dropped from the SAMPLED statistic (sampled df ~10 > scaled cap 2),
+    where the old code kept it (10 <= 20) and inflated the mass."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i,
+             text="common boiler plate " + " ".join(f"u{i}x{j}" for j in range(8)))
+         for i in range(100)]
+    )
+    route_s, stats_s = dedup.dedup_route(docs, max_doc_freq=20, sample_min_docs=1)
+    assert stats_s["sampled"]
+    # non-vacuous: enough sampled docs that an UNSCALED cap (20) would
+    # have kept the boilerplate shingle and produced nonzero mass
+    assert stats_s["n_sample"] > 2
+    assert stats_s["collision_mass"] == 0
+    # full statistic agrees (df 100 > 20 -> dropped): same route
+    route_f, stats_f = dedup.dedup_route(
+        docs, max_doc_freq=20, sample_min_docs=10**9
+    )
+    assert stats_f["collision_mass"] == 0
+    assert route_s == route_f == "prefix"
+
+
+def test_shuffle_partition_count_tolerates_non_numeric(spark):
+    """ADVICE r12: managed platforms set spark.sql.shuffle.partitions
+    to non-numeric values ('auto'); the shared helper must fall back to
+    the default instead of raising ValueError inside zipf_fit /
+    equal_frequency_bins."""
+    from financial_data_lakehouse_pipeline__spark.session import (
+        shuffle_partition_count,
+    )
+
+    assert shuffle_partition_count(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    class _Conf:
+        def get(self, key, default=None):
+            return "auto"
+
+    class _Fake:
+        conf = _Conf()
+
+    assert shuffle_partition_count(_Fake()) == 200
+    assert shuffle_partition_count(_Fake(), default=32) == 32

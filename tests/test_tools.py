@@ -94,6 +94,30 @@ def test_estimate_sf_and_oracle_ceiling_registry():
     assert meta["capped_twins"] and all(t in qs for t in meta["capped_twins"])
 
 
+def test_estimate_sf_nested_layout_and_empty_dir(tmp_path):
+    """ADVICE r12: a PARTITIONED orders.parquet (key=value subdirs)
+    must still be counted — the old top-level listdir saw 0 files,
+    reported sf~0, and the quadratic-oracle ceiling silently failed
+    open. An empty/unreadable layout is UNKNOWN (None), which the
+    decision core maps to 'never skip'."""
+    import pyarrow.parquet as pq
+    from check_oracle import estimate_sf
+
+    root = tmp_path / "orders.parquet"
+    part = root / "o_orderstatus=F"
+    part.mkdir(parents=True)
+    pq.write_table(
+        pa.table({"o_orderkey": list(range(150_000))}),
+        part / "part-0.parquet",
+    )
+    est = estimate_sf(str(tmp_path))
+    assert est is not None and abs(est - 0.1) < 1e-9
+    # empty directory: rows == 0 -> unknown, never sf~0
+    empty = tmp_path / "empty" / "orders.parquet"
+    empty.mkdir(parents=True)
+    assert estimate_sf(str(tmp_path / "empty")) is None
+
+
 def test_apply_oracle_ceilings_decision_core():
     """Skip-with-reason engages only above the declared sf; targeted
     runs auto-add the capped twins; unknown scale never skips."""

@@ -46,20 +46,29 @@ from financial_data_lakehouse_pipeline__spark.sources import TABLES  # noqa: E40
 def estimate_sf(sf_dir: str) -> float | None:
     """Estimate the data's scale factor from the orders row count
     (driver shape: 1.5M orders ≡ sf1) via parquet footer metadata —
-    O(footer), no scan, and independent of directory naming."""
+    O(footer), no scan, and independent of directory naming.
+
+    Walks directory layouts RECURSIVELY (partitioned datasets nest
+    key=value subdirs) and treats rows == 0 as UNKNOWN (None): a layout
+    this footer reader cannot see (or an empty dir) must flow into the
+    'unknown scale never skips' path of apply_oracle_ceilings, not
+    masquerade as sf~0 and fail the ceiling open (ADVICE r12)."""
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, "orders.parquet")
     try:
         if os.path.isdir(path):
             rows = sum(
-                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                for f in os.listdir(path)
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for root, _dirs, files in os.walk(path)
+                for f in files
                 if f.endswith(".parquet")
             )
         else:
             rows = pq.ParquetFile(path).metadata.num_rows
     except OSError:
+        return None
+    if rows == 0:
         return None
     return rows / 1_500_000
 

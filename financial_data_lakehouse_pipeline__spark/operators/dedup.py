@@ -106,6 +106,7 @@ def _pairwise_jaccard(
     id_col: str,
     restrict_to: DataFrame | None = None,
     sizes: DataFrame | None = None,
+    broadcast_members: bool = False,
 ) -> DataFrame:
     """Exact Jaccard for every pair sharing >= 1 shingle.
 
@@ -121,14 +122,33 @@ def _pairwise_jaccard(
     ``sizes`` — optional precomputed (id, __sz) shingle counts; callers
     that already aggregate per doc (MinHash signatures) pass theirs so the
     plan doesn't re-aggregate the shingle table a fourth time.
+
+    ``broadcast_members`` — callers that KNOW the candidate member set
+    is driver-broadcastable (the incremental path: members are bounded
+    by the batch's collision volume, independent of corpus size) set
+    this so the member semi-joins and the size lookups become
+    map-side broadcast filters over the shingle/size scans instead of
+    shuffling the full posting and size tables — the difference
+    between per-batch cost tracking the batch vs the corpus.
     """
     if sizes is None:
         sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    sizes_a = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sz_a"))
+    sizes_b = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sz_b"))
     if restrict_to is not None:
-        a = a.join(restrict_to.select("id_a").distinct(), "id_a", "left_semi")
-        b = b.join(restrict_to.select("id_b").distinct(), "id_b", "left_semi")
+        ids_a = restrict_to.select("id_a").distinct()
+        ids_b = restrict_to.select("id_b").distinct()
+        if broadcast_members:
+            ids_a, ids_b = F.broadcast(ids_a), F.broadcast(ids_b)
+        a = a.join(ids_a, "id_a", "left_semi")
+        b = b.join(ids_b, "id_b", "left_semi")
+        if broadcast_members:
+            # sizes filtered to members are bounded too — broadcast the
+            # lookup instead of shuffling all N size rows
+            sizes_a = F.broadcast(sizes_a.join(ids_a, "id_a", "left_semi"))
+            sizes_b = F.broadcast(sizes_b.join(ids_b, "id_b", "left_semi"))
     common = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -136,10 +156,13 @@ def _pairwise_jaccard(
         .agg(F.count(F.lit(1)).alias("__common"))
     )
     if restrict_to is not None:
-        common = common.join(restrict_to, ["id_a", "id_b"], "left_semi")
+        pairs_filter = (
+            F.broadcast(restrict_to) if broadcast_members else restrict_to
+        )
+        common = common.join(pairs_filter, ["id_a", "id_b"], "left_semi")
     return (
-        common.join(sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sz_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sz_b")), "id_b")
+        common.join(sizes_a, "id_a")
+        .join(sizes_b, "id_b")
         .withColumn(
             "jaccard",
             guarded_div(
@@ -343,6 +366,40 @@ def minhash_signatures(
     )
 
 
+def _band_keys(
+    sig: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Signatures → (id, band, key) LSH bucket rows: md5 band keys over
+    each band's concatenated minhashes. Pure per-row projection — no
+    shuffle — so callers can filter the result map-side (the
+    incremental path broadcast-prunes the base index's rows to the
+    batch's keys before anything wide happens)."""
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+
+
+def _cap_hot_buckets(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Hot-bucket skew guard: drop every (band, key) bucket with more
+    members than the cap via a broadcast anti-join BEFORE pair
+    expansion — a bucket of m docs emits m(m-1)/2 candidate pairs, so
+    one degenerate band key is a quadratic blowup. Extra columns on
+    ``buckets`` (e.g. the incremental path's batch tag) pass through."""
+    hot = (
+        buckets.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select("band", "key")
+    )
+    return buckets.join(F.broadcast(hot), ["band", "key"], "left_anti")
+
+
 def _band_buckets(
     sig: DataFrame,
     id_col: str,
@@ -350,29 +407,13 @@ def _band_buckets(
     rows_per_band: int,
     max_bucket_size: int | None,
 ) -> DataFrame:
-    """Signatures → (id, band, key) LSH bucket rows: md5 band keys over
-    each band's concatenated minhashes, then the hot-bucket skew guard
-    (buckets above the cap dropped via a broadcast anti-join BEFORE pair
-    expansion). Shared by the full and incremental pair finders so the
-    banding/cap semantics — which the SQL oracles mirror — live in
-    exactly one place."""
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
-        )
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
-    ).select(id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    """Signatures → capped (id, band, key) LSH bucket rows
+    (:func:`_band_keys` + :func:`_cap_hot_buckets`). Shared by the full
+    and incremental pair finders so the banding/cap semantics — which
+    the SQL oracles mirror — live in exactly one place."""
+    buckets = _band_keys(sig, id_col, bands, rows_per_band)
     if max_bucket_size is not None:
-        hot = (
-            buckets.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_bucket_size)
-            .select("band", "key")
-        )
-        buckets = buckets.join(F.broadcast(hot), ["band", "key"], "left_anti")
+        buckets = _cap_hot_buckets(buckets, max_bucket_size)
     return buckets
 
 
@@ -1016,6 +1057,7 @@ def incremental_minhash_pairs(
     max_bucket_size: int | None = None,
     base_shingles: DataFrame | None = None,
     base_signatures: DataFrame | None = None,
+    pin_buckets: bool = True,
 ) -> DataFrame:
     """Near-dup pairs for a NEW batch against an EXISTING corpus — the
     nightly-ingest shape of dedup at 100 TB: the historical corpus was
@@ -1028,16 +1070,33 @@ def incremental_minhash_pairs(
     production path — read from a STORED index built once with
     :func:`minhash_index` (pass ``base_shingles`` + ``base_signatures``;
     ``base`` may then be None, and the historical corpus is never
-    re-hashed). Banded buckets over the union, hot-bucket cap on the
-    union (same skew guard as :func:`minhash_lsh_pairs`, applied before
-    pair expansion), then the candidate self-join FILTERS base x base
-    pairs out BEFORE the exact-Jaccard verify — the expensive stage's
-    cost follows the delta's collision volume, not the corpus's.
+    re-hashed).
 
-    Cost at scale: with |incoming| = d << |base| = N, candidates are
-    O(d * avg_bucket_overlap) instead of O((N+d)^2 / buckets); with the
-    stored index the base corpus contributes only an index scan (and
-    the verify's semi-join restricts even that to candidate members).
+    The plan is BATCH-DRIVEN throughout (round 13; SCALE.md §19b
+    measured the prior union-shaped plan at +92% per-batch wall over a
+    22x base growth on open vocabularies — the slope was the base's
+    linear terms, not the candidates): the batch's own (band, key) set
+    (<= bands·|batch| rows) broadcasts, and the base index's bucket rows
+    are PRUNED TO IT map-side before anything wide happens. Base rows in
+    buckets the batch never touches — the overwhelming majority — never
+    enter a shuffle; they could only have produced base x base pairs,
+    which the old plan carried all the way to a post-join filter. The
+    hot-bucket cap then counts members WITHIN the surviving buckets,
+    which equals the full-union count on exactly those buckets, so the
+    output is bit-identical to the old union-shaped plan (the SQL
+    oracle twin needs no change) while no shuffle's width scales with
+    the base. The pruned bucket table is pinned via localCheckpoint
+    (``pin_buckets``; plan tests pass False to inspect full lineage) so
+    its 4+ downstream consumers read one materialization instead of
+    re-scanning the base index per branch; the verify stage broadcasts
+    the candidate member ids (bounded by the batch's collision volume)
+    so the base shingle/size index scans are map-side-filtered too.
+
+    Cost at scale: with |incoming| = d << |base| = N, per-batch work is
+    O(d · collision volume) in every shuffle plus O(N) in pure columnar
+    index SCANS (band-key projection + broadcast-filtered shingle/size
+    lookups) — and nothing else; the old plan's O(N) SHUFFLES (bucket
+    self-join, hot-bucket count, tag join, verify semi-joins) are gone.
 
     Output: (id_a, id_b, jaccard) with at least one side incoming.
     """
@@ -1062,7 +1121,15 @@ def incremental_minhash_pairs(
         base.select(id_col) if base is not None
         else base_signatures.select(id_col)
     )
-    incoming = incoming.join(base_ids, id_col, "left_anti")
+    # Membership test without an O(N) shuffle: probing the base id
+    # column with the BROADCAST batch id set turns the check into a
+    # map-side filter over a single-column index scan, and the hit
+    # list that comes back is batch-bounded, so the anti-join against
+    # it broadcasts too (a plain left_anti would sort-merge all N base
+    # ids per batch).
+    inc_ids = incoming.select(id_col).distinct()
+    existing = base_ids.join(F.broadcast(inc_ids), id_col, "left_semi")
+    incoming = incoming.join(F.broadcast(existing), id_col, "left_anti")
     sh_inc = word_shingles(incoming.select(id_col, text_col), id_col, text_col, n)
     sig_inc = minhash_signatures(sh_inc, id_col, num_hashes)
     if base_shingles is not None:
@@ -1071,16 +1138,23 @@ def incremental_minhash_pairs(
         sh_base, sig_base = minhash_index(base, id_col, text_col, n, num_hashes)
     sh = sh_base.unionByName(sh_inc)
     sig = sig_base.unionByName(sig_inc)
-    tags = (
-        sig_base.select(id_col).withColumn("__is_new", F.lit(False))
-        .unionByName(sig_inc.select(id_col).withColumn("__is_new", F.lit(True)))
-    )
 
-    # carry the batch tag into the bucket join so base x base candidate
-    # pairs are dropped BEFORE the distinct and the verify join
-    buckets = _band_buckets(
-        sig, id_col, bands, rows_per_band, max_bucket_size
-    ).join(tags, id_col)
+    # batch-driven bucket pruning: broadcast the batch's key set and
+    # keep only base bucket rows in buckets the batch touches — the
+    # batch tag is a literal per side, no tag join needed
+    b_inc = _band_keys(sig_inc, id_col, bands, rows_per_band)
+    keys_inc = b_inc.select("band", "key").distinct()
+    b_base = _band_keys(sig_base, id_col, bands, rows_per_band).join(
+        F.broadcast(keys_inc), ["band", "key"], "left_semi"
+    )
+    buckets = (
+        b_base.withColumn("__is_new", F.lit(False))
+        .unionByName(b_inc.withColumn("__is_new", F.lit(True)))
+    )
+    if max_bucket_size is not None:
+        buckets = _cap_hot_buckets(buckets, max_bucket_size)
+    if pin_buckets:
+        buckets = buckets.localCheckpoint()
     l = buckets.select(
         F.col(id_col).alias("id_a"), "band", "key", F.col("__is_new").alias("__new_a")
     )
@@ -1095,7 +1169,8 @@ def incremental_minhash_pairs(
         .distinct()
     )
     exact = _pairwise_jaccard(
-        sh, id_col, restrict_to=candidates, sizes=sig.select(id_col, "__sz")
+        sh, id_col, restrict_to=candidates, sizes=sig.select(id_col, "__sz"),
+        broadcast_members=True,
     )
     return exact.filter(F.col("jaccard") >= threshold)
 

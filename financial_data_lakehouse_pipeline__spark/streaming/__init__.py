@@ -441,6 +441,7 @@ def dedup_ingest_sink(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    on_existing_id: str = "drop",
 ):
     """Near-dup-filtered exactly-once document ingest: each micro-batch
     is deduplicated AGAINST THE ACCUMULATED CORPUS with
@@ -449,7 +450,7 @@ def dedup_ingest_sink(
     batch's collision volume, the property that keeps continuous ingest
     affordable at 100 TB), then WITHIN ITSELF (min-label clusters over
     the batch-internal pair graph keep one representative per cluster),
-    and only the survivors append to the sources/acid.py table under
+    and only the survivors commit to the sources/acid.py table under
     ``app_txn_id=f"{query_name}:{batch_id}"`` — so a replayed batch is
     an idempotent no-op and the table state is exactly-once even though
     foreachBatch is at-least-once (same contract as
@@ -467,6 +468,26 @@ def dedup_ingest_sink(
     batch doc near-dupping only OTHER BATCH docs survives iff it is its
     cluster's min-id representative. Exact duplicates are a near-dup
     with jaccard 1.0, so no separate exact pass is needed.
+
+    Same-id policy (``on_existing_id``) — a batch doc whose doc_id is
+    ALREADY in the corpus is either at-least-once redelivery noise or a
+    legitimate document update, and only the caller knows which:
+
+    - ``"drop"`` (default): the corpus copy wins even when the text
+      drifted — correct for redelivery, where the id IS the identity
+      and a drifted payload is an upstream anomaly.
+    - ``"update"``: the row is an UPDATE — its NEW text re-runs the
+      near-dup checks against the rest of the corpus (the doc's own
+      old row is excluded: new text near-dupping its previous version
+      is the normal case, not a duplicate) and against the batch; a
+      surviving update rewrites the corpus row via one ACID MERGE
+      commit (matched ids update, fresh survivors insert — still
+      exactly-once under the same app_txn_id), while a REJECTED update
+      (near-dups another corpus doc, or loses its batch cluster) leaves
+      the previously-ingested version in place. Known approximation:
+      batch survivors are checked against the update's NEW text; when
+      the update is rejected, the OLD text that remains was not
+      re-checked against them.
     """
     from financial_data_lakehouse_pipeline__spark.operators import dedup
     from financial_data_lakehouse_pipeline__spark.sources import acid
@@ -477,6 +498,11 @@ def dedup_ingest_sink(
             "exactly-once contract; pass checkpoint_location, or "
             "allow_uncheckpointed=True if the source is immutable and "
             "replays deterministically"
+        )
+    if on_existing_id not in ("drop", "update"):
+        raise ValueError(
+            f"on_existing_id must be 'drop' or 'update', got "
+            f"{on_existing_id!r}"
         )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -492,22 +518,40 @@ def dedup_ingest_sink(
             survivors_of_base = batch_df
         else:
             base = acid.scan(spark, root).select(id_col, text_col)
-            # Same-id guard: app_txn_id only de-dupes WHOLE-BATCH
-            # replays; an at-least-once upstream can re-emit an
-            # already-ingested doc_id inside a LATER batch.
-            # incremental_minhash_pairs anti-joins same-id incoming
-            # docs out of the pair computation (they are trivially
-            # their own corpus twin, not a "pair"), so without this
-            # filter they would never reach dup_vs_corpus and would
-            # re-append as duplicate doc_id rows — mirror the
-            # operator's internal guard on the batch itself.
-            batch_df = batch_df.join(
-                base.select(id_col), id_col, "left_anti"
-            ).localCheckpoint()
+            inc_ids = batch_df.select(id_col).distinct()
+            if on_existing_id == "drop":
+                # Same-id guard: app_txn_id only de-dupes WHOLE-BATCH
+                # replays; an at-least-once upstream can re-emit an
+                # already-ingested doc_id inside a LATER batch.
+                # incremental_minhash_pairs anti-joins same-id incoming
+                # docs out of the pair computation (they are trivially
+                # their own corpus twin, not a "pair"), so without this
+                # filter they would never reach dup_vs_corpus and would
+                # re-append as duplicate doc_id rows — mirror the
+                # operator's internal guard on the batch itself.
+                # Broadcast-probe idiom (no O(corpus) shuffle): probe
+                # the corpus id column with the broadcast batch ids,
+                # then anti-join the batch-bounded hit list back.
+                existing = base.select(id_col).join(
+                    F.broadcast(inc_ids), id_col, "left_semi"
+                )
+                batch_df = batch_df.join(
+                    F.broadcast(existing), id_col, "left_anti"
+                ).localCheckpoint()
+                base_for_pairs = base
+            else:  # "update"
+                # Re-emitted ids are document updates: exclude their
+                # OLD corpus rows from the base side so the new text is
+                # near-dup-checked against the REST of the corpus, not
+                # against its own previous version.
+                batch_df = batch_df.dropDuplicates([id_col]).localCheckpoint()
+                base_for_pairs = base.join(
+                    F.broadcast(inc_ids), id_col, "left_anti"
+                )
             batch_ids = batch_df.select(id_col)
             all_pairs = dedup.incremental_minhash_pairs(
-                base, batch_df, id_col, text_col, n, num_hashes, bands,
-                threshold, max_bucket_size=max_bucket_size,
+                base_for_pairs, batch_df, id_col, text_col, n, num_hashes,
+                bands, threshold, max_bucket_size=max_bucket_size,
             ).localCheckpoint()
             # pair sides that are batch members (vs corpus members)
             a_in = all_pairs.join(
@@ -547,6 +591,10 @@ def dedup_ingest_sink(
         )
         if acid.latest_version(root) < 0:
             acid.create_table(survivors, root, app_txn_id=txn)
+        elif on_existing_id == "update":
+            # one MERGE commit: matched ids rewrite in place, fresh
+            # survivors insert — exactly-once via the same app_txn_id
+            acid.merge(spark, root, survivors, [id_col], app_txn_id=txn)
         else:
             acid.append(survivors, root, app_txn_id=txn)
 

@@ -635,3 +635,131 @@ def test_dedup_ingest_sink_same_id_reemitted_in_later_batch(spark, tmp_path):
     # the corpus copy won: doc 3 keeps its ORIGINAL text
     assert {r.text for r in rows if r.doc_id == 3} \
         == {"completely different words about spark engines"}
+
+
+def test_dedup_ingest_sink_update_mode_merges_drifted_text(spark, tmp_path):
+    """on_existing_id='update': a re-emitted doc_id with drifted text is
+    a legitimate document UPDATE — the new text replaces the corpus row
+    via one ACID MERGE commit (fresh survivors insert in the same
+    commit), it is near-dup-checked against the REST of the corpus (not
+    its own old version), and an update whose new text near-dups
+    ANOTHER corpus doc is REJECTED (the previously-ingested version
+    stays). Replays stay idempotent no-ops under app_txn_id."""
+    import os
+
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+    from financial_data_lakehouse_pipeline__spark.sources import acid
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    b1 = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=3, text="completely different words about spark engines"),
+    ]
+    b2 = [
+        # legitimate update: drifted but still near-dup of its OWN old
+        # text — must NOT self-reject (old row excluded from the check)
+        Row(doc_id=1, text=base.replace("today", "tomorrow")),
+        # fresh doc in the same batch: inserts via the same MERGE commit
+        Row(doc_id=7, text="yet another unrelated document mentioning ducks"),
+    ]
+    spark.createDataFrame(b1).coalesce(1).write.parquet(feed + "/b1")
+    spark.createDataFrame(b2).coalesce(1).write.parquet(feed + "/b2")
+
+    table = str(tmp_path / "corpus_table")
+    schema = spark.read.parquet(feed + "/b1").schema
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(feed)
+        )
+        q = st.dedup_ingest_sink(
+            stream, table,
+            query_name="t_dedup_ingest_upd",
+            checkpoint_location=str(tmp_path / ckpt),
+            on_existing_id="update",
+        )
+        q.awaitTermination()
+
+    run("ckpt")
+    rows = {r.doc_id: r.text for r in acid.scan(spark, table).collect()}
+    # doc 1 carries the UPDATED text; exactly one row per id
+    assert rows[1] == base.replace("today", "tomorrow")
+    assert rows[3] == "completely different words about spark engines"
+    assert rows[7] == "yet another unrelated document mentioning ducks"
+    assert set(rows) == {1, 3, 7}
+    v_after = acid.latest_version(table)
+    # replay from a fresh checkpoint: both batches idempotent no-ops
+    run("ckpt2")
+    assert acid.latest_version(table) == v_after
+    assert {r.doc_id: r.text
+            for r in acid.scan(spark, table).collect()} == rows
+
+
+def test_dedup_ingest_sink_update_mode_rejects_neardup_of_other_doc(
+    spark, tmp_path
+):
+    """on_existing_id='update', rejection path: an update whose NEW text
+    near-dups a DIFFERENT corpus doc is rejected — the doc keeps its
+    previously-ingested text and no duplicate content enters the
+    corpus."""
+    import os
+
+    from pyspark.sql import Row
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+    from financial_data_lakehouse_pipeline__spark.sources import acid
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    b1 = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=3, text="completely different words about spark engines"),
+    ]
+    b2 = [
+        # update of 3 whose new text near-dups doc 1 -> rejected
+        Row(doc_id=3, text=base.replace("today", "tonight")),
+    ]
+    spark.createDataFrame(b1).coalesce(1).write.parquet(feed + "/b1")
+    spark.createDataFrame(b2).coalesce(1).write.parquet(feed + "/b2")
+
+    table = str(tmp_path / "corpus_table")
+    schema = spark.read.parquet(feed + "/b1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed)
+    )
+    q = st.dedup_ingest_sink(
+        stream, table,
+        query_name="t_dedup_ingest_rej",
+        checkpoint_location=str(tmp_path / "ckpt"),
+        on_existing_id="update",
+    )
+    q.awaitTermination()
+
+    rows = {r.doc_id: r.text for r in acid.scan(spark, table).collect()}
+    assert set(rows) == {1, 3}
+    # the rejected update left the ORIGINAL text in place
+    assert rows[3] == "completely different words about spark engines"
+
+
+def test_dedup_ingest_sink_rejects_unknown_policy(spark, tmp_path):
+    import pytest
+
+    from financial_data_lakehouse_pipeline__spark import streaming as st
+
+    with pytest.raises(ValueError, match="on_existing_id"):
+        st.dedup_ingest_sink(
+            None, str(tmp_path / "t"),
+            checkpoint_location=str(tmp_path / "c"),
+            on_existing_id="upsert",
+        )

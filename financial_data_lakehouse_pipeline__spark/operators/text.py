@@ -560,10 +560,17 @@ def bm25_scores(
         F.col("__t").isin(terms)
     )
     tf = tok.groupBy(id_col).pivot("__t", terms).count().na.fill(0)
-    # document frequency per query term, as columns of one small row
+    # document frequency per query term, as columns of one small row.
+    # COALESCE matters: when NO document contains ANY query term (open
+    # vocabularies make this a real case, not an edge case), tf has
+    # zero rows and a bare SUM over it is NULL — which would silently
+    # NULL every score; df must be 0 so idf stays finite and absent
+    # terms contribute 0 (round-13 ov1 oracle campaign finding).
     dfreq = tf.agg(
         *[
-            F.sum((F.col(t) > 0).cast("bigint")).alias(f"__df_{i}")
+            F.coalesce(
+                F.sum((F.col(t) > 0).cast("bigint")), F.lit(0)
+            ).alias(f"__df_{i}")
             for i, t in enumerate(terms)
         ]
     )

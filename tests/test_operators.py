@@ -2837,3 +2837,30 @@ def test_shuffle_partition_count_tolerates_non_numeric(spark):
 
     assert shuffle_partition_count(_Fake()) == 200
     assert shuffle_partition_count(_Fake(), default=32) == 32
+
+
+def test_bm25_zero_hit_query_terms_score_zero_not_null(spark):
+    """Round-13 ov1 campaign finding: when NO document contains ANY
+    query term (routine on an open Heaps-law vocabulary), the per-term
+    df aggregate runs over an EMPTY tf table — a bare SUM returned NULL
+    dfs and silently NULLed every score (surfacing as NaN after Arrow
+    conversion), where the SQL twin scores 0.0. df must coalesce to 0:
+    idf stays finite, absent terms contribute exactly 0."""
+    from financial_data_lakehouse_pipeline__spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta doc{i}") for i in range(6)]
+    )
+    rows = t.bm25_scores(docs, ["spark", "join"]).collect()
+    assert len(rows) == 6
+    assert all(r.score is not None for r in rows)
+    assert all(r.score == 0.0 for r in rows)
+    # mixed case: one term present, one absent — present term scores,
+    # absent term contributes 0 (not NULL/NaN)
+    docs2 = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha spark beta"),
+         Row(doc_id=2, text="alpha beta gamma")]
+    )
+    rows2 = {r.doc_id: r.score for r in t.bm25_scores(docs2, ["spark", "join"]).collect()}
+    assert rows2[1] is not None and rows2[1] > 0.0
+    assert rows2[2] == 0.0

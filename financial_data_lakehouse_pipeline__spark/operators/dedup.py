@@ -1040,9 +1040,31 @@ def minhash_index(
     (parquet, partitioned/bucketed by the id) and read back by every
     subsequent :func:`incremental_minhash_pairs` call — so nightly
     ingest never re-hashes the historical corpus. Append each batch's
-    own index rows after it commits to keep the index current."""
+    own index rows after it commits to keep the index current. For the
+    optional third index table (precomputed LSH bucket rows, skipping
+    the per-batch band-key recompute too) see
+    :func:`minhash_band_buckets`."""
     sh = word_shingles(df, id_col, text_col, n)
     return sh, minhash_signatures(sh, id_col, num_hashes)
+
+
+def minhash_band_buckets(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH bucket rows (id, band, key) for a signature table — the
+    OPTIONAL third member of the stored incremental-dedup index: write
+    it once next to the :func:`minhash_index` tables and pass it to
+    :func:`incremental_minhash_pairs` as ``base_buckets`` so each batch
+    reads precomputed band keys instead of re-hashing ``bands`` md5
+    keys per base signature row per batch. Must be built with the SAME
+    ``num_hashes``/``bands`` the pair finder is called with (band keys
+    embed the banding layout; the pair finder cannot validate this)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    return _band_keys(signatures, id_col, bands, num_hashes // bands)
 
 
 def incremental_minhash_pairs(
@@ -1057,6 +1079,7 @@ def incremental_minhash_pairs(
     max_bucket_size: int | None = None,
     base_shingles: DataFrame | None = None,
     base_signatures: DataFrame | None = None,
+    base_buckets: DataFrame | None = None,
     pin_buckets: bool = True,
 ) -> DataFrame:
     """Near-dup pairs for a NEW batch against an EXISTING corpus — the
@@ -1109,6 +1132,12 @@ def incremental_minhash_pairs(
         )
     if base_shingles is None and base is None:
         raise ValueError("need either base documents or a stored index")
+    if base_buckets is not None and base_signatures is None:
+        raise ValueError(
+            "base_buckets extends the stored index — it requires "
+            "base_shingles/base_signatures (build all three with "
+            "minhash_index + minhash_band_buckets)"
+        )
     rows_per_band = num_hashes // bands
     # An incoming id that ALREADY EXISTS in base is not a new document —
     # without this guard its shingle/signature rows would double up
@@ -1144,7 +1173,16 @@ def incremental_minhash_pairs(
     # batch tag is a literal per side, no tag join needed
     b_inc = _band_keys(sig_inc, id_col, bands, rows_per_band)
     keys_inc = b_inc.select("band", "key").distinct()
-    b_base = _band_keys(sig_base, id_col, bands, rows_per_band).join(
+    # base band keys: precomputed index table when stored (amortizes
+    # the per-batch bands·N md5 recompute into the index build), else
+    # derived from the signatures — either way pruned map-side by the
+    # broadcast batch-key set before anything wide
+    b_base_raw = (
+        base_buckets.select(id_col, "band", "key")
+        if base_buckets is not None
+        else _band_keys(sig_base, id_col, bands, rows_per_band)
+    )
+    b_base = b_base_raw.join(
         F.broadcast(keys_inc), ["band", "key"], "left_semi"
     )
     buckets = (

@@ -2864,3 +2864,45 @@ def test_bm25_zero_hit_query_terms_score_zero_not_null(spark):
     rows2 = {r.doc_id: r.score for r in t.bm25_scores(docs2, ["spark", "join"]).collect()}
     assert rows2[1] is not None and rows2[1] > 0.0
     assert rows2[2] == 0.0
+
+
+def test_incremental_pairs_stored_bucket_index_equals_recompute(spark, tmp_path):
+    """The optional third stored-index table (minhash_band_buckets):
+    passing precomputed base bucket rows must produce EXACTLY the pairs
+    the recompute path produces (band keys embed the banding layout, so
+    the stored table is a pure amortization, never a semantic change),
+    and buckets without the rest of the index are rejected."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i,
+             text="the quick brown fox jumps over the lazy dog "
+                  + ("again today" if i % 2 else "again tonight"))
+         for i in range(1, 9)]
+        + [Row(doc_id=99, text="completely unrelated words about engines")]
+    )
+    base = docs.filter(F.col("doc_id") <= 6)
+    inc = docs.filter(F.col("doc_id") > 6)
+    sh_b, sig_b = dedup.minhash_index(base)
+    bk_b = dedup.minhash_band_buckets(sig_b, num_hashes=16, bands=4)
+    # round-trip through parquet like a real stored index
+    for name, df in (("sh", sh_b), ("sig", sig_b), ("bk", bk_b)):
+        df.write.mode("overwrite").parquet(str(tmp_path / name))
+    sh_s = spark.read.parquet(str(tmp_path / "sh"))
+    sig_s = spark.read.parquet(str(tmp_path / "sig"))
+    bk_s = spark.read.parquet(str(tmp_path / "bk"))
+
+    via_recompute = sorted(map(tuple, dedup.incremental_minhash_pairs(
+        None, inc, base_shingles=sh_s, base_signatures=sig_s,
+        max_bucket_size=50,
+    ).collect()))
+    via_stored = sorted(map(tuple, dedup.incremental_minhash_pairs(
+        None, inc, base_shingles=sh_s, base_signatures=sig_s,
+        base_buckets=bk_s, max_bucket_size=50,
+    ).collect()))
+    assert via_stored == via_recompute and len(via_stored) > 0
+
+    with pytest.raises(ValueError, match="base_buckets"):
+        dedup.incremental_minhash_pairs(base, inc, base_buckets=bk_s)
+    with pytest.raises(ValueError, match="divide evenly"):
+        dedup.minhash_band_buckets(sig_b, num_hashes=16, bands=5)

@@ -73,6 +73,14 @@ def measure(sf_dir: str, out_dir: str) -> dict:
         sh_b.write.mode("overwrite").parquet(f"{out_dir}/sh")
         sig_b.write.mode("overwrite").parquet(f"{out_dir}/sig")
         index_build_s = round(time.time() - t0, 3)
+        # optional third index table (round 13): precomputed band
+        # buckets amortize the per-batch bands*N md5 recompute
+        t0 = time.time()
+        dedup.minhash_band_buckets(
+            spark.read.parquet(f"{out_dir}/sig"),
+            num_hashes=PARAMS["num_hashes"], bands=PARAMS["bands"],
+        ).write.mode("overwrite").parquet(f"{out_dir}/bk")
+        bucket_index_build_s = round(time.time() - t0, 3)
 
         def indexed():
             return dedup.incremental_minhash_pairs(
@@ -82,11 +90,22 @@ def measure(sf_dir: str, out_dir: str) -> dict:
                 **PARAMS,
             )
 
+        def indexed_bucketed():
+            return dedup.incremental_minhash_pairs(
+                None, inc,
+                base_shingles=spark.read.parquet(f"{out_dir}/sh"),
+                base_signatures=spark.read.parquet(f"{out_dir}/sig"),
+                base_buckets=spark.read.parquet(f"{out_dir}/bk"),
+                **PARAMS,
+            )
+
         row = {
             "sf_dir": sf_dir, "n_base": n_base, "n_batch": n_inc,
             "ratio": round(n_base / max(n_inc, 1), 1),
             "index_build_s": index_build_s,
+            "bucket_index_build_s": bucket_index_build_s,
             "per_batch": timed(indexed),
+            "per_batch_bucketed": timed(indexed_bucketed),
             "loadavg": [round(x, 2) for x in os.getloadavg()],
         }
         print(json.dumps(row), flush=True)
@@ -103,6 +122,7 @@ def main() -> None:
         "curve": [
             {"n_base": r["n_base"], "n_batch": r["n_batch"],
              "per_batch_s": r["per_batch"]["median"],
+             "per_batch_bucketed_s": r["per_batch_bucketed"]["median"],
              "index_build_s": r["index_build_s"]}
             for r in rows
         ],

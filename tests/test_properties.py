@@ -408,3 +408,58 @@ def test_theil_sen_matches_python_median(spark, ys):
     expect = (slopes[(m - 1) // 2] + slopes[m // 2]) / 2.0
     assert out[0]["n_pairs"] == m
     assert out[0]["ts_slope"] == expect
+
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(_VOCAB), min_size=3, max_size=8),
+            st.booleans(),  # True -> incoming batch, False -> base
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_incremental_minhash_equals_filtered_full_property(spark, docs):
+    """Batch-driven incremental dedup == full-corpus LSH filtered to
+    pairs touching the batch, on RANDOM corpora (a tiny vocabulary makes
+    shared 3-gram shingles — hence LSH collisions — routine). Pins the
+    round-13 broadcast-pruned plan to the union-shaped semantics for
+    arbitrary base/batch splits, including all-incoming (empty base) and
+    batches with no near-dup at all; the hand-crafted case lives in
+    test_incremental_minhash_pairs_lossless_vs_full."""
+    from hypothesis import assume
+
+    from financial_data_lakehouse_pipeline__spark.operators import dedup
+
+    assume(any(inc for _, inc in docs))
+    rows = [
+        Row(doc_id=i, text=" ".join(words), inc=inc)
+        for i, (words, inc) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows)
+    incoming_ids = {r.doc_id for r in rows if r.inc}
+    base = df.filter(~F.col("inc")).select("doc_id", "text")
+    incoming = df.filter(F.col("inc")).select("doc_id", "text")
+
+    full = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in dedup.minhash_lsh_pairs(df).collect()
+    }
+    expect = {
+        p for p in full if p[0] in incoming_ids or p[1] in incoming_ids
+    }
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in dedup.incremental_minhash_pairs(base, incoming).collect()
+    }
+    assert got == expect
+    assert all(a in incoming_ids or b in incoming_ids for a, b, _ in got)

@@ -695,6 +695,17 @@ def test_dedup_ingest_sink_update_mode_merges_drifted_text(spark, tmp_path):
     assert rows[7] == "yet another unrelated document mentioning ducks"
     assert set(rows) == {1, 3, 7}
     v_after = acid.latest_version(table)
+    # the update commit is CDF-visible: the version diff labels the
+    # re-emitted id 'updated' and the fresh survivor 'inserted'; doc 3
+    # is absent either way — its file is untouched by the MERGE, or a
+    # verbatim copy-on-write rewrite classifies it 'unchanged' (dropped)
+    cdf = {
+        r.doc_id: r.change_type
+        for r in acid.table_changes(
+            spark, table, v_after - 1, v_after, keys=["doc_id"]
+        ).collect()
+    }
+    assert cdf == {1: "updated", 7: "inserted"}
     # replay from a fresh checkpoint: both batches idempotent no-ops
     run("ckpt2")
     assert acid.latest_version(table) == v_after

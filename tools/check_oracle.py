@@ -303,7 +303,13 @@ def main() -> int:
         except OSError:
             pass
         mem = f"{gb}GB"
-    spill = os.path.join(tempfile.gettempdir(), "duckdb_oracle_spill")
+    # Per-process spill dir: concurrent check_oracle instances (e.g. a
+    # corpus split across parallel subset runs) sharing one directory
+    # abort with a fatal duckdb::IOException when one instance's cleanup
+    # removes another's duckdb_temp_storage-*.tmp.
+    spill = os.path.join(
+        tempfile.gettempdir(), f"duckdb_oracle_spill_{os.getpid()}"
+    )
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET memory_limit='{mem}'")
     con.execute(f"SET temp_directory='{spill}'")

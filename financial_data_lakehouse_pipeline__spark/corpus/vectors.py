@@ -670,16 +670,30 @@ def hard_negatives_topk(spark, sf_dir):
 
 @register(
     "knn_label_eval",
-    f"""WITH q AS (SELECT vec_id AS qid, label AS qlab, embedding AS qv
+    # The |Q| x N scored relation is MATERIALIZED with scalar columns
+    # only (norms precomputed per VECTOR, not per pair — identical IEEE
+    # values, so cosines are unchanged): without this DuckDB carries
+    # both embedding lists into the rank window's sort and spills
+    # >80 GB at sf2; with it the sort payload is five scalars.
+    f"""WITH q AS (SELECT vec_id AS qid, label AS qlab, embedding AS qv,
+                          {_norm_sql('embedding')} AS qn
                    FROM embeddings WHERE vec_id % 10 = 0),
-             c AS (SELECT vec_id AS nid, label AS nlab, embedding AS cv
+             c AS (SELECT vec_id AS nid, label AS nlab, embedding AS cv,
+                          {_norm_sql('embedding')} AS cn
                    FROM embeddings),
+             scored AS MATERIALIZED (
+               SELECT qid, qlab, nlab, nid,
+                      CASE WHEN qn * cn IS NOT NULL AND qn * cn <> 0
+                           THEN {_dot_sql('qv', 'cv')} / (qn * cn)
+                      END AS cosine
+               FROM c, q WHERE qid <> nid
+             ),
              nn AS (
                SELECT qid, qlab, nlab, rn FROM (
                  SELECT qid, qlab, nlab,
                         ROW_NUMBER() OVER (PARTITION BY qid
-                            ORDER BY {_cosine_sql('qv', 'cv')} DESC, nid) AS rn
-                 FROM c, q WHERE qid <> nid)
+                            ORDER BY cosine DESC, nid) AS rn
+                 FROM scored)
                WHERE rn <= 5
              ),
              votes AS (

@@ -68,6 +68,198 @@ def brute_force_topk(
     )
 
 
+def cosine_topk_partials(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_payload: Sequence[str] = (),
+    exclude_self: bool = True,
+    query_block: int = 512,
+) -> DataFrame:
+    """Exact cosine top-k, identical results to :func:`brute_force_topk`,
+    without ever materializing the |Q| x N scored relation as Spark rows.
+
+    brute_force_topk's plan is the correctness baseline but has two
+    costs that grow with |Q| x N: the cosine is an interpreted
+    higher-order-function fold evaluated once per (query, corpus) row,
+    and ALL scored rows shuffle into the per-query rank window. Here
+    each corpus partition scores its rows against the broadcast query
+    set in numpy (vectorized across rows, ~100x the interpreted fold's
+    throughput) and emits only its local k best per query, so the
+    window's exchange carries batches x |Q| x k rows instead of |Q| x N
+    — at 1000 executors over 100 TB the shuffle is proportional to the
+    candidate cut, not the corpus.
+
+    Bit-exactness contract (what makes the DuckDB oracle twins and the
+    brute-force path hash-match): the per-pair arithmetic replays the
+    Column-expression fold in the identical IEEE-754 order — float->
+    double element casts, a strictly sequential left-to-right dot and
+    norm accumulation (one vectorized numpy op per dimension, never
+    BLAS/pairwise summation), Math.sqrt == np.sqrt (both correctly
+    rounded), one norm product, and the zero-denominator guard of
+    functions.guarded_div (NULL cosine, which sorts last under the
+    window's cosine DESC like Spark's default NULLS LAST). Vectors of
+    mismatched length and NULL vectors reproduce zip_with's NULL-cosine
+    semantics. NaN/Inf *inputs* are outside the contract (pandas<->Arrow
+    NaN ambiguity); embeddings are finite by schema contract.
+
+    The query set is collected and rebroadcast (same smallness contract
+    as brute_force_topk's F.broadcast — model-state-sized, not data-
+    sized). Output: (query_id, neighbor_id, cosine, rank, *payload),
+    rank 1..k; ``corpus_payload`` names corpus columns carried through
+    (e.g. a label) so consumers need no N-row join back to the corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    take = int(k) + (1 if exclude_self else 0)
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    qvecs = [
+        None if r[1] is None else np.asarray(r[1], dtype=np.float64)
+        for r in qrows
+    ]
+    qlens = np.array(
+        [-1 if v is None else len(v) for v in qvecs], dtype=np.int64
+    )
+    # sequential-fold query norms, one per query (computed once, driver)
+    qnorms = np.empty(len(qvecs))
+    for j, v in enumerate(qvecs):
+        acc = 0.0
+        if v is not None:
+            for x in v:
+                acc = acc + x * x
+        qnorms[j] = np.sqrt(acc)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((qids, qvecs, qlens, qnorms))
+
+    cschema = {f.name: f.dataType for f in corpus.schema.fields}
+    qschema = {f.name: f.dataType for f in queries.schema.fields}
+    out_schema = StructType(
+        [
+            StructField("query_id", qschema[id_col]),
+            StructField("neighbor_id", cschema[id_col]),
+            StructField("cosine", DoubleType()),
+        ]
+        + [StructField(c, cschema[c]) for c in corpus_payload]
+    )
+    payload = list(corpus_payload)
+    qb = max(1, int(query_block))
+
+    def _part(it):
+        q_ids, q_vecs, q_lens, q_norms = bq.value
+        nq = len(q_ids)
+        if not nq:
+            return
+        for pdf in it:
+            n_c = len(pdf)
+            if not n_c:
+                continue
+            nids = pdf[id_col].to_numpy()
+            raw = pdf[vec_col].to_numpy()
+            c_lens = np.array(
+                [-1 if v is None else len(v) for v in raw], dtype=np.int64
+            )
+            # stack + sequential-fold norms per corpus length group
+            groups = {}
+            for length in np.unique(c_lens):
+                idx = np.nonzero(c_lens == length)[0]
+                if length < 0:
+                    continue
+                C = (
+                    np.stack([np.asarray(v) for v in raw[idx]]).astype(
+                        np.float64
+                    )
+                    if length
+                    else np.zeros((len(idx), 0))
+                )
+                accn = np.zeros(len(idx))
+                for i in range(int(length)):
+                    ci = C[:, i]
+                    accn = accn + ci * ci
+                groups[int(length)] = (idx, C, np.sqrt(accn))
+            for q0 in range(0, nq, qb):
+                q1 = min(q0 + qb, nq)
+                blk = q1 - q0
+                # sort value: -cosine with NULL->+inf (cosine DESC
+                # NULLS LAST); cosine kept separately, NaN marks NULL
+                sv = np.full((n_c, blk), np.inf)
+                cos = np.full((n_c, blk), np.nan)
+                for length, (idx, C, cn) in groups.items():
+                    cols = [
+                        j
+                        for j in range(q0, q1)
+                        if q_lens[j] == length and q_norms[j] != 0.0
+                    ]
+                    if not cols:
+                        continue
+                    Q = np.stack([q_vecs[j] for j in cols])  # blkL x d
+                    acc = np.zeros((len(idx), len(cols)))
+                    for i in range(int(length)):
+                        acc = acc + C[:, i : i + 1] * Q[:, i]
+                    denom = cn[:, None] * np.array(
+                        [q_norms[j] for j in cols]
+                    )
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        c_ok = np.where(denom != 0.0, acc / denom, np.nan)
+                    rel = [j - q0 for j in cols]
+                    cos[np.ix_(idx, rel)] = c_ok
+                    sv[np.ix_(idx, rel)] = np.where(denom != 0.0, -c_ok, np.inf)
+                kk = min(take, n_c)
+                sel_q, sel_c = [], []
+                for rel in range(blk):
+                    col_sv = sv[:, rel]
+                    if kk < n_c:
+                        part = np.argpartition(col_sv, kk - 1)[:kk]
+                        v = col_sv[part].max()
+                        cand = np.nonzero(col_sv <= v)[0]
+                    else:
+                        cand = np.arange(n_c)
+                    order = (
+                        pd.DataFrame(
+                            {"sv": col_sv[cand], "nid": nids[cand]}
+                        )
+                        .sort_values(["sv", "nid"], kind="mergesort")
+                        .index.to_numpy()
+                    )
+                    chosen = cand[order[:kk]]
+                    sel_q.extend([q0 + rel] * len(chosen))
+                    sel_c.extend(chosen.tolist())
+                if not sel_c:
+                    continue
+                sel_c = np.array(sel_c)
+                out = {
+                    "query_id": [q_ids[j] for j in sel_q],
+                    "neighbor_id": nids[sel_c],
+                    "cosine": cos[sel_c, np.array(sel_q) - q0],
+                }
+                for c in payload:
+                    out[c] = pdf[c].to_numpy()[sel_c]
+                yield pd.DataFrame(out)
+
+    from pyspark.sql import Window
+
+    partials = corpus.select(id_col, vec_col, *payload).mapInPandas(
+        _part, out_schema
+    )
+    if exclude_self:
+        partials = partials.filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select("query_id", "neighbor_id", "cosine", "rank", *payload)
+    )
+
+
 def sign_lsh_bucket(vec: Column, planes: int = 8) -> Column:
     """Axis-aligned sign-LSH sketch: concatenated signs of the first
     ``planes`` coordinates. Kept as the zero-dependency fallback;
@@ -600,8 +792,10 @@ def knn_classify(
     quality probe (label a held-out vector by its k nearest neighbors'
     majority label and compare to ground truth).
 
-    Two stages: (1) exact top-k neighbors per query (queries broadcast,
-    corpus streams, self-match excluded, per-query heap); (2) a
+    Two stages: (1) exact top-k neighbors per query via
+    :func:`cosine_topk_partials` (queries broadcast, corpus streams,
+    self-match excluded, per-partition candidate cut so the shuffle
+    carries |Q| x k-scale rows, never |Q| x N); (2) a
     (query, neighbor_label) vote count and a deterministic argmax —
     most votes, ties to the BEST-RANKED candidate label (min rank =
     highest cosine among the tied labels), then smallest label. At
@@ -613,24 +807,30 @@ def knn_classify(
     """
     from pyspark.sql import Window
 
-    q = queries.select(
-        F.col(id_col).alias("__qid"),
-        F.col(label_col).alias("__qlab"),
-        F.col(vec_col).alias("__qv"),
+    # stage 1 via the partial-cut scorer: the |Q| x N scored relation
+    # never exists as Spark rows (cosines bit-identical to the
+    # expression fold — see cosine_topk_partials), the neighbor label
+    # rides through the corpus partitions (no N-row join back), and the
+    # query label joins onto the |Q| x k candidate table broadcast-side.
+    topk = cosine_topk_partials(
+        queries,
+        corpus.select(
+            F.col(id_col), F.col(vec_col), F.col(label_col).alias("__nlab")
+        ),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        corpus_payload=("__nlab",),
+        exclude_self=True,
     )
-    c = corpus.select(
-        F.col(id_col).alias("__nid"),
-        F.col(label_col).alias("__nlab"),
-        F.col(vec_col).alias("__cv"),
+    qlabs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("__qlab")
     )
-    scored = (
-        c.join(F.broadcast(q))
-        .filter(F.col("__qid") != F.col("__nid"))
-        .withColumn("cosine", _sim(F.col("__qv"), F.col("__cv")))
-    )
-    wk = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__nid"))
-    nn = scored.withColumn("__rank", F.row_number().over(wk)).filter(
-        F.col("__rank") <= k
+    nn = topk.join(F.broadcast(qlabs), "query_id").select(
+        F.col("query_id").alias("__qid"),
+        F.col("__qlab"),
+        F.col("__nlab"),
+        F.col("rank").alias("__rank"),
     )
     votes = nn.groupBy("__qid", "__qlab", "__nlab").agg(
         F.count(F.lit(1)).alias("__votes"), F.min("__rank").alias("__best")

@@ -744,3 +744,19 @@ def test_incremental_dedup_plan_is_batch_driven(spark, sf_dir):
     assert "BroadcastNestedLoop" not in plan
     # the base prune + member/size/pair filters are broadcast semi-joins
     assert len(re.findall(r"BroadcastHashJoin.*LeftSemi", plan)) >= 5
+
+
+def test_knn_topk_scores_in_partials_not_nlj(spark, sf_dir):
+    """knn_label_eval's stage 1 must be the partial-cut scorer (round
+    13): each corpus partition emits its k best per query from numpy,
+    so the plan carries a MapInPandas over the corpus scan and NO
+    BroadcastNestedLoopJoin producing a |Q| x N scored relation — the
+    shape whose interpreted HOF cosine cost ~75 min at sf2. The only
+    joins left are the |Q| x k candidate table's broadcast label join."""
+    df = _q("knn_label_eval")(spark, sf_dir)
+    plan = plans.formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the cosine HOF fold must not appear anywhere in the plan —
+    # scoring happens inside the Python worker, not Catalyst
+    assert "zip_with" not in plan and "aggregate(" not in plan.lower()

@@ -537,3 +537,63 @@ def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
     # so every retained single-probe hit must also be retained or
     # displaced only by a HIGHER-cosine candidate — recall can't drop.
     assert len(multi) == 50
+
+
+def test_cosine_topk_partials_bit_identical_to_brute_force(spark):
+    """The partial-cut scorer must be indistinguishable from the
+    expression-fold baseline: same (query, neighbor, rank) table and
+    BITWISE-equal cosine doubles (the oracle hash compares exact bits),
+    across the degenerate shapes the fold semantics define — exact-tie
+    duplicate vectors, a zero vector (NULL cosine), a NULL vector, a
+    mismatched-length vector, and a NULL/zero query vector."""
+    import random as _random
+    import struct
+
+    rng = _random.Random(20260816)
+    rows = []
+    base = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(40)]
+    for i, v in enumerate(base):
+        rows.append(Row(vec_id=i, embedding=[float(np.float32(x)) for x in v]))
+    rows.append(Row(vec_id=100, embedding=rows[3].embedding))  # exact tie
+    rows.append(Row(vec_id=101, embedding=rows[3].embedding))  # exact tie
+    rows.append(Row(vec_id=102, embedding=[0.0] * 8))          # zero vec
+    rows.append(Row(vec_id=103, embedding=None))               # null vec
+    rows.append(Row(vec_id=104, embedding=[1.0, 2.0]))         # wrong dim
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = df.filter(
+        (F.col("vec_id") % 7 == 0) | (F.col("vec_id") >= 100)
+    )  # includes the zero / null / short query vectors
+    for k in (1, 3, 7):
+        exact = similarity.brute_force_topk(q, df, k=k)
+        fast = similarity.cosine_topk_partials(q, df, k=k)
+        key = lambda r: (r.query_id, r.rank)  # noqa: E731
+        e = sorted(exact.collect(), key=key)
+        f = sorted(fast.collect(), key=key)
+        assert [(r.query_id, r.neighbor_id, r.rank) for r in e] == [
+            (r.query_id, r.neighbor_id, r.rank) for r in f
+        ]
+        for re_, rf in zip(e, f):
+            if re_.cosine is None or rf.cosine is None:
+                assert re_.cosine is None and rf.cosine is None
+            else:
+                assert struct.pack("<d", re_.cosine) == struct.pack(
+                    "<d", rf.cosine
+                ), (re_, rf)
+
+
+def test_cosine_topk_partials_payload_and_no_self(spark):
+    """Corpus payload columns ride through the partial cut unchanged and
+    self-matches stay excluded even when the self row ties at rank 1."""
+    rows = [
+        Row(vec_id=i, embedding=[1.0, float(i) / 100.0], label=i % 3)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    q = df.filter(F.col("vec_id") < 4)
+    out = similarity.cosine_topk_partials(
+        q, df, k=5, corpus_payload=("label",)
+    ).collect()
+    assert len(out) == 20  # 4 queries x k
+    for r in out:
+        assert r.query_id != r.neighbor_id
+        assert r.label == r.neighbor_id % 3

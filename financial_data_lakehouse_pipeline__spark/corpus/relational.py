@@ -1019,13 +1019,18 @@ def _pagerank_sql(iters: int = 2, damping: float = 0.85) -> str:
     irrelevant."""
     d = repr(damping) + "e0"
     one_minus_d = repr(1.0 - damping) + "e0"
+    # pairs/edges AS MATERIALIZED: edges has 1 + iters references (deg
+    # + one message-sum per iteration) and pairs two; inlined, DuckDB
+    # re-evaluates the lineitem self-join + DISTINCT once per reference
+    # — at sf2 that spilled >70 GB. Materialized, the edge list costs
+    # its actual size once.
     parts = [
-        """pairs AS (
+        """pairs AS MATERIALIZED (
           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
           WHERE a.l_partkey < b.l_partkey
         )""",
-        "edges AS (SELECT src, dst FROM pairs "
+        "edges AS MATERIALIZED (SELECT src, dst FROM pairs "
         "UNION ALL SELECT dst, src FROM pairs)",
         "deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg "
         "FROM edges GROUP BY src)",
@@ -1682,14 +1687,15 @@ def phonetic_blocking_parts(spark, sf_dir):
 def _lpa_sql(iters: int = 2) -> str:
     """Unrolled synchronous-LPA oracle (graph.label_propagation twin):
     all-integer (labels are part keys, scores are counts), so every
-    iteration is exact — no float anywhere."""
+    iteration is exact — no float anywhere. pairs/edges MATERIALIZED
+    for the same multi-reference reason as _pagerank_sql."""
     parts = [
-        """pairs AS (
+        """pairs AS MATERIALIZED (
           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
           WHERE a.l_partkey < b.l_partkey
         )""",
-        "edges AS (SELECT src, dst FROM pairs "
+        "edges AS MATERIALIZED (SELECT src, dst FROM pairs "
         "UNION ALL SELECT dst, src FROM pairs)",
         "l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)",
     ]

@@ -479,7 +479,17 @@ def _minhash_ctes(
     (dedup.minhash_lsh_pairs). ``src``/``suffix`` let a caller run the
     chain over its own (possibly route-gated) shingle CTE without name
     collisions; by default it emits the shingle CTEs itself and uses
-    the historical unsuffixed names."""
+    the historical unsuffixed names.
+
+    The exact-Jaccard verify is CANDIDATE-BOUNDED, mirroring the
+    engine's plan: common-shingle counts are computed by joining the
+    shingle table onto the LSH candidate pairs, never as the full
+    pairwise posting self-join (_jaccard_ctes) — the two agree on every
+    candidate pair by construction, but the full posting join's cost is
+    sum(df^2) over shingles (quadratic in the vocabulary head; it is
+    what the deliberately-unpruned ngram_jaccard oracles measure) while
+    this one is |cand| x shingles-per-doc. At sf2 the difference is an
+    out-of-disk oracle vs a tractable one."""
     rows = num_hashes // bands
     P = dedup.MINHASH_P
     s = suffix
@@ -518,11 +528,25 @@ def _minhash_ctes(
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM buckets{s} a
           JOIN buckets{s} b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-        ), {_jaccard_ctes(shingle_src, s)},
+        ),
+        sizes{s} AS (SELECT doc_id, COUNT(*) AS sz FROM {shingle_src} GROUP BY doc_id),
+        common{s} AS (
+          SELECT c.id_a, c.id_b, COUNT(*) AS c
+          FROM cand{s} c
+          JOIN {shingle_src} a ON a.doc_id = c.id_a
+          JOIN {shingle_src} b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          GROUP BY 1, 2
+        ),
+        jac{s} AS (
+          SELECT id_a, id_b,
+                 CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+          FROM common{s}
+          JOIN sizes{s} sa ON sa.doc_id = id_a
+          JOIN sizes{s} sb ON sb.doc_id = id_b
+        ),
         lsh_pairs{s} AS (
-          SELECT c.id_a, c.id_b, j.jaccard
-          FROM cand{s} c JOIN jac{s} j ON j.id_a = c.id_a AND j.id_b = c.id_b
-          WHERE j.jaccard >= {threshold}
+          SELECT id_a, id_b, jaccard FROM jac{s}
+          WHERE jaccard >= {threshold}
         )"""
 
 

@@ -243,9 +243,17 @@ def cosine_topk_partials(
 
     from pyspark.sql import Window
 
-    partials = corpus.select(id_col, vec_col, *payload).mapInPandas(
-        _part, out_schema
-    )
+    proj = corpus.select(id_col, vec_col, *payload)
+    # Occupancy guard, not a scale path: a small corpus (driver-scale
+    # parquet = a handful of splits) would otherwise score on as many
+    # cores as it has files. Fires ONLY when partitions < cluster
+    # parallelism — i.e. exactly when the corpus is small enough that
+    # the round-robin shuffle is trivial; a lake-scale corpus has
+    # partitions >> slots and streams through untouched.
+    defp = sc.defaultParallelism
+    if proj.rdd.getNumPartitions() < defp:
+        proj = proj.repartition(defp)
+    partials = proj.mapInPandas(_part, out_schema)
     if exclude_self:
         partials = partials.filter(
             F.col("query_id") != F.col("neighbor_id")

@@ -26,11 +26,18 @@ failure report stays as actionable as before.
 from __future__ import annotations
 
 import datetime
+import functools
 import math
 import os
 import sys
 import tempfile
 import time
+
+# Per-result flushing: under nohup/redirect stdout is block-buffered,
+# so a segment grinding a slow oracle shows an EMPTY log for its first
+# ~8 KB of results — indistinguishable from a hang when monitoring a
+# long campaign. Results are rare (one line per query); flush each.
+print = functools.partial(print, flush=True)  # noqa: A001
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)

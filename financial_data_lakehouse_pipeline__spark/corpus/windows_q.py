@@ -1536,34 +1536,35 @@ def ewm_vol_supplier_price(spark, sf_dir):
 
 @register(
     "supplier_inventory_balance",
-    # Floored running sum in exact INTEGER arithmetic: every recursive
-    # step is GREATEST(0, prev + delta) — no float contract anywhere.
-    f"""WITH RECURSIVE base AS MATERIALIZED (
-          SELECT l_suppkey, l_orderkey, l_linenumber,
-                 CAST(CASE WHEN l_returnflag = 'R' THEN -l_quantity
-                           ELSE l_quantity END AS BIGINT) AS d,
-                 ROW_NUMBER() OVER ({_LI_WIN}) AS rn
+    # Skorokhod reflection identity, exact INTEGER arithmetic (see
+    # operators/windows.floored_running_sum): b = S - LEAST(0, runmin S)
+    # for floor 0 — two window passes instead of the recursive CTE whose
+    # per-row iterations cost ~1200 s at sf2. Same integers on every row.
+    f"""WITH s AS (
+          SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                 l_extendedprice, l_quantity, l_partkey,
+                 SUM(CAST(CASE WHEN l_returnflag = 'R' THEN -l_quantity
+                               ELSE l_quantity END AS BIGINT))
+                     OVER ({_LI_WIN} ROWS UNBOUNDED PRECEDING) AS ps
           FROM lineitem
-        ), r AS (
-          SELECT l_suppkey, l_orderkey, l_linenumber, rn,
-                 GREATEST(CAST(0 AS BIGINT), d) AS balance
-          FROM base WHERE rn = 1
-          UNION ALL
-          SELECT b.l_suppkey, b.l_orderkey, b.l_linenumber, b.rn,
-                 GREATEST(CAST(0 AS BIGINT), r.balance + b.d)
-          FROM base b JOIN r ON b.l_suppkey = r.l_suppkey
-                            AND b.rn = r.rn + 1
         )
-        SELECT l_suppkey, l_orderkey, l_linenumber, balance FROM r""",
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(ps - LEAST(CAST(0 AS BIGINT),
+                               MIN(ps) OVER ({_LI_WIN}
+                                   ROWS UNBOUNDED PRECEDING))
+                    AS BIGINT) AS balance
+        FROM s""",
 )
 def supplier_inventory_balance(spark, sf_dir):
     """Floored running inventory balance per supplier
     (operators/windows.floored_running_sum): shipments add quantity,
     returns (l_returnflag = 'R') subtract it, and the balance clamps at
-    zero after EVERY step — the inventory/credit-balance/token-bucket
-    recurrence that a plain windowed cumsum cannot express (the clamp
-    forgets how much was absorbed at the floor). Exact integer
-    recursion; bit-identical to the recursive-CTE oracle."""
+    zero after EVERY step. A plain clamped cumsum is a DIFFERENT
+    function (it forgets how much the floor absorbed), but the constant
+    floor has the exact reflection closed form b = S - min(0, runmin S)
+    — both engine and oracle compute it as two integer window passes,
+    with the step-by-step recursion pinned independently by a
+    hypothesis loop-replay test."""
     li = read_table(spark, sf_dir, "lineitem")
     d = F.when(
         F.col("l_returnflag") == "R", -F.col("l_quantity")

@@ -1108,35 +1108,46 @@ def floored_running_sum(
     """Running sum that clamps at a floor after EVERY step —
     ``s_t = max(floor, s_{t-1} + x_t)``, seeded ``s_0 = max(floor, x_0)``
     — inventory that cannot go negative, credit balances, token-bucket
-    rate limits. NOT window-expressible: the clamp makes each prefix
-    depend on the clamped previous state, not on the raw prefix sum
-    (``greatest(floor, sum(...) over w)`` is a DIFFERENT function — it
-    forgets how much was absorbed at the floor).
+    rate limits.
 
-    Same per-entity recursive machinery as :func:`ema` (grouped Arrow
-    batches, explicit loop, fixed operation order), but in exact INTEGER
-    arithmetic — pass integer deltas (scale upstream) and the recursive-
-    CTE oracle reproduces every step bit-for-bit with no float contract
-    at all. Input contract: ``delta_col`` non-null.
+    Despite looking recursive (each prefix depends on the CLAMPED
+    previous state, so ``greatest(floor, sum(...) over w)`` is wrong —
+    it forgets how much the floor absorbed), a constant floor has an
+    exact closed form, the Skorokhod reflection identity:
+
+        b_i = S_i + f - min(f, min_{j<=i} S_j)      (S = raw prefix sum)
+
+    Induction: with m_i = min(f, min_{j<=i} S_j), if S_i >= m_{i-1} the
+    clamp is inactive and b_i = S_i - m_{i-1} + f; if S_i < m_{i-1}
+    (<= f's shift) the clamp bites, b_i = f, and m_i = S_i — both match
+    the recurrence, seeded b_0 = max(f, S_0). So the operator is TWO
+    window passes over one partitioning — a codegen prefix sum, then a
+    running min over it — instead of a per-entity Python loop: one
+    exchange + one sort, the sorted runs shared by both WindowExecs,
+    distributed across however many entities the data has. All exact
+    BIGINT arithmetic (pass integer deltas; scale upstream), so the
+    result is bit-identical to the step-by-step recursion — pinned by a
+    hypothesis property test replaying the explicit loop
+    (tests/test_operators.py). Input contract: ``delta_col`` non-null.
+
+    Round 13: replaced the applyInPandas explicit loop (and the
+    O(rows-per-entity) recursive-CTE oracle iterations, ~1200 s at sf2)
+    with this identity — same integers, window-shaped cost.
     """
-    from pyspark.sql import types as T
+    from pyspark.sql import Window
 
-    schema_out = T.StructType(
-        list(df.schema.fields) + [T.StructField(out, T.LongType())]
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    sort_cols = list(order_by)
-
-    def _per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        deltas = pdf[delta_col].astype("int64").to_numpy()
-        bal = [0] * len(deltas)
-        s = None
-        for i, d in enumerate(deltas):
-            # seed s_0 = max(floor, x_0) per the documented recurrence —
-            # seeding from s=floor would differ for every floor != 0
-            s = max(floor, int(d) if s is None else s + int(d))
-            bal[i] = s
-        pdf[out] = bal
-        return pdf
-
-    return df.groupBy(*partition_by).applyInPandas(_per_group, schema=schema_out)
+    f = int(floor)
+    with_s = df.withColumn(
+        "__fs_prefix", F.sum(F.col(delta_col).cast("bigint")).over(w)
+    )
+    bal = (
+        F.col("__fs_prefix")
+        + F.lit(f)
+        - F.least(F.lit(f).cast("bigint"), F.min("__fs_prefix").over(w))
+    )
+    return with_s.withColumn(out, bal.cast("long")).drop("__fs_prefix")

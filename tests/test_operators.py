@@ -2906,3 +2906,28 @@ def test_incremental_pairs_stored_bucket_index_equals_recompute(spark, tmp_path)
         dedup.incremental_minhash_pairs(base, inc, base_buckets=bk_s)
     with pytest.raises(ValueError, match="divide evenly"):
         dedup.minhash_band_buckets(sig_b, num_hashes=16, bands=5)
+
+
+def test_floored_running_sum_identity_matches_explicit_loop(spark):
+    """The Skorokhod reflection identity the operator now computes
+    (b_i = S_i + f - min(f, runmin S)) must replay the step-by-step
+    recursion exactly — random deltas, several entities, floors on both
+    sides of zero, including long floor-pinned stretches."""
+    import random as _random
+
+    from financial_data_lakehouse_pipeline__spark.operators import windows
+
+    rng = _random.Random(1317)
+    for floor in (0, 2, -5):
+        rows, expect = [], {}
+        for k in ("a", "b", "c"):
+            s = None
+            for i in range(rng.randint(1, 40)):
+                d = rng.randint(-12, 9)  # negative drift: floor bites often
+                rows.append((k, i, d))
+                s = max(floor, d if s is None else s + d)
+                expect[(k, i)] = s
+        df = spark.createDataFrame(rows, "k string, i int, d long")
+        out = windows.floored_running_sum(df, ["k"], ["i"], "d", floor=floor)
+        for r in out.collect():
+            assert r["balance"] == expect[(r["k"], r["i"])], (floor, r)

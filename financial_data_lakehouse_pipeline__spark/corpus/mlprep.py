@@ -708,6 +708,14 @@ def weighted_sample_docs(spark, sf_dir):
     # Each order picks the dimension version valid at o_orderdate:
     # every-3rd customer has an EARLY version before 1998-01-01, the
     # real segment after; everyone else one open version.
+    #
+    # Formulated as INNER equi-join + anti-join (not LEFT JOIN with the
+    # interval residual in ON): mixing the equality and the date
+    # inequalities in a LEFT JOIN's ON sends DuckDB down its range-join
+    # path — 492 s at sf2 vs 0.3 s for this shape (hash join on the
+    # key, interval as a post-join filter, unmatched orders recovered
+    # by the anti-join; identical rows since o_orderkey is unique and
+    # version intervals are disjoint).
     """WITH dim AS (
           SELECT c_custkey, 'EARLY' AS segment,
                  DATE '1990-01-01' AS valid_from,
@@ -721,12 +729,17 @@ def weighted_sample_docs(spark, sf_dir):
           SELECT c_custkey, c_mktsegment,
                  DATE '1990-01-01', CAST(NULL AS DATE)
           FROM customer WHERE c_custkey % 3 <> 0
+        ), m AS (
+          SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, d.segment
+          FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+          WHERE o.o_orderdate >= d.valid_from
+            AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
         )
-        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, d.segment
-        FROM orders o LEFT JOIN dim d
-          ON o.o_custkey = d.c_custkey
-         AND o.o_orderdate >= d.valid_from
-         AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)""",
+        SELECT * FROM m
+        UNION ALL
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+               CAST(NULL AS VARCHAR) AS segment
+        FROM orders o ANTI JOIN m ON o.o_orderkey = m.o_orderkey""",
 )
 def pit_join_orders_segments(spark, sf_dir):
     """Point-in-time join (operators/joins.pit_join): orders pick the

@@ -174,6 +174,31 @@ def _pairwise_jaccard(
     )
 
 
+def _pin(df: DataFrame, enabled: bool = True) -> DataFrame:
+    """Materialize a multiply-consumed subtree ONCE via a lazy
+    ``localCheckpoint`` (computed on first use inside the consuming job,
+    stored in the block manager, lineage truncated).
+
+    The LSH/prefix pair finders reference their shingle table and their
+    candidate-pair table from 3-6 plan branches each; without
+    materialization Catalyst re-evaluates the whole
+    tokenize→explode→md5→aggregate subtree per branch (the round-13
+    minhash plan had 20 parquet scans / 38 exchanges for ONE logical
+    pass — guide §2.4: remove repeated work feeding the same exchange).
+    A DataFrame-level MEMORY_AND_DISK ``persist`` was measured SLOWER
+    than recompute here (columnar cache build + serialized branch
+    execution, SCALE.md §13); the RDD-level local checkpoint skips the
+    columnar conversion and was measured faster than both (A/B at
+    sf0.1: median 5.2s recompute vs 2.7s pinned for minhash_lsh_pairs).
+    Lazy (``eager=False``) so plan-only callers (tests, plan reports)
+    never trigger execution at build time.
+
+    ``enabled=False`` restores full lineage — for plan inspection, or
+    at extreme scale when executor storage is tighter than recompute
+    (the stored-index incremental path never pins base-scale tables)."""
+    return df.localCheckpoint(eager=False) if enabled else df
+
+
 def _maybe_persist(df: DataFrame, persist: bool) -> DataFrame:
     """Optionally MEMORY_AND_DISK-persist the reused shingle subtree.
 
@@ -248,6 +273,8 @@ def prefix_filter_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
     dfreq: DataFrame | None = None,
+    shingles: DataFrame | None = None,
+    pin_intermediates: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard >= threshold via
     PREFIX FILTERING (the SSJoin/PPJoin candidate-pruning principle) —
@@ -285,6 +312,14 @@ def prefix_filter_jaccard_pairs(
     precomputed per-shingle document frequencies (shingle, __df) over
     the SAME capped universe; the auto router passes its pre-pass
     aggregation so the plan doesn't aggregate the shingle table twice.
+    ``shingles`` — optional precomputed shingle table over the SAME
+    (df, n, cap) universe (the auto router pins and hands over its
+    pre-pass shingles, saving a full tokenize pass).
+    ``pin_intermediates`` materializes the shingle, prefix and
+    candidate tables once instead of re-evaluating their subtrees per
+    consuming branch (shingles feed dfreq/ranked/sizes plus both verify
+    posting sides; prefixes feed both candidate join sides) — guide
+    §2.4; pass False to inspect full lineage.
     """
     from fractions import Fraction
 
@@ -302,9 +337,13 @@ def prefix_filter_jaccard_pairs(
     fr = exact.limit_denominator(1_000_000)
     if fr > exact:
         fr = Fraction(math.floor(exact * 1_000_000), 1_000_000)
-    sh = word_shingles(df, id_col, text_col, n)
-    if max_doc_freq is not None:
-        sh = drop_stop_shingles(sh, max_doc_freq)
+    if shingles is None:
+        sh = word_shingles(df, id_col, text_col, n)
+        if max_doc_freq is not None:
+            sh = drop_stop_shingles(sh, max_doc_freq)
+        sh = _pin(sh, pin_intermediates)
+    else:
+        sh = shingles
     if dfreq is None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     ranked = sh.join(dfreq, "shingle").withColumn(
@@ -313,8 +352,11 @@ def prefix_filter_jaccard_pairs(
             Window.partitionBy(id_col).orderBy("__df", "shingle")
         ),
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
-    pref = (
+    sizes = _pin(
+        sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz")),
+        pin_intermediates,
+    )
+    pref = _pin(
         ranked.join(sizes, id_col)
         .filter(
             F.col("__rn")
@@ -323,14 +365,16 @@ def prefix_filter_jaccard_pairs(
                      f"DIV {fr.denominator}")
             + F.lit(1)
         )
-        .select(F.col(id_col), "shingle")
+        .select(F.col(id_col), "shingle"),
+        pin_intermediates,
     )
-    cands = (
+    cands = _pin(
         pref.select(F.col(id_col).alias("id_a"), "shingle")
         .join(pref.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
+        .distinct(),
+        pin_intermediates,
     )
     return _pairwise_jaccard(sh, id_col, restrict_to=cands, sizes=sizes).filter(
         F.col("jaccard") >= threshold
@@ -428,6 +472,7 @@ def minhash_lsh_pairs(
     persist_shingles: bool = False,
     max_doc_freq: int | None = None,
     max_bucket_size: int | None = None,
+    pin_intermediates: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -452,6 +497,13 @@ def minhash_lsh_pairs(
     no extra shuffle. Cost: recall loss only on groups larger than the
     cap, which at threshold-grade similarity are better handled by exact
     dedup first.
+
+    ``pin_intermediates`` materializes the shingle table and the
+    candidate-pair table once (:func:`_pin`) instead of re-evaluating
+    their subtrees per consuming branch (shingles feed the signature
+    aggregation plus both verify posting sides; candidates feed both
+    member semi-joins plus the pair restrict) — measured ~1.9x at
+    sf0.1 with identical output. Pass False to inspect full lineage.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
@@ -459,17 +511,21 @@ def minhash_lsh_pairs(
     sh = _maybe_persist(word_shingles(df, id_col, text_col, n), persist_shingles)
     if max_doc_freq is not None:
         sh = drop_stop_shingles(sh, max_doc_freq)
-    sig = minhash_signatures(sh, id_col, num_hashes)
+    sh = _pin(sh, pin_intermediates and not persist_shingles)
+    # one narrow row per doc, consumed by both bucket join sides and the
+    # verify denominators — pin so the 16-min aggregation runs once
+    sig = _pin(minhash_signatures(sh, id_col, num_hashes), pin_intermediates)
 
     buckets = _band_buckets(sig, id_col, bands, rows_per_band, max_bucket_size)
 
     l = buckets.select(F.col(id_col).alias("id_a"), "band", "key")
     r = buckets.select(F.col(id_col).alias("id_b"), "band", "key")
-    candidates = (
+    candidates = _pin(
         l.join(r, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
+        .distinct(),
+        pin_intermediates,
     )
 
     exact = _pairwise_jaccard(
@@ -513,6 +569,7 @@ def dedup_route(
     return_dfreq: bool = False,
     sample_min_docs: int = ROUTE_SAMPLE_MIN_DOCS,
     sample_buckets: int = ROUTE_SAMPLE_BUCKETS,
+    return_shingles: bool = False,
 ) -> tuple:
     """One cheap pre-pass deciding exact-prefix-join vs capped-LSH.
 
@@ -574,6 +631,12 @@ def dedup_route(
             < sample_buckets
         )
     sh = word_shingles(src, id_col, text_col, n)
+    # Unsampled, the pre-pass shingle table IS the routed prefix path's
+    # input — pin it once so the statistic's aggregation and the routed
+    # path share one tokenize pass instead of two (returned via
+    # ``return_shingles``; a SAMPLED table must never be reused — it
+    # would silently drop unsampled postings from the routed path).
+    reusable = return_shingles and not sampled
     if max_doc_freq is not None:
         # With sampling engaged, document frequencies are ~10% of the
         # full-corpus values — scale the stop-shingle cap accordingly so
@@ -584,6 +647,8 @@ def dedup_route(
         if sampled:
             cap = max(1, max_doc_freq * sample_buckets // sampling.BUCKETS)
         sh = drop_stop_shingles(sh, cap)
+    if reusable:
+        sh = _pin(sh)  # post-cap: both consumers need the capped universe
     dfreq = sh.groupBy("shingle").agg(
         F.count(F.lit(1)).cast("long").alias("__df")
     )
@@ -621,14 +686,19 @@ def dedup_route(
         "candidates_per_doc": cand_per_doc,
         "switch": switch_candidates_per_doc,
     }
+    out = [route, stats]
     if return_dfreq:
         # let the prefix path reuse the rare-first ranking's df table
         # instead of aggregating the shingle table a second time —
         # ONLY when it covers the full corpus: a sampled dfreq would
         # inner-join away unsampled shingles inside the prefix ranking
         # and silently break losslessness
-        return route, stats, (None if sampled else dfreq)
-    return route, stats
+        out.append(None if sampled else dfreq)
+    if return_shingles:
+        # same full-corpus-only rule as dfreq; the pinned table saves
+        # the routed prefix path its whole tokenize pass
+        out.append(None if sampled else sh)
+    return tuple(out)
 
 
 def similar_pairs_auto(
@@ -655,16 +725,17 @@ def similar_pairs_auto(
     This is the operational answer to SCALE.md §17's sf2 finding: the
     engine, not the caller, now picks the path at the measured switch
     point."""
-    route, _stats, dfreq = dedup_route(
+    route, _stats, dfreq, shingles = dedup_route(
         df, id_col, text_col, n,
         max_doc_freq=max_doc_freq,
         switch_candidates_per_doc=switch_candidates_per_doc,
         return_dfreq=True,
+        return_shingles=True,
     )
     if route == "prefix":
         return prefix_filter_jaccard_pairs(
             df, id_col, text_col, n, threshold, max_doc_freq=max_doc_freq,
-            dfreq=dfreq,
+            dfreq=dfreq, shingles=shingles,
         )
     return minhash_lsh_pairs(
         df, id_col, text_col, n,
@@ -695,9 +766,15 @@ def duplicate_clusters(
     O(diameter) tiny actions, not per-row driver work.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = edges.unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).distinct()
+    # pin: every iteration's neighbor join re-references the edge
+    # lineage — without materialization the whole upstream pair-finding
+    # DAG (LSH at minimum) re-executes once per iteration (guide §2.4);
+    # the edge list is pair-volume-bounded at any scale
+    edges = _pin(
+        edges.unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        ).distinct()
+    )
     labels = df.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
     labels = labels.localCheckpoint()
     for _ in range(max_iterations):
@@ -774,8 +851,12 @@ def simhash_pairs(
     Joins on bit-block bands (pigeonhole: distance <= d → some block of
     the fingerprint split into d+1 blocks matches exactly), then verifies
     with bit_count(xor) — equi-join + filter, never all-pairs.
+
+    The per-doc fingerprint table is pinned (:func:`_pin`) so the token
+    explode + per-bit popcount aggregation runs once instead of once per
+    candidate join side (was 2 full scans+aggregations, guide §2.4).
     """
-    s = simhash(df, id_col, text_col, bits)
+    s = _pin(simhash(df, id_col, text_col, bits))
     blocks = max_hamming + 1
     width = bits // blocks or 1
     # Explode each fingerprint into (block_idx, block_value) rows and
@@ -1114,6 +1195,11 @@ def incremental_minhash_pairs(
     re-scanning the base index per branch; the verify stage broadcasts
     the candidate member ids (bounded by the batch's collision volume)
     so the base shingle/size index scans are map-side-filtered too.
+    ``pin_buckets`` also gates the round-13 materializations: the
+    batch's own shingle/signature tables, the candidate-pair table,
+    and — on the inline (no stored index) path only — the base index
+    tables, each otherwise re-derived once per consuming branch.
+    Base-scale tables read from a STORED index are never pinned.
 
     Cost at scale: with |incoming| = d << |base| = N, per-batch work is
     O(d · collision volume) in every shuffle plus O(N) in pure columnar
@@ -1159,12 +1245,27 @@ def incremental_minhash_pairs(
     inc_ids = incoming.select(id_col).distinct()
     existing = base_ids.join(F.broadcast(inc_ids), id_col, "left_semi")
     incoming = incoming.join(F.broadcast(existing), id_col, "left_anti")
+    # Batch-side tables are batch-bounded at any scale and consumed by
+    # 2-3 branches each (shingles: the union's verify sides; signatures:
+    # band keys + the union's sizes) — pin so the batch tokenizes and
+    # aggregates once (gated on ``pin_buckets`` like every other
+    # materialization here so plan tests can see full lineage).
     sh_inc = word_shingles(incoming.select(id_col, text_col), id_col, text_col, n)
-    sig_inc = minhash_signatures(sh_inc, id_col, num_hashes)
+    sh_inc = _pin(sh_inc, pin_buckets)
+    sig_inc = _pin(minhash_signatures(sh_inc, id_col, num_hashes), pin_buckets)
     if base_shingles is not None:
+        # stored-index path: base tables come straight off parquet —
+        # NEVER pin base-scale data (the scans are the cheap part; a
+        # second copy in executor storage is not)
         sh_base, sig_base = base_shingles, base_signatures
     else:
+        # inline path (no stored index): the base index subtree would
+        # otherwise be re-derived per consumer (band keys + union sizes
+        # for signatures; both verify sides for shingles) — pin the
+        # one-off computation exactly like a stored index amortizes it
         sh_base, sig_base = minhash_index(base, id_col, text_col, n, num_hashes)
+        sh_base = _pin(sh_base, pin_buckets)
+        sig_base = _pin(sig_base, pin_buckets)
     sh = sh_base.unionByName(sh_inc)
     sig = sig_base.unionByName(sig_inc)
 
@@ -1199,12 +1300,16 @@ def incremental_minhash_pairs(
     r = buckets.select(
         F.col(id_col).alias("id_b"), "band", "key", F.col("__is_new").alias("__new_b")
     )
-    candidates = (
+    # candidate pairs are batch-collision-bounded and consumed by three
+    # branches (both member id sets + the pair restrict) — pin so the
+    # bucket self-join runs once
+    candidates = _pin(
         l.join(r, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.col("__new_a") | F.col("__new_b"))
         .select("id_a", "id_b")
-        .distinct()
+        .distinct(),
+        pin_buckets,
     )
     exact = _pairwise_jaccard(
         sh, id_col, restrict_to=candidates, sizes=sig.select(id_col, "__sz"),

@@ -23,21 +23,32 @@ _Q = 1e12
 
 
 def cooccurrence_pairs(
-    df: DataFrame, group_col: str, item_col: str
+    df: DataFrame, group_col: str, item_col: str, pin: bool = True
 ) -> DataFrame:
     """Deduplicated co-occurrence pairs with src < dst (one row per
     undirected edge): items sharing a group value (parts in the same
     order, docs with the same fingerprint, ...) get an edge. Self-join
     on the group key (one shuffle). At scale, cap pathological group
     sizes first (a 10k-item group contributes 50M pairs) the same way
-    the dedup operators cap posting lists."""
+    the dedup operators cap posting lists.
+
+    ``pin`` materializes the deduplicated pair table once (lazy
+    localCheckpoint): every consumer of a co-occurrence graph
+    re-references it from multiple plan branches (symmetrized union ×
+    per-iteration joins in pagerank/label-propagation; three self-join
+    sides in triangle counting), and without materialization each
+    branch re-runs the group self-join + distinct (measured at sf0.1:
+    pagerank 6.8 → 4.9 s median). Pass False for full-lineage plans."""
+    from financial_data_lakehouse_pipeline__spark.operators.dedup import _pin
+
     a = df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("src"))
     b = df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("dst"))
-    return (
+    return _pin(
         a.join(b, "__g")
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
-        .distinct()
+        .distinct(),
+        pin,
     )
 
 

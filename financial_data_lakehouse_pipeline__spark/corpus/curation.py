@@ -43,6 +43,7 @@ from financial_data_lakehouse_pipeline__spark.corpus.textdocs import (
 )
 from financial_data_lakehouse_pipeline__spark.operators import sampling, text
 from financial_data_lakehouse_pipeline__spark.operators.dedup import (
+    _pin,
     canonical_text,
     minhash_lsh_pairs,
 )
@@ -347,7 +348,13 @@ def _funnel(spark, sf_dir, model_quality: bool):
         .distinct()
         .withColumn("__contam", F.lit(True))
     )
-    flagged = (
+    # pinned: three consumers re-derive this assembly (the mixture
+    # thresholds aggregate, the stage-count aggregate, and the packing
+    # branch), and each re-derivation re-scanned the raw documents for
+    # the benchmark-fingerprint broadcast — one materialization of the
+    # narrow flag table ends that (guide §2.4; the parquet checkpoints
+    # above keep the EXPENSIVE upstream out of all of them already)
+    flagged = _pin(
         flags.join(dups_r, "doc_id", "left")
         .withColumn(
             "f5", F.col("f4") & ~F.coalesce(F.col("__dup"), F.lit(False))

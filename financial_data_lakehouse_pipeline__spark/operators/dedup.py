@@ -776,7 +776,8 @@ def duplicate_clusters(
         ).distinct()
     )
     labels = df.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
-    labels = labels.localCheckpoint()
+    # lazy: the per-iteration convergence count is the forcing action
+    labels = labels.localCheckpoint(eager=False)
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(labels, edges.dst == labels[id_col])
@@ -792,7 +793,7 @@ def duplicate_clusters(
                     F.coalesce(F.col("__nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")

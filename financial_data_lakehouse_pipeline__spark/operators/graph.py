@@ -272,7 +272,10 @@ def connected_components(
     Output: (node, component_id) — one row per node that appears in
     ``edges`` (plus ``nodes`` if given).
     """
-    e = _canonical_pairs(edges).localCheckpoint(eager=True)
+    # lazy checkpoints throughout the loop: the convergence checksum (or
+    # next round's aggregation) is the forcing action anyway, so an
+    # eager materialization pass per round would double the job count
+    e = _canonical_pairs(edges).localCheckpoint(eager=False)
 
     def _checksum(df: DataFrame) -> tuple:
         row = df.agg(
@@ -284,7 +287,7 @@ def connected_components(
     prev = _checksum(e)
     converged = False
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _checksum(e)
         if cur == prev:
             converged = True
@@ -400,18 +403,19 @@ def k_core(
     e = _canonical_pairs(edges)
     e = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _ in range(max_iterations):
+        # lazy: weak.isEmpty() / the next round's aggregation forces
         deg = e.groupBy(F.col("src").alias("node")).agg(
             F.count(F.lit(1)).cast("bigint").alias("deg")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         weak = deg.filter(F.col("deg") < k).select("node")
         if weak.isEmpty():
             return deg
         e = (
             e.join(weak, e.src == weak.node, "left_anti")
             .join(weak, e.dst == weak.node, "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     raise RuntimeError(f"k_core did not converge in {max_iterations} rounds")
 

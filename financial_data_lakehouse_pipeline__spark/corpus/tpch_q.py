@@ -599,7 +599,7 @@ def waiting_suppliers_q21(spark, sf_dir):
     s = read_table(spark, sf_dir, "supplier")
     os_ = li.groupBy(
         F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
-    ).agg(F.max("l_shipdate").alias("last_ship")).localCheckpoint(eager=True)
+    ).agg(F.max("l_shipdate").alias("last_ship")).localCheckpoint(eager=False)
     late = os_.join(o, os_.ok == o.o_orderkey).filter(
         F.col("last_ship") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
     ).select("ok", "sk", "last_ship")

@@ -437,9 +437,16 @@ def association_rules(
     Output: (item_a, item_b, pair_count, count_a, count_b, support,
     conf_a_to_b, conf_b_to_a, lift), item_a < item_b.
     """
-    baskets = df.select(
-        F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
-    ).distinct()
+    from financial_data_lakehouse_pipeline__spark.operators.dedup import _pin
+
+    # pinned: four branches (basket total, item counts, both pair-join
+    # sides) re-derived the distinct otherwise — 4 scans + 4 shuffles
+    # for one logical dedup (guide §2.4)
+    baskets = _pin(
+        df.select(
+            F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
+        ).distinct()
+    )
     n_baskets = baskets.select("__g").distinct().agg(
         F.count(F.lit(1)).cast("bigint").alias("__n")
     )

@@ -240,7 +240,13 @@ def concurrency_sweep(
     Output: (at, delta, concurrent) — ``concurrent`` is the count active
     on [at, next_boundary).
     """
+    from financial_data_lakehouse_pipeline__spark.operators.dedup import _pin
+
     w = weight if weight is not None else F.lit(1).cast("bigint")
+    # pinned: the +start and -end delta branches each re-derived the
+    # interval table (for sessionized inputs that is a full window
+    # aggregation per branch — guide §2.4)
+    df = _pin(df)
     deltas = df.select(start.alias("at"), w.alias("__d")).unionAll(
         df.select(end_exclusive.alias("at"), (-w).alias("__d"))
     )

@@ -132,10 +132,18 @@ def cms_heavy_hitters(
 
     Output: (key, est_cnt, cnt) for keys with exact cnt >= min_count.
     """
+    from financial_data_lakehouse_pipeline__spark.operators.dedup import _pin
+
     sketch = count_min_sketch(df, key_col, depth, width)
     distinct_keys = df.filter(F.col(key_col).isNotNull()).select(key_col).distinct()
-    cand = cms_estimate(sketch, distinct_keys, key_col, depth, width).filter(
-        F.col("est_cnt") >= min_count
+    # pinned: both the semi-join probe and the final attach re-reference
+    # the candidate table, which would re-run the sketch aggregation +
+    # estimate join per branch (the hot tail is min_count-bounded, so
+    # the materialization is small at any scale)
+    cand = _pin(
+        cms_estimate(sketch, distinct_keys, key_col, depth, width).filter(
+            F.col("est_cnt") >= min_count
+        )
     )
     hot_rows = df.join(F.broadcast(cand.select(key_col)), key_col, "left_semi")
     exact = heavy_hitters_exact(hot_rows, key_col, min_count)

@@ -328,11 +328,16 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     canon = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    from financial_data_lakehouse_pipeline__spark.operators.dedup import _pin
+
     terms = (
         df.select(F.col(id_col), F.explode(_tokens(canon)).alias("term"))
         .filter(F.length("term") >= min_term_len)
     )
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # pinned: the df aggregation and the scoring join both consume the
+    # tf table — without materialization the tokenize/explode/groupBy
+    # shuffle runs twice (guide §2.4)
+    tf = _pin(terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__n"))
     w = Window.partitionBy(id_col).orderBy(
@@ -874,13 +879,20 @@ def naive_bayes_train(
         canonical_text,
     )
 
+    from financial_data_lakehouse_pipeline__spark.operators.dedup import _pin
+
     toks = df.select(
         label.cast("boolean").alias("__y"),
         F.explode(tokens(canonical_text(F.col(text_col)))).alias("term"),
     )
-    counts = toks.groupBy("term").agg(
-        F.sum(F.when(F.col("__y"), 1).otherwise(0)).cast("bigint").alias("c_pos"),
-        F.sum(F.when(F.col("__y"), 0).otherwise(1)).cast("bigint").alias("c_neg"),
+    # pinned: the totals aggregate and the weight projection both
+    # consume the count table — without materialization the tokenize/
+    # explode/groupBy shuffle runs twice (vocabulary-sized, bounded)
+    counts = _pin(
+        toks.groupBy("term").agg(
+            F.sum(F.when(F.col("__y"), 1).otherwise(0)).cast("bigint").alias("c_pos"),
+            F.sum(F.when(F.col("__y"), 0).otherwise(1)).cast("bigint").alias("c_neg"),
+        )
     )
     totals = counts.agg(
         F.sum("c_pos").alias("__tp"),

@@ -169,6 +169,28 @@ def previous_round_queries(sf: float | None) -> dict[str, float]:
     return best[1] if best else {}
 
 
+def select_readjudication(
+    timings: dict[str, float],
+    prev: dict[str, float],
+    threshold: float = 1.3,
+    cap: int = 15,
+) -> list[str]:
+    """Queries to re-measure at the quiet tail of the run: any whose
+    median exceeds its previous-round value by >30%, most-inflated
+    first, budget-capped. NO loadavg precondition (VERDICT r13 #1: the
+    r13 run's interference was invisible in loadavg — the gate missed
+    ~20 inflated queries at loadavg ~2.4)."""
+    return sorted(
+        (
+            name
+            for name, v in timings.items()
+            if name in prev and prev[name] > 0 and v > threshold * prev[name]
+        ),
+        key=lambda n: timings[n] / prev[n],
+        reverse=True,
+    )[:cap]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -251,26 +273,25 @@ def main() -> None:
         spreads[name] = round(samples[-1] - samples[0], 3)
         minmax[name] = [round(samples[0], 3), round(samples[-1], 3)]
 
-    # Self-adjudication pass (VERDICT r12 #3): rounds 10 and 12 were
-    # both muddied by load-inflated per-query numbers that the judge
-    # had to re-time by hand. Any query whose median exceeds its
-    # previous-round value (same sf, newest BENCH_r{N}.json) by >30%
-    # while its session group ran under elevated external load (1-min
-    # loadavg > cpus/8) is RE-MEASURED at the tail of the run — fresh
-    # session, same warmup + median-of-3 methodology — and the better
-    # number kept. Result line carries `readj` (count) and the
-    # diagnostics line the old/new values, so BENCH_r{N}.json
-    # adjudicates itself.
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # Self-adjudication pass (VERDICT r12 #3, widened per VERDICT r13
+    # #1): rounds 10, 12 AND 13 were muddied by load-inflated per-query
+    # numbers. The r13 gate only re-measured a flagged query when its
+    # group's 1-min loadavg exceeded cpus/8 — interference on this box
+    # is NOT visible in loadavg (BENCH_r13 ran at loadavg ~2.4 yet ~20
+    # untouched queries came in 1.5-3x over r12), so the loadavg
+    # precondition is GONE. Any query whose median exceeds its
+    # previous-round value (same sf, newest BENCH_r{N}.json) by >30% is
+    # RE-MEASURED at the tail of the run — fresh session, same warmup +
+    # median-of-3 methodology — most-inflated first, budget-capped at
+    # 15 queries so a globally slow round cannot double the bench's
+    # runtime. The quiet-tail re-measure REPLACES the in-run value
+    # symmetrically (VERDICT r13 what's-wrong #4: keep-min was a
+    # one-sided filter; the tail sample is the later, quieter one and
+    # is taken whether higher or lower). Result line carries `readj`
+    # (count) and the diagnostics line the old/new values, so
+    # BENCH_r{N}.json adjudicates itself.
     prev = previous_round_queries(sf)
-    flagged = [
-        name
-        for name, v in timings.items()
-        if name in prev
-        and v > 1.3 * prev[name]
-        and 0 <= group_of.get(name, -1) < len(loadavg_per_group)
-        and loadavg_per_group[group_of[name]][0] > cpus / 8
-    ]
+    flagged = select_readjudication(timings, prev)
     readj: dict[str, list[float]] = {}
     if flagged:
         spark.stop()
@@ -289,9 +310,8 @@ def main() -> None:
             except Exception:  # pragma: no cover - resilience path
                 continue
             new = round(sorted(samples)[1], 3)
-            if new < timings[name]:
-                readj[name] = [timings[name], new]
-                timings[name] = new
+            readj[name] = [timings[name], new]
+            timings[name] = new
 
     total = round(sum(timings.values()), 3)
     # Diagnostics (method, per-query spread, per-group loadavg) go on

@@ -80,6 +80,31 @@ def test_choose_result_line_ladder_is_monotone():
     assert tiny["queries"] == {}
 
 
+def test_select_readjudication_no_loadavg_gate():
+    """VERDICT r13 #1: the quiet-tail re-measure must trigger on ANY
+    >1.3x-vs-prev query (no loadavg precondition), most-inflated first,
+    budget-capped at 15."""
+    sys.path.insert(0, REPO)
+    from bench import select_readjudication
+
+    prev = {f"q{i:02d}": 1.0 for i in range(30)}
+    prev["zero"] = 0.0
+    # 20 inflated (ratios 1.4..3.3), 10 quiet, one zero-prev, one new
+    timings = {f"q{i:02d}": (1.4 + 0.1 * i if i < 20 else 1.0)
+               for i in range(30)}
+    timings["zero"] = 5.0   # zero prev: never flagged (no ratio)
+    timings["newq"] = 9.0   # not in prev: never flagged
+    flagged = select_readjudication(timings, prev)
+    assert len(flagged) == 15          # budget cap
+    assert flagged[0] == "q19"         # most inflated first
+    assert flagged == [f"q{i:02d}" for i in range(19, 4, -1)]
+    assert "zero" not in flagged and "newq" not in flagged
+    # mild inflation below the 1.3x threshold is not flagged
+    assert select_readjudication({"a": 1.2}, {"a": 1.0}) == []
+    # a 1.5x outlier is flagged even in a "quiet" run (no load input at all)
+    assert select_readjudication({"a": 1.5}, {"a": 1.0}) == ["a"]
+
+
 def test_previous_round_queries_picks_newest_matching_sf(tmp_path):
     """Self-adjudication baseline: newest BENCH_r{N}.json with the SAME
     sf; non-matching sf or unparseable files never contribute."""

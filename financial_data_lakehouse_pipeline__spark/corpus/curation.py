@@ -264,14 +264,29 @@ def _funnel(spark, sf_dir, model_quality: bool):
     if model_quality:
         # train on the labeled 1-in-_TRAIN_MOD slice (labels = the
         # heuristic — weak supervision), score EVERY doc with the
-        # learned linear model; stage 3 gates on the model's label
-        train = base.filter(F.col("doc_id") % _TRAIN_MOD == 0).select(
-            "doc_id", "text", "q_ok"
+        # learned linear model; stage 3 gates on the model's label.
+        # The slim (doc_id, q_ok) label table is pinned: the bias
+        # collect and the NB weight training both consume the slice's
+        # labels, and each re-derivation re-ran the whole per-row
+        # screen pipeline (quality_score + language_id regexes) over
+        # the slice (guide §2.4) — the heavy screens now run once; the
+        # training tokenizer re-reads raw text with the slice predicate
+        # pushed to the scan, exactly like the LSH branch re-acquires
+        # survivor text.
+        labels = _pin(
+            base.filter(F.col("doc_id") % _TRAIN_MOD == 0).select(
+                "doc_id", "q_ok"
+            )
+        )
+        bias = text.naive_bayes_bias(labels, F.col("q_ok"))
+        train = (
+            d.filter(F.col("doc_id") % _TRAIN_MOD == 0)
+            .select("doc_id", "text")
+            .join(labels, "doc_id")
         )
         weights = text.naive_bayes_train(train, F.col("q_ok")).select(
             "term", "weight"
         )
-        bias = text.naive_bayes_bias(train, F.col("q_ok"))
         mq = text.linear_text_classifier(
             d, weights, bias=bias, threshold=0.0
         ).select("doc_id", F.col("label").alias("__mq"))
@@ -382,46 +397,51 @@ def _funnel(spark, sf_dir, model_quality: bool):
         ),
     )
 
-    agg = fin.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n0"),
-        *[
-            F.sum(F.col(f"f{i}").cast("long")).cast("bigint").alias(f"n{i}")
-            for i in range(1, 8)
-        ],
+    # ONE aggregation pass over the assembled flag table computes every
+    # stage count AND the packed-sequence count (guide §2.4 — the
+    # round-13 layout ran a second full pass: pack_sequences' per-source
+    # window cumsum + two more aggregations, only to count bins). The
+    # bin count per source is closed-form: concat-and-chunk packing of
+    # st = Σ n_tokens tokens into capacity-C windows spans exactly
+    # ceil(st / C) = (st + C - 1) DIV C bins (pack_sequences'
+    # max(last_bin)+1 = floor((st-1)/C)+1 — same integer for st > 0;
+    # sources with no positive-token survivors contribute nothing, the
+    # WHEN st > 0 guard below, mirroring the oracle's WHERE st > 0).
+    # Exact BIGINT arithmetic, no window, no second pass.
+    per_src = fin.groupBy("source").agg(
+        F.count(F.lit(1)).alias("c0"),
+        *[F.sum(F.col(f"f{i}").cast("long")).alias(f"c{i}") for i in range(1, 8)],
+        F.sum(F.when(F.col("f7"), F.col("n_tokens"))).alias("__st"),
     )
+    agg = per_src.agg(
+        # coalesce: an empty corpus must still report n0 = 0 (the old
+        # layout's global COUNT(*)), not a NULL sum over zero groups
+        F.coalesce(F.sum("c0"), F.lit(0)).cast("bigint").alias("n0"),
+        *[F.sum(f"c{i}").cast("bigint").alias(f"n{i}") for i in range(1, 8)],
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__st") > 0,
+                    F.expr(f"(__st + {_PACK_CAPACITY - 1}) DIV {_PACK_CAPACITY}"),
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("n8"),
+    )
+    stages = _STAGES_MODEL if model_quality else _STAGES
     stack_args = ", ".join(
-        f"{i}, '{name}', n{i}"
-        for i, name in enumerate(_STAGES_MODEL if model_quality else _STAGES)
+        [f"{i}, '{name}', n{i}" for i, name in enumerate(stages)]
+        + [f"8, 'packed_{_PACK_CAPACITY}', n8"]
     )
-    stage_counts = agg.select(
+    return agg.select(
         F.expr(
-            f"stack(8, {stack_args}) AS (stage_idx, stage, n_docs)"
+            f"stack(9, {stack_args}) AS (stage_idx, stage, n_docs)"
         )
     ).select(
         F.col("stage_idx").cast("int").alias("stage_idx"),
         "stage",
         F.col("n_docs").cast("bigint").alias("n_docs"),
     )
-    packed = sampling.pack_sequences(
-        fin.filter("f7"),
-        F.col("n_tokens"),
-        id_col="doc_id",
-        partition_by=("source",),
-        capacity=_PACK_CAPACITY,
-    )
-    pk = (
-        packed.groupBy("source")
-        .agg((F.max("last_bin") + 1).alias("__bins"))
-        .agg(
-            F.coalesce(F.sum("__bins"), F.lit(0)).cast("bigint").alias("n_docs")
-        )
-        .select(
-            F.lit(8).cast("int").alias("stage_idx"),
-            F.lit(f"packed_{_PACK_CAPACITY}").alias("stage"),
-            "n_docs",
-        )
-    )
-    return stage_counts.unionAll(pk)
 
 
 @register("curation_funnel_docs", _funnel_sql(False))

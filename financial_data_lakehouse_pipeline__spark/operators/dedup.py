@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -174,6 +175,25 @@ def _pairwise_jaccard(
     )
 
 
+#: Session-level pin-mode switch (VERDICT/ADVICE r13: the default
+#: localCheckpoint trades fault tolerance for speed — blocks are
+#: executor-local and NON-replicated with lineage truncated, so on a
+#: real cluster an executor loss or dynamic-allocation decommission
+#: during a query holding a corpus-sized pin kills the job with no
+#: recompute path). Values:
+#:   local      (default) lazy RDD localCheckpoint — fastest; accepts
+#:              the lineage-loss failure mode (fine locally / on static
+#:              executors; SCALE.md §23).
+#:   replicated MEMORY_AND_DISK_2 persist — two replicas AND lineage
+#:              kept (recompute stays possible), for spot/decommission
+#:              regimes where a lost pin must not kill a long query.
+#:   reliable   checkpoint(eager=False) to spark.checkpoint.dir —
+#:              object-store-backed; survives any executor loss.
+#:   off        full lineage, no materialization anywhere — the global
+#:              kill switch for storage-tighter-than-recompute regimes.
+PIN_MODE_ENV = "SPARK_GRAFT_PIN_MODE"
+
+
 def _pin(df: DataFrame, enabled: bool = True) -> DataFrame:
     """Materialize a multiply-consumed subtree ONCE via a lazy
     ``localCheckpoint`` (computed on first use inside the consuming job,
@@ -195,8 +215,41 @@ def _pin(df: DataFrame, enabled: bool = True) -> DataFrame:
 
     ``enabled=False`` restores full lineage — for plan inspection, or
     at extreme scale when executor storage is tighter than recompute
-    (the stored-index incremental path never pins base-scale tables)."""
-    return df.localCheckpoint(eager=False) if enabled else df
+    (the stored-index incremental path never pins base-scale tables).
+    The ``SPARK_GRAFT_PIN_MODE`` env var swaps the storage strategy
+    session-wide (replicated / reliable / off) without touching any
+    call site — the fault-tolerance escape hatch for corpus-sized pins
+    at cluster scale (see :data:`PIN_MODE_ENV`)."""
+    if not enabled:
+        return df
+    mode = os.environ.get(PIN_MODE_ENV, "local")
+    if mode == "off":
+        return df
+    if mode == "replicated":
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK_2)
+    if mode == "reliable":
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
+def _release_pin(df: DataFrame) -> None:
+    """Free a pin's executor blocks once no future computation can
+    reference it (superseded loop state; a routed-away pre-pass table).
+    Without this, cleanup waits on driver GC + ContextCleaner, so a
+    long-lived session accumulates checkpoint blocks with unbounded
+    residency (ADVICE r13). Best-effort: the localCheckpoint blocks
+    hang off the LogicalRDD's internal RDD (stable Spark API reached
+    via py4j); any failure just leaves the old GC-based cleanup."""
+    try:
+        df.unpersist()  # covers the 'replicated' persist mode; no-op otherwise
+    except Exception:
+        pass
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def _maybe_persist(df: DataFrame, persist: bool) -> DataFrame:
@@ -737,6 +790,12 @@ def similar_pairs_auto(
             df, id_col, text_col, n, threshold, max_doc_freq=max_doc_freq,
             dfreq=dfreq, shingles=shingles,
         )
+    if shingles is not None:
+        # the routing collect force-materialized the pre-pass shingle
+        # pin, but the LSH path never reads it (minhash_lsh_pairs
+        # tokenizes and pins its own capped universe) — free the blocks
+        # instead of leaking them until driver GC (ADVICE r13)
+        _release_pin(shingles)
     return minhash_lsh_pairs(
         df, id_col, text_col, n,
         num_hashes=num_hashes, bands=bands, threshold=threshold,
@@ -801,9 +860,17 @@ def duplicate_clusters(
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
+        # the count above materialized new_labels' checkpoint, so the
+        # PREVIOUS round's label blocks can never be referenced again —
+        # free them now instead of waiting on driver GC (ADVICE r13;
+        # unbounded residency across a long loop otherwise)
+        _release_pin(labels)
         labels = new_labels
         if changed == 0:
             break
+    # the surviving labels are materialized (the convergence count ran
+    # over them), so the edge pin is fully consumed too
+    _release_pin(edges)
     return labels.withColumn(
         "is_representative", F.col(id_col) == F.col("cluster_id")
     )
@@ -1196,11 +1263,16 @@ def incremental_minhash_pairs(
     re-scanning the base index per branch; the verify stage broadcasts
     the candidate member ids (bounded by the batch's collision volume)
     so the base shingle/size index scans are map-side-filtered too.
-    ``pin_buckets`` also gates the round-13 materializations: the
-    batch's own shingle/signature tables, the candidate-pair table,
-    and — on the inline (no stored index) path only — the base index
-    tables, each otherwise re-derived once per consuming branch.
-    Base-scale tables read from a STORED index are never pinned.
+    ``pin_buckets`` also gates the batch-bounded materializations: the
+    batch's own shingle/signature tables and the candidate-pair table,
+    each otherwise re-derived once per consuming branch. Base-scale
+    tables are NEVER pinned, on either path (round 14; ADVICE r13):
+    pinning them wrote O(corpus) blocks per call — per micro-batch from
+    the streaming sink — and the LogicalRDD barrier stopped the
+    broadcast member filters from reaching the base scan. On the inline
+    path the base signature aggregation streams once into the bucket
+    pruning, and every other base reference is member-semi-join-pruned
+    at the scan.
 
     Cost at scale: with |incoming| = d << |base| = N, per-batch work is
     O(d · collision volume) in every shuffle plus O(N) in pure columnar
@@ -1257,18 +1329,32 @@ def incremental_minhash_pairs(
     if base_shingles is not None:
         # stored-index path: base tables come straight off parquet —
         # NEVER pin base-scale data (the scans are the cheap part; a
-        # second copy in executor storage is not)
+        # second copy in executor storage is not). The stored signature
+        # table carries __sz, so the verify denominators are a
+        # broadcast-member-filtered column read, no aggregation.
         sh_base, sig_base = base_shingles, base_signatures
+        sizes = sig_base.unionByName(sig_inc).select(id_col, "__sz")
     else:
-        # inline path (no stored index): the base index subtree would
-        # otherwise be re-derived per consumer (band keys + union sizes
-        # for signatures; both verify sides for shingles) — pin the
-        # one-off computation exactly like a stored index amortizes it
-        sh_base, sig_base = minhash_index(base, id_col, text_col, n, num_hashes)
-        sh_base = _pin(sh_base, pin_buckets)
-        sig_base = _pin(sig_base, pin_buckets)
+        # inline path (no stored index): round 13 pinned the base
+        # shingle/signature tables here — that materializes O(corpus)
+        # blocks per call (the streaming sink pays it per micro-batch)
+        # and the LogicalRDD barrier BLOCKS the broadcast member
+        # filters from pushing into the base scan, defeating the
+        # batch-driven design (ADVICE r13). Round 14: NO base-scale
+        # pins. The base signature aggregation streams once into the
+        # bucket pruning (its only consumer); the verify posting sides
+        # and the size denominators tokenize only candidate-MEMBER base
+        # docs (see the member pre-filter below — Catalyst does not push
+        # a LeftSemi below Generate, so the doc-level filter is applied
+        # by hand before the explode). sizes=None makes
+        # _pairwise_jaccard aggregate the member-filtered union instead
+        # of forcing a second full base signature pass.
+        sh_base = word_shingles(
+            base.select(id_col, text_col), id_col, text_col, n
+        )
+        sig_base = minhash_signatures(sh_base, id_col, num_hashes)
+        sizes = None
     sh = sh_base.unionByName(sh_inc)
-    sig = sig_base.unionByName(sig_inc)
 
     # batch-driven bucket pruning: broadcast the batch's key set and
     # keep only base bucket rows in buckets the batch touches — the
@@ -1293,8 +1379,10 @@ def incremental_minhash_pairs(
     )
     if max_bucket_size is not None:
         buckets = _cap_hot_buckets(buckets, max_bucket_size)
-    if pin_buckets:
-        buckets = buckets.localCheckpoint()
+    # lazy (was an EAGER checkpoint through round 13 — one redundant
+    # materialization job per call; the candidate self-join is the
+    # forcing action and both its sides read the same blocks)
+    buckets = _pin(buckets, pin_buckets)
     l = buckets.select(
         F.col(id_col).alias("id_a"), "band", "key", F.col("__is_new").alias("__new_a")
     )
@@ -1312,8 +1400,37 @@ def incremental_minhash_pairs(
         .distinct(),
         pin_buckets,
     )
+    if base_shingles is None:
+        # Manual member pushdown for the inline base (round 14): the
+        # verify/size branches only ever need postings of candidate
+        # pair MEMBERS, but Catalyst does not push a LeftSemi below a
+        # Generate, so _pairwise_jaccard's member semi-joins would land
+        # ABOVE the explode and each branch would re-tokenize the FULL
+        # base (measured: 3 extra full-corpus Generates in the plan).
+        # Filtering the base DOCUMENTS by the broadcast (batch-bounded)
+        # member id set BEFORE word_shingles moves the cut to the scan:
+        # every verify-side re-derivation tokenizes member docs only.
+        # The filtered table is itself member-bounded — collision
+        # volume, not corpus — so pinning it for its three consumers
+        # (both posting sides + the size denominators) is exactly the
+        # batch-bounded materialization ADVICE r13 endorses.
+        members = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        sh_verify_base = _pin(
+            word_shingles(
+                base.select(id_col, text_col).join(
+                    F.broadcast(members), id_col, "left_semi"
+                ),
+                id_col, text_col, n,
+            ),
+            pin_buckets,
+        )
+        sh = sh_verify_base.unionByName(sh_inc)
     exact = _pairwise_jaccard(
-        sh, id_col, restrict_to=candidates, sizes=sig.select(id_col, "__sz"),
+        sh, id_col, restrict_to=candidates, sizes=sizes,
         broadcast_members=True,
     )
     return exact.filter(F.col("jaccard") >= threshold)

@@ -218,6 +218,7 @@ def concurrency_sweep(
     start: Column,
     end_exclusive: Column,
     weight: Column | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """Sweep-line concurrency curve: for every interval boundary, how
     many intervals [start, end_exclusive) are active at that instant —
@@ -245,8 +246,11 @@ def concurrency_sweep(
     w = weight if weight is not None else F.lit(1).cast("bigint")
     # pinned: the +start and -end delta branches each re-derived the
     # interval table (for sessionized inputs that is a full window
-    # aggregation per branch — guide §2.4)
-    df = _pin(df)
+    # aggregation per branch — guide §2.4). ``pin=False`` (or
+    # SPARK_GRAFT_PIN_MODE) restores full lineage for input-scale
+    # tables when executor storage / fault tolerance demand it
+    # (ADVICE r13).
+    df = _pin(df, pin)
     deltas = df.select(start.alias("at"), w.alias("__d")).unionAll(
         df.select(end_exclusive.alias("at"), (-w).alias("__d"))
     )

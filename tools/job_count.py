@@ -36,15 +36,30 @@ from financial_data_lakehouse_pipeline__spark.session import build_session  # no
 
 
 def _patch_eager_localcheckpoint() -> None:
-    from pyspark.sql import DataFrame
+    # Patch the CLASSIC DataFrame class, not the abstract
+    # pyspark.sql.DataFrame facade: Spark 4 classic defines its own
+    # localCheckpoint, so patching only the base class is a no-op (the
+    # round-13 evidence run silently measured lazy twice).
+    targets = []
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
 
-    orig = DataFrame.localCheckpoint
+        targets.append(_CDF)
+    except ImportError:  # pragma: no cover - older Spark layout
+        pass
+    from pyspark.sql import DataFrame as _ADF
 
-    def eager_only(self, eager: bool = True, *a, **kw):  # noqa: ANN001
-        kw.pop("eager", None)
-        return orig(self, True, *a, **kw)
+    targets.append(_ADF)
+    for cls in targets:
+        if "localCheckpoint" not in cls.__dict__:
+            continue
+        orig = cls.localCheckpoint
 
-    DataFrame.localCheckpoint = eager_only
+        def eager_only(self, eager: bool = True, *a, _orig=orig, **kw):  # noqa: ANN001
+            kw.pop("eager", None)
+            return _orig(self, True, *a, **kw)
+
+        cls.localCheckpoint = eager_only
 
 
 def main() -> None:

@@ -249,7 +249,18 @@ def _funnel(spark, sf_dir, model_quality: bool):
     """Shared funnel body for the heuristic- and model-gated variants;
     only stage 3 differs (q_ok heuristic vs the trained classifier's
     label) plus the stage name it reports."""
-    d = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    # parallelism floor BEFORE the per-row screens/tokenizers: the
+    # single-row-group doc file gives the scan one task, serializing
+    # the regex screens, the fingerprint md5 and the NB tokenizers on
+    # one core (sources.scan_parallelism_floor; no-op on well-split
+    # inputs at scale)
+    from financial_data_lakehouse_pipeline__spark.sources import (
+        scan_parallelism_floor,
+    )
+
+    d = scan_parallelism_floor(
+        read_table(spark, sf_dir, "documents")
+    ).select("doc_id", "text", "source")
     q = text.language_id(text.quality_score(d))
     base = q.select(
         "doc_id",

@@ -27,6 +27,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from financial_data_lakehouse_pipeline__spark.functions import guarded_div, tokens
+from financial_data_lakehouse_pipeline__spark.sources.readers import (
+    scan_parallelism_floor,
+)
 
 #: Modulus for the universal-hash minhash family (Mersenne prime 2^31-1).
 #: With 28-bit base hashes and coefficients < P, a*h+b*h2+c stays under
@@ -60,7 +63,8 @@ def exact_dedup(
     reporting the duplicate count. One hash-groupBy; the md5 key keeps
     shuffle rows small even for megabyte documents."""
     return (
-        df.withColumn("__fp", F.md5(canonical_text(F.col(text_col))))
+        scan_parallelism_floor(df)
+        .withColumn("__fp", F.md5(canonical_text(F.col(text_col))))
         .groupBy("__fp")
         .agg(
             F.min(id_col).alias(id_col),
@@ -312,7 +316,10 @@ def ngram_jaccard_pairs(
     (:func:`drop_stop_shingles`) before the self-join; Jaccard is then
     exact over the capped shingle universe.
     """
-    sh = _maybe_persist(word_shingles(df, id_col, text_col, n), persist_shingles)
+    sh = _maybe_persist(
+        word_shingles(scan_parallelism_floor(df), id_col, text_col, n),
+        persist_shingles,
+    )
     if max_doc_freq is not None:
         sh = drop_stop_shingles(sh, max_doc_freq)
     return _pairwise_jaccard(sh, id_col).filter(F.col("jaccard") >= threshold)
@@ -391,7 +398,7 @@ def prefix_filter_jaccard_pairs(
     if fr > exact:
         fr = Fraction(math.floor(exact * 1_000_000), 1_000_000)
     if shingles is None:
-        sh = word_shingles(df, id_col, text_col, n)
+        sh = word_shingles(scan_parallelism_floor(df), id_col, text_col, n)
         if max_doc_freq is not None:
             sh = drop_stop_shingles(sh, max_doc_freq)
         sh = _pin(sh, pin_intermediates)
@@ -561,7 +568,10 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     rows_per_band = num_hashes // bands
-    sh = _maybe_persist(word_shingles(df, id_col, text_col, n), persist_shingles)
+    sh = _maybe_persist(
+        word_shingles(scan_parallelism_floor(df), id_col, text_col, n),
+        persist_shingles,
+    )
     if max_doc_freq is not None:
         sh = drop_stop_shingles(sh, max_doc_freq)
     sh = _pin(sh, pin_intermediates and not persist_shingles)
@@ -683,7 +693,7 @@ def dedup_route(
             sampling.hash_bucket(F.col(id_col), salt="route")
             < sample_buckets
         )
-    sh = word_shingles(src, id_col, text_col, n)
+    sh = word_shingles(scan_parallelism_floor(src), id_col, text_col, n)
     # Unsampled, the pre-pass shingle table IS the routed prefix path's
     # input — pin it once so the statistic's aggregation and the routed
     # path share one tokenize pass instead of two (returned via
@@ -888,7 +898,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     """
     if bits > 60:
         raise ValueError("bits must be <= 60 (md5 15-hex-digit prefix)")
-    toks = df.select(
+    toks = scan_parallelism_floor(df).select(
         F.col(id_col),
         F.explode(tokens(canonical_text(F.col(text_col)))).alias("tok"),
     ).withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint"))
@@ -996,7 +1006,7 @@ def contamination_report(
     """
     from financial_data_lakehouse_pipeline__spark.operators import sketches
 
-    tr = word_shingles(train, id_col, text_col, n)
+    tr = word_shingles(scan_parallelism_floor(train), id_col, text_col, n)
     ev = (
         word_shingles(eval_df, id_col, text_col, n)
         .withColumnRenamed(id_col, "__eval_id")
@@ -1070,7 +1080,7 @@ def containment_pairs(
     optional df cap for skew); the only change is the denominator.
     Output: (id_a, id_b, containment), id_a < id_b.
     """
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = word_shingles(scan_parallelism_floor(df), id_col, text_col, n)
     if max_doc_freq is not None:
         sh = drop_stop_shingles(sh, max_doc_freq)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
@@ -1126,7 +1136,7 @@ def repeated_spans(
 
     Output: (span, n_docs, min_doc, max_doc).
     """
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = word_shingles(scan_parallelism_floor(df), id_col, text_col, n)
     agg = (
         sh.groupBy(F.col("shingle").alias("span"))
         .agg(
@@ -1193,7 +1203,7 @@ def minhash_index(
     optional third index table (precomputed LSH bucket rows, skipping
     the per-batch band-key recompute too) see
     :func:`minhash_band_buckets`."""
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = word_shingles(scan_parallelism_floor(df), id_col, text_col, n)
     return sh, minhash_signatures(sh, id_col, num_hashes)
 
 
@@ -1323,7 +1333,10 @@ def incremental_minhash_pairs(
     # band keys + the union's sizes) — pin so the batch tokenizes and
     # aggregates once (gated on ``pin_buckets`` like every other
     # materialization here so plan tests can see full lineage).
-    sh_inc = word_shingles(incoming.select(id_col, text_col), id_col, text_col, n)
+    sh_inc = word_shingles(
+        scan_parallelism_floor(incoming.select(id_col, text_col)),
+        id_col, text_col, n,
+    )
     sh_inc = _pin(sh_inc, pin_buckets)
     sig_inc = _pin(minhash_signatures(sh_inc, id_col, num_hashes), pin_buckets)
     if base_shingles is not None:
@@ -1350,7 +1363,8 @@ def incremental_minhash_pairs(
         # _pairwise_jaccard aggregate the member-filtered union instead
         # of forcing a second full base signature pass.
         sh_base = word_shingles(
-            base.select(id_col, text_col), id_col, text_col, n
+            scan_parallelism_floor(base.select(id_col, text_col)),
+            id_col, text_col, n,
         )
         sig_base = minhash_signatures(sh_base, id_col, num_hashes)
         sizes = None
@@ -1421,8 +1435,10 @@ def incremental_minhash_pairs(
         )
         sh_verify_base = _pin(
             word_shingles(
-                base.select(id_col, text_col).join(
-                    F.broadcast(members), id_col, "left_semi"
+                scan_parallelism_floor(
+                    base.select(id_col, text_col).join(
+                        F.broadcast(members), id_col, "left_semi"
+                    )
                 ),
                 id_col, text_col, n,
             ),

@@ -337,8 +337,13 @@ def tfidf_top_terms(
     canon = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     from financial_data_lakehouse_pipeline__spark.operators.dedup import _pin
 
+    from financial_data_lakehouse_pipeline__spark.sources.readers import (
+        scan_parallelism_floor,
+    )
+
     terms = (
-        df.select(F.col(id_col), F.explode(_tokens(canon)).alias("term"))
+        scan_parallelism_floor(df)
+        .select(F.col(id_col), F.explode(_tokens(canon)).alias("term"))
         .filter(F.length("term") >= min_term_len)
     )
     # pinned: the df aggregation and the scoring join both consume the
@@ -822,7 +827,11 @@ def linear_text_classifier(
         canonical_text,
     )
 
-    toks = df.select(
+    from financial_data_lakehouse_pipeline__spark.sources.readers import (
+        scan_parallelism_floor,
+    )
+
+    toks = scan_parallelism_floor(df).select(
         F.col(id_col),
         F.explode_outer(tokens(canonical_text(F.col(text_col)))).alias("tok"),
     )
@@ -890,7 +899,11 @@ def naive_bayes_train(
 
     from financial_data_lakehouse_pipeline__spark.operators.dedup import _pin
 
-    toks = df.select(
+    from financial_data_lakehouse_pipeline__spark.sources.readers import (
+        scan_parallelism_floor,
+    )
+
+    toks = scan_parallelism_floor(df).select(
         label.cast("boolean").alias("__y"),
         F.explode(tokens(canonical_text(F.col(text_col)))).alias("term"),
     )
@@ -1020,9 +1033,14 @@ def bpe_learn_merges(
     included), matching the reference Python implementation pinned in
     tests/test_operators.py.
     """
+    from financial_data_lakehouse_pipeline__spark.sources.readers import (
+        scan_parallelism_floor,
+    )
+
     spark = df.sparkSession
     words = (
-        df.select(
+        scan_parallelism_floor(df)
+        .select(
             F.explode(
                 F.regexp_extract_all(
                     F.lower(F.col(text_col)), F.lit("[a-z]+"), F.lit(0)
@@ -1032,9 +1050,12 @@ def bpe_learn_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
+    # lazy: the first iteration's pair-count collect is the forcing
+    # action (round 14 — an eager checkpoint here was one extra
+    # materialization job, same class as the r13 loop-checkpoint fix)
     st = words.select(
         F.regexp_replace("w", r"(.)", r"|$1|").alias("s"), "freq"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for r in range(int(n_merges)):
         pz = (
@@ -1070,7 +1091,9 @@ def bpe_learn_merges(
             "freq",
         )
         if checkpoint_every and (r + 1) % checkpoint_every == 0:
-            st = st.localCheckpoint()
+            # lazy: the next iteration's collect forces it; a trailing
+            # never-forced checkpoint on the last round costs nothing
+            st = st.localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges,
         "rank int, left_sym string, right_sym string, pair_count bigint",

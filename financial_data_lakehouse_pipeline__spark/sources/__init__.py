@@ -6,6 +6,7 @@ from financial_data_lakehouse_pipeline__spark.sources.readers import (
     read_orc,
     read_parquet,
     read_table,
+    scan_parallelism_floor,
 )
 from financial_data_lakehouse_pipeline__spark.sources.writers import (
     write_csv,
@@ -25,6 +26,7 @@ __all__ = [
     "read_orc",
     "read_parquet",
     "read_table",
+    "scan_parallelism_floor",
     "write_csv",
     "write_orc",
     "write_parquet",

@@ -148,6 +148,41 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scan_parallelism_floor(df: DataFrame) -> DataFrame:
+    """Raise an under-split input's partition count to the session's
+    default parallelism before per-row-HEAVY map work (regex tokenize,
+    per-shingle md5, quality screens).
+
+    A parquet file splits at ROW-GROUP granularity, and the driver
+    testdata (like any small compacted lake table) is one file with one
+    row group per table — so the whole scan is ONE task and everything
+    up to the first exchange runs on one core no matter how many the
+    session has (guide §6: input split size bounds scan parallelism;
+    round 14 measured the docs-family tokenize stages single-task at
+    every SF, e.g. word_shingles 0.55 s → 0.32 s at sf0.1 and the whole
+    sf1 heavy family faster on 8 cores than 32 because the serial scan
+    stage dominated). The round-robin repartition costs one shuffle of
+    the raw rows, which only pays when downstream per-row work
+    dominates the row bytes — callers are the tokenize/hash-heavy text
+    operators, nothing else.
+
+    Scale posture: the floor only engages when the scan is under-split
+    by 2x or more versus the session's core count, so real lake inputs
+    (thousands of splits) pass through untouched — no added corpus
+    shuffle at 100 TB; it self-tunes to SPARK_GRAFT_CPUS locally and to
+    the executor fleet on a cluster.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # exotic plans (no RDD view): leave untouched
+        return df
+    if n * 2 > target:
+        return df
+    return df.repartition(target)
+
+
 def with_ingest_metadata(df: DataFrame, source: str) -> DataFrame:
     """Stamp lake-ingest audit columns — the provenance contract every
     multi-source lake needs for debugging, replay, and per-file
